@@ -1,0 +1,213 @@
+"""Catalog + physical-layout layer (SURVEY.md §7 step 1).
+
+The reference declares per-table physical layout in DDL:
+
+* ``DISTRIBUTION = HASH(col) | ROUND_ROBIN | REPLICATE``
+  (fact.sale.sql:27-30; dimension.city.sql:19; RefreshReplicatedTable.ps1:44)
+* ``CLUSTERED COLUMNSTORE INDEX`` vs ``CLUSTERED INDEX (key)`` vs ``HEAP``
+  (fact.sale.sql:31; dimension.city.sql:20-23; GenerateLoadScript-V1.sql:46)
+* ``PARTITION (col RANGE RIGHT FOR VALUES (...))`` (fact.sale.sql:32-48)
+
+Spark-first mapping (SURVEY §1.1):
+
+* HASH(col)     → repartition(n, col) at write + bucket metadata; joins on the
+  distribution column are co-located once both sides share the layout.
+* ROUND_ROBIN   → repartition(n) (size-balanced, no key).
+* REPLICATE     → broadcast() hint injected when the table is read.
+* CLUSTERED INDEX (k) → sortWithinPartitions(k) at write → parquet min/max
+  row-group skipping ≈ segment elimination.
+* RANGE RIGHT partitioning → Hive-style partitionBy on a derived column
+  (value ≥ boundary falls in the right partition — month-truncation for the
+  reference's monthly boundaries).
+
+Layout is persisted in Spark table properties (``sdw.distribution`` etc.) so
+`meta.tables` can serve the `sys.pdw_table_distribution_properties` surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The reference engine always uses 60 hash distributions
+# (white-papers/...md:37).  At 100 TB on a real cluster this would be
+# 2-3x total executor cores; locally we keep the reference's number.
+DEFAULT_DISTRIBUTION_COUNT = 60
+
+VALID_DISTRIBUTIONS = ("hash", "round_robin", "replicate")
+
+
+@dataclass
+class TableLayout:
+    """Physical layout metadata for a managed table."""
+
+    distribution: str = "round_robin"
+    distribution_column: str | None = None
+    sort_columns: list[str] = field(default_factory=list)
+    partition_column: str | None = None  # derived Hive partition column
+    partition_expr: str | None = None  # SQL expr deriving it, e.g. month trunc
+    index_type: str = "cci"  # cci | clustered | heap
+
+    def __post_init__(self) -> None:
+        if self.distribution not in VALID_DISTRIBUTIONS:
+            raise ValueError(
+                f"DISTRIBUTION must be one of {VALID_DISTRIBUTIONS}, got {self.distribution}"
+            )
+        if self.distribution == "hash" and not self.distribution_column:
+            raise ValueError("HASH distribution requires a distribution column")
+
+    def to_properties(self) -> dict[str, str]:
+        props = {
+            "sdw.distribution": self.distribution,
+            "sdw.index_type": self.index_type,
+        }
+        if self.distribution_column:
+            props["sdw.distribution_column"] = self.distribution_column
+        if self.sort_columns:
+            props["sdw.sort_columns"] = ",".join(self.sort_columns)
+        if self.partition_column:
+            props["sdw.partition_column"] = self.partition_column
+        if self.partition_expr:
+            props["sdw.partition_expr"] = self.partition_expr
+        return props
+
+    @classmethod
+    def from_properties(cls, props: dict[str, str]) -> "TableLayout":
+        return cls(
+            distribution=props.get("sdw.distribution", "round_robin"),
+            distribution_column=props.get("sdw.distribution_column"),
+            sort_columns=[c for c in props.get("sdw.sort_columns", "").split(",") if c],
+            partition_column=props.get("sdw.partition_column"),
+            partition_expr=props.get("sdw.partition_expr"),
+            index_type=props.get("sdw.index_type", "cci"),
+        )
+
+
+def hash_layout(column: str, sort: list[str] | None = None, **kw) -> TableLayout:
+    return TableLayout(distribution="hash", distribution_column=column, sort_columns=sort or [], **kw)
+
+
+def replicate_layout(sort: list[str] | None = None) -> TableLayout:
+    return TableLayout(distribution="replicate", sort_columns=sort or [])
+
+
+def round_robin_layout(sort: list[str] | None = None) -> TableLayout:
+    return TableLayout(distribution="round_robin", sort_columns=sort or [])
+
+
+class Catalog:
+    """Schema/table/view DDL with layout-aware reads and writes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        distribution_count: int = DEFAULT_DISTRIBUTION_COUNT,
+    ) -> None:
+        self.spark = spark
+        self.distribution_count = distribution_count
+
+    # --- schemas (CREATE SCHEMA → CREATE DATABASE, D1) -------------------
+
+    def create_schema(self, name: str, if_not_exists: bool = True) -> None:
+        guard = "IF NOT EXISTS " if if_not_exists else ""
+        self.spark.sql(f"CREATE DATABASE {guard}`{name}`")
+
+    def drop_schema(self, name: str, if_exists: bool = True, cascade: bool = False) -> None:
+        guard = "IF EXISTS " if if_exists else ""
+        casc = " CASCADE" if cascade else ""
+        self.spark.sql(f"DROP DATABASE {guard}`{name}`{casc}")
+
+    # --- tables ----------------------------------------------------------
+
+    @staticmethod
+    def _q(table: str) -> str:
+        return ".".join(f"`{p}`" for p in table.split("."))
+
+    def _apply_write_layout(self, df: DataFrame, layout: TableLayout) -> DataFrame:
+        if layout.partition_expr and layout.partition_column:
+            df = df.withColumn(layout.partition_column, F.expr(layout.partition_expr))
+        if layout.distribution == "hash":
+            df = df.repartition(self.distribution_count, F.col(layout.distribution_column))
+        elif layout.distribution == "round_robin":
+            df = df.repartition(self.distribution_count)
+        # replicate: single parquet, broadcast at read; keep 1 output file
+        elif layout.distribution == "replicate":
+            df = df.coalesce(1)
+        if layout.sort_columns:
+            # clustered-index emulation: sorted within files → min/max skipping
+            df = df.sortWithinPartitions(*layout.sort_columns)
+        return df
+
+    def create_table_as(
+        self,
+        table: str,
+        df: DataFrame,
+        layout: TableLayout | None = None,
+        mode: str = "errorifexists",
+    ) -> None:
+        """CTAS (S4/D3): materialize a DataFrame as a managed parquet table
+        with the declared layout applied (repartition + sort + partitioning)."""
+        layout = layout or TableLayout()
+        out = self._apply_write_layout(df, layout)
+        writer = out.write.format("parquet").mode(mode)
+        if layout.partition_column:
+            writer = writer.partitionBy(layout.partition_column)
+        writer.saveAsTable(self._q(table))
+        self._set_layout_properties(table, layout)
+
+    def _set_layout_properties(self, table: str, layout: TableLayout) -> None:
+        props = ", ".join(f"'{k}'='{v}'" for k, v in layout.to_properties().items())
+        self.spark.sql(f"ALTER TABLE {self._q(table)} SET TBLPROPERTIES ({props})")
+
+    def get_layout(self, table: str) -> TableLayout:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self._q(table)}").collect()
+        return TableLayout.from_properties({r["key"]: r["value"] for r in rows})
+
+    def insert_into(self, table: str, df: DataFrame, overwrite: bool = False) -> None:
+        """INSERT INTO ... SELECT (D6), honoring the table's layout."""
+        layout = self.get_layout(table)
+        out = self._apply_write_layout(df, layout)
+        out.write.insertInto(self._q(table), overwrite=overwrite)
+
+    def table(self, name: str) -> DataFrame:
+        """Layout-aware read: REPLICATE tables come back broadcast-hinted
+        (J13 — the reference replicates small dims to every node,
+        white-papers/...md:50-51)."""
+        df = self.spark.table(self._q(name))
+        layout = self.get_layout(name)
+        if layout.distribution == "replicate":
+            return F.broadcast(df)
+        return df
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        guard = "IF EXISTS " if if_exists else ""
+        self.spark.sql(f"DROP TABLE {guard}{self._q(name)}")
+
+    def truncate_table(self, name: str) -> None:
+        self.spark.sql(f"TRUNCATE TABLE {self._q(name)}")
+
+    # --- views (D4) ------------------------------------------------------
+
+    def create_view(self, name: str, sql: str) -> None:
+        self.spark.sql(f"CREATE OR REPLACE VIEW {self._q(name)} AS {sql}")
+
+    def drop_view(self, name: str, if_exists: bool = True) -> None:
+        guard = "IF EXISTS " if if_exists else ""
+        self.spark.sql(f"DROP VIEW {guard}{self._q(name)}")
+
+    # --- DDL scripting (D15: usp_ConstructCreateStatementForTable) -------
+
+    def show_create_table(self, name: str) -> str:
+        base = self.spark.sql(f"SHOW CREATE TABLE {self._q(name)}").collect()[0][0]
+        layout = self.get_layout(name)
+        dist = layout.distribution.upper()
+        if layout.distribution == "hash":
+            dist = f"HASH({layout.distribution_column})"
+        extras = [f"DISTRIBUTION = {dist}"]
+        if layout.sort_columns:
+            extras.append(f"CLUSTERED INDEX ({', '.join(layout.sort_columns)})")
+        if layout.partition_column:
+            extras.append(f"PARTITION ({layout.partition_column})")
+        return base + "\n-- WITH (" + ", ".join(extras) + ")"

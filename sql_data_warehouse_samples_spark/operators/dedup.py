@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Driver-mandated LLM-pipeline extension (BASELINE.json north_star).  Design
+targets 100 TB corpora:
+
+* Exact dedup — hash-groupBy on a content fingerprint.  One shuffle keyed by
+  a 128-bit hash: uniformly distributed, skew-free by construction.
+* MinHash+LSH near-dedup — shingle → k minhashes → b bands; candidate pairs
+  come from an equi-join on (band_id, band_hash), i.e. a shuffle whose key
+  cardinality is tunable via b/r.  No O(n²) comparisons; the only cross-pair
+  work is verifying candidates inside buckets.
+* SimHash — 64-bit weighted-projection signature; near-dups differ in few
+  bits.  Banding the 64 bits into chunks gives the same LSH join trick.
+* n-gram Jaccard — the exact verifier applied to candidate pairs.
+
+All signature computation is pure Spark SQL expressions (xxhash64 /
+higher-order array functions) — JVM-side, codegen, no Python UDF, no
+driver-side collect.  Everything composes as DataFrame → DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) content hash.
+
+    Returns the input rows annotated with ``content_hash`` and ``is_duplicate``.
+    Single hash-partitioned shuffle; group key is md5 so distribution is
+    uniform regardless of content skew.
+    """
+    h = F.md5(normalized_text(text_col)).alias("content_hash")
+    with_hash = df.withColumn("content_hash", h)
+    reps = with_hash.groupBy("content_hash").agg(F.min(id_col).alias("__keep_id"))
+    return with_hash.join(reps, "content_hash").withColumn(
+        "is_duplicate", F.col(id_col) != F.col("__keep_id")
+    ).drop("__keep_id")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct set)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """k-permutation MinHash via seeded xxhash64 (64-bit, JVM-side).
+
+    hash_i(s) = xxhash64(i, s); signature[i] = min over shingles.
+    """
+    sigs = [
+        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
+
+    rows/band r = num_hashes/bands; collision threshold ≈ (1/bands)^(1/r).
+    The band join is an equi-join on (band, band_signature) — shuffle keys
+    are hashes, so co-located and skew-free at any scale.
+    """
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    banded = with_sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[F.element_at("__sig", b * r + j + 1).cast("string") for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / F.nullif(union, F.lit(0.0)), 6)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+
+    Output: (id_a, id_b, jaccard_sim).  The verify join re-reads only the
+    candidate ids (semi-joined), so verification cost scales with the number
+    of candidate pairs, not the corpus.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
+
+    bit_j(doc) = sign( Σ_tokens (token_hash has bit j ? +1 : -1) ).
+    One pass over the token array with SQL higher-order functions
+    (the Python `F.shiftright` builder only takes literal shift amounts,
+    so the variable-shift inner loop is expressed in SQL, where shift
+    amounts are full expressions).
+    """
+    toks = rf"split(trim(`{text_col}`), '\\s+')"
+    bit_sums = (
+        f"aggregate(transform({toks}, t -> xxhash64(t)),"
+        " array_repeat(cast(0 as bigint), 64),"
+        " (acc, h) -> zip_with(acc,"
+        "   transform(sequence(0, 63),"
+        "     j -> if(((h >> j) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))),"
+        "   (a, b) -> a + b))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({bit_sums}, sequence(0, 63),"
+        " (s, j) -> if(s > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),"
+        " cast(0 as bigint), (acc, x) -> acc | x)"
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of xor)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + Hamming verification.
+
+    Splitting 64 bits into `bands` chunks guarantees recall for pairs with
+    < bands differing bits (pigeonhole): any such pair collides on ≥1 chunk.
+    """
+    chunk = 64 // bands
+    sig = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+    banded = sig.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sim"), b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sim", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sim").alias("sim_a"),
+            F.col("b.__sim").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Driver-mandated extension beyond the reference surface (BASELINE.json
+north_star; SURVEY §7 step 9).  All operators are pure Column expressions
+(JVM-side, whole-stage-codegen friendly — no Python UDFs in the hot path),
+so they scale to 100 TB document corpora: each is a map-only transform with
+no shuffle.
+
+Precedent in the reference for heavy string cleansing as column expressions:
+GenerateLoadScript-V3-ContainerSubfolders.sql:139-167 (staged varchar →
+cast/clean pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word profiles for the n-gram/stopword heuristic
+# language-ID.  Ordered dict: ties resolve to the first language listed.
+LANGUAGE_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "las", "una", "y"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+DEFAULT_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the loader's field-splitting idiom)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def word_token_count(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: word pieces, numbers, and symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Number of token occurrences that are stopwords (bag semantics)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or DEFAULT_STOPWORDS)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    n = token_count(text)
+    return F.round(stopword_count(text, stopwords) / F.nullif(n.cast("double"), F.lit(0.0)), 6)
+
+
+def punctuation_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.round(n_punct / F.nullif(F.length(c).cast("double"), F.lit(0.0)), 6)
+
+
+def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Composite [0,1] quality score: lexical diversity + length + signal.
+
+    score = 0.5*distinct_ratio + 0.3*min(n_tokens/100, 1) + 0.2*(1 - stopword_ratio)
+    """
+    n = token_count(text).cast("double")
+    distinct_ratio = distinct_token_count(text) / F.nullif(n, F.lit(0.0))
+    sw_ratio = stopword_count(text, stopwords) / F.nullif(n, F.lit(0.0))
+    return F.round(
+        0.5 * distinct_ratio + 0.3 * F.least(n / 100.0, F.lit(1.0)) + 0.2 * (1.0 - sw_ratio),
+        6,
+    )
+
+
+def language_marker_hits(text: Column | str, lang: str) -> Column:
+    """Token occurrences matching the language's marker-word profile."""
+    profile = F.array(*[F.lit(w) for w in LANGUAGE_PROFILES[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(profile, t)))
+
+
+def language_id(text: Column | str) -> Column:
+    """Predict language by max marker-word hits; ties → profile order.
+
+    Pure expression: a CASE chain over per-language hit counts.  At 100 TB
+    this is a map-only pass (no shuffle, no UDF).
+    """
+    hits = {lang: language_marker_hits(text, lang) for lang in LANGUAGE_PROFILES}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reversed so earlier profiles win ties
+    for lang in reversed(list(LANGUAGE_PROFILES)):
+        expr = F.when(hits[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Stable 64-bit-equivalent content fingerprint: md5 prefix of the
+    normalized text (lowercased, whitespace-collapsed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, 16)
+
+
+def bag_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set.
+
+    Detects shuffled/reordered near-duplicates that exact hashing misses.
+    """
+    bag = F.array_sort(F.array_distinct(tokens(text)))
+    return F.substring(F.md5(F.concat_ws(" ", bag)), 1, 16)

@@ -1,0 +1,47 @@
+"""Shared helpers for workload queries (cross-engine determinism)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is TIMESTAMP(NANOS) in parquet, read as long ns
+        # (spark.sql.legacy.parquet.nanosAsLong); truncate to µs exactly the
+        # way DuckDB casts TIMESTAMP_NS → TIMESTAMP, so oracles agree.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dec(c: str | Column, scale: int = 4) -> Column:
+    """Exact-decimal view of a double column (order-independent aggregation)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dsum(c: str | Column, alias: str, scale: int = 4) -> Column:
+    """SUM over double made order-independent via decimal, emitted as double."""
+    return F.sum(dec(c, scale)).cast("double").alias(alias)
+
+
+def davg(c: str | Column, alias: str, scale: int = 4) -> Column:
+    """AVG as exact-decimal sum divided by count, both engines identically."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec(col, scale)).cast("double") / F.count(col)).alias(alias)
+
+
+# SQL-side fragments mirroring the helpers above (for DuckDB oracles).
+def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 4) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

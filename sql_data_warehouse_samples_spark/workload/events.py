@@ -1,0 +1,235 @@
+"""Event-table workload: windowed aggregation, sessionization, JSON.
+
+The reference is pure batch MPP (SURVEY §2.14) — the streaming surface is
+the driver-mandated extension.  These queries exercise the *batch* semantics
+of the same operators (tumbling/sliding/session windows) so they are
+oracle-checkable; `sql_data_warehouse_samples_spark.streaming` wires the
+identical expressions onto readStream/writeStream.
+
+DuckDB reads the parquet `ts` (ns) as µs TIMESTAMP, same truncation Spark
+applies, so boundaries agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import dsum, tbl
+
+# ---------------------------------------------------------------------------
+# q37 — tumbling window aggregate (Structured Streaming's F.window in batch
+# mode; epoch-aligned 1h windows == date_trunc('hour')).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_tumbling_hourly",
+    oracle="""
+SELECT
+  DATE_TRUNC('hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+)
+def q37_tumbling_hourly(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — sliding window (1h length, 30m slide).  Oracle: each event belongs to
+# exactly length/slide = 2 windows; enumerate both via UNION ALL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_sliding_hourly",
+    oracle="""
+WITH contrib AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, value
+  FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM contrib
+GROUP BY window_start
+""",
+)
+def q38_sliding_hourly(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — session windows (10-minute inactivity gap) per user.  Spark:
+# F.session_window; oracle: gaps-and-islands (LAG + cumulative flag sum).
+# Session end = last event + gap, per session_window semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_user_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '10 minutes'
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q39_user_sessions(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — JSON extraction (driver-mandate surface; Spark from_json /
+# get_json_object over the events.props payload).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q40_json_props(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — pivot (A7's idiomatic alternative per SURVEY §2.4: groupBy().pivot()).
+# Explicit value list keeps the plan single-pass (no distinct-scan job).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q41_event_pivot",
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def q41_event_pivot(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("event_day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — event funnel via window functions: first signup→purchase conversion
+# lag per user (lag/lead family on event streams).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_signup_to_purchase",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, first_signup, first_purchase,
+       DATEDIFF('second', first_signup, first_purchase) AS seconds_to_convert
+FROM firsts
+WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase > first_signup
+""",
+)
+def q42_signup_to_purchase(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    ).select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")
+        ).alias("seconds_to_convert"),
+    )

@@ -1,0 +1,104 @@
+"""Embedding-similarity workload over the embeddings table.
+
+Driver-mandated LLM-pipeline surface: brute-force cosine top-k (exactness
+baseline) + LSH-bucketed ANN (scale path).  Implementations in
+``operators.similarity``.
+
+Oracle note: DuckDB's builtin list_cosine_similarity accumulates in float32
+(≈1e-7 off from double math), so oracles spell the dot product out in
+explicit CAST(... AS DOUBLE) arithmetic matching Spark's fold, and both
+sides round to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from . import query
+from ._util import tbl
+
+_DOT = (
+    "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM_Q = "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+_NORM_C = "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force cosine top-k for the first 10 vectors as queries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s01_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6) AS cosine_sim
+  FROM q, c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, nbr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS nbr_rank
+  FROM sims
+)
+WHERE nbr_rank <= 5
+""",
+)
+def s01_cosine_topk(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# s02 — LSH-bucketed approximate neighbors (rows-only: bucket assignment is
+# engine-internal; recall vs s01 is asserted in tests/test_operators.py).
+# ---------------------------------------------------------------------------
+
+
+@query("s02_ann_lsh_topk")
+def s02_ann_lsh_topk(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# s03 — vector stats per label: norms via exact-decimal aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s03_embedding_stats",
+    oracle="""
+WITH c AS (SELECT vec_id, label, embedding FROM embeddings),
+norms AS (
+  SELECT label,
+         ROUND(sqrt(list_sum(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS vnorm
+  FROM c
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(vnorm AS DECIMAL(18,6))) AS DOUBLE) AS total_norm,
+       CAST(MIN(vnorm) AS DOUBLE) AS min_norm,
+       CAST(MAX(vnorm) AS DOUBLE) AS max_norm
+FROM norms
+GROUP BY label
+""",
+)
+def s03_embedding_stats(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "label", F.round(S.norm(F.col("embedding")), 6).alias("vnorm")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("vnorm").cast("decimal(18,6)")).cast("double").alias("total_norm"),
+        F.min("vnorm").cast("double").alias("min_norm"),
+        F.max("vnorm").cast("double").alias("max_norm"),
+    )

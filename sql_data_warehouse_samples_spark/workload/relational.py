@@ -1,0 +1,794 @@
+"""Relational operator coverage: scans, filters, joins, aggregates, sets.
+
+Maps SURVEY.md §2.1-§2.4, §2.6, §2.7 onto the driver's TPC-H-ish tables.
+Each query's docstring cites the reference pattern it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._util import davg, dec, dsum, tbl
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: grouped aggregate battery (SUM/AVG/COUNT over expressions).
+# Reference patterns: A2-A4, A8 (TableHealthCount.sql:13-36 uses the same
+# SUM/MIN/MAX/AVG/COUNT battery; expression aggregates like
+# `SUM(page_count * 8)` at TempdbConsumption.sql:4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST((1 - CAST(l_discount AS DECIMAL(18,4)))
+                  * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,8)))
+       AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    disc_factor = 1 - dec("l_discount")
+    charge_factor = (disc_factor * (1 + dec("l_tax"))).cast("decimal(18,8)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(dec("l_extendedprice") * disc_factor).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * charge_factor).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — TOP-k with ORDER BY (O1/O3: `SELECT TOP 1 ... ORDER BY run_id DESC`,
+# LatestBackup.sql:2-10, generalized to top-10 with a unique tiebreaker).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q02_topk_orders(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — multi-way inner equi-join + group + top-k (J1; star-join pattern of
+# the WWI schema, SURVEY §1.1; revenue-rank pattern white-papers/...md:189-197).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+""",
+)
+def q03_shipping_priority(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    # customer is a REPLICATE-class dim (SURVEY J13) — broadcast explicitly.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
+            & (F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15")))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — EXISTS semi-join (J10: white-papers/...md:405-408 `where exists
+# (select ... where r11.store_nbr = a11.store_nbr)`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_order_priority_semi",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q04_order_priority_semi(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+        )
+        .join(
+            li.filter(F.col("l_discount") > 0.05),
+            o.o_orderkey == li.l_orderkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — 6-table star join with residual predicate (J1-J3, J13; the WWI
+# fact-to-many-dims shape; co-located-join discussion white-papers/...md:42-51).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_local_supplier_volume",
+    oracle="""
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def q05_local_supplier_volume(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — range-filter global aggregate (A1 ungrouped aggregate,
+# UserActivities.sql:6-8; compound predicates P8).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+)
+def q06_forecast_revenue(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        ).agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — DISTINCT (O4: `SELECT DISTINCT pr.request_id ...`,
+# query_memory_usage.sql:22-32).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_distinct_pairs",
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
+)
+def q07_distinct_pairs(spark, sf_dir):
+    return tbl(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# q08 — UNION ALL (U1: three-block storage report StorageSize.sql:100,199).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q08_union_all_accounts",
+    oracle="""
+SELECT side, nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT 'customer' AS side, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS side, s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+)
+GROUP BY side, nationkey
+""",
+)
+def q08_union_all_accounts(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = tbl(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("side", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("acctbal", "total_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — INTERSECT (U2: white-papers/...md:445-455 customer-set intersection).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_intersect_customers",
+    oracle="""
+SELECT COUNT(*) AS n_both FROM (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                                 AND o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                                 AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+""",
+)
+def q09_intersect_customers(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("o_custkey")
+    return y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_both"))
+
+
+# ---------------------------------------------------------------------------
+# q10 — EXCEPT (U3: white-papers/...md:437).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_except_customers",
+    oracle="""
+SELECT COUNT(*) AS n_only_95 FROM (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                                 AND o_orderdate < TIMESTAMP '1996-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                                 AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+""",
+)
+def q10_except_customers(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("o_custkey")
+    # SQL EXCEPT is set difference — Spark's subtract() (EXCEPT DISTINCT)
+    return y95.subtract(y96).agg(F.count(F.lit(1)).alias("n_only_95"))
+
+
+# ---------------------------------------------------------------------------
+# q11 — LEFT OUTER JOIN + IS NULL probing (J4 vw_table_sizes.sql:50-51;
+# P7 sp_create_statistics.sql:56 `l.[object_id] IS NULL`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_customers_without_orders",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IS NULL
+GROUP BY c.c_mktsegment
+""",
+)
+def q11_customers_without_orders(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — RIGHT OUTER JOIN (J5: vw_sql_requests.sql:21-22 `sys.pdw_distributions
+# d RIGHT JOIN sys.dm_pdw_sql_requests sr`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_right_join_nations",
+    oracle="""
+SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+FROM customer c
+RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q12_right_join_nations(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — FULL OUTER JOIN (J6: white-papers/...md:261 declares support).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_full_outer_balance",
+    oracle="""
+SELECT COALESCE(cs.nk, ss.nk) AS nationkey,
+       COALESCE(cs.n_cust, 0) AS n_cust,
+       COALESCE(ss.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) cs
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) ss
+ON cs.nk = ss.nk
+""",
+)
+def q13_full_outer_balance(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    cs = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ss = (
+        s.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cs.join(ss, cs.nk == ss.nk, "full_outer").select(
+        F.coalesce(cs.nk, ss.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — cross join of 1-row derived tables (J9: UserActivities.sql:3-31
+# scalar-assembly `FROM (...) A, (...) B, (...) C`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_cross_scalar_assembly",
+    oracle="""
+SELECT a.n_customers, b.n_orders, c.n_lineitems
+FROM (SELECT COUNT(*) AS n_customers FROM customer) a,
+     (SELECT COUNT(*) AS n_orders FROM orders) b,
+     (SELECT COUNT(*) AS n_lineitems FROM lineitem) c
+""",
+)
+def q14_cross_scalar_assembly(spark, sf_dir):
+    a = tbl(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("n_customers"))
+    b = tbl(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
+    c = tbl(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+# ---------------------------------------------------------------------------
+# q15 — self join (J8: MemoryConsumption.sql:24-35 os_performance_counters
+# pc1 JOIN ... pc2; pairs within the same group).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_self_join_pairs",
+    oracle="""
+SELECT l1.l_orderkey AS orderkey, COUNT(*) AS n_pairs
+FROM lineitem l1
+JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+WHERE l1.l_quantity > 45 AND l2.l_quantity > 45
+GROUP BY l1.l_orderkey
+""",
+)
+def q15_self_join_pairs(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        )
+        .groupBy(F.col("l1.l_orderkey").alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — anti join (J11: `AND NOT <metric_qualification>` white-papers/...md:384;
+# NOT IN subquery).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_parts_never_shipped",
+    oracle="""
+SELECT p.p_brand, COUNT(*) AS n_parts
+FROM part p
+WHERE p.p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+GROUP BY p.p_brand
+""",
+)
+def q16_parts_never_shipped(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — IN-subquery semi join (J12: vw_tables_with_skew.sql:9-20
+# `WHERE two_part_name IN (SELECT ... GROUP BY ... HAVING ...)`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_brands_of_hot_parts",
+    oracle="""
+SELECT p.p_brand, COUNT(*) AS n_parts
+FROM part p
+WHERE p.p_partkey IN (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+)
+GROUP BY p.p_brand
+""",
+)
+def q17_brands_of_hot_parts(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    li = tbl(spark, sf_dir, "lineitem")
+    hot = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 5)
+    return (
+        p.join(hot, p.p_partkey == hot.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — two-level aggregation + HAVING ratio: the skew% formula (A9, A11:
+# ImpactedTables cmp_details/cmp_summary CTEs; vw_tables_with_skew.sql:19
+# `HAVING MIN(row_count*1.000)/MAX(row_count*1.000) > .10`).
+# The 60-way hash distribution is modelled as pmod(key, 60) — the reference's
+# fixed distribution count (white-papers/...md:37).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_distribution_skew",
+    oracle="""
+WITH dist AS (
+  SELECT l_suppkey % 60 AS distribution_id, COUNT(*) AS row_count
+  FROM lineitem
+  GROUP BY l_suppkey % 60
+)
+SELECT
+  MIN(row_count) AS min_rows,
+  MAX(row_count) AS max_rows,
+  SUM(row_count) AS total_rows,
+  CAST(ROUND((MAX(row_count) - MIN(row_count)) * 100.0
+             / NULLIF(SUM(row_count), 0), 6) AS DOUBLE) AS skew_pct
+FROM dist
+""",
+)
+def q18_distribution_skew(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    dist = li.groupBy(
+        F.pmod(F.col("l_suppkey"), F.lit(60)).alias("distribution_id")
+    ).agg(F.count(F.lit(1)).alias("row_count"))
+    return dist.agg(
+        F.min("row_count").alias("min_rows"),
+        F.max("row_count").alias("max_rows"),
+        F.sum("row_count").alias("total_rows"),
+        F.round(
+            (F.max("row_count") - F.min("row_count"))
+            * 100.0
+            / F.nullif(F.sum("row_count"), F.lit(0)),
+            6,
+        )
+        .cast("double")
+        .alias("skew_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — conditional aggregation / pivot-by-CASE (A7: SlotUsage.sql:3-6
+# `SUM(CASE WHEN r.status='Running' THEN 1 ELSE 0 END)`; 20-branch variant
+# TableHealthCount.sql:16-36).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_status_pivot",
+    oracle="""
+SELECT
+  o_orderpriority,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS n_other
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q19_status_pivot(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    st = F.col("o_orderstatus")
+    return o.groupBy("o_orderpriority").agg(
+        flag(st == "F").alias("n_f"),
+        flag(st == "O").alias("n_o"),
+        flag(st == "P").alias("n_p"),
+        flag(~st.isin("F", "O", "P")).alias("n_other"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — aggregates over expressions with ISNULL/NULLIF wrappers (A8, A12:
+# MemoryGrant.sql:16-18 `ISNULL(SUM(CAST(column_count AS BIGINT)),0)`;
+# TempdbConsumption.sql:4 `SUM(... * 8)`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_expression_aggregates",
+    oracle="""
+SELECT
+  l_returnflag,
+  COALESCE(SUM(CAST(l_quantity * 8 AS BIGINT)), 0) AS pages8,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * l_quantity) AS DOUBLE) AS gross,
+  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+       / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 0), 6) AS DOUBLE) AS price_per_unit
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q20_expression_aggregates(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.coalesce(F.sum((F.col("l_quantity") * 8).cast("bigint")), F.lit(0)).alias("pages8"),
+        F.sum(dec("l_extendedprice") * F.col("l_quantity")).cast("double").alias("gross"),
+        F.round(
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.nullif(F.sum(dec("l_quantity")).cast("double"), F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("price_per_unit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — COUNT(DISTINCT) multi (A5: vw_table_space_summary.sql:12
+# `COUNT(distinct partition_nmbr)`; TableHealthCount.sql:14).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_count_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q21_count_distinct(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — nested aggregation: aggregates of aggregates via derived tables
+# (A10: MemoryGrant.sql:6-55 inner GROUP BY feeding outer GROUP BY).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_nested_aggregation",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  n_orders,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+FROM per_cust
+GROUP BY n_orders
+""",
+)
+def q22_nested_aggregation(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "spend"),
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("spend", "total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — scalar-subquery comparison (P10-adjacent: filter against an
+# aggregate computed over the whole table; MicroStrategy metric-qualification
+# pattern white-papers/...md:379-413).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_above_average_customers",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT COUNT(*) AS n_above
+FROM per_cust
+WHERE spend > 2 * (SELECT CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) / COUNT(spend) FROM per_cust)
+""",
+)
+def q23_above_average_customers(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))
+    avg_spend = per_cust.agg(davg("spend", "avg_spend"))
+    return (
+        per_cust.crossJoin(F.broadcast(avg_spend))
+        .filter(F.col("spend") > 2 * F.col("avg_spend"))
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — ROLLUP (not in the reference's own surface — MicroStrategy emulates
+# via multi-pass SQL, white-papers/...md:222-231 — but free in Spark; SURVEY
+# §2.4 note).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q24_rollup(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
