@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is materialized through the `noop` sink so timing covers the full
+plan (scan → shuffle → agg) without driver-collect overhead, matching how a
+cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_data_warehouse_samples_spark import workload  # noqa: E402
+from sql_data_warehouse_samples_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (join-heavy, agg-heavy, window,
+# sessionization, dedup, similarity, text) — the queries a warehouse user
+# actually runs, not the cheap scalar batteries.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q09_intersect_customers",
+    "q18_distribution_skew",
+    "q21_count_distinct",
+    "q22_nested_aggregation",
+    "q25_nation_revenue_rank",
+    "q26_latest_orders_per_customer",
+    "q37_tumbling_hourly",
+    "q39_user_sessions",
+    "d01_dedup_exact",
+    "d03_minhash_lsh_pairs",
+    "s01_cosine_topk",
+    "t02_quality_score",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    workload.load_all()
+    spark = build_session(app_name="sdw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest scale factor (excluded from timing)
+    materialize(workload.QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = workload.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

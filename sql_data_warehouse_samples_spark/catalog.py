@@ -158,7 +158,10 @@ class Catalog:
         self._set_layout_properties(table, layout)
 
     def _set_layout_properties(self, table: str, layout: TableLayout) -> None:
-        props = ", ".join(f"'{k}'='{v}'" for k, v in layout.to_properties().items())
+        props = ", ".join(
+            "'{}'='{}'".format(k, v.replace("'", "\\'"))
+            for k, v in layout.to_properties().items()
+        )
         self.spark.sql(f"ALTER TABLE {self._q(table)} SET TBLPROPERTIES ({props})")
 
     def get_layout(self, table: str) -> TableLayout:

@@ -1,0 +1,224 @@
+"""Engine facade: SQL entry point with request lifecycle tracking.
+
+Reproduces the reference's query lifecycle observability (SURVEY §3 EP1):
+
+1. Submit — request gets an id + optional LABEL (OPTION(LABEL='...'),
+   CTASLoad-Example.sql:60), appears in the request log with status
+   Running/Completed/Failed (sys.dm_pdw_exec_requests surface,
+   vw_active_queries.sql:9-11).
+2. Admission control — a slot semaphore per resource class
+   (sys.dm_pdw_resource_waits surface; wlm.py).
+3. Plan steps — the executed physical plan is flattened into ordered step
+   rows with a small fixed operation vocabulary
+   (sys.dm_pdw_request_steps surface, vw_query_steps.sql:14-19).
+
+Catalyst remains the real optimizer/executor — this layer only observes.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .catalog import Catalog, TableLayout
+from .meta import Meta
+from .plans.steps import plan_steps
+from .wlm import AdmissionController
+
+
+@dataclass
+class RequestRecord:
+    request_id: str
+    command: str
+    label: str | None
+    resource_class: str
+    status: str = "Running"
+    submit_time: float = field(default_factory=time.time)
+    start_time: float | None = None
+    end_time: float | None = None
+    total_elapsed_ms: int | None = None
+    error_message: str | None = None
+
+
+_REQUESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.StringType()),
+        T.StructField("command", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("resource_class", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("submit_time", T.TimestampType()),
+        T.StructField("total_elapsed_ms", T.LongType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+class Engine:
+    """The user-facing engine handle: ``Engine(spark).sql(...)``."""
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        from .session import get_or_create
+
+        self.spark = get_or_create(spark)
+        self.catalog = Catalog(self.spark)
+        self.meta = Meta(self.spark, self.catalog)
+        self.wlm = AdmissionController()
+        self._requests: list[RequestRecord] = []
+        self._steps: list[tuple] = []  # (request_id, step_index, op, detail)
+        self._lock = threading.Lock()
+        self._next_id = 0
+
+    # --- request lifecycle ----------------------------------------------
+
+    def _new_request(self, command: str, label: str | None, resource_class: str) -> RequestRecord:
+        with self._lock:
+            self._next_id += 1
+            rec = RequestRecord(
+                request_id=f"QID{self._next_id}",
+                command=command,
+                label=label,
+                resource_class=resource_class,
+            )
+            self._requests.append(rec)
+        return rec
+
+    def sql(
+        self,
+        query: str,
+        label: str | None = None,
+        resource_class: str = "smallrc",
+    ) -> DataFrame:
+        """Submit SQL through admission control with request logging.
+
+        The DataFrame is lazy; the request row transitions to Completed once
+        the plan is produced (execution metrics land in plan_steps when the
+        caller materializes).  LABEL parity: also set as the Spark job group
+        so the Spark UI shows it (D3).
+        """
+        rec = self._new_request(query, label, resource_class)
+        with self.wlm.admit(rec.request_id, resource_class):
+            rec.start_time = time.time()
+            if label:
+                self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", label)
+            try:
+                df = self.spark.sql(query)
+                for i, (op, detail) in enumerate(plan_steps(df)):
+                    self._steps.append((rec.request_id, i, op, detail))
+                rec.status = "Completed"
+                return df
+            except Exception as e:  # noqa: BLE001
+                rec.status = "Failed"
+                rec.error_message = str(e)[:1000]
+                raise
+            finally:
+                rec.end_time = time.time()
+                rec.total_elapsed_ms = int((rec.end_time - rec.start_time) * 1000)
+
+    # --- DMV surfaces ----------------------------------------------------
+
+    def exec_requests(self) -> DataFrame:
+        """sys.dm_pdw_exec_requests parity (vw_active_queries.sql:9)."""
+        import datetime as dt
+
+        rows = [
+            (
+                r.request_id,
+                r.command,
+                r.label,
+                r.resource_class,
+                r.status,
+                dt.datetime.fromtimestamp(r.submit_time),
+                r.total_elapsed_ms,
+                r.error_message,
+            )
+            for r in self._requests
+        ]
+        return self.spark.createDataFrame(rows, _REQUESTS_SCHEMA)
+
+    def request_steps(self) -> DataFrame:
+        """sys.dm_pdw_request_steps parity (vw_query_steps.sql:14-19)."""
+        return self.spark.createDataFrame(
+            self._steps or [("", -1, "", "")],
+            "request_id string, step_index int, operation_type string, detail string",
+        ).filter("step_index >= 0")
+
+    def resource_waits(self) -> DataFrame:
+        """sys.dm_pdw_resource_waits parity (vw_query_queue.sql:10)."""
+        return self.spark.createDataFrame(
+            self.wlm.waits_log() or [("", "", "", 0.0, -1.0)],
+            "request_id string, resource_class string, state string,"
+            " wait_sec double, slots int",
+        ).filter("slots >= 0")
+
+    def register_monitoring_views(self, tables: list[str] | None = None) -> None:
+        """Port of the solutions/monitoring view corpus (SURVEY §2.10):
+        registers the DMV surfaces + the derived views the reference ships.
+
+        vw_active_queries (microsoft.vw_active_queries.sql:6-11),
+        vw_query_queue (microsoft.vw_query_queue.sql:8-16),
+        vw_query_slots (microsoft.vw_query_slots.sql:6-16), plus the
+        meta.* relations and size/skew views from meta.py.
+        """
+        self.exec_requests().createOrReplaceTempView("meta_requests")
+        self.request_steps().createOrReplaceTempView("meta_request_steps")
+        self.resource_waits().createOrReplaceTempView("meta_resource_waits")
+        self.meta.register_views(tables)
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_active_queries AS
+            SELECT request_id, status, submit_time, total_elapsed_ms,
+                   resource_class, label, command
+            FROM meta_requests
+            WHERE status NOT IN ('Completed', 'Failed', 'Cancelled')
+            """
+        )
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_query_queue AS
+            SELECT request_id, resource_class, wait_sec AS queued_sec, slots
+            FROM meta_resource_waits
+            WHERE state = 'Queued'
+            """
+        )
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_query_slots AS
+            SELECT resource_class,
+                   SUM(CASE WHEN state = 'Granted' THEN slots ELSE 0 END) AS granted_slots,
+                   SUM(CASE WHEN state = 'Queued' THEN 1 ELSE 0 END) AS queued_requests
+            FROM meta_resource_waits
+            GROUP BY resource_class
+            """
+        )
+        if tables:
+            self.spark.sql(
+                """
+                CREATE OR REPLACE TEMP VIEW vw_table_sizes AS
+                SELECT t.two_part_name, t.distribution_policy,
+                       t.distribution_column, t.index_type,
+                       COUNT(p.file_path) AS nbr_files,
+                       COALESCE(SUM(p.row_count), 0) AS row_count,
+                       COALESCE(SUM(p.used_bytes), 0) AS used_bytes
+                FROM meta_tables t
+                LEFT JOIN meta_partition_stats p
+                  ON t.schema_name = p.schema_name AND t.table_name = p.table_name
+                WHERE NOT t.is_view
+                GROUP BY 1, 2, 3, 4
+                """
+            )
+
+    # --- convenience passthroughs ---------------------------------------
+
+    def create_schema(self, name: str) -> None:
+        self.catalog.create_schema(name)
+
+    def create_table_as(self, table: str, df: DataFrame, layout: TableLayout | None = None, **kw) -> None:
+        self.catalog.create_table_as(table, df, layout, **kw)
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)

@@ -1,0 +1,153 @@
+"""Maintenance services: statistics, compaction, skew & health reports
+(SURVEY §2.9 D11-D13, §2.13 M7-M9).
+
+* Statistics: ANALYZE wrapper + freshness ledger — the reference automates
+  CREATE STATISTICS per eligible column (sp_create_statistics.sql:4-88) and
+  flags stats older than 7 days (TableHealthCount.sql:72,
+  vw_statistics_age.sql:5-22).
+* Compaction: ALTER INDEX ALL ... REBUILD parity (generate_rebuild_all.sql:
+  2-15) — rewrite a table's small parquet files so row groups approach the
+  1,048,576-row CCI target (TableHealthCount.sql:15); rebuild is triggered
+  when avg compressed rows < 100k (TableHealthCount.sql:48).
+* Health report: rowgroup-quality + skew + stale-stats in one pass — the
+  TableHealthCount.sql battery.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .meta import Meta
+
+ROWGROUP_TARGET_ROWS = 1_048_576  # TableHealthCount.sql:15
+POOR_SEGMENT_THRESHOLD = 100_000  # TableHealthCount.sql:48
+STALE_STATS_DAYS = 7  # TableHealthCount.sql:72
+SKEW_ALERT_RATIO = 0.10  # vw_tables_with_skew.sql:19
+
+
+class StatisticsService:
+    """ANALYZE wrapper + meta.statistics ledger (D11/D12/M9)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._ledger: list[dict] = []
+
+    def create_statistics(self, table: str, columns: list[str] | None = None) -> None:
+        """sp_create_statistics parity: stats on every eligible column unless
+        a subset is given (sp_create_statistics.sql:66-85)."""
+        q = Catalog._q(table)
+        if columns is None:
+            columns = [f.name for f in self.spark.table(q).schema.fields]
+        cols = ", ".join(f"`{c}`" for c in columns)
+        self.spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        self.spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
+        self._ledger.append(
+            {"table": table, "columns": columns, "analyzed_at": time.time()}
+        )
+
+    def stats_age_days(self, table: str) -> float | None:
+        """STATS_DATE parity (vw_statistics_age.sql:10)."""
+        entries = [e for e in self._ledger if e["table"] == table]
+        if not entries:
+            return None
+        return (time.time() - max(e["analyzed_at"] for e in entries)) / 86400.0
+
+    def stale_tables(self, max_age_days: float = STALE_STATS_DAYS) -> list[str]:
+        out = []
+        seen = set()
+        for e in self._ledger:
+            seen.add(e["table"])
+        for t in seen:
+            age = self.stats_age_days(t)
+            if age is None or age > max_age_days:
+                out.append(t)
+        return sorted(out)
+
+
+class CompactionService:
+    """Parquet small-file compaction ≈ ALTER INDEX REBUILD (D13/M8)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, meta: Meta) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.meta = meta
+
+    def rowgroup_health(self, table: str) -> dict:
+        """Avg rows per row group vs the poor-segment threshold."""
+        rg = self.meta.rowgroups(table)
+        agg = rg.agg(
+            F.count(F.lit(1)).alias("n_rowgroups"),
+            F.sum("total_rows").alias("total_rows"),
+            F.avg("total_rows").alias("avg_rows"),
+        ).collect()[0]
+        avg_rows = agg["avg_rows"] or 0
+        return {
+            "table": table,
+            "n_rowgroups": agg["n_rowgroups"],
+            "total_rows": agg["total_rows"] or 0,
+            "avg_rows_per_rowgroup": avg_rows,
+            "needs_rebuild": 0 < avg_rows < POOR_SEGMENT_THRESHOLD
+            and (agg["total_rows"] or 0) > POOR_SEGMENT_THRESHOLD,
+        }
+
+    def rebuild(self, table: str, target_rows_per_file: int = ROWGROUP_TARGET_ROWS) -> int:
+        """Rewrite the table with file count sized for the rowgroup target.
+        Returns the new file count."""
+        df = self.spark.table(Catalog._q(table))
+        layout = self.catalog.get_layout(table)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        if layout.distribution == "hash" and layout.distribution_column:
+            out = df.repartition(n_files, F.col(layout.distribution_column))
+        else:
+            out = df.repartition(n_files)
+        if layout.sort_columns:
+            out = out.sortWithinPartitions(*layout.sort_columns)
+        # overwrite in place via a staging round-trip (parquet can't
+        # overwrite from its own scan)
+        staged = out.cache()
+        staged.count()
+        staged.write.mode("overwrite").format("parquet").saveAsTable(
+            Catalog._q(table + "__rebuild")
+        )
+        self.catalog.drop_table(table)
+        self.spark.sql(
+            f"ALTER TABLE {Catalog._q(table + '__rebuild')} RENAME TO {Catalog._q(table)}"
+        )
+        self.catalog._set_layout_properties(table, layout)
+        staged.unpersist()
+        return n_files
+
+
+def health_report(spark: SparkSession, catalog: Catalog, meta: Meta, tables: list[str]) -> DataFrame:
+    """TableHealthCount.sql battery: per-table rows, rowgroup quality, skew."""
+    comp = CompactionService(spark, catalog, meta)
+    rows = []
+    for t in tables:
+        h = comp.rowgroup_health(t)
+        ps = meta.partition_stats(t)
+        skew = ps.agg(
+            (F.min("row_count") * 1.0 / F.nullif(F.max("row_count") * 1.0, F.lit(0.0))).alias(
+                "ratio"
+            )
+        ).collect()[0]["ratio"]
+        rows.append(
+            (
+                t,
+                h["total_rows"],
+                h["n_rowgroups"],
+                float(h["avg_rows_per_rowgroup"]),
+                bool(h["needs_rebuild"]),
+                float(skew) if skew is not None else None,
+                bool(skew is not None and skew < (1 - SKEW_ALERT_RATIO) and h["total_rows"] > 0),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table string, total_rows long, n_rowgroups long, avg_rows_per_rowgroup double,"
+        " needs_rebuild boolean, min_max_ratio double, skew_flag boolean",
+    )

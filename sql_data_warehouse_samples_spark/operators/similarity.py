@@ -123,11 +123,18 @@ def ann_lsh_topk(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 6,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing an LSH bucket.
 
     2^n_planes buckets; the candidate join is an equi-join on bucket id, so
     at scale the corpus shuffles once by bucket instead of cross-joining.
+
+    Multi-probe: each query also probes buckets within ``probe_radius``
+    sign-bit flips of its own (the bits most likely to be wrong for a true
+    neighbor), trading (1 + n_planes) query-side fan-out for much higher
+    recall — the standard LSH recall/cost lever.  The fan-out happens on
+    the small broadcast side; the corpus is still touched once.
     Recall is tested against cosine_topk in tests/test_operators.py.
     """
     from pyspark.sql import Window
@@ -143,10 +150,22 @@ def ann_lsh_topk(
         F.col(vec_col).alias("__qvec"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
+    if probe_radius >= 1:
+        probes = [F.col("__bucket")] + [
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+        q = q.select(
+            "query_id",
+            "__qvec",
+            F.explode(F.array(*probes)).alias("__bucket"),
+        )
     sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_to)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(q), "__bucket")
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        # multi-probe can surface the same pair via two buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", sim)
         .withColumn("nbr_rank", F.row_number().over(w))

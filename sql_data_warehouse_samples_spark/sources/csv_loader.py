@@ -1,0 +1,250 @@
+"""CSV/delimited-text loader with the reference's load-pipeline semantics.
+
+Re-expresses (SURVEY §2.12 L1-L7, §3 EP2):
+
+* PolyBase external-table scans: custom field terminators incl. hex 0x01,
+  string delimiter, gzip, date format (CTASLoad-Example.sql:28-53,
+  GenerateLoadScript-V1.sql:16-17).
+* Reject tolerance: REJECT_VALUE = N → fail the load after N malformed rows
+  (CTASLoad-Example.sql:52).
+* The staged-varchar→cast-clean pipeline: read everything as string, then
+  cast/clean per column (GenerateLoadScript-V3-ContainerSubfolders.sql:
+  107-167) — null literals, control-char newline restore, NOT NULL defaults.
+* DBLoader error policies (InputFile.cs:88-124, 126-275): per-type
+  validation, substitute sentinel vs discard row vs fail, bad-value caps.
+* Load audit: row count + elapsed per table (GenerateLoadScript-V1.sql:
+  156-157).
+
+Everything is column-expression based (no Python row loop): at 100 TB the
+clean stage is a map-only pass fused into the scan by codegen.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# DBLoader's sentinel substitutions on unparseable values
+# (InputFile.cs:88-124: e.g. bad int → -28, bad date → 0001-01-01).
+DEFAULT_SENTINELS = {
+    "int": "-28",
+    "bigint": "-28",
+    "smallint": "-28",
+    "tinyint": "-28",
+    "double": "-28.0",
+    "float": "-28.0",
+    "date": "0001-01-01",
+    "timestamp": "0001-01-01 00:00:00",
+    "boolean": "false",
+}
+
+# NOT NULL typed defaults (GenerateLoadScript-V3:146-163 `ISNULL((cast...), 0)`)
+DEFAULT_NOT_NULL = {
+    "int": "0",
+    "bigint": "0",
+    "smallint": "0",
+    "tinyint": "0",
+    "double": "0.0",
+    "float": "0.0",
+    "string": "",
+    "date": "1900-01-01",
+    "timestamp": "1900-01-01 00:00:00",
+    "boolean": "false",
+}
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    data_type: str  # spark DDL type string
+    nullable: bool = True
+    max_length: int | None = None  # varchar(n) enforcement (L1)
+
+
+@dataclass
+class LoadOptions:
+    sep: str = ","
+    quote: str = '"'
+    escape: str = "\\"
+    compression: str | None = None  # inferred from extension if None
+    header: bool = False
+    null_value: str = ""  # L3: empty string → NULL
+    null_literal: str | None = None  # L3: configurable literal, e.g. "null"
+    date_format: str | None = None
+    timestamp_format: str | None = None
+    # error policy (L2): substitute | discard | fail
+    on_error: str = "substitute"
+    reject_value: int = 0  # S3: max malformed rows before the load fails
+    # control-char CR/LF restore (L4: char(30)/char(31) → \r \n,
+    # GenerateLoadScript-V1.sql:82, V3:149)
+    restore_newlines: bool = False
+    sentinels: dict[str, str] = field(default_factory=lambda: dict(DEFAULT_SENTINELS))
+
+
+@dataclass
+class LoadResult:
+    df: DataFrame
+    rows_loaded: int
+    rows_rejected: int
+    elapsed_sec: float
+
+
+def _tolerant_cast(c: Column, spec: ColumnSpec, opts: LoadOptions, base: str) -> Column:
+    """DBLoader-style tolerant cast: malformed values become NULL (then the
+    error policy decides).  try_* variants because Spark 4's ANSI mode makes
+    plain CAST throw on malformed input."""
+    if base == "string":
+        if spec.max_length:
+            # varchar(n) truncation validation (InputFile.cs:141-144)
+            return F.substring(c, 1, spec.max_length)
+        return c
+    if base == "date":
+        if opts.date_format:
+            return F.try_to_timestamp(c, F.lit(opts.date_format)).cast("date")
+        return c.try_cast("date")
+    if base == "timestamp":
+        if opts.timestamp_format:
+            return F.try_to_timestamp(c, F.lit(opts.timestamp_format))
+        return c.try_cast("timestamp")
+    return c.try_cast(spec.data_type)
+
+
+class CsvLoader:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.audit_log: list[dict] = []
+
+    # --- stage 1: raw all-varchar read (V3's staging table) --------------
+
+    def read_staged(self, path: str, columns: list[ColumnSpec], opts: LoadOptions) -> DataFrame:
+        reader = (
+            self.spark.read.option("sep", opts.sep)
+            .option("quote", opts.quote)
+            .option("escape", opts.escape)
+            .option("header", str(opts.header).lower())
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
+        if opts.compression:
+            reader = reader.option("compression", opts.compression)
+        schema_ddl = ", ".join(f"`{c.name}` string" for c in columns)
+        schema_ddl += ", `_corrupt_record` string"
+        return reader.schema(schema_ddl).csv(path)
+
+    # --- stage 2: per-column cast/clean (V3:139-167 + DBLoader L1/L2) ----
+
+    def _clean_column(self, spec: ColumnSpec, opts: LoadOptions) -> Column:
+        c = F.col(spec.name)
+        # null encodings (L3)
+        c = F.when(c == F.lit(opts.null_value), None).otherwise(c)
+        if opts.null_literal is not None:
+            c = F.when(c == F.lit(opts.null_literal), None).otherwise(c)
+        # control-char newline restore (L4)
+        if opts.restore_newlines and spec.data_type == "string":
+            c = F.translate(c, "\x1e\x1f", "\r\n")
+
+        base = spec.data_type.split("(")[0].lower()
+        cast = _tolerant_cast(c, spec, opts, base)
+
+        # cast failed (input non-null but cast null) → policy (L2)
+        bad = c.isNotNull() & cast.isNull() if base != "string" else F.lit(False)
+        if opts.on_error == "substitute":
+            sentinel = opts.sentinels.get(base)
+            if sentinel is not None:
+                cast = F.when(bad, F.lit(sentinel).cast(spec.data_type)).otherwise(cast)
+        # NOT NULL defaults (L7)
+        if not spec.nullable:
+            default = DEFAULT_NOT_NULL.get(base, "")
+            cast = F.coalesce(cast, F.lit(default).cast(spec.data_type))
+        return cast.alias(spec.name)
+
+    def _bad_row_flag(self, columns: list[ColumnSpec], opts: LoadOptions) -> Column:
+        """A row is bad if it was corrupt (wrong column count → L5) or any
+        typed column fails its cast."""
+        flags = [F.col("_corrupt_record").isNotNull()]
+        for spec in columns:
+            base = spec.data_type.split("(")[0].lower()
+            if base == "string":
+                continue
+            c = F.col(spec.name)
+            c = F.when(c == F.lit(opts.null_value), None).otherwise(c)
+            if opts.null_literal is not None:
+                c = F.when(c == F.lit(opts.null_literal), None).otherwise(c)
+            cast = _tolerant_cast(c, spec, opts, base)
+            flags.append(c.isNotNull() & cast.isNull())
+        out = F.lit(False)
+        for f in flags:
+            out = out | f
+        return out
+
+    # --- the load -------------------------------------------------------
+
+    def load(
+        self,
+        path: str,
+        columns: list[ColumnSpec],
+        opts: LoadOptions | None = None,
+        table: str | None = None,
+    ) -> LoadResult:
+        """Read → clean → (optionally) audit-count, honoring reject policy.
+
+        With on_error='discard', malformed rows are dropped (DBLoader
+        DiscardRowOnError); 'substitute' replaces bad values with sentinels;
+        'fail' raises on the first bad row.  reject_value caps discarded
+        rows PolyBase-style: exceeding it fails the whole load.
+        """
+        opts = opts or LoadOptions()
+        t0 = time.time()
+        staged = self.read_staged(path, columns, opts)
+        bad = self._bad_row_flag(columns, opts)
+        # Spark disallows referencing only _corrupt_record from a raw CSV
+        # scan; cache the parsed stage (also avoids re-reading the file for
+        # the reject count + the clean pass).
+        staged = staged.withColumn("_is_bad", bad).cache()
+
+        n_bad = staged.filter("_is_bad").count()
+        if opts.on_error == "fail" and n_bad > 0:
+            raise ValueError(f"load failed: {n_bad} malformed rows (on_error=fail)")
+        if opts.on_error == "discard" and n_bad > opts.reject_value > 0:
+            raise ValueError(
+                f"load failed: {n_bad} rejected rows exceeds REJECT_VALUE={opts.reject_value}"
+            )
+
+        cleaned = staged
+        if opts.on_error == "discard":
+            cleaned = cleaned.filter(~F.col("_is_bad"))
+        else:
+            cleaned = cleaned.filter(F.col("_corrupt_record").isNull())
+        out = cleaned.select(*[self._clean_column(s, opts) for s in columns])
+
+        rows = out.count()
+        elapsed = round(time.time() - t0, 3)
+        rows_rejected = n_bad if opts.on_error == "discard" else 0
+        # audit (S7: COUNT_BIG + elapsed print → our load log)
+        self.audit_log.append(
+            {
+                "path": path,
+                "table": table,
+                "rows_loaded": rows,
+                "rows_rejected": rows_rejected,
+                "elapsed_sec": elapsed,
+            }
+        )
+        return LoadResult(out, rows, rows_rejected, elapsed)
+
+
+def extract_lines(spark: SparkSession, path: str, start: int, count: int) -> list[str]:
+    """The Extract utility (S6: samples/utility/Extract/extract/Program.cs:
+    19-91): print lines start..start+count of a huge text file for
+    load-failure forensics — distributed, no driver slurp."""
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.read.text(path)
+        .withColumn("line_no", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
+        .filter((F.col("line_no") >= start) & (F.col("line_no") < start + count))
+    )
+    return [r.value for r in df.collect()]

@@ -1,0 +1,134 @@
+"""Workload management: admission control, resource classes, memory grants,
+scale ladder (SURVEY §2.13 M1-M5).
+
+The reference engine admits 4-128 concurrent queries and queues the rest
+(white-papers/...md:121); each query consumes concurrency slots determined
+by its resource class (SlotUsage.sql:1-12, query_memory_usage.sql:22-42).
+Spark has scheduler pools but no slot admission — this controller adds the
+cooperative layer (SURVEY §4 conclusion: a service, not a Catalyst rule).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from contextlib import contextmanager
+
+# Resource class → slots, mirroring the reference's static classes
+# (white-papers/...md:119-121: small/medium/large/xlarge consuming
+# 1/3/7/22 of 32 slots at DW500's generation-1 sizing).
+RESOURCE_CLASS_SLOTS = {
+    "smallrc": 1,
+    "mediumrc": 3,
+    "largerc": 7,
+    "xlargerc": 22,
+}
+
+TOTAL_SLOTS = 32
+
+# DWU ladder (dwuconfigs.json:2-16; ScaleAzureSQLDataWarehouse.ps1:13-40).
+DWU_LADDER = [100, 200, 300, 400, 500, 600, 1000, 1200, 1500, 2000, 3000, 6000]
+
+
+class AdmissionController:
+    """Concurrency-slot semaphore with a waits log (M1).
+
+    ``admit`` blocks until the request's resource class can take its slots,
+    recording Queued→Granted transitions the way sys.dm_pdw_resource_waits
+    exposes them (vw_query_queue.sql:10-12).
+    """
+
+    def __init__(self, total_slots: int = TOTAL_SLOTS) -> None:
+        self.total_slots = total_slots
+        self._used = 0
+        self._cv = threading.Condition()
+        self._waits: list[tuple[str, str, str, float, int]] = []
+
+    def slots_for(self, resource_class: str) -> int:
+        try:
+            return RESOURCE_CLASS_SLOTS[resource_class]
+        except KeyError:
+            raise ValueError(
+                f"unknown resource class {resource_class!r}; "
+                f"expected one of {sorted(RESOURCE_CLASS_SLOTS)}"
+            ) from None
+
+    @contextmanager
+    def admit(self, request_id: str, resource_class: str):
+        need = self.slots_for(resource_class)
+        t0 = time.time()
+        with self._cv:
+            while self._used + need > self.total_slots:
+                self._waits.append(
+                    (request_id, resource_class, "Queued", 0.0, need)
+                )
+                self._cv.wait(timeout=5)
+            self._used += need
+            self._waits.append(
+                (request_id, resource_class, "Granted", round(time.time() - t0, 3), need)
+            )
+        try:
+            yield
+        finally:
+            with self._cv:
+                self._used -= need
+                self._cv.notify_all()
+
+    def slots_used(self) -> int:
+        with self._cv:
+            return self._used
+
+    def waits_log(self) -> list[tuple[str, str, str, float, int]]:
+        with self._cv:
+            return list(self._waits)
+
+
+def memory_grant_mb(column_count: int, short_string_cols: int, long_string_cols: int) -> float:
+    """The reference's load memory-grant model (MemoryGrant.sql:7-12):
+
+    72 MiB base + 8 MiB/column + 32 MiB per short-string (≤32 chars) column
+    + 16 MiB per long-string column.
+    """
+    base = 75_497_472 / 1_048_576  # 72 MiB
+    return base + 8.0 * column_count + 32.0 * short_string_cols + 16.0 * long_string_cols
+
+
+class ScaleLadder:
+    """DWU-style scale ladder with quiesce gate (M4).
+
+    ``can_scale`` reproduces ScaleAzureSQLDataWarehouse.ps1:66-97: scale only
+    when no active queries, no transactional sessions, no exclusive waits.
+    Locally this maps to a no-op resize; on a cluster it would drive
+    dynamic-allocation bounds.
+    """
+
+    def __init__(self, ladder: list[int] | None = None, current: int = 500) -> None:
+        self.ladder = ladder or DWU_LADDER
+        if current not in self.ladder:
+            raise ValueError(f"current DWU {current} not on ladder")
+        self.current = current
+        self.history: list[tuple[str, int, int]] = []
+
+    def can_scale(self, active_queries: int, open_transactions: int, exclusive_waits: int) -> bool:
+        return active_queries == 0 and open_transactions == 0 and exclusive_waits == 0
+
+    def _step(self, direction: int) -> int:
+        i = self.ladder.index(self.current)
+        j = min(max(i + direction, 0), len(self.ladder) - 1)
+        return self.ladder[j]
+
+    def scale(self, target: int, active_queries: int = 0, open_transactions: int = 0,
+              exclusive_waits: int = 0) -> int:
+        if target not in self.ladder:
+            raise ValueError(f"target DWU {target} not on ladder {self.ladder}")
+        if not self.can_scale(active_queries, open_transactions, exclusive_waits):
+            raise RuntimeError("system not quiesced: refusing to scale")
+        self.history.append(("scale", self.current, target))
+        self.current = target
+        return self.current
+
+    def scale_up(self, **gate) -> int:
+        return self.scale(self._step(+1), **gate)
+
+    def scale_down(self, **gate) -> int:
+        return self.scale(self._step(-1), **gate)

@@ -12,10 +12,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from sql_data_warehouse_samples_spark.session import build_session
 
-    s = build_session(app_name="sdw-spark-tests", shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = build_session(
+        app_name="sdw-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield s
 
 

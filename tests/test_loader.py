@@ -1,0 +1,142 @@
+"""Loader tests: the data-load README's torture cases (SURVEY §5.4 —
+quoted nulls, embedded escaped quotes, control-char newlines, SOH
+separators) plus DBLoader error policies (L1-L7)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from sql_data_warehouse_samples_spark.sources.csv_loader import (
+    ColumnSpec,
+    CsvLoader,
+    LoadOptions,
+)
+
+COLS = [
+    ColumnSpec("id", "int", nullable=False),
+    ColumnSpec("name", "string", max_length=10),
+    ColumnSpec("amount", "double"),
+    ColumnSpec("born", "date"),
+]
+
+
+@pytest.fixture()
+def loader(spark):
+    return CsvLoader(spark)
+
+
+def write(tmp_path, name, text, compress=False):
+    p = os.path.join(tmp_path, name)
+    if compress:
+        with gzip.open(p, "wt") as f:
+            f.write(text)
+    else:
+        with open(p, "w") as f:
+            f.write(text)
+    return p
+
+
+def test_clean_load(loader, tmp_path):
+    p = write(tmp_path, "ok.csv", "1,alice,10.5,1990-01-01\n2,bob,20.25,1985-06-15\n")
+    res = loader.load(p, COLS)
+    assert res.rows_loaded == 2 and res.rows_rejected == 0
+    rows = {r.id: r for r in res.df.collect()}
+    assert rows[1].name == "alice" and abs(rows[2].amount - 20.25) < 1e-9
+
+
+def test_null_literal_and_empty(loader, tmp_path):
+    # L3: empty string and the literal "null" both decode to NULL
+    p = write(tmp_path, "nulls.csv", '1,null,,1990-01-01\n2,bob,5.5,null\n')
+    res = loader.load(p, COLS, LoadOptions(null_literal="null"))
+    rows = {r.id: r for r in res.df.collect()}
+    assert rows[1].name is None and rows[1].amount is None
+    assert rows[2].born is None
+
+
+def test_sentinel_substitution(loader, tmp_path):
+    # L2: bad int/date values replaced by DBLoader sentinels (-28, 0001-01-01)
+    p = write(tmp_path, "bad.csv", "1,ok,3.5,1990-01-01\nxx,bad,oops,baddate\n")
+    res = loader.load(p, COLS, LoadOptions(on_error="substitute"))
+    assert res.rows_loaded == 2
+    bad = [r for r in res.df.collect() if r.name == "bad"][0]
+    assert bad.id == -28
+    assert abs(bad.amount + 28.0) < 1e-9
+    assert str(bad.born) == "0001-01-01"
+
+
+def test_discard_policy_and_reject_value(loader, tmp_path):
+    p = write(tmp_path, "bad2.csv", "1,ok,3.5,1990-01-01\nxx,bad,oops,baddate\n")
+    res = loader.load(p, COLS, LoadOptions(on_error="discard", reject_value=5))
+    assert res.rows_loaded == 1 and res.rows_rejected == 1
+    # S3: REJECT_VALUE exceeded → whole load fails (REJECT_VALUE=0 means
+    # unlimited in our options; use 1-with-2-bad to trigger)
+    p2 = write(tmp_path, "bad2b.csv", "xx,b1,oops,x\nyy,b2,oops,y\n1,ok,1.0,1990-01-01\n")
+    with pytest.raises(ValueError, match="REJECT_VALUE"):
+        loader.load(p2, COLS, LoadOptions(on_error="discard", reject_value=1))
+
+
+def test_fail_policy(loader, tmp_path):
+    p = write(tmp_path, "bad3.csv", "xx,bad,oops,baddate\n")
+    with pytest.raises(ValueError, match="malformed"):
+        loader.load(p, COLS, LoadOptions(on_error="fail"))
+
+
+def test_soh_separator_and_gzip(loader, tmp_path):
+    # S2: hex 0x01 field terminator + gzip (GenerateLoadScript-V1.sql:16-17)
+    text = "1\x01alice\x0110.5\x011990-01-01\n"
+    p = write(tmp_path, "soh.csv.gz", text, compress=True)
+    res = loader.load(p, COLS, LoadOptions(sep="\x01", compression="gzip"))
+    assert res.rows_loaded == 1
+    assert res.df.collect()[0].name == "alice"
+
+
+def test_embedded_escaped_quotes(loader, tmp_path):
+    # README.md:17-25 torture case: quoted field with escaped quote
+    p = write(tmp_path, "quotes.csv", '1,"al\\"ce",1.0,1990-01-01\n')
+    res = loader.load(p, COLS)
+    assert res.df.collect()[0].name == 'al"ce'
+
+
+def test_control_char_newline_restore(loader, tmp_path):
+    # L4: char(31) placeholder restored to \n (GenerateLoadScript-V1.sql:82)
+    p = write(tmp_path, "ctrl.csv", "1,li\x1fne,1.0,1990-01-01\n")
+    res = loader.load(p, COLS, LoadOptions(restore_newlines=True))
+    assert res.df.collect()[0].name == "li\nne"
+
+
+def test_varchar_truncation_and_not_null_default(loader, tmp_path):
+    # L1 length enforcement + L7 NOT NULL typed default
+    p = write(tmp_path, "trunc.csv", ",averyverylongname,1.0,1990-01-01\n")
+    res = loader.load(p, COLS)
+    row = res.df.collect()[0]
+    assert row.id == 0  # NOT NULL default
+    assert row.name == "averyveryl"  # truncated to 10
+
+
+def test_too_few_columns_is_corrupt(loader, tmp_path):
+    # L5: short rows → PERMISSIVE corrupt-record handling, not an abort
+    p = write(tmp_path, "short.csv", "1,alice,1.0,1990-01-01\n2,bob\n")
+    res = loader.load(p, COLS, LoadOptions(on_error="discard", reject_value=5))
+    assert res.rows_loaded >= 1
+
+
+def test_audit_log(loader, tmp_path):
+    p = write(tmp_path, "audit.csv", "1,a,1.0,1990-01-01\n")
+    loader.load(p, COLS, table="stage.audit_target")
+    entry = loader.audit_log[-1]
+    assert entry["table"] == "stage.audit_target"
+    assert entry["rows_loaded"] == 1 and entry["elapsed_sec"] >= 0
+
+
+def test_extract_lines(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.sources.csv_loader import extract_lines
+
+    p = os.path.join(tmp_path, "big.txt")
+    with open(p, "w") as f:
+        for i in range(100):
+            f.write(f"line-{i}\n")
+    lines = extract_lines(spark, p, start=10, count=3)
+    assert lines == ["line-9", "line-10", "line-11"]

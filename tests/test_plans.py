@@ -1,0 +1,87 @@
+"""Physical-plan assertions — the 100 TB design review, automated.
+
+Every headline query's executed plan must have: broadcast joins for
+replicate-class dims (no sort-merge against a small dim), predicate
+pushdown into the parquet scan, column pruning, and no more shuffles than
+the operator fundamentally needs (each Exchange is a DMS shuffle move in
+reference terms — SURVEY §3 step 5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_data_warehouse_samples_spark import workload
+from sql_data_warehouse_samples_spark.plans.steps import count_exchanges, plan_steps
+
+workload.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q05_star_join_broadcasts_all_dims(spark):
+    df = workload.QUERIES["q05_local_supplier_volume"](spark, SF)
+    plan = plan_str(df)
+    # dims (customer/supplier/nation/region) must broadcast, never sort-merge
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only shuffle allowed: lineitem⋈orders + final aggregation
+    assert count_exchanges(df) <= 3
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    df = workload.QUERIES["q01_pricing_summary"](spark, SF)
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: l_orderkey/l_partkey/l_suppkey are not in ReadSchema
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # partial+final aggregation (2-phase, SURVEY §2.4 note)
+    assert plan.count("HashAggregate") >= 2
+    # exactly one shuffle: the group-by exchange
+    assert count_exchanges(df) == 1
+
+
+def test_q03_dim_filter_pushed_into_scan(spark):
+    df = workload.QUERIES["q03_shipping_priority"](spark, SF)
+    plan = plan_str(df)
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from sql_data_warehouse_samples_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = exact_dedup(d, "text", "doc_id")
+    assert count_exchanges(df) == 1
+
+
+def test_semi_join_stays_semi(spark):
+    df = workload.QUERIES["q04_order_priority_semi"](spark, SF)
+    plan = plan_str(df)
+    assert "LeftSemi" in plan
+
+
+def test_plan_steps_vocabulary(spark):
+    df = workload.QUERIES["q01_pricing_summary"](spark, SF)
+    steps = plan_steps(df)
+    ops = {op for op, _ in steps}
+    assert "Scan" in ops and "Aggregate" in ops and "Return" in ops
+    # vocabulary stays fixed (SURVEY §7 step 5)
+    allowed = {
+        "Scan", "Filter", "Project", "Aggregate", "Window", "Sort", "Limit",
+        "ShuffleMove", "BroadcastMove", "BroadcastJoin", "ShuffleJoin",
+        "Generate", "Expand", "Return",
+    }
+    assert ops <= allowed
+
+
+def test_window_partition_no_extra_shuffle(spark):
+    df = workload.QUERIES["q26_latest_orders_per_customer"](spark, SF)
+    # one exchange for the window partition-by, nothing else
+    assert count_exchanges(df) <= 1

@@ -1,0 +1,123 @@
+"""Streaming tests: batch-equivalent replay oracle (SURVEY §7 step 8).
+
+The events table is split into micro-batch files, streamed through the same
+expressions as the batch workload, and the final streaming state must equal
+the batch answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_samples_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """Split sf0.001 events into 4 chronological files (micro-batches)."""
+    src = tmp_path_factory.mktemp("event_stream")
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    ev = tbl(spark, "/root/testdata/sf0.001", "events").orderBy("ts")
+    n = ev.count()
+    rows = ev.collect()
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = spark.createDataFrame(rows[i * chunk : (i + 1) * chunk], ev.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"batch{i}"))
+    # flatten: move parquet files into one dir
+    flat = tmp_path_factory.mktemp("event_stream_flat")
+    import glob
+    import shutil
+
+    # Spark's file stream source orders micro-batches by modification time;
+    # equal mtimes from fast copies make replay order nondeterministic and a
+    # whole batch can land behind the watermark.  Pin ascending mtimes.
+    import time
+
+    base_t = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "batch*", "*.parquet")))):
+        dst = os.path.join(flat, f"{i:04d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    return str(flat)
+
+
+def test_tumbling_stream_matches_batch(spark, event_source):
+    stream = SE.read_event_stream(spark, event_source)
+    q = SE.run_to_memory(SE.tumbling_counts(stream, watermark="0 seconds"), "tumbling_out", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("tumbling_out").collect()
+    }
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    batch = (
+        tbl(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    want = {
+        (r["w"].start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
+    }
+    assert got == want
+    q.stop()
+
+
+def test_session_stream_matches_batch(spark, event_source):
+    stream = SE.read_event_stream(spark, event_source)
+    q = SE.run_to_memory(
+        SE.session_counts(stream, watermark="0 seconds"), "session_out", "complete"
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events for r in spark.table("session_out").collect()
+    }
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    batch = (
+        tbl(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r.user_id, r["w"].start): r.n_events for r in batch.collect()}
+    assert got == want
+    q.stop()
+
+
+def test_streaming_dedup(spark, event_source):
+    stream = SE.read_event_stream(spark, event_source)
+    q = SE.run_to_memory(SE.dedup_stream(stream, watermark="0 seconds"), "dedup_out")
+    n_stream = spark.table("dedup_out").count()
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    n_batch = tbl(spark, "/root/testdata/sf0.001", "events").select("event_id").distinct().count()
+    assert n_stream == n_batch
+    q.stop()
+
+
+def test_stateful_running_totals(spark, event_source):
+    stream = SE.read_event_stream(spark, event_source)
+    q = SE.run_to_memory(SE.user_running_totals(stream), "totals_out", "update")
+    # final state per user: last update row must equal the batch totals
+    out = spark.table("totals_out")
+    latest = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    got = {r.user_id: r.n_events for r in latest}
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    batch = (
+        tbl(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {r.user_id: r.n for r in batch}
+    assert got == want
+    q.stop()
