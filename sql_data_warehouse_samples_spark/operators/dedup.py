@@ -67,24 +67,33 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     )
 
 
+#: Sentinel for "no shingles" — an empty doc's signature is all-MAX, so empty
+#: docs still band together; the Jaccard verify stage drops them (0/0 → null).
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """k-permutation MinHash via seeded xxhash64 (64-bit, JVM-side).
 
     hash_i(s) = xxhash64(i, s); signature[i] = min over shingles.
 
-    NOTE: the per-seed lambda must come from a factory — a two-parameter
-    lambda (``lambda s, i=i``) would be treated by PySpark's transform as
-    (element, array_index), silently replacing the seed with the position.
+    Single-pass formulation: fold over the shingle array once, hashing each
+    shingle with all k seeds (``zip_with(acc, hashes, least)``).  The naive
+    alternative — k separate ``array_min(transform(shingles, hash_i))``
+    projections — re-evaluates the whole shingle expression (tokenize →
+    n-gram → distinct) k times per row, which measured ~30× slower.
     """
-
-    def hash_with_seed(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    sigs = [
-        F.array_min(F.transform(shingle_col, hash_with_seed(i)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(i, s)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_candidates(
