@@ -178,6 +178,77 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+    blocking: str | None = None,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
+
+    * ``blocking=None`` — exact all-pairs baseline: one side broadcast, the
+      other streamed, so the corpus is scanned once (map-only; no shuffle of
+      the big side).  O(n²) comparisons — the oracle/verification mode.
+    * ``blocking="lsh"`` — scale path: ``bands`` independent random-
+      hyperplane signatures; only pairs colliding in ≥1 band are compared
+      (equi-join on (band, bucket) — hash-keyed shuffle, skew-free).  High
+      recall at high thresholds (near-identical vectors agree on most sign
+      bits), cost ~ bucket sizes instead of n².
+    """
+    from .similarity import _hyperplanes, cosine, lsh_bucket
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if blocking is None:
+        cand = b.crossJoin(F.broadcast(a)).filter(F.col("id_a") < F.col("id_b"))
+    elif blocking == "lsh":
+
+        def banded(side: DataFrame, idc: str, vecc: str) -> DataFrame:
+            parts = []
+            for bi in range(bands):
+                planes = _hyperplanes(64, n_planes, seed + 1000 * bi)
+                parts.append(
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        lsh_bucket(F.col(vecc), planes).alias("bucket"),
+                    )
+                )
+            return side.select(
+                idc, vecc, F.explode(F.array(*parts)).alias("__bb")
+            ).select(
+                idc, vecc,
+                F.col("__bb.band").alias("band"),
+                F.col("__bb.bucket").alias("bucket"),
+            )
+
+        cand = (
+            banded(a, "id_a", "__va")
+            .join(banded(b, "id_b", "__vb"), ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "__va", "id_b", "__vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown blocking mode {blocking!r}")
+    return (
+        cand.withColumn(
+            "cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -81,6 +81,87 @@ def cosine_topk(
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance Σ (aᵢ-bᵢ)², double math, sequential fold."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k (inverted-file index, FAISS IVF,Flat shape).
+
+    * Coarse quantizer: ``nlist`` seed centroids (the lowest-id corpus
+      vectors — deterministic; a k-means refinement drops in here without
+      changing the dataflow).
+    * Inverted lists: each corpus vector is assigned to its nearest centroid
+      (argmin L2, centroid-id tiebreak) — a map-only pass over the corpus
+      against the broadcast centroid set, then ONE shuffle keyed by
+      centroid_id.
+    * Search: each query probes its ``nprobe`` nearest lists; candidates come
+      from an equi-join on centroid_id, so at 100 TB the corpus is scanned
+      once and only ~nprobe/nlist of it is compared per query.
+
+    Distances are rounded to ``round_to`` before ranking so the
+    list-assignment is reproducible across engines (oracle parity).
+    Each corpus vector lives in exactly one list → no duplicate pairs.
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+    )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c_d2 = F.round(l2sq(F.col("__cvec"), F.col("__cent")), round_to)
+    w_c = Window.partitionBy("neighbor_id").orderBy("__d2", "centroid_id")
+    c_assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", c_d2)
+        .withColumn("__r", F.row_number().over(w_c))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "__cvec", "centroid_id")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    q_d2 = F.round(l2sq(F.col("__qvec"), F.col("__cent")), round_to)
+    w_q = Window.partitionBy("query_id").orderBy("__d2", "centroid_id")
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", q_d2)
+        .withColumn("__r", F.row_number().over(w_q))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+
+    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_to)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        c_assigned.join(F.broadcast(q_probe), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("nbr_rank", F.row_number().over(w))
+        .filter(F.col("nbr_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nbr_rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure python, no numpy
     state leakage): xorshift-seeded gaussian via Box-Muller."""

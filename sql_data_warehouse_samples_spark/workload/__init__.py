@@ -51,3 +51,4 @@ def load_all() -> None:
     from . import events  # noqa: F401
     from . import llm_text  # noqa: F401
     from . import llm_similarity  # noqa: F401
+    from . import multimodal  # noqa: F401

@@ -102,3 +102,62 @@ def s03_embedding_stats(spark, sf_dir):
         F.min("vnorm").cast("double").alias("min_norm"),
         F.max("vnorm").cast("double").alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s04 — IVF-flat ANN: deterministic coarse quantizer (lowest-id seed
+# centroids), corpus assigned to inverted lists by argmin L2, queries probe
+# the nprobe nearest lists.  Fully SQL-expressible → exact oracle.
+# ---------------------------------------------------------------------------
+
+_L2 = (
+    "ROUND(list_sum(list_transform(list_zip({l}.embedding, cents.cent),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+)
+
+_S04_DOT = (
+    "list_sum(list_transform(list_zip(q.qvec, a.cvec),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_S04_NQ = "sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+_S04_NC = "sqrt(list_sum(list_transform(a.cvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+
+@query(
+    "s04_ivf_topk",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+               FROM embeddings WHERE vec_id < 16),
+ca AS (SELECT c.vec_id AS neighbor_id, c.embedding AS cvec, centroid_id,
+              {_L2.format(l='c')} AS d2
+       FROM embeddings c, cents),
+cassign AS (
+  SELECT neighbor_id, cvec, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                 ORDER BY d2, centroid_id) AS r FROM ca)
+  WHERE r = 1),
+qa AS (SELECT qv.vec_id AS query_id, qv.embedding AS qvec, centroid_id,
+              {_L2.format(l='qv')} AS d2
+       FROM (SELECT * FROM embeddings WHERE vec_id < 10) qv, cents),
+qprobe AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d2, centroid_id) AS r FROM qa)
+  WHERE r <= 4),
+sims AS (
+  SELECT q.query_id, a.neighbor_id,
+         ROUND({_S04_DOT} / NULLIF({_S04_NQ} * {_S04_NC}, 0), 6) AS cosine_sim
+  FROM cassign a JOIN qprobe q USING (centroid_id)
+  WHERE q.query_id <> a.neighbor_id)
+SELECT query_id, neighbor_id, cosine_sim, nbr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS nbr_rank
+  FROM sims)
+WHERE nbr_rank <= 5
+""",
+)
+def s04_ivf_topk(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4)

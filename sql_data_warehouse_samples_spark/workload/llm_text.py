@@ -241,3 +241,32 @@ def d03_minhash_lsh_pairs(spark, sf_dir):
 def d04_simhash_pairs(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     return D.simhash_dedup_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# d05 — embedding-cosine near-dup: exact all-pairs baseline (oracle-checked);
+# the LSH-blocked scale path of the same operator is covered by recall tests
+# in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+_D05_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_D05_NA = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+_D05_NB = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+
+@query(
+    "d05_embedding_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_D05_DOT} / NULLIF({_D05_NA} * {_D05_NB}, 0), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({_D05_DOT} / NULLIF({_D05_NA} * {_D05_NB}, 0), 6) >= 0.4
+""",
+)
+def d05_embedding_neardup(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)

@@ -1,0 +1,74 @@
+"""Multimodal-column workload: binary payloads + Arrow-batched decode.
+
+Driver-mandated LLM-pipeline surface.  Media payloads are opaque ``binary``
+columns (reference precedent: the VARBINARY(MAX) employee Photo column,
+dimension.employee.sql:8).  The decode step runs in ``mapInPandas``
+(operators.multimodal) — the real Spark plumbing under test; the payloads
+here are synthesized deterministically from the documents table so a DuckDB
+oracle can recompute the expected metadata without any codec:
+
+* 2/3 of docs get a minimal 24-byte PNG header whose width/height are
+  arithmetic functions of doc_id (parsed back by the header sniffer);
+* 1/3 keep their raw UTF-8 text bytes (unparseable → format NULL,
+  n_bytes = byte length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from . import query
+from ._util import tbl
+
+# 8-byte PNG signature + IHDR length(13) + "IHDR"; width/height follow as
+# 4-byte big-endian ints → hex-assembled JVM-side, no Python in the build.
+_PNG_PREFIX = "89504E470D0A1A0A0000000D49484452"
+
+
+def _media_from_documents(d):
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    png_hex = F.concat(
+        F.lit(_PNG_PREFIX), F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0")
+    )
+    payload = F.when(
+        F.col("doc_id") % 3 != 0, F.to_binary(png_hex, F.lit("hex"))
+    ).otherwise(F.col("text").cast("binary"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("string").alias("source_uri"),
+    )
+
+
+@query(
+    "m01_media_meta",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 0 THEN 'png' END AS format,
+         CASE WHEN doc_id % 3 <> 0 THEN 24
+              ELSE octet_length(encode(text)) END AS n_bytes,
+         CASE WHEN doc_id % 3 <> 0 THEN doc_id % 640 + 1 END AS width,
+         CASE WHEN doc_id % 3 <> 0 THEN doc_id % 480 + 1 END AS height
+  FROM documents)
+SELECT format,
+       COUNT(*) AS n_media,
+       SUM(n_bytes) AS total_bytes,
+       SUM(width) AS total_width,
+       SUM(height) AS total_height
+FROM m GROUP BY format
+""",
+)
+def m01_media_meta(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    meta = M.decode_image_meta(_media_from_documents(d))
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("width").cast("long").alias("total_width"),
+        F.sum("height").cast("long").alias("total_height"),
+    )

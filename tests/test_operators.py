@@ -202,3 +202,47 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(media, every_n=2).collect()
     assert len(frames) >= 2
     assert all(f.frame_index % 2 == 0 for f in frames)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, k=5)
+    approx = ivf_topk(e, q, k=5, nlist=8, nprobe=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the lists (4/8) should recover ≥ ~half the true top-5
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # every corpus vector must land in exactly one inverted list → no dup pairs
+    assert approx.groupBy("query_id", "neighbor_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_embedding_neardup_lsh_blocking(spark):
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant a near-identical pair: copy vec 0 with a tiny perturbation
+    dup = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        F.col("label"),
+    )
+    planted = e.unionByName(dup)
+    exact = embedding_neardup_pairs(planted, threshold=0.99)
+    blocked = embedding_neardup_pairs(planted, threshold=0.99, blocking="lsh")
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    blocked_pairs = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert (0, 90_000) in exact_pairs
+    # near-identical vectors agree on nearly all sign bits → every exact
+    # pair at a 0.99 threshold must survive LSH blocking
+    assert exact_pairs == blocked_pairs
