@@ -64,12 +64,18 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None) -> None:
         from .session import get_or_create
 
+        from .maintenance import StatisticsService
+
         self.spark = get_or_create(spark)
         self.catalog = Catalog(self.spark)
         self.meta = Meta(self.spark, self.catalog)
         self.wlm = AdmissionController()
+        self.stats = StatisticsService(self.spark)
         self._requests: list[RequestRecord] = []
-        self._steps: list[tuple] = []  # (request_id, step_index, op, detail)
+        self._steps: list[tuple] = []  # (request_id, step_index, op, detail, row_count)
+        # static principal/role config — vw_security_role_members parity
+        # (microsoft.vw_security_role_members.sql:10-12); no real authz
+        self._role_members: list[tuple[str, str]] = [("db_owner", "dbo")]
         self._lock = threading.Lock()
         self._next_id = 0
 
@@ -108,7 +114,7 @@ class Engine:
             try:
                 df = self.spark.sql(query)
                 for i, (op, detail) in enumerate(plan_steps(df)):
-                    self._steps.append((rec.request_id, i, op, detail))
+                    self._steps.append((rec.request_id, i, op, detail, None))
                 rec.status = "Completed"
                 return df
             except Exception as e:  # noqa: BLE001
@@ -140,11 +146,23 @@ class Engine:
         ]
         return self.spark.createDataFrame(rows, _REQUESTS_SCHEMA)
 
+    def finalize_request(self, request_id: str, df: DataFrame) -> None:
+        """Refresh a request's step rows with executed-plan metrics (the
+        per-step row_count of sys.dm_pdw_request_steps) after the caller has
+        materialized the DataFrame."""
+        from .plans.steps import executed_steps_with_metrics
+
+        with self._lock:
+            self._steps = [s for s in self._steps if s[0] != request_id]
+            for i, (op, detail, rc) in enumerate(executed_steps_with_metrics(df)):
+                self._steps.append((request_id, i, op, detail, rc))
+
     def request_steps(self) -> DataFrame:
         """sys.dm_pdw_request_steps parity (vw_query_steps.sql:14-19)."""
         return self.spark.createDataFrame(
-            self._steps or [("", -1, "", "")],
-            "request_id string, step_index int, operation_type string, detail string",
+            self._steps or [("", -1, "", "", None)],
+            "request_id string, step_index int, operation_type string,"
+            " detail string, row_count long",
         ).filter("step_index >= 0")
 
     def resource_waits(self) -> DataFrame:
@@ -195,11 +213,53 @@ class Engine:
             GROUP BY resource_class
             """
         )
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_query_steps AS
+            SELECT s.request_id, s.step_index, s.operation_type,
+                   s.row_count, s.detail
+            FROM meta_request_steps s
+            """
+        )
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_query_step_details AS
+            SELECT r.request_id, r.label, r.command, r.resource_class,
+                   r.total_elapsed_ms,
+                   s.step_index, s.operation_type, s.row_count, s.detail
+            FROM meta_requests r
+            JOIN meta_request_steps s ON r.request_id = s.request_id
+            """
+        )
+        # per-"distribution" execution (sys.dm_pdw_sql_requests,
+        # vw_sql_requests.sql:8-22): our distribution = shuffle partition;
+        # the data-movement steps carry the per-step fan-out
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_sql_requests AS
+            SELECT s.request_id, s.step_index, s.operation_type,
+                   CASE WHEN s.operation_type IN ('ShuffleMove', 'BroadcastMove')
+                        THEN NULL ELSE -1 END AS distribution_id,
+                   s.row_count
+            FROM meta_request_steps s
+            """
+        )
+        self._register_statistics_views()
+        self.spark.createDataFrame(
+            self._role_members, "role_name string, member_name string"
+        ).createOrReplaceTempView("meta_role_members")
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_security_role_members AS
+            SELECT role_name, member_name FROM meta_role_members
+            """
+        )
         if tables:
             self.spark.sql(
                 """
                 CREATE OR REPLACE TEMP VIEW vw_table_sizes AS
-                SELECT t.two_part_name, t.distribution_policy,
+                SELECT t.two_part_name, t.schema_name, t.table_name,
+                       t.distribution_policy,
                        t.distribution_column, t.index_type,
                        COUNT(p.file_path) AS nbr_files,
                        COALESCE(SUM(p.row_count), 0) AS row_count,
@@ -208,9 +268,87 @@ class Engine:
                 LEFT JOIN meta_partition_stats p
                   ON t.schema_name = p.schema_name AND t.table_name = p.table_name
                 WHERE NOT t.is_view
-                GROUP BY 1, 2, 3, 4
+                GROUP BY 1, 2, 3, 4, 5, 6
                 """
             )
+            # the four space rollups the reference derives from vw_table_sizes
+            # (vw_table_space_summary.sql, ...by_distribution.sql,
+            #  ...by_distribution_type.sql, ...by_index_type.sql)
+            self.spark.sql(
+                """
+                CREATE OR REPLACE TEMP VIEW vw_table_space_summary AS
+                SELECT two_part_name, distribution_policy, index_type,
+                       nbr_files, row_count, used_bytes,
+                       ROUND(used_bytes / 1e9, 6) AS used_gb
+                FROM vw_table_sizes
+                """
+            )
+            self.spark.sql(
+                """
+                CREATE OR REPLACE TEMP VIEW vw_table_space_by_distribution AS
+                SELECT p.schema_name, p.table_name, p.distribution_id,
+                       SUM(p.row_count) AS row_count,
+                       SUM(p.used_bytes) AS used_bytes
+                FROM meta_partition_stats p
+                GROUP BY 1, 2, 3
+                """
+            )
+            self.spark.sql(
+                """
+                CREATE OR REPLACE TEMP VIEW vw_table_space_by_distribution_type AS
+                SELECT distribution_policy,
+                       COUNT(*) AS table_count,
+                       SUM(row_count) AS row_count,
+                       SUM(used_bytes) AS used_bytes
+                FROM vw_table_sizes GROUP BY 1
+                """
+            )
+            self.spark.sql(
+                """
+                CREATE OR REPLACE TEMP VIEW vw_table_space_by_index_type AS
+                SELECT index_type,
+                       COUNT(*) AS table_count,
+                       SUM(row_count) AS row_count,
+                       SUM(used_bytes) AS used_bytes
+                FROM vw_table_sizes GROUP BY 1
+                """
+            )
+            self.meta.tables_with_skew().createOrReplaceTempView(
+                "vw_tables_with_skew"
+            )
+
+    def _register_statistics_views(self) -> None:
+        """meta_statistics + vw_statistics_age (microsoft.vw_statistics_age.
+        sql:5-22): one row per ANALYZE from the stats ledger."""
+        import datetime as dt
+
+        rows = [
+            (
+                e["table"],
+                ",".join(e["columns"]),
+                dt.datetime.fromtimestamp(e["analyzed_at"]),
+            )
+            for e in self.stats._ledger
+        ] or [("", "", None)]
+        self.spark.createDataFrame(
+            rows, "table_name string, stats_columns string, analyzed_at timestamp"
+        ).filter("table_name != ''").createOrReplaceTempView("meta_statistics")
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_statistics_age AS
+            SELECT table_name,
+                   MAX(analyzed_at) AS last_analyzed,
+                   DATEDIFF(current_date(), MAX(analyzed_at)) AS age_days
+            FROM meta_statistics
+            GROUP BY table_name
+            """
+        )
+
+    def set_role_members(self, role: str, members: list[str]) -> None:
+        """Replace the member list of a role (static authz config)."""
+        self._role_members = [m for m in self._role_members if m[0] != role] + [
+            (role, m) for m in members
+        ]
 
     # --- convenience passthroughs ---------------------------------------
 

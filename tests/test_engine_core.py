@@ -224,3 +224,44 @@ def test_wwi_fixture_schema(engine, spark):
         assert dt["tax_rate"] == "decimal(18,3)"
     finally:
         drop_wwi_schema(spark, engine.catalog)
+
+
+def test_full_monitoring_view_corpus(engine):
+    """All 14 reference monitoring views are registered and runnable."""
+    df = engine.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM testfact.lineitem_h "
+        "GROUP BY l_returnflag",
+        label="corpus-probe",
+    )
+    df.collect()
+    rid = engine.exec_requests().orderBy(F.desc("request_id")).first().request_id
+    engine.finalize_request(rid, df)
+    engine.stats.create_statistics("testfact.lineitem_h", ["l_orderkey"])
+    engine.register_monitoring_views(["testfact.lineitem_h"])
+    views = [
+        "vw_active_queries", "vw_query_queue", "vw_query_slots",
+        "vw_query_steps", "vw_query_step_details", "vw_sql_requests",
+        "vw_table_sizes", "vw_table_space_summary",
+        "vw_table_space_by_distribution", "vw_table_space_by_distribution_type",
+        "vw_table_space_by_index_type", "vw_tables_with_skew",
+        "vw_statistics_age", "vw_security_role_members",
+    ]
+    for v in views:
+        engine.spark.sql(f"SELECT * FROM {v}").collect()
+    # executed-plan metrics: the aggregate's step rows carry real row counts
+    steps = engine.spark.sql(
+        f"SELECT * FROM vw_query_steps WHERE request_id = '{rid}'"
+    ).collect()
+    assert any(s.operation_type == "Aggregate" for s in steps)
+    assert any(s.row_count is not None and s.row_count > 0 for s in steps)
+    # stats ledger surfaced with zero age
+    ages = engine.spark.sql("SELECT * FROM vw_statistics_age").collect()
+    assert any(a.table_name == "testfact.lineitem_h" and a.age_days == 0 for a in ages)
+    # role config
+    engine.set_role_members("db_datareader", ["analyst1", "analyst2"])
+    engine.register_monitoring_views()
+    members = engine.spark.sql(
+        "SELECT member_name FROM vw_security_role_members "
+        "WHERE role_name = 'db_datareader'"
+    ).collect()
+    assert {m.member_name for m in members} == {"analyst1", "analyst2"}
