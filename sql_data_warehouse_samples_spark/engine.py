@@ -125,6 +125,15 @@ class Engine:
                 rec.end_time = time.time()
                 rec.total_elapsed_ms = int((rec.end_time - rec.start_time) * 1000)
 
+    def tsql(self, query: str, resource_class: str = "smallrc") -> DataFrame:
+        """Submit a T-SQL-flavored statement: rewritten to Spark SQL
+        (functions/rewriter.py), OPTION(LABEL=...) becomes the request
+        label — the reference monitoring corpus runs near-verbatim."""
+        from .functions.rewriter import rewrite_tsql
+
+        spark_sql, label = rewrite_tsql(query)
+        return self.sql(spark_sql, label=label, resource_class=resource_class)
+
     # --- DMV surfaces ----------------------------------------------------
 
     def exec_requests(self) -> DataFrame:

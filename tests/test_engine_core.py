@@ -265,3 +265,48 @@ def test_full_monitoring_view_corpus(engine):
         "WHERE role_name = 'db_datareader'"
     ).collect()
     assert {m.member_name for m in members} == {"analyst1", "analyst2"}
+
+
+def test_tsql_rewriter_unit():
+    from sql_data_warehouse_samples_spark.functions.rewriter import rewrite_tsql
+
+    sql, label = rewrite_tsql(
+        "SELECT TOP 3 [request_id], ISNULL([label], 'none') AS lbl, "
+        "COUNT_BIG(*) AS n, DATEDIFF(second, submit_time, GETDATE()) AS age_s "
+        "FROM sys.dm_pdw_exec_requests WHERE [status] <> 'a [not] bracket' "
+        "GROUP BY [request_id], [label] ORDER BY n DESC "
+        "OPTION (LABEL = 'probe''s label')"
+    )
+    assert label == "probe's label"
+    assert sql.endswith("LIMIT 3")
+    assert "`request_id`" in sql and "COALESCE(`label`, 'none')" in sql
+    assert "COUNT(*)" in sql
+    assert "timestampdiff(SECOND, submit_time, current_timestamp())" in sql
+    assert "meta_requests" in sql
+    # literals survive untouched
+    assert "'a [not] bracket'" in sql
+    # CONVERT / DATEADD / DATEPART
+    sql2, _ = rewrite_tsql(
+        "SELECT CONVERT(varchar, request_id) AS r, "
+        "DATEADD(dd, -7, GETDATE()) AS wk_ago, "
+        "DATEPART(weekday, submit_time) AS dow FROM sys.dm_pdw_exec_requests"
+    )
+    assert "CAST(request_id AS STRING)" in sql2
+    assert "timestampadd(DAY, -7, current_timestamp())" in sql2
+
+
+def test_tsql_end_to_end(engine):
+    """Reference-style monitoring T-SQL runs through engine.tsql."""
+    engine.sql("SELECT 1 AS warm", label="warm")
+    engine.register_monitoring_views()
+    df = engine.tsql(
+        "SELECT TOP 5 [request_id], [status], total_elapsed_ms "
+        "FROM sys.dm_pdw_exec_requests "
+        "WHERE [status] IN ('Completed', 'Failed') "
+        "ORDER BY total_elapsed_ms DESC OPTION (LABEL = 'active-probe')"
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    # the label landed on the request record
+    last = engine.exec_requests().orderBy(F.desc("request_id")).first()
+    assert last.label == "active-probe"
