@@ -40,8 +40,12 @@ HEADLINE = [
     "q39_user_sessions",
     "d01_dedup_exact",
     "d03_minhash_lsh_pairs",
+    "d04_simhash_pairs",
+    "d05_embedding_neardup",
     "s01_cosine_topk",
+    "s04_ivf_topk",
     "t02_quality_score",
+    "m01_media_meta",
 ]
 
 

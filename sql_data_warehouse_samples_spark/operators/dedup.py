@@ -204,10 +204,21 @@ def embedding_neardup_pairs(
       recall at high thresholds (near-identical vectors agree on most sign
       bits), cost ~ bucket sizes instead of n².
     """
-    from .similarity import _hyperplanes, cosine, lsh_bucket
+    from .similarity import _hyperplanes, dot, lsh_bucket, norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # norms are per-ROW, so compute them once before the pair join — the
+    # per-pair work is then a single dot-product fold instead of three.
+    # Numerically identical to cosine(a, b): same ops in the same order.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     if blocking is None:
         cand = b.crossJoin(F.broadcast(a)).filter(F.col("id_a") < F.col("id_b"))
     elif blocking == "lsh":
@@ -223,9 +234,9 @@ def embedding_neardup_pairs(
                     )
                 )
             return side.select(
-                idc, vecc, F.explode(F.array(*parts)).alias("__bb")
+                "*", F.explode(F.array(*parts)).alias("__bb")
             ).select(
-                idc, vecc,
+                *side.columns,
                 F.col("__bb.band").alias("band"),
                 F.col("__bb.bucket").alias("bucket"),
             )
@@ -234,15 +245,16 @@ def embedding_neardup_pairs(
             banded(a, "id_a", "__va")
             .join(banded(b, "id_b", "__vb"), ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "__va", "id_b", "__vb")
+            .select("id_a", "__va", "__na", "id_b", "__vb", "__nb")
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
         raise ValueError(f"unknown blocking mode {blocking!r}")
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     return (
-        cand.withColumn(
-            "cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
-        )
+        cand.withColumn("cosine_sim", F.round(sim, round_to))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
