@@ -792,3 +792,65 @@ def q24_rollup(spark, sf_dir):
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — UNION with dedup (U4: "UNION statements within derived tables",
+# white-papers/...md:309).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_union_dedup",
+    oracle="""
+SELECT nation_key FROM (
+  SELECT c_nationkey AS nation_key FROM customer WHERE c_acctbal > 5000
+  UNION
+  SELECT s_nationkey AS nation_key FROM supplier WHERE s_acctbal > 5000
+)
+""",
+)
+def q43_union_dedup(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nation_key")
+    )
+    s = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nation_key")
+    )
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# q44 — composite-key equi-join to a derived table (J2: 3-col key joins like
+# `nt.object_id = nps.object_id AND nt.pdw_node_id = nps.pdw_node_id AND
+# nt.distribution_id = nps.distribution_id`, vw_table_sizes.sql:46-48;
+# J7: join-to-subquery, vw_table_sizes.sql:49).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_composite_key_join",
+    oracle="""
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS supp_total
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+)
+SELECT l.l_orderkey, l.l_suppkey, l.l_linenumber, p.n_lines, p.supp_total
+FROM lineitem l
+JOIN per_supp p
+  ON l.l_orderkey = p.l_orderkey AND l.l_suppkey = p.l_suppkey
+WHERE p.n_lines >= 2 AND l.l_linenumber = 1
+""",
+)
+def q44_composite_key_join(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "supp_total")
+    )
+    return (
+        li.join(per_supp, ["l_orderkey", "l_suppkey"])
+        .filter((F.col("n_lines") >= 2) & (F.col("l_linenumber") == 1))
+        .select("l_orderkey", "l_suppkey", "l_linenumber", "n_lines", "supp_total")
+    )

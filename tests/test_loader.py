@@ -140,3 +140,14 @@ def test_extract_lines(spark, tmp_path):
             f.write(f"line-{i}\n")
     lines = extract_lines(spark, p, start=10, count=3)
     assert lines == ["line-9", "line-10", "line-11"]
+
+
+def test_extract_lines(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.sources.extract import extract_lines
+
+    f = tmp_path / "big.txt"
+    f.write_text("".join(f"line-{i}\n" for i in range(100)))
+    rows = extract_lines(spark, str(f), 42, 3).orderBy("line_no").collect()
+    assert [(r.line_no, r.line) for r in rows] == [
+        (42, "line-42"), (43, "line-43"), (44, "line-44")
+    ]
