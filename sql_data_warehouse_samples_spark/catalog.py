@@ -49,6 +49,10 @@ class TableLayout:
     partition_column: str | None = None  # derived Hive partition column
     partition_expr: str | None = None  # SQL expr deriving it, e.g. month trunc
     index_type: str = "cci"  # cci | clustered | heap
+    # bucket count for persisted co-location: two tables bucketed on their
+    # join key by the same count join WITHOUT an Exchange (J14 — "data
+    # collocated at query time", white-papers/...md:42-43)
+    buckets: int | None = None
 
     def __post_init__(self) -> None:
         if self.distribution not in VALID_DISTRIBUTIONS:
@@ -71,6 +75,8 @@ class TableLayout:
             props["sdw.partition_column"] = self.partition_column
         if self.partition_expr:
             props["sdw.partition_expr"] = self.partition_expr
+        if self.buckets:
+            props["sdw.buckets"] = str(self.buckets)
         return props
 
     @classmethod
@@ -82,6 +88,7 @@ class TableLayout:
             partition_column=props.get("sdw.partition_column"),
             partition_expr=props.get("sdw.partition_expr"),
             index_type=props.get("sdw.index_type", "cci"),
+            buckets=int(props["sdw.buckets"]) if props.get("sdw.buckets") else None,
         )
 
 
@@ -129,7 +136,10 @@ class Catalog:
         if layout.partition_expr and layout.partition_column:
             df = df.withColumn(layout.partition_column, F.expr(layout.partition_expr))
         if layout.distribution == "hash":
-            df = df.repartition(self.distribution_count, F.col(layout.distribution_column))
+            # bucketed writes repartition to one task per bucket (same
+            # murmur hash → exactly one file per bucket, no small files)
+            n = layout.buckets or self.distribution_count
+            df = df.repartition(n, F.col(layout.distribution_column))
         elif layout.distribution == "round_robin":
             df = df.repartition(self.distribution_count)
         # replicate: single parquet, broadcast at read; keep 1 output file
@@ -154,6 +164,12 @@ class Catalog:
         writer = out.write.format("parquet").mode(mode)
         if layout.partition_column:
             writer = writer.partitionBy(layout.partition_column)
+        if layout.buckets and layout.distribution_column:
+            # persisted hash co-location: equal-key joins between tables
+            # bucketed the same way run with NO shuffle Exchange
+            writer = writer.bucketBy(layout.buckets, layout.distribution_column)
+            if layout.sort_columns:
+                writer = writer.sortBy(*layout.sort_columns)
         writer.saveAsTable(self._q(table))
         self._set_layout_properties(table, layout)
 

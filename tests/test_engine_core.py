@@ -310,3 +310,31 @@ def test_tsql_end_to_end(engine):
     # the label landed on the request record
     last = engine.exec_requests().orderBy(F.desc("request_id")).first()
     assert last.label == "active-probe"
+
+
+def test_bucketed_join_has_no_shuffle(engine, spark):
+    """Two tables bucketed on the join key by the same count join without
+    any Exchange (J14 co-located join — the 100 TB shuffle-elimination
+    lever; 'data collocated at query time', white-papers/...md:42-43)."""
+    from sql_data_warehouse_samples_spark.catalog import hash_layout
+    from sql_data_warehouse_samples_spark.plans.steps import plan_steps
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    engine.create_table_as(
+        "testfact.li_b", li,
+        hash_layout("l_orderkey", buckets=8), mode="overwrite",
+    )
+    engine.create_table_as(
+        "testfact.od_b",
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        hash_layout("l_orderkey", buckets=8), mode="overwrite",
+    )
+    layout = engine.catalog.get_layout("testfact.li_b")
+    assert layout.buckets == 8
+    joined = engine.table("testfact.li_b").join(
+        engine.table("testfact.od_b"), "l_orderkey"
+    )
+    shuffles = [s for s in plan_steps(joined) if s[0] == "ShuffleMove"]
+    assert not shuffles, f"bucketed join still shuffles: {shuffles}"
+    assert joined.count() == li.count()
