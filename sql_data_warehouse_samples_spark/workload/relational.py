@@ -854,3 +854,26 @@ def q44_composite_key_join(spark, sf_dir):
         .filter((F.col("n_lines") >= 2) & (F.col("l_linenumber") == 1))
         .select("l_orderkey", "l_suppkey", "l_linenumber", "n_lines", "supp_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — CUBE grouping sets (SURVEY §2.4 note: absent from the reference's own
+# surface — MicroStrategy emulates via multi-pass SQL, white-papers/
+# ...md:222-231 — exposed because Spark gives it for free).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q46_cube(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )

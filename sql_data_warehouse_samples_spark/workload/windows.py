@@ -225,3 +225,42 @@ def q30_customer_quartiles(spark, sf_dir):
             F.sum("spend").cast("double").alias("quartile_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — RANGE-frame window (W4 <windowing clause>, white-papers/...md:175-177):
+# value-based frame over per-day revenue — all days within the trailing
+# 7-day VALUE range, not the trailing 7 ROWS.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_range_frame",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr
+  FROM orders GROUP BY 1
+)
+SELECT order_day,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (
+         ORDER BY day_nr RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_week_revenue
+FROM daily
+""",
+)
+def q45_range_frame(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("order_day")).agg(
+        F.sum(dec("o_totalprice")).alias("revenue")
+    ).withColumn(
+        "day_nr", F.datediff("order_day", F.lit("1992-01-01").cast("date")).cast("long")
+    )
+    w = Window.orderBy("day_nr").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_day",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("trailing_week_revenue"),
+    )
