@@ -338,3 +338,32 @@ def test_bucketed_join_has_no_shuffle(engine, spark):
     shuffles = [s for s in plan_steps(joined) if s[0] == "ShuffleMove"]
     assert not shuffles, f"bucketed join still shuffles: {shuffles}"
     assert joined.count() == li.count()
+
+
+def test_range_partition_pruning(engine, spark):
+    """Monthly RANGE-RIGHT partitioning (fact.sale.sql:32-48) → Hive-style
+    partitions; a month-filtered query reads ONLY that partition's files."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    engine.create_table_as(
+        "testfact.orders_p",
+        o,
+        TableLayout(
+            distribution="round_robin",
+            partition_column="order_month",
+            partition_expr="date_format(o_orderdate, 'yyyy-MM')",
+        ),
+        mode="overwrite",
+    )
+    t = engine.table("testfact.orders_p")
+    months = [r.order_month for r in t.select("order_month").distinct().collect()]
+    assert len(months) > 12  # multi-year spread → real pruning opportunity
+    one = t.filter(F.col("order_month") == months[0])
+    pruned_files = one.inputFiles()
+    all_files = t.inputFiles()
+    assert 0 < len(pruned_files) < len(all_files)
+    assert all(f"order_month={months[0]}" in f for f in pruned_files)
+    # row parity with the source predicate
+    expected = o.filter(F.date_format("o_orderdate", "yyyy-MM") == months[0]).count()
+    assert one.count() == expected
