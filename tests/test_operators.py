@@ -246,3 +246,32 @@ def test_embedding_neardup_lsh_blocking(spark):
     # near-identical vectors agree on nearly all sign bits → every exact
     # pair at a 0.99 threshold must survive LSH blocking
     assert exact_pairs == blocked_pairs
+
+
+def test_salted_join_equivalence(spark):
+    from sql_data_warehouse_samples_spark.operators.skew import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # make a skewed big side: collapse most orderkeys onto one hot key
+    big = li.withColumn(
+        "jkey",
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(F.col("l_orderkey")),
+    )
+    small = (
+        big.select("jkey").distinct().withColumn("dim_val", F.col("jkey") * 10)
+    )
+    plain = big.join(small, "jkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s")
+    ).collect()[0]
+    salted = salted_join(big, small, "jkey", salt_buckets=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+    # the hot key's rows really do spread across salt buckets
+    from sql_data_warehouse_samples_spark.operators.skew import salted_join as _sj
+    spread = (
+        big.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)))
+        .filter(F.col("jkey") == 1)
+        .select("__salt").distinct().count()
+    )
+    assert spread == 8
