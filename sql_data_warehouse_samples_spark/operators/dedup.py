@@ -206,17 +206,19 @@ def embedding_neardup_pairs(
     """
     from .similarity import _hyperplanes, dot, lsh_bucket, norm
 
-    # norms are per-ROW, so compute them once before the pair join — the
-    # per-pair work is then a single dot-product fold instead of three.
-    # Numerically identical to cosine(a, b): same ops in the same order.
+    # norms and float→double casts are per-ROW, so hoist both out of the
+    # pair join — the per-pair work is then a single multiply-add fold.
+    # Numerically identical to cosine(a, b): float→double is exact and the
+    # fold order is unchanged.
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     a = df.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
+        as_double.alias("__va"),
         norm(F.col(vec_col)).alias("__na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
+        as_double.alias("__vb"),
         norm(F.col(vec_col)).alias("__nb"),
     )
     if blocking is None:
