@@ -109,8 +109,12 @@ class Engine:
         rec = self._new_request(query, label, resource_class)
         with self.wlm.admit(rec.request_id, resource_class):
             rec.start_time = time.time()
-            if label:
-                self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", label)
+            # job group = request id → the status tracker can attribute every
+            # job/stage/task this request runs back to it (per-distribution
+            # execution parity, sys.dm_pdw_sql_requests)
+            self.spark.sparkContext.setJobGroup(
+                rec.request_id, label or query[:100]
+            )
             try:
                 df = self.spark.sql(query)
                 for i, (op, detail) in enumerate(plan_steps(df)):
@@ -173,6 +177,39 @@ class Engine:
             "request_id string, step_index int, operation_type string,"
             " detail string, row_count long",
         ).filter("step_index >= 0")
+
+    def task_requests(self) -> DataFrame:
+        """sys.dm_pdw_sql_requests parity: one row per executed stage of each
+        request (vw_sql_requests.sql:8-22).  num_tasks is the stage's
+        fan-out — the analogue of per-distribution SQL requests; stages the
+        tracker has already evicted are skipped."""
+        st = self.spark.sparkContext.statusTracker()
+        rows = []
+        for r in self._requests:
+            for job_id in st.getJobIdsForGroup(r.request_id):
+                ji = st.getJobInfo(job_id)
+                if ji is None:
+                    continue
+                for sid in ji.stageIds:
+                    si = st.getStageInfo(sid)
+                    if si is None:
+                        continue
+                    rows.append(
+                        (
+                            r.request_id,
+                            job_id,
+                            sid,
+                            si.name[:200],
+                            si.numTasks,
+                            si.numCompletedTasks,
+                            si.numFailedTasks,
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows or [("", -1, -1, "", 0, 0, 0)],
+            "request_id string, job_id int, stage_id int, stage_name string,"
+            " num_tasks int, completed_tasks int, failed_tasks int",
+        ).filter("job_id >= 0")
 
     def resource_waits(self) -> DataFrame:
         """sys.dm_pdw_resource_waits parity (vw_query_queue.sql:10)."""
@@ -241,16 +278,15 @@ class Engine:
             """
         )
         # per-"distribution" execution (sys.dm_pdw_sql_requests,
-        # vw_sql_requests.sql:8-22): our distribution = shuffle partition;
-        # the data-movement steps carry the per-step fan-out
+        # vw_sql_requests.sql:8-22): our distribution = task; one row per
+        # executed stage with its task fan-out, from the status tracker
+        self.task_requests().createOrReplaceTempView("meta_task_requests")
         self.spark.sql(
             """
             CREATE OR REPLACE TEMP VIEW vw_sql_requests AS
-            SELECT s.request_id, s.step_index, s.operation_type,
-                   CASE WHEN s.operation_type IN ('ShuffleMove', 'BroadcastMove')
-                        THEN NULL ELSE -1 END AS distribution_id,
-                   s.row_count
-            FROM meta_request_steps s
+            SELECT request_id, job_id, stage_id, stage_name,
+                   num_tasks, completed_tasks, failed_tasks
+            FROM meta_task_requests
             """
         )
         self._register_statistics_views()

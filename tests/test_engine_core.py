@@ -248,6 +248,12 @@ def test_full_monitoring_view_corpus(engine):
     ]
     for v in views:
         engine.spark.sql(f"SELECT * FROM {v}").collect()
+    # per-stage execution rows exist for the materialized request
+    tasks = engine.spark.sql(
+        f"SELECT * FROM vw_sql_requests WHERE request_id = '{rid}'"
+    ).collect()
+    assert tasks and all(t.num_tasks >= 1 for t in tasks)
+    assert any(t.completed_tasks >= 1 for t in tasks)
     # executed-plan metrics: the aggregate's step rows carry real row counts
     steps = engine.spark.sql(
         f"SELECT * FROM vw_query_steps WHERE request_id = '{rid}'"
