@@ -110,10 +110,17 @@ def minhash_lsh_candidates(
     The band join is an equi-join on (band, band_signature) — shuffle keys
     are hashes, so co-located and skew-free at any scale.
     """
-    r = num_hashes // bands
-    assert r * bands == num_hashes, "bands must divide num_hashes"
     sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
     with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    return _banded_candidates(with_sig, num_hashes, bands)
+
+
+def _banded_candidates(
+    with_sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band a (__id, __sig) frame and self-join for colliding pairs."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
     banded = with_sig.select(
         "__id",
         F.explode(
@@ -160,17 +167,25 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
 
-    Output: (id_a, id_b, jaccard_sim).  The verify join re-reads only the
-    candidate ids (semi-joined), so verification cost scales with the number
-    of candidate pairs, not the corpus.
+    Output: (id_a, id_b, jaccard_sim).  The shingle sets are computed ONCE
+    and persisted (memory-and-disk, spillable): the candidate pass derives
+    signatures from them and the verify pass joins back to the same cached
+    frame — without this, Spark re-tokenizes the corpus for each of the
+    four plan branches (self-join sides + both verify probes).  At 100 TB
+    this intermediate is the standard "signature table" materialization.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    with_sig = sh.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )
+    cands = _banded_candidates(with_sig, num_hashes, bands)
     return (
-        cands.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        cands.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -309,8 +324,14 @@ def simhash_dedup_pairs(
     Splitting 64 bits into `bands` chunks guarantees recall for pairs with
     < bands differing bits (pigeonhole): any such pair collides on ≥1 chunk.
     """
+    from pyspark import StorageLevel
+
     chunk = 64 // bands
-    sig = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+    # persist the signature table: both self-join sides read it instead of
+    # re-hashing every token of the corpus twice
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "__id",
         "__sim",
