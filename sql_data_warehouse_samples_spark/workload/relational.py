@@ -877,3 +877,38 @@ def q46_cube(spark, sf_dir):
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — LIKE / NOT LIKE pattern filters (P6: `[label] LIKE '%MSTR%'`,
+# white-papers/...md:137; `obj.name not like '%_Backup%'`,
+# AddTableChanges.sql:9-12) + NOT IN list (P5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q47_like_patterns",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM part
+WHERE p_type LIKE '%BRASS%'
+  AND p_name NOT LIKE '%green%'
+  AND p_brand NOT IN ('Brand#11', 'Brand#22')
+GROUP BY p_brand
+""",
+)
+def q47_like_patterns(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_type").like("%BRASS%")
+            & ~F.col("p_name").like("%green%")
+            & ~F.col("p_brand").isin("Brand#11", "Brand#22")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "total_price"),
+        )
+    )
