@@ -233,3 +233,52 @@ def q42_signup_to_purchase(spark, sf_dir):
             F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")
         ).alias("seconds_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — grouped-map applyInPandas (§2.14 UDF surface: the grouped-map member
+# of the pandas-UDF family; scalar pandas_udf and mapInPandas are covered by
+# t-ops and m01).  Per-user session-ish summary computed in pandas with
+# exact integer/timestamp math so the DuckDB oracle matches bit-for-bit.
+# Scale shape: one shuffle on user_id; each group processed in an Arrow
+# batch — the standard pattern for per-entity feature extraction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q48_grouped_map_summary",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(datediff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_sec,
+       MIN(event_id) AS first_event_id
+FROM events
+GROUP BY user_id
+""",
+)
+def q48_grouped_map_summary(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+
+    def summarize(pdf):
+        import pandas as pd
+
+        # datediff('second') counts boundary crossings → floor both ends
+        span = (pdf["ts"].max().floor("s") - pdf["ts"].min().floor("s")) // pd.Timedelta(
+            seconds=1
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_types": [pdf["event_type"].nunique()],
+                "span_sec": [int(span)],
+                "first_event_id": [pdf["event_id"].min()],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        summarize,
+        "user_id long, n_events long, n_types long, span_sec long,"
+        " first_event_id long",
+    )
