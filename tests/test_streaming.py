@@ -121,3 +121,37 @@ def test_stateful_running_totals(spark, event_source):
     want = {r.user_id: r.n for r in batch}
     assert got == want
     q.stop()
+
+
+def test_checkpoint_recovery_exactly_once(spark, event_source, tmp_path):
+    """Durable sink + checkpoint: stop the query mid-stream, restart from the
+    same checkpoint, and the parquet sink holds each event exactly once."""
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(max_files):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(event_source).schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(event_source)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # first run: process one file per micro-batch, stop after completion
+    q = start(1)
+    q.awaitTermination(120)
+    first_count = spark.read.parquet(out_dir).count()
+    assert first_count > 0
+    # restart from the same checkpoint: nothing new to process → no dupes
+    q2 = start(1)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(event_source).count()
+    sunk = spark.read.parquet(out_dir)
+    assert sunk.count() == total
+    assert sunk.select("event_id").distinct().count() == total
