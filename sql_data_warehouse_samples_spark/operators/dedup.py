@@ -237,7 +237,15 @@ def embedding_neardup_pairs(
         norm(F.col(vec_col)).alias("__nb"),
     )
     if blocking is None:
-        cand = b.crossJoin(F.broadcast(a)).filter(F.col("id_a") < F.col("id_b"))
+        # file-split partitioning reflects BYTES, not compute: a small
+        # single-file corpus would run the whole O(n²) pass on one task.
+        # Spread the streamed side across the cluster before the pair join.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        cand = (
+            b.repartition(par)
+            .crossJoin(F.broadcast(a))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
     elif blocking == "lsh":
 
         def banded(side: DataFrame, idc: str, vecc: str) -> DataFrame:

@@ -71,6 +71,9 @@ def cosine_topk(
 
     sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_to)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    # spread the corpus by compute, not file bytes (a single-file corpus
+    # would otherwise score every (query, doc) pair in one task)
+    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -128,7 +131,9 @@ def ivf_topk(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
     )
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     c_d2 = F.round(l2sq(F.col("__cvec"), F.col("__cent")), round_to)
     w_c = Window.partitionBy("neighbor_id").orderBy("__d2", "centroid_id")
     c_assigned = (
