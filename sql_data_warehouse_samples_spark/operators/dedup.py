@@ -176,9 +176,16 @@ def minhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # spread by cores before the expensive shingle/signature projection —
+    # a single-file corpus otherwise tokenizes on one task
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     with_sig = sh.select(
         "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )
@@ -336,10 +343,13 @@ def simhash_dedup_pairs(
 
     chunk = 64 // bands
     # persist the signature table: both self-join sides read it instead of
-    # re-hashing every token of the corpus twice
-    sig = df.select(
-        F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # re-hashing every token of the corpus twice; repartition first so the
+    # hashing itself parallelizes beyond the source file count
+    sig = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = sig.select(
         "__id",
         "__sim",
