@@ -138,6 +138,31 @@ class Engine:
         spark_sql, label = rewrite_tsql(query)
         return self.sql(spark_sql, label=label, resource_class=resource_class)
 
+    def run_script(self, statements: list[str], dialect: str = "spark") -> list:
+        """Execute generated statements in order — the reference's
+        WHILE-loop + sp_executesql dynamic-SQL pattern (C1,
+        sp_create_statistics.sql:73-85; GenerateLoadScript-V1.sql:76-162).
+
+        The maintenance verb ``REBUILD TABLE t`` (emitted by
+        ``CompactionService.generate_rebuild_statements``) dispatches to the
+        compaction service; everything else runs through ``sql``/``tsql``.
+        """
+        from .maintenance import CompactionService
+
+        results: list = []
+        comp = None
+        for stmt in statements:
+            s = stmt.strip()
+            if s.upper().startswith("REBUILD TABLE "):
+                if comp is None:
+                    comp = CompactionService(self.spark, self.catalog, self.meta)
+                results.append(comp.rebuild(s[len("REBUILD TABLE "):].strip()))
+            elif dialect == "tsql":
+                results.append(self.tsql(s))
+            else:
+                results.append(self.sql(s))
+        return results
+
     # --- DMV surfaces ----------------------------------------------------
 
     def exec_requests(self) -> DataFrame:

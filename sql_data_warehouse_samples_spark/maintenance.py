@@ -76,8 +76,11 @@ class CompactionService:
         self.catalog = catalog
         self.meta = meta
 
-    def rowgroup_health(self, table: str) -> dict:
-        """Avg rows per row group vs the poor-segment threshold."""
+    def rowgroup_health(
+        self, table: str, min_total_rows: int = POOR_SEGMENT_THRESHOLD
+    ) -> dict:
+        """Avg rows per row group vs the poor-segment threshold; tables
+        below ``min_total_rows`` are never flagged (too small to matter)."""
         rg = self.meta.rowgroups(table)
         agg = rg.agg(
             F.count(F.lit(1)).alias("n_rowgroups"),
@@ -91,7 +94,7 @@ class CompactionService:
             "total_rows": agg["total_rows"] or 0,
             "avg_rows_per_rowgroup": avg_rows,
             "needs_rebuild": 0 < avg_rows < POOR_SEGMENT_THRESHOLD
-            and (agg["total_rows"] or 0) > POOR_SEGMENT_THRESHOLD,
+            and (agg["total_rows"] or 0) > min_total_rows,
         }
 
     def rebuild(self, table: str, target_rows_per_file: int = ROWGROUP_TARGET_ROWS) -> int:
@@ -121,6 +124,21 @@ class CompactionService:
         self.catalog._set_layout_properties(table, layout)
         staged.unpersist()
         return n_files
+
+
+    def generate_rebuild_statements(
+        self, tables: list[str], min_total_rows: int = POOR_SEGMENT_THRESHOLD
+    ) -> list[str]:
+        """DDL-from-catalog generation (C5/D13): one REBUILD statement per
+        table whose rowgroup quality is below threshold — the
+        generate_rebuild_all.sql pattern (`SELECT DISTINCT 'ALTER INDEX ALL
+        ON ' + name + ' REBUILD'`, generate_rebuild_all.sql:2-15).  Feed the
+        result to ``Engine.run_script``."""
+        return [
+            f"REBUILD TABLE {t}"
+            for t in tables
+            if self.rowgroup_health(t, min_total_rows)["needs_rebuild"]
+        ]
 
 
 def health_report(spark: SparkSession, catalog: Catalog, meta: Meta, tables: list[str]) -> DataFrame:

@@ -373,3 +373,27 @@ def test_range_partition_pruning(engine, spark):
     # row parity with the source predicate
     expected = o.filter(F.date_format("o_orderdate", "yyyy-MM") == months[0]).count()
     assert one.count() == expected
+
+
+def test_generate_rebuild_script_loop(engine, spark):
+    """Dynamic-DDL loop: fragment a table, generate REBUILD statements from
+    catalog health, execute them via run_script, verify compaction."""
+    from sql_data_warehouse_samples_spark.catalog import round_robin_layout
+    from sql_data_warehouse_samples_spark.maintenance import CompactionService
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # 64 files of ~94 rows each → far below the poor-segment threshold
+    engine.create_table_as(
+        "testfact.li_frag", li.repartition(64), round_robin_layout(),
+        mode="overwrite",
+    )
+    comp = CompactionService(engine.spark, engine.catalog, engine.meta)
+    stmts = comp.generate_rebuild_statements(
+        ["testfact.li_frag", "testfact.lineitem_h"], min_total_rows=1000
+    )
+    assert "REBUILD TABLE testfact.li_frag" in stmts
+    results = engine.run_script(stmts)
+    assert results and results[0] >= 1
+    files = engine.meta.partition_stats("testfact.li_frag").count()
+    assert files < 64
+    assert engine.table("testfact.li_frag").count() == li.count()
