@@ -234,17 +234,3 @@ class CsvLoader:
             }
         )
         return LoadResult(out, rows, rows_rejected, elapsed)
-
-
-def extract_lines(spark: SparkSession, path: str, start: int, count: int) -> list[str]:
-    """The Extract utility (S6: samples/utility/Extract/extract/Program.cs:
-    19-91): print lines start..start+count of a huge text file for
-    load-failure forensics — distributed, no driver slurp."""
-    from pyspark.sql.window import Window
-
-    df = (
-        spark.read.text(path)
-        .withColumn("line_no", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
-        .filter((F.col("line_no") >= start) & (F.col("line_no") < start + count))
-    )
-    return [r.value for r in df.collect()]

@@ -132,17 +132,6 @@ def test_audit_log(loader, tmp_path):
 
 
 def test_extract_lines(spark, tmp_path):
-    from sql_data_warehouse_samples_spark.sources.csv_loader import extract_lines
-
-    p = os.path.join(tmp_path, "big.txt")
-    with open(p, "w") as f:
-        for i in range(100):
-            f.write(f"line-{i}\n")
-    lines = extract_lines(spark, p, start=10, count=3)
-    assert lines == ["line-9", "line-10", "line-11"]
-
-
-def test_extract_lines(spark, tmp_path):
     from sql_data_warehouse_samples_spark.sources.extract import extract_lines
 
     f = tmp_path / "big.txt"
