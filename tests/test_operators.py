@@ -275,3 +275,15 @@ def test_salted_join_equivalence(spark):
         .select("__salt").distinct().count()
     )
     assert spread == 8
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """A5 scale note: approx_count_distinct (HyperLogLog++) stays within its
+    configured relative error of the exact distinct count — the cardinality
+    path that replaces COUNT(DISTINCT) shuffles at 100 TB."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
