@@ -138,6 +138,25 @@ class Engine:
         spark_sql, label = rewrite_tsql(query)
         return self.sql(spark_sql, label=label, resource_class=resource_class)
 
+    def load_csv(
+        self,
+        path: str,
+        table: str,
+        columns,
+        opts=None,
+        layout: TableLayout | None = None,
+        mode: str = "errorifexists",
+    ):
+        """End-to-end PolyBase/CTAS load (§3 EP2): staged varchar read →
+        typed cast-and-clean (error policies) → CTAS into a managed table
+        with the declared layout → audit row.  Returns the LoadResult."""
+        from .sources.csv_loader import CsvLoader
+
+        loader = CsvLoader(self.spark)
+        result = loader.load(path, columns, opts, table=table)
+        self.create_table_as(table, result.df, layout, mode=mode)
+        return result
+
     def run_script(self, statements: list[str], dialect: str = "spark") -> list:
         """Execute generated statements in order — the reference's
         WHILE-loop + sp_executesql dynamic-SQL pattern (C1,

@@ -36,6 +36,8 @@ DEFAULT_SENTINELS = {
     "tinyint": "-28",
     "double": "-28.0",
     "float": "-28.0",
+    "decimal": "-28",
+    "numeric": "-28",
     "date": "0001-01-01",
     "timestamp": "0001-01-01 00:00:00",
     "boolean": "false",
@@ -49,6 +51,8 @@ DEFAULT_NOT_NULL = {
     "tinyint": "0",
     "double": "0.0",
     "float": "0.0",
+    "decimal": "0",
+    "numeric": "0",
     "string": "",
     "date": "1900-01-01",
     "timestamp": "1900-01-01 00:00:00",
@@ -155,10 +159,12 @@ class CsvLoader:
             sentinel = opts.sentinels.get(base)
             if sentinel is not None:
                 cast = F.when(bad, F.lit(sentinel).cast(spec.data_type)).otherwise(cast)
-        # NOT NULL defaults (L7)
+        # NOT NULL defaults (L7); only types with a sane typed default —
+        # an unknown type must surface NULLs, not die casting ""
         if not spec.nullable:
-            default = DEFAULT_NOT_NULL.get(base, "")
-            cast = F.coalesce(cast, F.lit(default).cast(spec.data_type))
+            default = DEFAULT_NOT_NULL.get(base, "" if base == "string" else None)
+            if default is not None:
+                cast = F.coalesce(cast, F.lit(default).cast(spec.data_type))
         return cast.alias(spec.name)
 
     def _bad_row_flag(self, columns: list[ColumnSpec], opts: LoadOptions) -> Column:

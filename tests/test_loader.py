@@ -140,3 +140,40 @@ def test_extract_lines(spark, tmp_path):
     assert [(r.line_no, r.line) for r in rows] == [
         (42, "line-42"), (43, "line-43"), (44, "line-44")
     ]
+
+
+def test_engine_load_csv_end_to_end(spark, tmp_path):
+    """EP2 pipeline: csv file → staged clean load → hash-distributed table."""
+    from sql_data_warehouse_samples_spark.catalog import hash_layout
+    from sql_data_warehouse_samples_spark.engine import Engine
+    from sql_data_warehouse_samples_spark.sources.csv_loader import (
+        ColumnSpec,
+        LoadOptions,
+    )
+
+    f = tmp_path / "sales.csv"
+    f.write_text("1|2024-01-02|19.99\n2|2024-01-03|bad\n3|2024-01-04|5.00\n")
+    eng = Engine(spark)
+    eng.create_schema("loadtest")
+    try:
+        res = eng.load_csv(
+            str(f),
+            "loadtest.sales",
+            [
+                ColumnSpec("sale_id", "bigint", nullable=False),
+                ColumnSpec("sale_date", "date", nullable=False),
+                ColumnSpec("amount", "decimal(18,2)", nullable=False),
+            ],
+            LoadOptions(sep="|", on_error="substitute"),
+            layout=hash_layout("sale_id"),
+            mode="overwrite",
+        )
+        assert res.rows_loaded == 3
+        t = eng.table("loadtest.sales")
+        assert t.count() == 3
+        assert eng.catalog.get_layout("loadtest.sales").distribution == "hash"
+        # the malformed decimal got the sentinel, not a crash
+        vals = {r.sale_id: str(r.amount) for r in t.collect()}
+        assert vals[1] == "19.99" and vals[3] == "5.00"
+    finally:
+        eng.catalog.drop_schema("loadtest", cascade=True)
