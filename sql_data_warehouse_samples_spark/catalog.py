@@ -230,3 +230,49 @@ class Catalog:
         if layout.partition_column:
             extras.append(f"PARTITION ({layout.partition_column})")
         return base + "\n-- WITH (" + ", ".join(extras) + ")"
+
+
+def with_identity(
+    df: DataFrame, col_name: str = "id", start: int = 1, dense: bool = True
+) -> DataFrame:
+    """BIGINT IDENTITY(1,1) surrogate keys (fact.sale.sql:3, fact.order.sql:3).
+
+    dense=False → ``monotonically_increasing_id``: fully parallel, unique,
+    but sparse (gaps between partitions) — the cheap default for surrogate
+    keys where only uniqueness matters.
+
+    dense=True → contiguous ``start..start+n-1`` WITHOUT a single-partition
+    window: number rows within each partition, then shift each partition by
+    the cumulative count of the partitions before it (two jobs: one tiny
+    per-partition count, one map — the scalable dense-sequence recipe).
+    Ordering follows partition order, matching the reference's arbitrary
+    IDENTITY assignment order.
+    """
+    if not dense:
+        return df.withColumn(
+            col_name, F.monotonically_increasing_id() + F.lit(start)
+        )
+    from pyspark.sql import Window
+
+    pid = F.spark_partition_id()
+    local_w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    with_local = df.withColumn("__pid", pid).withColumn(
+        "__local", F.row_number().over(local_w)
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, start - 1
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        with_local.withColumn(
+            col_name, (offset_map[F.col("__pid")] + F.col("__local")).cast("bigint")
+        )
+        .drop("__pid", "__local")
+    )

@@ -397,3 +397,15 @@ def test_generate_rebuild_script_loop(engine, spark):
     files = engine.meta.partition_stats("testfact.li_frag").count()
     assert files < 64
     assert engine.table("testfact.li_frag").count() == li.count()
+
+
+def test_identity_keys_dense_and_sparse(spark):
+    from sql_data_warehouse_samples_spark.catalog import with_identity
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").repartition(8)
+    n = li.count()
+    dense = with_identity(li, "sale_key", start=1, dense=True)
+    ids = [r.sale_key for r in dense.select("sale_key").collect()]
+    assert sorted(ids) == list(range(1, n + 1))  # contiguous, no dups
+    sparse = with_identity(li, "sale_key", dense=False)
+    assert sparse.select("sale_key").distinct().count() == n
