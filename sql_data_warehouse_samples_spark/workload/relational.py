@@ -912,3 +912,40 @@ def q47_like_patterns(spark, sf_dir):
             dsum("p_retailprice", "total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q49/q50 — multiset set operators (U2/U3 ALL-variants: "Set Operator
+# Optimization ... (UNION, INTERSECT, EXCEPT)", white-papers/...md:437;
+# Spark exposes both distinct and ALL forms).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q49_intersect_all",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+INTERSECT ALL
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def q49_intersect_all(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_nationkey")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return rich.intersectAll(seg)
+
+
+@query(
+    "q50_except_all",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def q50_except_all(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_nationkey")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return rich.exceptAll(seg)
