@@ -139,6 +139,48 @@ def decode_image_pixels(media: DataFrame, payload_col: str = "payload") -> DataF
     return media.mapInPandas(decode, "media_id long, pixels binary, shape array<int>")
 
 
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize every image payload to (width, height) via mapInPandas.
+
+    STUB CODEC: with no image library in this container the transform is a
+    deterministic fake — output payload is the first ``width*height`` bytes
+    of the input, zero-padded (real shape/row-count/partitioning, fake
+    pixels).  On a real cluster inject a codec with ``set_decoder`` and the
+    decoder output feeds an actual resample here.  The Spark plumbing under
+    test: Arrow batch iteration, per-row binary output sizing, schema.
+    """
+    n_out = width * height
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for p in pdf[payload_col]:
+                if _DECODER is not None:
+                    arr = _DECODER(p)
+                    outs.append(bytes(arr)[:n_out].ljust(n_out, b"\0"))
+                else:
+                    outs.append((p or b"")[:n_out].ljust(n_out, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(
+        resize, "media_id long, payload binary, width int, height int"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index.
 

@@ -287,3 +287,17 @@ def test_approx_count_distinct_accuracy(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a")
     ).collect()[0].a
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_resize_images_plumbing(spark):
+    from sql_data_warehouse_samples_spark.operators import multimodal as M
+
+    rows = [(1, b"abcdefgh" * 10), (2, b"xy"), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = M.resize_images(media, 4, 3).collect()
+    assert {r.media_id for r in out} == {1, 2, 3}
+    for r in out:
+        assert len(r.payload) == 12 and (r.width, r.height) == (4, 3)
+    by_id = {r.media_id: r.payload for r in out}
+    assert by_id[1] == (b"abcdefgh" * 10)[:12]
+    assert by_id[2] == b"xy" + b"\0" * 10
