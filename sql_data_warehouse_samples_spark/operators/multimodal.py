@@ -139,6 +139,58 @@ def decode_image_pixels(media: DataFrame, payload_col: str = "payload") -> DataF
     return media.mapInPandas(decode, "media_id long, pixels binary, shape array<int>")
 
 
+def _parse_wav_header(b: bytes) -> tuple[int, int, int, float] | None:
+    """RIFF/WAVE fmt parsing (pure python): (sample_rate, channels,
+    bits_per_sample, duration_sec) — the audio analogue of the image header
+    sniffer; a full sample decode would come from an injected codec."""
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(b):
+        chunk_id = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if chunk_id == b"fmt " and pos + 24 <= len(b):
+            _, channels, rate = struct.unpack("<HHI", b[pos + 8 : pos + 16])
+            (bits,) = struct.unpack("<H", b[pos + 22 : pos + 24])
+            fmt = (rate, channels, bits)
+        elif chunk_id == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)
+    if fmt is None or data_size is None:
+        return None
+    rate, channels, bits = fmt
+    bytes_per_sec = rate * channels * max(bits // 8, 1)
+    return (rate, channels, bits, data_size / bytes_per_sec if bytes_per_sec else 0.0)
+
+
+def decode_audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Extract (sample_rate, channels, bits, duration_sec) per WAV payload
+    via mapInPandas — header-only, IO-bound, same shape as image meta."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [_parse_wav_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [m[0] if m else None for m in metas],
+                    "channels": [m[1] if m else None for m in metas],
+                    "bits_per_sample": [m[2] if m else None for m in metas],
+                    "duration_sec": [m[3] if m else None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(
+        extract,
+        "media_id long, sample_rate int, channels int, bits_per_sample int,"
+        " duration_sec double",
+    )
+
+
 def resize_images(
     media: DataFrame,
     width: int,

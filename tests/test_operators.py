@@ -301,3 +301,29 @@ def test_resize_images_plumbing(spark):
     by_id = {r.media_id: r.payload for r in out}
     assert by_id[1] == (b"abcdefgh" * 10)[:12]
     assert by_id[2] == b"xy" + b"\0" * 10
+
+
+def test_audio_header_decode(spark):
+    import struct
+
+    from sql_data_warehouse_samples_spark.operators import multimodal as M
+
+    def wav(rate, channels, bits, n_samples):
+        data_size = n_samples * channels * (bits // 8)
+        hdr = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                     rate * channels * bits // 8,
+                                     channels * bits // 8, bits)
+        hdr += b"data" + struct.pack("<I", data_size) + b"\0" * data_size
+        return hdr
+
+    rows = [
+        (1, wav(44100, 2, 16, 44100)),   # 1 second stereo
+        (2, wav(16000, 1, 16, 8000)),    # 0.5 second mono
+        (3, b"not a wav"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in M.decode_audio_meta(media).collect()}
+    assert (out[1].sample_rate, out[1].channels, out[1].duration_sec) == (44100, 2, 1.0)
+    assert (out[2].sample_rate, out[2].duration_sec) == (16000, 0.5)
+    assert out[3].sample_rate is None
