@@ -409,3 +409,72 @@ def test_identity_keys_dense_and_sparse(spark):
     assert sorted(ids) == list(range(1, n + 1))  # contiguous, no dups
     sparse = with_identity(li, "sale_key", dense=False)
     assert sparse.select("sale_key").distinct().count() == n
+
+
+def test_wwi_star_join_rank(engine, spark):
+    """Milestone-0 end-to-end (SURVEY §7): populate the WWI star schema,
+    broadcast-join a replicated dimension, and run the white paper's
+    RANK-over-SUM territory report (white-papers/...md:189-197)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from sql_data_warehouse_samples_spark.fixtures.wwi import (
+        create_wwi_schema,
+        drop_wwi_schema,
+    )
+    from sql_data_warehouse_samples_spark.plans.steps import plan_steps
+
+    create_wwi_schema(spark, engine.catalog)
+    try:
+        def rows_for(table, n, fn):
+            schema = engine.table(table).schema
+            base = {f.name: None for f in schema.fields}
+            out = []
+            for i in range(1, n + 1):
+                d = dict(base)
+                d.update(fn(i))
+                out.append(tuple(d[f.name] for f in schema.fields))
+            return spark.createDataFrame(out, schema)
+
+        city_df = rows_for(
+            "dimension.city", 30,
+            lambda ck: dict(
+                city_key=ck, wwi_city_id=ck, city=f"city{ck}",
+                sales_territory=["Southeast", "Plains", "Rocky Mountain"][ck % 3],
+            ),
+        )
+        engine.catalog.insert_into("dimension.city", city_df)
+        sale_df = rows_for(
+            "fact.sale", 600,
+            lambda i: dict(
+                sale_key=i, city_key=i % 30 + 1, wwi_invoice_id=i % 97,
+                invoice_date_key=dt.date(2013, 4, 1 + i % 28),
+                quantity=2, unit_price=Decimal("10.00"),
+                total_excluding_tax=Decimal(str((i % 7) * 10 + 5)),
+                invoice_month="2013-04",
+            ),
+        )
+        engine.catalog.insert_into("fact.sale", sale_df)
+        # replicated dims broadcast: read through the layout-aware path
+        dim = engine.table("dimension.city")
+        report = (
+            engine.table("fact.sale")
+            .join(dim, "city_key")
+            .groupBy("sales_territory")
+            .agg(F.sum("total_excluding_tax").alias("territory_sales"))
+            .withColumn(
+                "sales_rank",
+                F.rank().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                    .orderBy(F.desc("territory_sales"))
+                ),
+            )
+        )
+        rows = report.collect()
+        assert len(rows) == 3
+        assert [r.sales_rank for r in sorted(rows, key=lambda r: -float(r.territory_sales))] == [1, 2, 3]
+        # the dim side joined without a shuffle on the fact side
+        ops = [op for op, _ in plan_steps(report)]
+        assert "BroadcastJoin" in ops
+    finally:
+        drop_wwi_schema(spark, engine.catalog)
