@@ -76,6 +76,8 @@ class Engine:
         # static principal/role config — vw_security_role_members parity
         # (microsoft.vw_security_role_members.sql:10-12); no real authz
         self._role_members: list[tuple[str, str]] = [("db_owner", "dbo")]
+        # table → (cache_state, refreshed_at, row_count); M6 surface
+        self._replicated_state: dict[str, tuple[str, float, int]] = {}
         self._lock = threading.Lock()
         self._next_id = 0
 
@@ -432,6 +434,48 @@ class Engine:
             GROUP BY table_name
             """
         )
+
+    def refresh_replicated_tables(self, schemas: list[str] | None = None) -> list[str]:
+        """Replicated-table cache refresh (M6, RefreshReplicatedTable.ps1:
+        36-57): after a write invalidates a replicated table's cached copy,
+        re-read ('touch') every replicate-layout table so the next join
+        broadcasts fresh data; records the refresh in the replicated-state
+        log (sys.pdw_replicated_table_cache_state parity)."""
+        import time as _time
+
+        refreshed = []
+        for db in self.spark.catalog.listDatabases():
+            if schemas is not None and db.name not in schemas:
+                continue
+            for t in self.spark.catalog.listTables(db.name):
+                if t.isTemporary or t.tableType == "VIEW":
+                    continue
+                name = f"{db.name}.{t.name}"
+                try:
+                    layout = self.catalog.get_layout(name)
+                except Exception:  # noqa: BLE001 — non-managed tables
+                    continue
+                if layout.distribution != "replicate":
+                    continue
+                self.spark.catalog.refreshTable(name)
+                rows = self.spark.table(Catalog._q(name)).count()
+                self._replicated_state[name] = ("Ready", _time.time(), rows)
+                refreshed.append(name)
+        return refreshed
+
+    def replicated_state(self) -> DataFrame:
+        """sys.pdw_replicated_table_cache_state parity."""
+        import datetime as dt
+
+        rows = [
+            (t, state, dt.datetime.fromtimestamp(ts), n)
+            for t, (state, ts, n) in self._replicated_state.items()
+        ] or [("", "", None, -1)]
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, cache_state string, refreshed_at timestamp,"
+            " row_count long",
+        ).filter("row_count >= 0")
 
     def set_role_members(self, role: str, members: list[str]) -> None:
         """Replace the member list of a role (static authz config)."""

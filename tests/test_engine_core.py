@@ -478,3 +478,20 @@ def test_wwi_star_join_rank(engine, spark):
         assert "BroadcastJoin" in ops
     finally:
         drop_wwi_schema(spark, engine.catalog)
+
+
+def test_refresh_replicated_tables(engine, spark):
+    """M6: overwrite a replicated dim, refresh, and the state log shows the
+    new row count (RefreshReplicatedTable.ps1 parity)."""
+    from sql_data_warehouse_samples_spark.catalog import replicate_layout
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    engine.create_table_as("testfact.nation_r2", n, replicate_layout(), mode="overwrite")
+    engine.create_table_as(
+        "testfact.nation_r2", n.limit(10), replicate_layout(), mode="overwrite"
+    )
+    refreshed = engine.refresh_replicated_tables(schemas=["testfact"])
+    assert "testfact.nation_r2" in refreshed
+    state = {r.table_name: r for r in engine.replicated_state().collect()}
+    rec = state["testfact.nation_r2"]
+    assert rec.cache_state == "Ready" and rec.row_count == 10
