@@ -949,3 +949,53 @@ def q50_except_all(spark, sf_dir):
     rich = c.filter(F.col("c_acctbal") > 7000).select("c_nationkey")
     seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     return rich.exceptAll(seg)
+
+
+# ---------------------------------------------------------------------------
+# q51 — Date-dimension generation (dimension.date.sql: the WWI calendar
+# dimension; DW engines materialize it rather than compute date parts per
+# query).  Pure JVM: sequence + explode + date-part functions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_date_dimension",
+    oracle="""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2013-01-01', DATE '2014-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS date_key
+)
+SELECT date_key,
+       EXTRACT(year FROM date_key) AS calendar_year,
+       EXTRACT(quarter FROM date_key) AS calendar_quarter,
+       EXTRACT(month FROM date_key) AS calendar_month,
+       EXTRACT(day FROM date_key) AS day_of_month,
+       EXTRACT(dow FROM date_key) + 1 AS day_of_week,
+       CASE WHEN EXTRACT(dow FROM date_key) IN (0, 6) THEN TRUE ELSE FALSE END
+         AS is_weekend,
+       CAST(date_trunc('month', date_key) AS DATE) AS month_start,
+       CAST(last_day(date_key) AS DATE) AS month_end
+FROM days
+""",
+)
+def q51_date_dimension(spark, sf_dir):
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2013-01-01").cast("date"),
+                F.lit("2014-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("date_key")
+    )
+    return days.select(
+        "date_key",
+        F.year("date_key").cast("long").alias("calendar_year"),
+        F.quarter("date_key").cast("long").alias("calendar_quarter"),
+        F.month("date_key").cast("long").alias("calendar_month"),
+        F.dayofmonth("date_key").cast("long").alias("day_of_month"),
+        F.dayofweek("date_key").cast("long").alias("day_of_week"),
+        F.dayofweek("date_key").isin(1, 7).alias("is_weekend"),
+        F.trunc("date_key", "month").alias("month_start"),
+        F.last_day("date_key").alias("month_end"),
+    )
