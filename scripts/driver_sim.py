@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from sql_data_warehouse_samples_spark.session import build_session  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 from tests.oracle_compare import compare  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -30,7 +30,15 @@ def main() -> int:
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1]
 
-    spark = build_session(app_name="driver-sim", shuffle_partitions=8)
+    # Deliberately a VANILLA session (not build_session): the external driver
+    # constructs its own SparkSession, so queries must not depend on any conf
+    # our session factory sets (this masked the r01 events NANOS failure).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
 
     print("== smoke: entry(spark) at sf0.001 ==")
     df = entrymod.entry(spark)

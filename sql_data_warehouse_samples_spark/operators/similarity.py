@@ -24,6 +24,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY if the scan is under-partitioned (e.g. a single local
+    parquet file → 1 partition would serialize all the vector math).  At scale
+    the corpus arrives in thousands of splits and this is a no-op — an
+    unconditional repartition would be a full shuffle of the big side."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as double, sequential fold (deterministic order)."""
     return F.aggregate(
@@ -73,7 +84,7 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     # spread the corpus by compute, not file bytes (a single-file corpus
     # would otherwise score every (query, doc) pair in one task)
-    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c = _spread(c)
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -114,9 +125,13 @@ def ivf_topk(
       vectors — deterministic; a k-means refinement drops in here without
       changing the dataflow).
     * Inverted lists: each corpus vector is assigned to its nearest centroid
-      (argmin L2, centroid-id tiebreak) — a map-only pass over the corpus
-      against the broadcast centroid set, then ONE shuffle keyed by
-      centroid_id.
+      (argmin L2, centroid-id tiebreak) by a single ``aggregate`` fold over
+      the centroid set embedded as an array literal — a map-only projection
+      with ZERO row amplification and no shuffle before the one equi-join
+      keyed by centroid_id.  (A crossJoin×nlist + row_number window does the
+      same math but shuffles nlist× the corpus — the job, at 100 TB.)
+      Collecting the centroids to the driver is fine by construction: the
+      coarse quantizer is always driver-sized (nlist rows).
     * Search: each query probes its ``nprobe`` nearest lists; candidates come
       from an equi-join on centroid_id, so at 100 TB the corpus is scanned
       once and only ~nprobe/nlist of it is compared per query.
@@ -131,18 +146,40 @@ def ivf_topk(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
     )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    c_d2 = F.round(l2sq(F.col("__cvec"), F.col("__cent")), round_to)
-    w_c = Window.partitionBy("neighbor_id").orderBy("__d2", "centroid_id")
-    c_assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__d2", c_d2)
-        .withColumn("__r", F.row_number().over(w_c))
-        .filter(F.col("__r") == 1)
-        .select("neighbor_id", "__cvec", "centroid_id")
+    # Materialize the (tiny) centroid set once and embed it as a literal:
+    # array<struct<cid,vec>> sorted by centroid_id so a strict `<` fold keeps
+    # the lowest centroid id on distance ties — identical semantics to the
+    # old ORDER BY (__d2, centroid_id) row_number()==1.
+    cent_rows = cents.orderBy("centroid_id").collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["__cent"]]).alias("vec"),
+            )
+            for r in cent_rows
+        ]
     )
+
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    )
+
+    def _closer(acc: Column, cent: Column) -> Column:
+        d2 = F.round(l2sq(F.col("__cvec"), cent["vec"]), round_to)
+        better = d2 < acc["d2"]
+        return F.struct(
+            F.when(better, cent["cid"]).otherwise(acc["cid"]).alias("cid"),
+            F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
+        )
+
+    argmin_init = F.struct(
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(float("inf")).alias("d2"),
+    )
+    c_assigned = c.withColumn(
+        "centroid_id", F.aggregate(cent_arr, argmin_init, _closer)["cid"]
+    ).select("neighbor_id", "__cvec", "centroid_id")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     q_d2 = F.round(l2sq(F.col("__qvec"), F.col("__cent")), round_to)

@@ -9,11 +9,17 @@ from pyspark.sql import functions as F
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects unless the legacy nanosAsLong conf is on.  It is a
+        # runtime SQL conf, so set it here rather than relying on a session
+        # factory — callers (the external driver included) may hand us a
+        # vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts is TIMESTAMP(NANOS) in parquet, read as long ns
-        # (spark.sql.legacy.parquet.nanosAsLong); truncate to µs exactly the
-        # way DuckDB casts TIMESTAMP_NS → TIMESTAMP, so oracles agree.
+        # ts read as long ns (nanosAsLong); truncate to µs exactly the way
+        # DuckDB casts TIMESTAMP_NS → TIMESTAMP, so oracles agree.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -57,9 +57,9 @@ WITH m AS (
   FROM documents)
 SELECT format,
        COUNT(*) AS n_media,
-       SUM(n_bytes) AS total_bytes,
-       SUM(width) AS total_width,
-       SUM(height) AS total_height
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(width) AS BIGINT) AS total_width,
+       CAST(SUM(height) AS BIGINT) AS total_height
 FROM m GROUP BY format
 """,
 )

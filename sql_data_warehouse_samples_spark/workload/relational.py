@@ -584,7 +584,7 @@ WITH dist AS (
 SELECT
   MIN(row_count) AS min_rows,
   MAX(row_count) AS max_rows,
-  SUM(row_count) AS total_rows,
+  CAST(SUM(row_count) AS BIGINT) AS total_rows,
   CAST(ROUND((MAX(row_count) - MIN(row_count)) * 100.0
              / NULLIF(SUM(row_count), 0), 6) AS DOUBLE) AS skew_pct
 FROM dist
@@ -622,10 +622,10 @@ def q18_distribution_skew(spark, sf_dir):
     oracle="""
 SELECT
   o_orderpriority,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS n_other
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -657,7 +657,7 @@ def q19_status_pivot(spark, sf_dir):
     oracle="""
 SELECT
   l_returnflag,
-  COALESCE(SUM(CAST(l_quantity * 8 AS BIGINT)), 0) AS pages8,
+  CAST(COALESCE(SUM(CAST(l_quantity * 8 AS BIGINT)), 0) AS BIGINT) AS pages8,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * l_quantity) AS DOUBLE) AS gross,
   CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
        / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 0), 6) AS DOUBLE) AS price_per_unit

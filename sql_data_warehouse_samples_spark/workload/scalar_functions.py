@@ -247,6 +247,108 @@ def q35_null_case(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q52 — combined scalar battery: one driver-checked projection covering the
+# string / date / math / null-CASE / conversion families in a single query
+# (the per-family batteries q31–q36 stay registered for depth; this wide row
+# keeps every family inside the driver's correctness window).  Same usage
+# sites as q31–q36: vw_table_sizes.sql:12, TableHealthCount.sql:72,
+# white-papers/...md:515-564, MemoryGrant.sql:4,17.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q52_scalar_battery",
+    oracle="""
+SELECT
+  o_orderkey,
+  UPPER(o_orderpriority) AS upper_priority,
+  LOWER(o_orderpriority) AS lower_priority,
+  LENGTH(o_orderpriority) AS priority_len,
+  SUBSTRING(o_orderpriority, 1, 8) AS priority_head,
+  o_orderstatus || '/' || o_orderpriority AS status_priority,
+  REPLACE(o_orderpriority, '-', '_') AS snake_priority,
+  STRPOS(o_orderpriority, 'I') AS first_i,
+  TRIM(o_orderpriority) AS trimmed_priority,
+  LPAD(o_orderstatus, 4, '*') AS padded_status,
+  REVERSE(o_orderstatus) AS rev_status,
+  YEAR(o_orderdate) AS order_year,
+  MONTH(o_orderdate) AS order_month,
+  QUARTER(o_orderdate) AS order_quarter,
+  DAYOFYEAR(o_orderdate) AS order_doy,
+  CAST(o_orderdate AS DATE) + 30 AS plus_month30,
+  DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch95,
+  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+  ABS(o_totalprice - 100000) AS abs_dev,
+  CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ceil_k,
+  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS floor_k,
+  ROUND(o_totalprice, 1) AS rounded_price,
+  ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+  ROUND(LN(o_totalprice + 1), 6) AS ln_price,
+  ROUND(LOG10(o_totalprice + 1), 6) AS log10_price,
+  CAST(o_orderkey % 60 AS BIGINT) AS mod60,
+  COALESCE(NULLIF(o_orderstatus, 'O'), '(open)') AS status_masked,
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 200000 THEN 'mid'
+       ELSE 'large' END AS price_band,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS priority_num,
+  CAST(o_custkey AS DOUBLE) AS custkey_dbl
+FROM orders
+""",
+)
+def q52_scalar_battery(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("upper_priority"),
+        F.lower("o_orderpriority").alias("lower_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.substring("o_orderpriority", 1, 8).alias("priority_head"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.regexp_replace("o_orderpriority", "-", "_").alias("snake_priority"),
+        F.instr(F.col("o_orderpriority"), "I").alias("first_i"),
+        F.trim(F.col("o_orderpriority")).alias("trimmed_priority"),
+        F.lpad(F.col("o_orderstatus"), 4, "*").alias("padded_status"),
+        F.reverse(F.col("o_orderstatus")).alias("rev_status"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofyear(d).alias("order_doy"),
+        F.date_add(d.cast("date"), 30).alias("plus_month30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.trunc(d.cast("date"), "month").alias("month_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.abs(tp - 100000).alias("abs_dev"),
+        F.ceil(tp / 1000).alias("ceil_k"),
+        F.floor(tp / 1000).alias("floor_k"),
+        F.round(tp, 1).alias("rounded_price"),
+        F.round(F.sqrt(tp), 6).alias("sqrt_price"),
+        F.round(F.log(tp + 1), 6).alias("ln_price"),
+        F.round(F.log10(tp + 1), 6).alias("log10_price"),
+        (F.col("o_orderkey") % 60).cast("bigint").alias("mod60"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("(open)")).alias(
+            "status_masked"
+        ),
+        F.when(tp < 50000, "small")
+        .when(tp < 200000, "mid")
+        .otherwise("large")
+        .alias("price_band"),
+        tp.cast("decimal(12,2)").cast("string").alias("price_str"),
+        F.floor(tp).cast("bigint").alias("price_floor"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.col("o_custkey").cast("double").alias("custkey_dbl"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q36 — CAST/CONVERT battery (MemoryGrant.sql:4, ImpactedTables:14
 # `convert(decimal(10,2), ...)`, GenerateLoadScript-V3:139-167 staged casts).
 # Note: double→int CAST rounds in DuckDB but truncates in Spark, so integer
