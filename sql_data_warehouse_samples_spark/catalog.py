@@ -252,12 +252,21 @@ def with_identity(
         return df.withColumn(
             col_name, F.monotonically_increasing_id() + F.lit(start)
         )
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     pid = F.spark_partition_id()
     local_w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-    with_local = df.withColumn("__pid", pid).withColumn(
-        "__local", F.row_number().over(local_w)
+    # persist pins ONE physical partitioning across the two jobs below —
+    # without it, AQE coalescing / nondeterministic sources may repartition
+    # between the count job and the final projection, so the collected
+    # offsets would no longer match the partition ids the projection sees
+    # (duplicate / non-contiguous keys).  Caller materializes lazily, so the
+    # cached blocks are dropped on session end or explicit unpersist.
+    with_local = (
+        df.withColumn("__pid", pid)
+        .withColumn("__local", F.row_number().over(local_w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {
         r["__pid"]: r["cnt"]

@@ -157,6 +157,9 @@ class Engine:
         loader = CsvLoader(self.spark)
         result = loader.load(path, columns, opts, table=table)
         self.create_table_as(table, result.df, layout, mode=mode)
+        # CTAS materialized the cleaned rows into the managed table — drop
+        # the cached CSV stage so repeated loads don't accumulate blocks
+        result.release()
         return result
 
     def run_script(self, statements: list[str], dialect: str = "spark") -> list:

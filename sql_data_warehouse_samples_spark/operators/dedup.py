@@ -96,6 +96,53 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+#: Default per-(band, bucket) population cap.  A bucket of n members yields
+#: n·(n−1)/2 pairwise candidates — a dup-heavy corpus (or the all-MAX
+#: empty-doc sentinel bucket) would otherwise make one bucket quadratic.
+DEFAULT_MAX_BUCKET = 128
+
+
+def _candidate_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded buckets, bounded per bucket.
+
+    Buckets with ≤ ``max_bucket`` members do the full pairwise self-join.
+    Oversized buckets degrade to LINEAR "star" pairing: every member pairs
+    with the bucket's min-id representative only, so a 10k-identical-doc
+    cluster emits 10k−1 candidates instead of ~50M — downstream verify still
+    flags all its members as duplicates of the representative.  The count
+    window shuffles on the same (band, bh) key the self-join needs, so no
+    extra exchange is introduced on the big side.
+    """
+    from pyspark.sql import Window
+
+    star = None
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        annotated = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__rep", F.min("__id").over(w)
+        )
+        star = (
+            annotated.filter(
+                (F.col("__n") > max_bucket) & (F.col("__id") != F.col("__rep"))
+            )
+            .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+        banded = annotated.filter(F.col("__n") <= max_bucket).select(
+            "__id", "band", "bh"
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -103,20 +150,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash-LSH.
 
     rows/band r = num_hashes/bands; collision threshold ≈ (1/bands)^(1/r).
     The band join is an equi-join on (band, band_signature) — shuffle keys
-    are hashes, so co-located and skew-free at any scale.
+    are hashes, so co-located and skew-free at any scale; per-bucket work is
+    bounded by ``max_bucket`` (see _candidate_pairs).
     """
     sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
     with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
-    return _banded_candidates(with_sig, num_hashes, bands)
+    return _banded_candidates(with_sig, num_hashes, bands, max_bucket)
 
 
 def _banded_candidates(
-    with_sig: DataFrame, num_hashes: int, bands: int
+    with_sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band a (__id, __sig) frame and self-join for colliding pairs."""
     r = num_hashes // bands
@@ -135,18 +187,7 @@ def _banded_candidates(
             )
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    return _candidate_pairs(banded, max_bucket)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -164,6 +205,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
 
@@ -189,7 +231,7 @@ def minhash_dedup_pairs(
     with_sig = sh.select(
         "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )
-    cands = _banded_candidates(with_sig, num_hashes, bands)
+    cands = _banded_candidates(with_sig, num_hashes, bands, max_bucket)
     return (
         cands.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
@@ -214,6 +256,7 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
 
@@ -254,31 +297,26 @@ def embedding_neardup_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
         )
     elif blocking == "lsh":
-
-        def banded(side: DataFrame, idc: str, vecc: str) -> DataFrame:
-            parts = []
-            for bi in range(bands):
-                planes = _hyperplanes(64, n_planes, seed + 1000 * bi)
-                parts.append(
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        lsh_bucket(F.col(vecc), planes).alias("bucket"),
-                    )
+        # band ONCE on (id, bucket), bound per-bucket pairing, then join the
+        # per-row payloads (double vectors + norms) back onto the candidate
+        # pairs — the corpus is never amplified by the band fan-out.
+        parts = []
+        for bi in range(bands):
+            planes = _hyperplanes(64, n_planes, seed + 1000 * bi)
+            parts.append(
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    lsh_bucket(F.col(vec_col), planes).alias("bh"),
                 )
-            return side.select(
-                "*", F.explode(F.array(*parts)).alias("__bb")
-            ).select(
-                *side.columns,
-                F.col("__bb.band").alias("band"),
-                F.col("__bb.bucket").alias("bucket"),
             )
-
+        banded = df.select(
+            F.col(id_col).alias("__id"), F.explode(F.array(*parts)).alias("__bb")
+        ).select("__id", F.col("__bb.band").alias("band"), F.col("__bb.bh").alias("bh"))
         cand = (
-            banded(a, "id_a", "__va")
-            .join(banded(b, "id_b", "__vb"), ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
+            _candidate_pairs(banded, max_bucket)
+            .join(a, "id_a")
+            .join(b, "id_b")
             .select("id_a", "__va", "__na", "id_b", "__vb", "__nb")
-            .dropDuplicates(["id_a", "id_b"])
         )
     else:
         raise ValueError(f"unknown blocking mode {blocking!r}")
@@ -333,11 +371,15 @@ def simhash_dedup_pairs(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + Hamming verification.
 
     Splitting 64 bits into `bands` chunks guarantees recall for pairs with
     < bands differing bits (pigeonhole): any such pair collides on ≥1 chunk.
+    Per-bucket pairing is bounded by ``max_bucket`` (see _candidate_pairs);
+    signatures re-join from the persisted signature table for the Hamming
+    verify, so the corpus is hashed exactly once.
     """
     from pyspark import StorageLevel
 
@@ -352,7 +394,6 @@ def simhash_dedup_pairs(
     )
     banded = sig.select(
         "__id",
-        "__sim",
         F.explode(
             F.array(
                 *[
@@ -366,23 +407,11 @@ def simhash_dedup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("__id", "__sim", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cands = _candidate_pairs(banded, max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sim").alias("sim_a"),
-            F.col("b.__sim").alias("sim_b"),
-        )
-        .distinct()
+        cands.join(sig.withColumnsRenamed({"__id": "id_a", "__sim": "sim_a"}), "id_a")
+        .join(sig.withColumnsRenamed({"__id": "id_b", "__sim": "sim_b"}), "id_b")
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -94,6 +94,14 @@ class LoadResult:
     rows_loaded: int
     rows_rejected: int
     elapsed_sec: float
+    #: cached staged frame backing ``df`` — call release() once df has been
+    #: persisted (e.g. CTAS'd); after that, re-using df recomputes from file.
+    _staged: DataFrame | None = None
+
+    def release(self) -> None:
+        if self._staged is not None:
+            self._staged.unpersist()
+            self._staged = None
 
 
 def _tolerant_cast(c: Column, spec: ColumnSpec, opts: LoadOptions, base: str) -> Column:
@@ -239,4 +247,8 @@ class CsvLoader:
                 "elapsed_sec": elapsed,
             }
         )
-        return LoadResult(out, rows, rows_rejected, elapsed)
+        # the returned df still references the cached stage — hand the cache
+        # to the caller to release once the output is persisted somewhere
+        # (Engine.load_csv does this after CTAS); repeated loads must not
+        # accumulate staged CSV blocks for the session's lifetime.
+        return LoadResult(out, rows, rows_rejected, elapsed, _staged=staged)

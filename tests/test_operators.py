@@ -66,6 +66,42 @@ def test_simhash_near_dups(docs_with_dups):
     assert hams.get((0, 20_000)) == 0
 
 
+def test_lsh_bucket_cap_bounds_mass_duplicates(spark):
+    """A mass-duplicate cluster (600 identical docs → one LSH bucket) must
+    stay LINEAR: star pairs against the min-id representative, not C(n,2)."""
+    from sql_data_warehouse_samples_spark.operators.dedup import minhash_dedup_pairs
+
+    n = 600
+    text = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    rows = [(i, text) for i in range(n)]
+    rows += [(n + i, f"distinct document number {i} about topic {i * 7}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.9, max_bucket=50
+    ).collect()
+    cluster = [(r.id_a, r.id_b) for r in pairs if r.id_b < n]
+    # linear star pairing: every member pairs with representative 0, once
+    assert len(cluster) == n - 1
+    assert all(a == 0 for a, _ in cluster)
+    assert {b for _, b in cluster} == set(range(1, n))
+    # identical docs → jaccard 1.0 survives the verify stage
+    assert all(r.jaccard_sim == 1.0 for r in pairs if r.id_b < n)
+
+
+def test_lsh_bucket_cap_preserves_small_buckets(docs_with_dups):
+    """Buckets under the cap behave exactly as the uncapped pairwise join."""
+    from sql_data_warehouse_samples_spark.operators.dedup import minhash_dedup_pairs
+
+    capped = minhash_dedup_pairs(
+        docs_with_dups, "text", "doc_id", threshold=0.5, bands=16, max_bucket=128
+    )
+    uncapped = minhash_dedup_pairs(
+        docs_with_dups, "text", "doc_id", threshold=0.5, bands=16, max_bucket=None
+    )
+    assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in uncapped.collect()}
+
+
 def test_ann_recall_vs_brute_force(spark):
     from sql_data_warehouse_samples_spark.operators.similarity import (
         ann_lsh_topk,
