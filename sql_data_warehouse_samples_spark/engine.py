@@ -231,8 +231,16 @@ class Engine:
         """sys.dm_pdw_sql_requests parity: one row per executed stage of each
         request (vw_sql_requests.sql:8-22).  num_tasks is the stage's
         fan-out — the analogue of per-distribution SQL requests; stages the
-        tracker has already evicted are skipped."""
+        tracker has already evicted are skipped.
+
+        Each row also carries the stage's DMS-analogue byte counters
+        (shuffle read/write bytes+rows, spill, peak execution memory) from
+        the status REST API (metrics.py) — the per-step shuffle worker
+        metrics of microsoft.vw_query_step_details.sql:24-33."""
+        from .metrics import EMPTY, stage_metrics
+
         st = self.spark.sparkContext.statusTracker()
+        sm = stage_metrics(self.spark)
         rows = []
         for r in self._requests:
             for job_id in st.getJobIdsForGroup(r.request_id):
@@ -243,6 +251,7 @@ class Engine:
                     si = st.getStageInfo(sid)
                     if si is None:
                         continue
+                    m = sm.get(sid, EMPTY)
                     rows.append(
                         (
                             r.request_id,
@@ -252,12 +261,27 @@ class Engine:
                             si.numTasks,
                             si.numCompletedTasks,
                             si.numFailedTasks,
+                            m["shuffle_read_bytes"],
+                            m["shuffle_read_rows"],
+                            m["shuffle_write_bytes"],
+                            m["shuffle_write_rows"],
+                            m["memory_spill_bytes"],
+                            m["disk_spill_bytes"],
+                            m["peak_memory_bytes"],
+                            m["input_bytes"],
+                            m["output_bytes"],
+                            m["executor_run_ms"],
                         )
                     )
         return self.spark.createDataFrame(
-            rows or [("", -1, -1, "", 0, 0, 0)],
+            rows or [("", -1, -1, "", 0, 0, 0) + (0,) * 10],
             "request_id string, job_id int, stage_id int, stage_name string,"
-            " num_tasks int, completed_tasks int, failed_tasks int",
+            " num_tasks int, completed_tasks int, failed_tasks int,"
+            " shuffle_read_bytes long, shuffle_read_rows long,"
+            " shuffle_write_bytes long, shuffle_write_rows long,"
+            " memory_spill_bytes long, disk_spill_bytes long,"
+            " peak_memory_bytes long, input_bytes long, output_bytes long,"
+            " executor_run_ms long",
         ).filter("job_id >= 0")
 
     def resource_waits(self) -> DataFrame:
@@ -316,26 +340,82 @@ class Engine:
             FROM meta_request_steps s
             """
         )
-        self.spark.sql(
-            """
-            CREATE OR REPLACE TEMP VIEW vw_query_step_details AS
-            SELECT r.request_id, r.label, r.command, r.resource_class,
-                   r.total_elapsed_ms,
-                   s.step_index, s.operation_type, s.row_count, s.detail
-            FROM meta_requests r
-            JOIN meta_request_steps s ON r.request_id = s.request_id
-            """
-        )
         # per-"distribution" execution (sys.dm_pdw_sql_requests,
         # vw_sql_requests.sql:8-22): our distribution = task; one row per
-        # executed stage with its task fan-out, from the status tracker
+        # executed stage with its task fan-out + DMS-analogue byte counters
+        # from the status REST API
         self.task_requests().createOrReplaceTempView("meta_task_requests")
         self.spark.sql(
             """
             CREATE OR REPLACE TEMP VIEW vw_sql_requests AS
             SELECT request_id, job_id, stage_id, stage_name,
-                   num_tasks, completed_tasks, failed_tasks
+                   num_tasks, completed_tasks, failed_tasks,
+                   shuffle_read_bytes, shuffle_read_rows,
+                   shuffle_write_bytes, shuffle_write_rows,
+                   memory_spill_bytes, disk_spill_bytes, peak_memory_bytes,
+                   input_bytes, output_bytes, executor_run_ms
             FROM meta_task_requests
+            """
+        )
+        # step details + the request's shuffle totals (the reference joins
+        # per-step DMS worker bytes/rows, microsoft.vw_query_step_details
+        # .sql:24-33; our steps are plan-level, so the stage counters roll
+        # up per request)
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_query_step_details AS
+            SELECT r.request_id, r.label, r.command, r.resource_class,
+                   r.total_elapsed_ms,
+                   s.step_index, s.operation_type, s.row_count, s.detail,
+                   COALESCE(t.shuffle_read_bytes, 0) AS shuffle_read_bytes,
+                   COALESCE(t.shuffle_read_rows, 0) AS shuffle_read_rows,
+                   COALESCE(t.shuffle_write_bytes, 0) AS shuffle_write_bytes,
+                   COALESCE(t.shuffle_write_rows, 0) AS shuffle_write_rows
+            FROM meta_requests r
+            JOIN meta_request_steps s ON r.request_id = s.request_id
+            LEFT JOIN (
+              SELECT request_id,
+                     SUM(shuffle_read_bytes) AS shuffle_read_bytes,
+                     SUM(shuffle_read_rows) AS shuffle_read_rows,
+                     SUM(shuffle_write_bytes) AS shuffle_write_bytes,
+                     SUM(shuffle_write_rows) AS shuffle_write_rows
+              FROM meta_task_requests GROUP BY request_id
+            ) t ON r.request_id = t.request_id
+            """
+        )
+        # memory/tempdb monitoring (query_memory_usage.sql:22-42,
+        # MemoryConsumption.sql:24-35, TempdbConsumption.sql:2-7): Spark's
+        # peak execution memory = the memory grant actually used; disk
+        # spill = tempdb consumption
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW meta_memory AS
+            SELECT request_id, job_id, stage_id,
+                   peak_memory_bytes, memory_spill_bytes, disk_spill_bytes
+            FROM meta_task_requests
+            """
+        )
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_memory_consumption AS
+            SELECT m.request_id, r.label, r.resource_class,
+                   MAX(m.peak_memory_bytes) AS peak_memory_bytes,
+                   ROUND(MAX(m.peak_memory_bytes) / 1024.0, 3) AS peak_memory_kb,
+                   SUM(m.memory_spill_bytes) AS memory_spill_bytes,
+                   SUM(m.disk_spill_bytes) AS disk_spill_bytes
+            FROM meta_memory m
+            JOIN meta_requests r ON m.request_id = r.request_id
+            GROUP BY m.request_id, r.label, r.resource_class
+            """
+        )
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_tempdb_usage AS
+            SELECT request_id,
+                   SUM(disk_spill_bytes) AS tempdb_bytes,
+                   ROUND(SUM(disk_spill_bytes) / 1e6, 3) AS tempdb_mb
+            FROM meta_memory
+            GROUP BY request_id
             """
         )
         self._register_statistics_views()

@@ -70,7 +70,12 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # exact decimal math for money columns (SURVEY §7 risk register)
         .config("spark.sql.decimalOperations.allowPrecisionLoss", "false")
-        .config("spark.ui.enabled", "false")
+        # the status REST API (/api/v1) is the engine's per-stage metrics
+        # source (shuffle/spill/peak-memory DMVs — metrics.py); port 0 =
+        # pick any free port, discovered via sc.uiWebUrl
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

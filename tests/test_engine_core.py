@@ -273,6 +273,40 @@ def test_full_monitoring_view_corpus(engine):
     assert {m.member_name for m in members} == {"analyst1", "analyst2"}
 
 
+def test_shuffle_and_memory_metrics(engine):
+    """DMS-analogue byte counters (vw_query_step_details.sql:24-33,
+    query_memory_usage.sql:22-42): a groupBy query must show nonzero shuffle
+    write bytes+rows and nonzero peak execution memory in the DMVs."""
+    df = engine.sql(
+        "SELECT l_orderkey, SUM(l_quantity) AS q FROM testfact.lineitem_h "
+        "GROUP BY l_orderkey",
+        label="shuffle-probe",
+    )
+    df.collect()
+    rid = engine.exec_requests().orderBy(F.desc("request_id")).first().request_id
+    engine.register_monitoring_views(["testfact.lineitem_h"])
+
+    stages = engine.spark.sql(
+        f"SELECT * FROM vw_sql_requests WHERE request_id = '{rid}'"
+    ).collect()
+    assert stages
+    assert any(s.shuffle_write_bytes > 0 and s.shuffle_write_rows > 0 for s in stages)
+    assert any(s.shuffle_read_bytes > 0 for s in stages)
+    assert any(s.peak_memory_bytes > 0 for s in stages)
+
+    details = engine.spark.sql(
+        f"SELECT * FROM vw_query_step_details WHERE request_id = '{rid}'"
+    ).collect()
+    assert details and all(d.shuffle_write_bytes > 0 for d in details)
+
+    mem = engine.spark.sql(
+        f"SELECT * FROM vw_memory_consumption WHERE request_id = '{rid}'"
+    ).collect()
+    assert mem and mem[0].peak_memory_bytes > 0
+    # tempdb view runs (no spill expected at this scale)
+    engine.spark.sql("SELECT * FROM vw_tempdb_usage").collect()
+
+
 def test_tsql_rewriter_unit():
     from sql_data_warehouse_samples_spark.functions.rewriter import rewrite_tsql
 
