@@ -287,7 +287,7 @@ class Engine:
     def resource_waits(self) -> DataFrame:
         """sys.dm_pdw_resource_waits parity (vw_query_queue.sql:10)."""
         return self.spark.createDataFrame(
-            self.wlm.waits_log() or [("", "", "", 0.0, -1.0)],
+            self.wlm.waits_log() or [("", "", "", 0.0, -1)],
             "request_id string, resource_class string, state string,"
             " wait_sec double, slots int",
         ).filter("slots >= 0")
@@ -429,61 +429,82 @@ class Engine:
             """
         )
         if tables:
+            # full-fidelity per-distribution space accounting (microsoft.
+            # vw_table_sizes.sql:4-99): reserved/data/index/unused pages +
+            # KB/MB/GB/TB, node + distribution identity columns.  The
+            # reference's row_count / distribution_policy / index_type
+            # column names carry straight through, plus used_bytes and
+            # distribution_policy for engine-side convenience.
+            self.meta.table_sizes_detail().createOrReplaceTempView(
+                "__table_sizes_detail"
+            )
             self.spark.sql(
                 """
                 CREATE OR REPLACE TEMP VIEW vw_table_sizes AS
-                SELECT t.two_part_name, t.schema_name, t.table_name,
-                       t.distribution_policy,
-                       t.distribution_column, t.index_type,
-                       COUNT(p.file_path) AS nbr_files,
-                       COALESCE(SUM(p.row_count), 0) AS row_count,
-                       COALESCE(SUM(p.used_bytes), 0) AS used_bytes
-                FROM meta_tables t
-                LEFT JOIN meta_partition_stats p
-                  ON t.schema_name = p.schema_name AND t.table_name = p.table_name
-                WHERE NOT t.is_view
-                GROUP BY 1, 2, 3, 4, 5, 6
+                SELECT d.*,
+                       d.reserved_space_page_count * 8192 AS used_bytes,
+                       d.distribution_policy_name AS distribution_policy
+                FROM __table_sizes_detail d
                 """
             )
             # the four space rollups the reference derives from vw_table_sizes
-            # (vw_table_space_summary.sql, ...by_distribution.sql,
-            #  ...by_distribution_type.sql, ...by_index_type.sql)
             self.spark.sql(
                 """
                 CREATE OR REPLACE TEMP VIEW vw_table_space_summary AS
-                SELECT two_part_name, distribution_policy, index_type,
-                       nbr_files, row_count, used_bytes,
-                       ROUND(used_bytes / 1e9, 6) AS used_gb
+                SELECT database_name, schema_name, table_name, two_part_name,
+                       distribution_policy_name, distribution_column,
+                       index_type_desc,
+                       COUNT(DISTINCT distribution_id) AS nbr_partitions,
+                       COUNT(*) AS nbr_files,
+                       SUM(row_count) AS table_row_count,
+                       SUM(row_count) AS row_count,
+                       SUM(reserved_space_GB) AS table_reserved_space_GB,
+                       SUM(data_space_GB) AS table_data_space_GB,
+                       SUM(index_space_GB) AS table_index_space_GB,
+                       SUM(unused_space_GB) AS table_unused_space_GB
                 FROM vw_table_sizes
+                GROUP BY 1, 2, 3, 4, 5, 6, 7
                 """
             )
             self.spark.sql(
                 """
                 CREATE OR REPLACE TEMP VIEW vw_table_space_by_distribution AS
-                SELECT p.schema_name, p.table_name, p.distribution_id,
-                       SUM(p.row_count) AS row_count,
-                       SUM(p.used_bytes) AS used_bytes
-                FROM meta_partition_stats p
+                SELECT schema_name, table_name, distribution_id,
+                       SUM(row_count) AS total_node_distribution_row_count,
+                       SUM(row_count) AS row_count,
+                       SUM(reserved_space_MB) AS total_node_distribution_reserved_space_MB,
+                       SUM(data_space_MB) AS total_node_distribution_data_space_MB,
+                       SUM(index_space_MB) AS total_node_distribution_index_space_MB,
+                       SUM(unused_space_MB) AS total_node_distribution_unused_space_MB
+                FROM vw_table_sizes
                 GROUP BY 1, 2, 3
                 """
             )
             self.spark.sql(
                 """
                 CREATE OR REPLACE TEMP VIEW vw_table_space_by_distribution_type AS
-                SELECT distribution_policy,
-                       COUNT(*) AS table_count,
+                SELECT distribution_policy_name,
+                       COUNT(DISTINCT two_part_name) AS table_count,
+                       SUM(row_count) AS table_type_row_count,
                        SUM(row_count) AS row_count,
-                       SUM(used_bytes) AS used_bytes
+                       SUM(reserved_space_GB) AS table_type_reserved_space_GB,
+                       SUM(data_space_GB) AS table_type_data_space_GB,
+                       SUM(index_space_GB) AS table_type_index_space_GB,
+                       SUM(unused_space_GB) AS table_type_unused_space_GB
                 FROM vw_table_sizes GROUP BY 1
                 """
             )
             self.spark.sql(
                 """
                 CREATE OR REPLACE TEMP VIEW vw_table_space_by_index_type AS
-                SELECT index_type,
-                       COUNT(*) AS table_count,
+                SELECT index_type_desc,
+                       COUNT(DISTINCT two_part_name) AS table_count,
+                       SUM(row_count) AS table_type_row_count,
                        SUM(row_count) AS row_count,
-                       SUM(used_bytes) AS used_bytes
+                       SUM(reserved_space_GB) AS table_type_reserved_space_GB,
+                       SUM(data_space_GB) AS table_type_data_space_GB,
+                       SUM(index_space_GB) AS table_type_index_space_GB,
+                       SUM(unused_space_GB) AS table_type_unused_space_GB
                 FROM vw_table_sizes GROUP BY 1
                 """
             )

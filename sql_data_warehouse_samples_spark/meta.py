@@ -57,6 +57,9 @@ _PARTITION_STATS_SCHEMA = T.StructType(
         T.StructField("distribution_id", T.IntegerType()),
         T.StructField("row_count", T.LongType()),
         T.StructField("used_bytes", T.LongType()),
+        # compressed column-chunk bytes — the "data space" of the file; the
+        # remainder (footer, page indexes, magic) plays the index-space role
+        T.StructField("data_bytes", T.LongType()),
     ]
 )
 
@@ -152,7 +155,12 @@ class Meta:
         for i, f in enumerate(self._table_files(table)):
             md = pq.ParquetFile(f).metadata
             size = os.path.getsize(f)
-            rows.append((schema_name, table_name, f, i, md.num_rows, size))
+            data = sum(
+                md.row_group(g).column(c).total_compressed_size
+                for g in range(md.num_row_groups)
+                for c in range(md.row_group(g).num_columns)
+            )
+            rows.append((schema_name, table_name, f, i, md.num_rows, size, data))
         return self.spark.createDataFrame(rows, _PARTITION_STATS_SCHEMA)
 
     # --- row groups (sys.pdw_nodes_column_store_row_groups) --------------
@@ -224,6 +232,78 @@ class Meta:
               ON t.schema_name = p.schema_name AND t.table_name = p.table_name
             WHERE NOT t.is_view
             GROUP BY 1, 2, 3, 4
+            """
+        )
+
+    def table_sizes_detail(self) -> DataFrame:
+        """Full-fidelity port of microsoft.vw_table_sizes (vw_table_sizes.
+        sql:4-99): one row per table × distribution with the reference's
+        complete space-accounting column set.
+
+        Mapping (8 KB pages, × 8.0 → KB, like the reference):
+
+        * reserved = the parquet file's on-disk bytes
+        * data     = compressed column-chunk bytes
+        * index    = reserved − unused − data (footer/page-index/magic — the
+          same derive-by-subtraction the reference uses at :29-35)
+        * unused   = 0 (parquet files are packed)
+        * node/distribution identity: single-node harness → pdw_node 0; one
+          file = one distribution, like the 60-way PDW layout.
+        """
+        return self.spark.sql(
+            """
+            WITH base AS (
+              SELECT
+                current_timestamp()                         AS execution_time,
+                t.schema_name                               AS database_name,
+                t.schema_name, t.table_name, t.two_part_name,
+                regexp_extract(p.file_path, '[^/]+$', 0)    AS node_table_name,
+                1                                           AS node_table_name_seq,
+                t.distribution_policy                       AS distribution_policy_name,
+                t.distribution_column,
+                p.distribution_id,
+                CASE t.index_type WHEN 'CCI' THEN 5
+                                  WHEN 'heap' THEN 0 ELSE 1 END AS index_type,
+                t.index_type                                AS index_type_desc,
+                0                                           AS pdw_node_id,
+                'COMPUTE'                                   AS pdw_node_type,
+                'localhost'                                 AS pdw_node_name,
+                concat('Distribution_', p.distribution_id + 1) AS dist_name,
+                p.distribution_id + 1                       AS dist_position,
+                1                                           AS partition_nmbr,
+                CAST(CEIL(p.used_bytes / 8192.0) AS BIGINT) AS reserved_space_page_count,
+                CAST(0 AS BIGINT)                           AS unused_space_page_count,
+                CAST(CEIL(p.data_bytes / 8192.0) AS BIGINT) AS data_space_page_count,
+                p.row_count
+              FROM meta_tables t
+              JOIN meta_partition_stats p
+                ON t.schema_name = p.schema_name AND t.table_name = p.table_name
+              WHERE NOT t.is_view
+            ),
+            pages AS (
+              SELECT *,
+                reserved_space_page_count - unused_space_page_count
+                  - data_space_page_count AS index_space_page_count
+              FROM base
+            )
+            SELECT *,
+              reserved_space_page_count * 8.0D      AS reserved_space_KB,
+              reserved_space_page_count * 8.0D / 1e3 AS reserved_space_MB,
+              reserved_space_page_count * 8.0D / 1e6 AS reserved_space_GB,
+              reserved_space_page_count * 8.0D / 1e9 AS reserved_space_TB,
+              unused_space_page_count * 8.0D        AS unused_space_KB,
+              unused_space_page_count * 8.0D / 1e3   AS unused_space_MB,
+              unused_space_page_count * 8.0D / 1e6   AS unused_space_GB,
+              unused_space_page_count * 8.0D / 1e9   AS unused_space_TB,
+              data_space_page_count * 8.0D          AS data_space_KB,
+              data_space_page_count * 8.0D / 1e3     AS data_space_MB,
+              data_space_page_count * 8.0D / 1e6     AS data_space_GB,
+              data_space_page_count * 8.0D / 1e9     AS data_space_TB,
+              index_space_page_count * 8.0D         AS index_space_KB,
+              index_space_page_count * 8.0D / 1e3    AS index_space_MB,
+              index_space_page_count * 8.0D / 1e6    AS index_space_GB,
+              index_space_page_count * 8.0D / 1e9    AS index_space_TB
+            FROM pages
             """
         )
 

@@ -273,6 +273,53 @@ def test_full_monitoring_view_corpus(engine):
     assert {m.member_name for m in members} == {"analyst1", "analyst2"}
 
 
+def test_table_sizes_space_accounting(engine):
+    """vw_table_sizes full fidelity (microsoft.vw_table_sizes.sql:53-93):
+    reserved = data + index + unused per distribution row, unit ladders
+    consistent, and the rollup views sum to the detail."""
+    engine.register_monitoring_views(["testfact.lineitem_h"])
+    rows = engine.spark.sql(
+        "SELECT * FROM vw_table_sizes WHERE two_part_name = 'testfact.lineitem_h'"
+    ).collect()
+    assert rows
+    for r in rows:
+        # sum-of-parts invariant, exact in pages (index derived by
+        # subtraction like the reference)
+        assert (
+            r.reserved_space_page_count
+            == r.data_space_page_count
+            + r.index_space_page_count
+            + r.unused_space_page_count
+        )
+        assert r.reserved_space_page_count > 0 and r.data_space_page_count > 0
+        assert r.index_space_page_count >= 0
+        # unit ladder: KB = pages * 8, GB = KB / 1e6
+        assert r.reserved_space_KB == r.reserved_space_page_count * 8.0
+        assert abs(r.reserved_space_GB - r.reserved_space_KB / 1e6) < 1e-12
+        # identity columns present
+        assert r.distribution_policy_name == "hash"
+        assert r.dist_position == r.distribution_id + 1
+    # summary rollup equals detail totals
+    det_rows = sum(r.row_count for r in rows)
+    det_gb = sum(r.reserved_space_GB for r in rows)
+    s = engine.spark.sql(
+        "SELECT * FROM vw_table_space_summary WHERE two_part_name = 'testfact.lineitem_h'"
+    ).collect()[0]
+    assert s.table_row_count == det_rows
+    assert abs(s.table_reserved_space_GB - det_gb) < 1e-9
+    # per-distribution + per-type rollups run and cover every distribution
+    by_dist = engine.spark.sql(
+        "SELECT * FROM vw_table_space_by_distribution "
+        "WHERE table_name = 'lineitem_h'"
+    ).collect()
+    assert len(by_dist) == len({r.distribution_id for r in rows})
+    by_type = engine.spark.sql(
+        "SELECT * FROM vw_table_space_by_distribution_type "
+        "WHERE distribution_policy_name = 'hash'"
+    ).collect()
+    assert by_type and by_type[0].table_type_row_count >= det_rows
+
+
 def test_shuffle_and_memory_metrics(engine):
     """DMS-analogue byte counters (vw_query_step_details.sql:24-33,
     query_memory_usage.sql:22-42): a groupBy query must show nonzero shuffle
