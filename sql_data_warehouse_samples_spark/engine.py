@@ -522,11 +522,15 @@ class Engine:
                 e["table"],
                 ",".join(e["columns"]),
                 dt.datetime.fromtimestamp(e["analyzed_at"]),
+                e.get("mode", "default"),
+                float(e.get("sample_pct", 100.0)),
             )
             for e in self.stats._ledger
-        ] or [("", "", None)]
+        ] or [("", "", None, "", 0.0)]
         self.spark.createDataFrame(
-            rows, "table_name string, stats_columns string, analyzed_at timestamp"
+            rows,
+            "table_name string, stats_columns string, analyzed_at timestamp,"
+            " scan_mode string, sample_pct double",
         ).filter("table_name != ''").createOrReplaceTempView("meta_statistics")
         self.spark.sql(
             """

@@ -36,18 +36,91 @@ class StatisticsService:
         self.spark = spark
         self._ledger: list[dict] = []
 
-    def create_statistics(self, table: str, columns: list[str] | None = None) -> None:
+    def create_statistics(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        mode: str = "default",
+        sample_pct: float = 10.0,
+    ) -> None:
         """sp_create_statistics parity: stats on every eligible column unless
-        a subset is given (sp_create_statistics.sql:66-85)."""
+        a subset is given, with the reference's three scan modes
+        (sp_create_statistics.sql:66-85 generates default / WITH FULLSCAN /
+        WITH SAMPLE n PERCENT variants):
+
+        * ``default`` / ``fullscan`` — Catalyst ANALYZE (always a full scan
+          in Spark; both recorded distinctly in the ledger).
+        * ``sample`` — approximate column stats over ``TABLESAMPLE (n
+          PERCENT)``: ndv (approx_count_distinct), null count, min/max per
+          column, stored CBO-style in the ledger.  At 100 TB this reads ~n%
+          of the files instead of all of them — the same economics that make
+          SAMPLE the reference's default for big tables.
+        """
+        if mode not in ("default", "fullscan", "sample"):
+            raise ValueError(f"unknown statistics mode {mode!r}")
         q = Catalog._q(table)
         if columns is None:
             columns = [f.name for f in self.spark.table(q).schema.fields]
-        cols = ", ".join(f"`{c}`" for c in columns)
-        self.spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS FOR COLUMNS {cols}")
-        self.spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
-        self._ledger.append(
-            {"table": table, "columns": columns, "analyzed_at": time.time()}
-        )
+        entry = {
+            "table": table,
+            "columns": columns,
+            "analyzed_at": time.time(),
+            "mode": mode,
+            "sample_pct": sample_pct if mode == "sample" else 100.0,
+        }
+        if mode == "sample":
+            aggs = []
+            for c in columns:
+                aggs += [
+                    F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            sampled = self.spark.sql(
+                f"SELECT * FROM {q} TABLESAMPLE ({sample_pct} PERCENT)"
+            )
+            row = sampled.agg(*aggs).collect()[0].asDict()
+            entry["column_stats"] = {
+                c: {
+                    "ndv": row[f"{c}__ndv"],
+                    "nulls": row[f"{c}__nulls"],
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                }
+                for c in columns
+            }
+        else:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {q} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+            self.spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
+        self._ledger.append(entry)
+
+    def generate_statistics_ddl(
+        self,
+        table: str,
+        columns: list[str],
+        create_type: int = 1,
+        sample_pct: float = 10.0,
+    ) -> list[str]:
+        """The reference's DDL-assembly output (sp_create_statistics.sql:
+        66-70): one CREATE STATISTICS statement per column in the requested
+        variant (1=default, 2=FULLSCAN, 3=SAMPLE n PERCENT)."""
+        schema_name, table_name = (table.split(".", 1) + [""])[:2]
+        out = []
+        for c in columns:
+            base = (
+                f"CREATE STATISTICS [stat_{schema_name}_{table_name}_{c}]"
+                f" ON [{schema_name}].[{table_name}]([{c}])"
+            )
+            if create_type == 2:
+                base += " WITH FULLSCAN"
+            elif create_type == 3:
+                base += f" WITH SAMPLE {sample_pct:g} PERCENT"
+            out.append(base)
+        return out
 
     def stats_age_days(self, table: str) -> float | None:
         """STATS_DATE parity (vw_statistics_age.sql:10)."""
@@ -87,12 +160,20 @@ class CompactionService:
             F.sum("total_rows").alias("total_rows"),
             F.avg("total_rows").alias("avg_rows"),
         ).collect()[0]
+        # Rowgroups.sql:11-29 pattern: trimmed-rowgroup counts by cause
+        reasons = {
+            r["trim_reason_desc"]: r["n"]
+            for r in rg.groupBy("trim_reason_desc")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         avg_rows = agg["avg_rows"] or 0
         return {
             "table": table,
             "n_rowgroups": agg["n_rowgroups"],
             "total_rows": agg["total_rows"] or 0,
             "avg_rows_per_rowgroup": avg_rows,
+            "trim_reasons": reasons,
             "needs_rebuild": 0 < avg_rows < POOR_SEGMENT_THRESHOLD
             and (agg["total_rows"] or 0) > min_total_rows,
         }

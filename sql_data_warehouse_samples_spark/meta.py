@@ -73,8 +73,12 @@ _ROWGROUPS_SCHEMA = T.StructType(
         T.StructField("size_in_bytes", T.LongType()),
         T.StructField("compressed_size", T.LongType()),
         T.StructField("state_desc", T.StringType()),
+        T.StructField("trim_reason_desc", T.StringType()),
     ]
 )
+
+#: Rowgroup target (CCI segment ideal) — rowgroups at/above it are NO_TRIM.
+ROWGROUP_TARGET_ROWS = 1_048_576
 
 
 class Meta:
@@ -168,15 +172,44 @@ class Meta:
     def rowgroups(self, table: str) -> DataFrame:
         """Parquet row-group physical stats — CCI rowgroup health parity
         (RowgroupDetails.sql:1-24; rowgroup target 1,048,576 rows,
-        TableHealthCount.sql:15)."""
+        TableHealthCount.sql:15).
+
+        ``trim_reason_desc`` diagnoses WHY a rowgroup is under the target,
+        the way Rowgroups.sql:11-29 buckets trimmed CCI rowgroups
+        (MEMORY_LIMITATION / BULKLOAD / DICTIONARY_SIZE).  Parquet has its
+        own trim causes, classified from file-layout evidence:
+
+        * ``NO_TRIM``            — at/above the 1M-row target.
+        * ``BULKLOAD``           — residual tail rowgroup of a multi-rowgroup
+          file (the bulk writer flushed a final partial group — the
+          reference's BULKLOAD case exactly).
+        * ``PARTITION_FRAGMENT`` — small file inside a partition directory:
+          the partition key fragmented the write.
+        * ``WRITE_PARALLELISM``  — small file in a multi-file table: too many
+          writer tasks for the row volume.
+        * ``SMALL_SOURCE_FILE``  — the whole (single-file) table is simply
+          small.
+        """
         import pyarrow.parquet as pq
 
         schema_name, table_name = table.split(".", 1)
+        files = self._table_files(table)
         rows = []
-        for f in self._table_files(table):
+        for f in files:
             md = pq.ParquetFile(f).metadata
+            partitioned = "=" in os.path.basename(os.path.dirname(f))
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
+                if rg.num_rows >= ROWGROUP_TARGET_ROWS:
+                    reason = "NO_TRIM"
+                elif md.num_row_groups > 1 and g == md.num_row_groups - 1:
+                    reason = "BULKLOAD"
+                elif partitioned:
+                    reason = "PARTITION_FRAGMENT"
+                elif len(files) > 1:
+                    reason = "WRITE_PARALLELISM"
+                else:
+                    reason = "SMALL_SOURCE_FILE"
                 rows.append(
                     (
                         schema_name,
@@ -190,6 +223,7 @@ class Meta:
                             for c in range(rg.num_columns)
                         ),
                         "COMPRESSED",
+                        reason,
                     )
                 )
         return self.spark.createDataFrame(rows, _ROWGROUPS_SCHEMA)

@@ -172,6 +172,69 @@ def test_statistics_service(engine):
     assert "testfact.lineitem_h" not in stats.stale_tables()
 
 
+def test_statistics_sample_mode(engine):
+    """SAMPLE n PERCENT mode (sp_create_statistics.sql:66-85 create_type=3):
+    approximate TABLESAMPLE stats, ledger records the mode."""
+    from sql_data_warehouse_samples_spark.maintenance import StatisticsService
+
+    stats = StatisticsService(engine.spark)
+    stats.create_statistics(
+        "testfact.lineitem_h", ["l_orderkey", "l_quantity"],
+        mode="sample", sample_pct=25.0,
+    )
+    e = stats._ledger[-1]
+    assert e["mode"] == "sample" and e["sample_pct"] == 25.0
+    cs = e["column_stats"]["l_orderkey"]
+    assert cs["ndv"] > 0 and cs["min"] is not None and cs["max"] is not None
+    assert cs["nulls"] == 0
+    # surfaces in meta_statistics with the scan mode
+    engine.stats.create_statistics(
+        "testfact.lineitem_h", ["l_orderkey"], mode="sample", sample_pct=10.0
+    )
+    engine.register_monitoring_views(["testfact.lineitem_h"])
+    rows = engine.spark.sql(
+        "SELECT * FROM meta_statistics WHERE scan_mode = 'sample'"
+    ).collect()
+    assert any(r.sample_pct == 10.0 for r in rows)
+    # DDL assembly emits all three reference variants
+    ddl = stats.generate_statistics_ddl(
+        "testfact.lineitem_h", ["l_orderkey"], create_type=3, sample_pct=10
+    )
+    assert ddl == [
+        "CREATE STATISTICS [stat_testfact_lineitem_h_l_orderkey]"
+        " ON [testfact].[lineitem_h]([l_orderkey]) WITH SAMPLE 10 PERCENT"
+    ]
+    with pytest.raises(ValueError):
+        stats.create_statistics("testfact.lineitem_h", ["l_orderkey"], mode="bogus")
+
+
+def test_rowgroup_trim_reasons(engine, spark):
+    """Trim-reason taxonomy (Rowgroups.sql:11-29 analogue): fragmented
+    multi-file tables classify as WRITE_PARALLELISM, single small files as
+    SMALL_SOURCE_FILE, and the health report carries the counts."""
+    from sql_data_warehouse_samples_spark.catalog import round_robin_layout
+    from sql_data_warehouse_samples_spark.maintenance import CompactionService
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").repartition(8)
+    engine.catalog.create_table_as(
+        "testfact.li_trim", li, round_robin_layout(), mode="overwrite"
+    )
+    try:
+        rg = engine.meta.rowgroups("testfact.li_trim")
+        reasons = {r.trim_reason_desc for r in rg.collect()}
+        assert reasons == {"WRITE_PARALLELISM"}
+
+        comp = CompactionService(spark, engine.catalog, engine.meta)
+        h = comp.rowgroup_health("testfact.li_trim")
+        assert h["trim_reasons"].get("WRITE_PARALLELISM", 0) >= 8
+
+        comp.rebuild("testfact.li_trim")  # collapses to one small file
+        rg2 = engine.meta.rowgroups("testfact.li_trim").collect()
+        assert {r.trim_reason_desc for r in rg2} == {"SMALL_SOURCE_FILE"}
+    finally:
+        engine.catalog.drop_table("testfact.li_trim")
+
+
 def test_compaction_rebuild(engine, spark):
     from sql_data_warehouse_samples_spark.catalog import round_robin_layout
     from sql_data_warehouse_samples_spark.maintenance import CompactionService
