@@ -66,11 +66,14 @@ class Engine:
 
         from .maintenance import StatisticsService
 
+        from .ops import OpsService
+
         self.spark = get_or_create(spark)
         self.catalog = Catalog(self.spark)
         self.meta = Meta(self.spark, self.catalog)
         self.wlm = AdmissionController()
         self.stats = StatisticsService(self.spark)
+        self.ops = OpsService(self.spark, self.catalog)
         self._requests: list[RequestRecord] = []
         self._steps: list[tuple] = []  # (request_id, step_index, op, detail, row_count)
         # static principal/role config — vw_security_role_members parity
@@ -419,6 +422,14 @@ class Engine:
             """
         )
         self._register_statistics_views()
+        # ops surfaces: backups, SLO/scale operations, TDE
+        # (LatestBackup.sql:2-10, slo_status.sql:1-31,
+        #  transparent_data_encryption_status.sql:1-9)
+        self.ops.backup_runs().createOrReplaceTempView("meta_backup_runs")
+        self.ops.latest_backup().createOrReplaceTempView("vw_latest_backup")
+        self.ops.slo_status().createOrReplaceTempView("vw_slo_status")
+        self.ops.operation_status().createOrReplaceTempView("meta_operation_status")
+        self.ops.tde_status().createOrReplaceTempView("vw_tde_status")
         self.spark.createDataFrame(
             self._role_members, "role_name string, member_name string"
         ).createOrReplaceTempView("meta_role_members")

@@ -107,7 +107,10 @@ class ScaleLadder:
         if current not in self.ladder:
             raise ValueError(f"current DWU {current} not on ladder")
         self.current = current
-        self.history: list[tuple[str, int, int]] = []
+        #: (operation, from_dwu, to_dwu, start_ts, end_ts, state_desc) —
+        #: sys.dm_operation_status parity rows (slo_status.sql:17-31 polls
+        #: state_desc of the latest ALTER DATABASE operation)
+        self.history: list[tuple[str, int, int, float, float, str]] = []
 
     def can_scale(self, active_queries: int, open_transactions: int, exclusive_waits: int) -> bool:
         return active_queries == 0 and open_transactions == 0 and exclusive_waits == 0
@@ -123,7 +126,8 @@ class ScaleLadder:
             raise ValueError(f"target DWU {target} not on ladder {self.ladder}")
         if not self.can_scale(active_queries, open_transactions, exclusive_waits):
             raise RuntimeError("system not quiesced: refusing to scale")
-        self.history.append(("scale", self.current, target))
+        now = time.time()
+        self.history.append(("ALTER DATABASE", self.current, target, now, now, "COMPLETED"))
         self.current = target
         return self.current
 

@@ -336,6 +336,41 @@ def test_full_monitoring_view_corpus(engine):
     assert {m.member_name for m in members} == {"analyst1", "analyst2"}
 
 
+def test_ops_backup_slo_tde(engine, spark, tmp_path):
+    """Ops surfaces: real parquet backup + LatestBackup.sql shape, SLO
+    status DW objective, operation status from scale history, TDE flags."""
+    run = engine.ops.backup(["testfact.lineitem_h"], str(tmp_path / "bak"))
+    assert run.status == "COMPLETED" and run.progress == 100
+    assert run.rows_backed_up == engine.table("testfact.lineitem_h").count()
+    # the backup is a real readable parquet copy
+    restored = spark.read.parquet(str(tmp_path / "bak" / "testfact.lineitem_h"))
+    assert restored.count() == run.rows_backed_up
+
+    engine.ops.ladder.scale(600)
+    engine.ops.set_encryption("testfact", True)
+    engine.register_monitoring_views(["testfact.lineitem_h"])
+
+    lb = engine.spark.sql("SELECT * FROM vw_latest_backup").collect()
+    assert len(lb) == 1 and lb[0].progress_percent == 100
+    assert lb[0].duration_seconds >= 0
+
+    slo = engine.spark.sql("SELECT * FROM vw_slo_status").collect()[0]
+    assert slo.Edition == "DataWarehouse" and slo.ServiceObject == "DW600c"
+
+    ops_rows = engine.spark.sql(
+        "SELECT * FROM meta_operation_status WHERE operation = 'ALTER DATABASE'"
+    ).collect()
+    assert ops_rows and ops_rows[-1].state_desc == "COMPLETED"
+    assert engine.ops.wait_for_scale() == "COMPLETED"
+
+    tde = {
+        r.name: r.Encrypted
+        for r in engine.spark.sql("SELECT * FROM vw_tde_status").collect()
+    }
+    assert tde["testfact"] == "TRUE"
+    assert "FALSE" in tde.values()  # other databases default off
+
+
 def test_table_sizes_space_accounting(engine):
     """vw_table_sizes full fidelity (microsoft.vw_table_sizes.sql:53-93):
     reserved = data + index + unused per distribution row, unit ladders
