@@ -15,9 +15,16 @@ of scope; the rewriter covers the dialect gap the corpus actually uses:
 * ``sys.dm_pdw_* / sys.tables...``→ the engine's ``meta_*`` views
 * ``OPTION (LABEL = '...')``      → stripped; returned as the request label
 
+* ``QUOTENAME(x)``                → ``concat('[', x, ']')``
+* ``'lit' + x`` / ``x + 'lit'``   → ``||`` (literal-adjacent ``+`` only —
+  a ``+`` with no string-literal neighbor stays numeric addition)
+* ``IF OBJECT_ID('..') IS NOT NULL DROP TABLE t`` → ``DROP TABLE IF EXISTS``
+* ``TOP n`` in subqueries         → ``LIMIT n`` at the subquery's close
+  (paren-depth scan, literal-aware)
+
 String literals are never rewritten (the text is split on quoted spans
-first).  Known non-goals: ``+`` string concat (type-dependent), correlated
-``OBJECT_ID()`` guards, procedural T-SQL — use the Python API for those.
+first).  Known non-goals: procedural T-SQL (WHILE/DECLARE/cursors) — use
+the Python API / ``Engine.run_script`` for those.
 """
 
 from __future__ import annotations
@@ -80,6 +87,14 @@ def _split_literals(sql: str) -> list[tuple[bool, str]]:
 def _rewrite_segment(seg: str) -> str:
     s = seg
     s = re.sub(r"\[([^\]\[]+)\]", r"`\1`", s)
+    # QUOTENAME(x) → concat('[', x, ']') — vw_table_sizes.sql:12 idiom.
+    # Single-level parens in the argument are tolerated.
+    s = re.sub(
+        r"\bQUOTENAME\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        r"concat('[', \1, ']')",
+        s,
+        flags=re.I,
+    )
     s = re.sub(r"\bISNULL\s*\(", "COALESCE(", s, flags=re.I)
     s = re.sub(r"\bCOUNT_BIG\s*\(", "COUNT(", s, flags=re.I)
     s = re.sub(r"\b(?:GETDATE|SYSDATETIME|SYSUTCDATETIME)\s*\(\s*\)",
@@ -118,6 +133,66 @@ def _rewrite_segment(seg: str) -> str:
     return s
 
 
+def _concat_plus(parts: list[tuple[bool, str]]) -> list[tuple[bool, str]]:
+    """Rewrite literal-adjacent ``+`` to ``||`` (T-SQL string concat,
+    GenerateLoadScript-V3:144-155 / vw_table_sizes.sql:12 ``a + '.' + b``).
+    A ``+`` with no string-literal neighbor is left as numeric addition."""
+    out = list(parts)
+    for i, (lit, seg) in enumerate(out):
+        if lit:
+            continue
+        if i > 0 and out[i - 1][0]:  # previous span is a literal
+            seg = re.sub(r"^(\s*)\+", r"\1||", seg)
+        if i + 1 < len(out) and out[i + 1][0]:  # next span is a literal
+            seg = re.sub(r"\+(\s*)$", r"||\1", seg)
+        out[i] = (lit, seg)
+    return out
+
+
+def _rewrite_tops(out: str) -> str:
+    """``SELECT [DISTINCT] TOP n`` → ``LIMIT n`` at the enclosing subquery's
+    closing paren (or statement end).  One TOP per pass, last-in-string
+    first, recomputing literal spans after each edit; paren depth is tracked
+    literal-aware so TOP works in subqueries too."""
+    while True:
+        lit_spans = [m.span() for m in _LITERAL_RE.finditer(out)]
+
+        def in_literal(i: int) -> bool:
+            return any(a <= i < b for a, b in lit_spans)
+
+        matches = [
+            m
+            for m in re.finditer(
+                r"\bSELECT\s+(?:DISTINCT\s+)?TOP\s+(\d+)\s+", out, re.I
+            )
+            if not in_literal(m.start())
+        ]
+        if not matches:
+            return out
+        m = matches[-1]
+        n = m.group(1)
+        depth = 0
+        insert_at = None
+        for i in range(m.end(), len(out)):
+            if in_literal(i):
+                continue
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+                if depth < 0:  # the paren closing this subquery
+                    insert_at = i
+                    break
+        if insert_at is None:
+            out = out.rstrip().rstrip(";") + f" LIMIT {n}"
+        else:
+            out = out[:insert_at] + f" LIMIT {n} " + out[insert_at:]
+        # drop the TOP clause itself (before the insertion point)
+        out = out[: m.start()] + re.sub(
+            r"TOP\s+\d+\s+", "", out[m.start() : m.end()], flags=re.I
+        ) + out[m.end() :]
+
+
 def rewrite_tsql(sql: str) -> tuple[str, str | None]:
     """Rewrite one T-SQL statement → (spark_sql, label_or_None)."""
     label = None
@@ -126,15 +201,17 @@ def rewrite_tsql(sql: str) -> tuple[str, str | None]:
         label = m.group(1).replace("''", "'")
         sql = sql[: m.start()] + sql[m.end() :]
 
+    # existence-guarded drop (GenerateLoadScript-V3 staging pattern):
+    # IF OBJECT_ID('x'[, 'U']) IS NOT NULL DROP TABLE|VIEW t → IF EXISTS
+    sql = re.sub(
+        r"\bIF\s+OBJECT_ID\s*\(\s*'(?:[^']|'')*'\s*(?:,\s*'\w+'\s*)?\)\s+"
+        r"IS\s+NOT\s+NULL\s+DROP\s+(TABLE|VIEW)\s+",
+        r"DROP \1 IF EXISTS ",
+        sql,
+        flags=re.I,
+    )
+
     parts = [(lit, seg if lit else _rewrite_segment(seg))
              for lit, seg in _split_literals(sql)]
-    out = "".join(seg for _, seg in parts)
-
-    tops = re.findall(r"\bSELECT\s+(?:DISTINCT\s+)?TOP\s+(\d+)\b", out, re.I)
-    if len(tops) > 1:
-        raise ValueError("TOP in subqueries is not supported by the rewriter")
-    if tops:
-        out = re.sub(r"(\bSELECT\s+(?:DISTINCT\s+)?)TOP\s+\d+\s+", r"\1", out,
-                     flags=re.I)
-        out = out.rstrip().rstrip(";") + f" LIMIT {tops[0]}"
-    return out.strip(), label
+    out = "".join(seg for _, seg in _concat_plus(parts))
+    return _rewrite_tops(out).strip(), label

@@ -480,6 +480,41 @@ def test_tsql_rewriter_unit():
     assert "timestampadd(DAY, -7, current_timestamp())" in sql2
 
 
+def test_tsql_rewriter_concat_quotename_guards_subquery_top():
+    from sql_data_warehouse_samples_spark.functions.rewriter import rewrite_tsql
+
+    # QUOTENAME + literal-adjacent '+' concat (vw_table_sizes.sql:12 idiom)
+    sql, _ = rewrite_tsql("SELECT QUOTENAME(s.name) + '.' + QUOTENAME(t.name) AS tp FROM sys.tables")
+    assert "concat('[', s.name, ']') || '.' || concat('[', t.name, ']')" in sql
+    # numeric + untouched
+    sql2, _ = rewrite_tsql("SELECT a + b AS total, 'x' + c AS tagged FROM t")
+    assert "a + b" in sql2 and "'x' || c" in sql2
+    # OBJECT_ID existence guard
+    sql3, _ = rewrite_tsql("IF OBJECT_ID('dbo.stage', 'U') IS NOT NULL DROP TABLE dbo.stage;")
+    assert sql3.rstrip(";") == "DROP TABLE IF EXISTS dbo.stage"
+    # TOP inside a subquery gets LIMIT at the subquery close
+    sql4, _ = rewrite_tsql(
+        "SELECT * FROM (SELECT TOP 3 a FROM t ORDER BY a) q WHERE a > 0"
+    )
+    assert "(SELECT a FROM t ORDER BY a LIMIT 3 )" in sql4
+    assert "TOP" not in sql4.upper()
+    # outer + inner TOP both handled
+    sql5, _ = rewrite_tsql(
+        "SELECT TOP 10 * FROM (SELECT TOP 3 a FROM t ORDER BY a) q"
+    )
+    assert "LIMIT 3" in sql5 and sql5.endswith("LIMIT 10")
+
+
+def test_tsql_subquery_top_executes(engine):
+    engine.sql("SELECT 1 AS warm2", label="warm2")
+    engine.register_monitoring_views()
+    df = engine.tsql(
+        "SELECT lbl FROM (SELECT TOP 2 [label] AS lbl, total_elapsed_ms "
+        "FROM sys.dm_pdw_exec_requests ORDER BY total_elapsed_ms DESC) q"
+    )
+    assert len(df.collect()) <= 2
+
+
 def test_tsql_end_to_end(engine):
     """Reference-style monitoring T-SQL runs through engine.tsql."""
     engine.sql("SELECT 1 AS warm", label="warm")
