@@ -67,6 +67,7 @@ class Engine:
         from .maintenance import StatisticsService
 
         from .ops import OpsService
+        from .sources.external import ExternalObjects
 
         self.spark = get_or_create(spark)
         self.catalog = Catalog(self.spark)
@@ -74,6 +75,7 @@ class Engine:
         self.wlm = AdmissionController()
         self.stats = StatisticsService(self.spark)
         self.ops = OpsService(self.spark, self.catalog)
+        self.external = ExternalObjects(self.spark)
         self._requests: list[RequestRecord] = []
         self._steps: list[tuple] = []  # (request_id, step_index, op, detail, row_count)
         # static principal/role config — vw_security_role_members parity
@@ -185,10 +187,59 @@ class Engine:
                     comp = CompactionService(self.spark, self.catalog, self.meta)
                 results.append(comp.rebuild(s[len("REBUILD TABLE "):].strip()))
             elif dialect == "tsql":
+                # PolyBase external-object DDL (CTASLoad-Example.sql:1-54)
+                if self.external.execute(s):
+                    results.append(None)
+                    continue
+                ctas = self._try_distributed_ctas(s)
+                if ctas is not None:
+                    results.append(ctas)
+                    continue
                 results.append(self.tsql(s))
             else:
                 results.append(self.sql(s))
         return results
+
+    _CTAS_RE = __import__("re").compile(
+        r"^\s*CREATE\s+TABLE\s+((?:\[[^\]]+\]|\w+)(?:\.(?:\[[^\]]+\]|\w+))?)\s+"
+        r"WITH\s*\((?P<with>[^)]*(?:\([^)]*\)[^)]*)*)\)\s*AS\s+(?P<select>.+)$",
+        __import__("re").I | __import__("re").S,
+    )
+
+    def _try_distributed_ctas(self, stmt: str):
+        """``CREATE TABLE t WITH (DISTRIBUTION = HASH(k)|ROUND_ROBIN|
+        REPLICATE[, CLUSTERED COLUMNSTORE INDEX|HEAP]) AS SELECT ...``
+        (CTASLoad-Example.sql:58-62, GenerateLoadScript-V1.sql:100-120) →
+        rewritten SELECT through the engine + declared-layout CTAS.
+        Returns the LABEL'd request's DataFrame, or None if not a CTAS."""
+        import re
+
+        from .catalog import hash_layout, replicate_layout, round_robin_layout
+
+        m = self._CTAS_RE.match(stmt.rstrip().rstrip(";"))
+        if m is None:
+            return None
+        with_body = m.group("with")
+        dm = re.search(
+            r"DISTRIBUTION\s*=\s*(HASH\s*\(\s*(\[[^\]]+\]|\w+)\s*\)|ROUND_ROBIN|REPLICATE)",
+            with_body,
+            re.I,
+        )
+        if dm is None:
+            return None
+        dist = dm.group(1).upper()
+        if dist.startswith("HASH"):
+            layout = hash_layout(dm.group(2).strip("[]`"))
+        elif dist == "REPLICATE":
+            layout = replicate_layout()
+        else:
+            layout = round_robin_layout()
+        if re.search(r"\bHEAP\b", with_body, re.I):
+            layout.index_type = "heap"
+        table = ".".join(p.strip("[]`") for p in m.group(1).split("."))
+        df = self.tsql(m.group("select"))
+        self.create_table_as(table, df, layout)
+        return df
 
     # --- DMV surfaces ----------------------------------------------------
 

@@ -177,3 +177,62 @@ def test_engine_load_csv_end_to_end(spark, tmp_path):
         assert vals[1] == "19.99" and vals[3] == "5.00"
     finally:
         eng.catalog.drop_schema("loadtest", cascade=True)
+
+
+def test_polybase_external_ddl_ctas_end_to_end(spark, tmp_path):
+    """The reference's six-step external CTAS load (CTASLoad-Example.sql:
+    1-62) runs near-verbatim through Engine.run_script(dialect='tsql')."""
+    from sql_data_warehouse_samples_spark.engine import Engine
+
+    data_dir = tmp_path / "lake" / "data" / "test"
+    data_dir.mkdir(parents=True)
+    (data_dir / "accounts.csv").write_text(
+        '1,100,"Acme, Inc.",2024-01-02 03:04:05\n'
+        "2,200,Globex,2024-02-03 04:05:06\n"
+        "3,100,Initech,2024-03-04 05:06:07\n"
+    )
+    eng = Engine(spark)
+    eng.create_schema("pocdm")
+    try:
+        script = [
+            "CREATE MASTER KEY ENCRYPTION BY PASSWORD = 'MyUltraSecurePassword!12345!';",
+            "CREATE DATABASE SCOPED CREDENTIAL AzureCredential "
+            "WITH IDENTITY = 'SHARED ACCESS SIGNATURE', SECRET = 'your key here';",
+            f"CREATE EXTERNAL DATA SOURCE AzureStorage "
+            f"WITH (TYPE = HADOOP, LOCATION = '{tmp_path / 'lake'}', CREDENTIAL = AzureCredential);",
+            "CREATE EXTERNAL FILE FORMAT TextFileFormat "
+            "WITH (FORMAT_TYPE = DELIMITEDTEXT, FORMAT_OPTIONS "
+            "(FIELD_TERMINATOR = ',', STRING_DELIMITER = '\"', USE_TYPE_DEFAULT = FALSE));",
+            "CREATE EXTERNAL TABLE [ext_ACCOUNT_FACT] ("
+            "[ACCT_PK_ID] bigint NOT NULL, [PERSON_PK_ID] bigint NOT NULL, "
+            "[ACCT_NAME] varchar(50) NULL, [START_TMSP] datetime NULL) "
+            "WITH (LOCATION='/data/test/', DATA_SOURCE = AzureStorage, "
+            "FILE_FORMAT = TextFileFormat, REJECT_TYPE = VALUE, REJECT_VALUE = 0);",
+            "CREATE TABLE [pocdm].[ACCOUNT_FACT] "
+            "WITH (DISTRIBUTION = HASH([ACCT_PK_ID])) "
+            "AS SELECT * FROM ext_ACCOUNT_FACT "
+            "OPTION (LABEL = 'CTAS : Load ACCOUNT_FACT');",
+        ]
+        eng.run_script(script, dialect="tsql")
+
+        t = eng.table("pocdm.ACCOUNT_FACT")
+        assert t.count() == 3
+        rows = {r.ACCT_PK_ID: r for r in t.collect()}
+        assert rows[1].ACCT_NAME == "Acme, Inc."  # quoted delimiter honored
+        assert str(rows[2].START_TMSP).startswith("2024-02-03 04:05:06")
+        assert eng.catalog.get_layout("pocdm.ACCOUNT_FACT").distribution == "hash"
+        assert (
+            eng.catalog.get_layout("pocdm.ACCOUNT_FACT").distribution_column
+            == "ACCT_PK_ID"
+        )
+        # the CTAS request carries its LABEL in the request log
+        labels = {r.label for r in eng.exec_requests().collect()}
+        assert "CTAS : Load ACCOUNT_FACT" in labels
+        # secrets are never retained
+        assert eng.external.credentials["AzureCredential"].has_secret
+        assert not hasattr(eng.external.credentials["AzureCredential"], "secret")
+        # sys.external_tables-style listing
+        ext = eng.external.describe().collect()
+        assert ext[0].table_name == "ext_ACCOUNT_FACT" and ext[0].n_columns == 4
+    finally:
+        eng.catalog.drop_schema("pocdm", cascade=True)
