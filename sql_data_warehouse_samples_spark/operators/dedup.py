@@ -218,11 +218,13 @@ def minhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
+    from .similarity import _spread
+
     # spread by cores before the expensive shingle/signature projection —
-    # a single-file corpus otherwise tokenizes on one task
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # a single-file corpus otherwise tokenizes on one task (no-op when the
+    # scan already has enough splits, so nothing shuffles at scale)
     sh = (
-        df.repartition(par)
+        _spread(df)
         .select(
             F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
         )
@@ -269,7 +271,7 @@ def embedding_neardup_pairs(
       recall at high thresholds (near-identical vectors agree on most sign
       bits), cost ~ bucket sizes instead of n².
     """
-    from .similarity import _hyperplanes, dot, lsh_bucket, norm
+    from .similarity import _hyperplanes, _spread, dot, lsh_bucket, norm
 
     # norms and float→double casts are per-ROW, so hoist both out of the
     # pair join — the per-pair work is then a single multiply-add fold.
@@ -289,10 +291,10 @@ def embedding_neardup_pairs(
     if blocking is None:
         # file-split partitioning reflects BYTES, not compute: a small
         # single-file corpus would run the whole O(n²) pass on one task.
-        # Spread the streamed side across the cluster before the pair join.
-        par = df.sparkSession.sparkContext.defaultParallelism
+        # Spread the streamed side across the cluster before the pair join
+        # (no-op when the scan already has enough splits).
         cand = (
-            b.repartition(par)
+            _spread(b)
             .crossJoin(F.broadcast(a))
             .filter(F.col("id_a") < F.col("id_b"))
         )
@@ -383,12 +385,14 @@ def simhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
+    from .similarity import _spread
+
     chunk = 64 // bands
     # persist the signature table: both self-join sides read it instead of
-    # re-hashing every token of the corpus twice; repartition first so the
+    # re-hashing every token of the corpus twice; spread first so the
     # hashing itself parallelizes beyond the source file count
     sig = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        _spread(df)
         .select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -219,7 +219,15 @@ class CsvLoader:
         # the reject count + the clean pass).
         staged = staged.withColumn("_is_bad", bad).cache()
 
-        n_bad = staged.filter("_is_bad").count()
+        # ONE aggregate action yields every audit number (total / bad /
+        # corrupt) — at 100 TB a separate count per number is a separate
+        # pass over the input; over the cache it is still a full extra scan.
+        counts = staged.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("_is_bad").cast("long")).alias("n_bad"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        ).collect()[0]
+        n_bad = counts["n_bad"] or 0
         if opts.on_error == "fail" and n_bad > 0:
             raise ValueError(f"load failed: {n_bad} malformed rows (on_error=fail)")
         if opts.on_error == "discard" and n_bad > opts.reject_value > 0:
@@ -230,11 +238,11 @@ class CsvLoader:
         cleaned = staged
         if opts.on_error == "discard":
             cleaned = cleaned.filter(~F.col("_is_bad"))
+            rows = counts["n_total"] - n_bad
         else:
             cleaned = cleaned.filter(F.col("_corrupt_record").isNull())
+            rows = counts["n_total"] - (counts["n_corrupt"] or 0)
         out = cleaned.select(*[self._clean_column(s, opts) for s in columns])
-
-        rows = out.count()
         elapsed = round(time.time() - t0, 3)
         rows_rejected = n_bad if opts.on_error == "discard" else 0
         # audit (S7: COUNT_BIG + elapsed print → our load log)
