@@ -113,13 +113,20 @@ def _candidate_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     window shuffles on the same (band, bh) key the self-join needs, so no
     extra exchange is introduced on the big side.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     star = None
     if max_bucket is not None:
         w = Window.partitionBy("band", "bh")
-        annotated = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-            "__rep", F.min("__id").over(w)
+        # persist the annotated frame: THREE plan branches consume it (both
+        # self-join sides + the star branch) — without the cache each one
+        # would recompute the banding AND the upstream signature fold, and
+        # re-shuffle the full corpus for its own copy of the window.
+        annotated = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .withColumn("__rep", F.min("__id").over(w))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         star = (
             annotated.filter(

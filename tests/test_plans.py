@@ -85,3 +85,48 @@ def test_window_partition_no_extra_shuffle(spark):
     df = workload.QUERIES["q26_latest_orders_per_customer"](spark, SF)
     # one exchange for the window partition-by, nothing else
     assert count_exchanges(df) <= 1
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """s04: list assignment must be a map-only argmin fold — no Exchange
+    between the corpus scan and the centroid_id join (the crossJoin+window
+    formulation shuffled nlist x corpus rows)."""
+    from sql_data_warehouse_samples_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 4")
+    df = ivf_topk(emb, q, k=3, nlist=8, nprobe=2)
+    plan = plan_str(df)
+    # no per-corpus-row window before the join: the only Window operators
+    # allowed are the (tiny) query-probe ranking and the final per-query
+    # top-k (WindowGroupLimit helpers excluded from the count)
+    assert plan.count("+- Window ") <= 2
+    # assignment side never hash-exchanges the corpus on neighbor_id
+    assert "hashpartitioning(neighbor_id" not in plan
+
+
+def test_lsh_bucket_count_reuses_join_partitioning(spark):
+    """The bucket-cap count window shuffles on (band, bh) — the same key the
+    candidate self-join needs, so capping adds no extra corpus exchange
+    beyond that one (plus the deliberate compute-spread round robin)."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    import re
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = minhash_lsh_candidates(d, "text", "doc_id")
+    plan = plan_str(df)
+    # every consumer branch must read the persisted annotated frame — the
+    # signature fold + band window run once, not once per branch
+    assert plan.count("InMemoryTableScan") >= 3
+    # DISTINCT band-key exchanges (the cached plan repeats under every
+    # InMemoryRelation printout): exactly one shuffles real data
+    ex_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(band[^\[]*\[plan_id=(\d+)\]", plan
+        )
+    }
+    assert len(ex_ids) == 1
