@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import sampling as S_ops
 from ..operators import text as T
+from ..operators.sampling import split_sql as _split_sql
 from . import query
 from ._util import tbl
 
@@ -270,3 +272,36 @@ WHERE ROUND({_D05_DOT} / NULLIF({_D05_NA} * {_D05_NB}, 0), 6) >= 0.4
 def d05_embedding_neardup(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# d06 — deterministic train/val/test split (operators/sampling.py): keyed
+# md5-hash assignment, map-only, stable under repartitioning, bit-identical
+# across engines (the oracle computes the same hex-threshold CASE).
+# ---------------------------------------------------------------------------
+
+_D06_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "d06_train_test_split",
+    oracle=f"""
+SELECT {_split_sql('doc_id', _D06_WEIGHTS, seed='corpus-v1')} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def d06_train_test_split(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        S_ops.train_test_split(d, "doc_id", _D06_WEIGHTS, seed="corpus-v1")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

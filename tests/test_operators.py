@@ -363,3 +363,34 @@ def test_audio_header_decode(spark):
     assert (out[1].sample_rate, out[1].channels, out[1].duration_sec) == (44100, 2, 1.0)
     assert (out[2].sample_rate, out[2].duration_sec) == (16000, 0.5)
     assert out[3].sample_rate is None
+
+
+def test_train_test_split_deterministic_and_partition_stable(spark):
+    from sql_data_warehouse_samples_spark.operators.sampling import (
+        stratified_sample,
+        train_test_split,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = train_test_split(d, "doc_id", seed="v1")
+    s2 = train_test_split(d.repartition(13), "doc_id", seed="v1")
+    a1 = {(r.doc_id, r.split) for r in s1.select("doc_id", "split").collect()}
+    a2 = {(r.doc_id, r.split) for r in s2.select("doc_id", "split").collect()}
+    # identical assignment regardless of physical partitioning
+    assert a1 == a2
+    n = d.count()
+    counts = {r.split: r.c for r in s1.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n > 0.6  # ~0.8 with small-sample slack
+    # a different seed reshuffles assignments
+    s3 = train_test_split(d, "doc_id", seed="v2")
+    a3 = {(r.doc_id, r.split) for r in s3.select("doc_id", "split").collect()}
+    assert a1 != a3
+
+    # stratified sampling: deterministic subset, bounded per-stratum rate
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    fr = {lang: 0.5 for lang in langs}
+    kept1 = {r.doc_id for r in stratified_sample(d, "doc_id", fr, "lang").collect()}
+    kept2 = {r.doc_id for r in stratified_sample(d.repartition(7), "doc_id", fr, "lang").collect()}
+    assert kept1 == kept2
+    assert 0.2 < len(kept1) / n < 0.8
