@@ -109,6 +109,94 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _cent_literal(cent_list: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cid,vec>> literal from [(cid, vec)], cid-sorted."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("vec"),
+            )
+            for cid, vec in cent_list
+        ]
+    )
+
+
+def _argmin_cid(vec: Column, cent_list: list[tuple[int, list[float]]], round_to: int) -> Column:
+    """Nearest-centroid id by a map-only ``aggregate`` fold over the literal
+    centroid array.  Strict ``<`` over a cid-sorted list keeps the lowest
+    centroid id on (rounded) distance ties — same semantics as
+    ORDER BY (d2, cid) row_number()=1, with zero row amplification."""
+
+    def _closer(acc: Column, cent: Column) -> Column:
+        d2 = F.round(l2sq(vec, cent["vec"]), round_to)
+        better = d2 < acc["d2"]
+        return F.struct(
+            F.when(better, cent["cid"]).otherwise(acc["cid"]).alias("cid"),
+            F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
+        )
+
+    init = F.struct(
+        F.lit(-1).cast("long").alias("cid"), F.lit(float("inf")).alias("d2")
+    )
+    return F.aggregate(_cent_literal(cent_list), init, _closer)["cid"]
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed quantizer: the ``nlist`` lowest-id corpus vectors."""
+    rows = (
+        corpus.filter(F.col(id_col) < nlist)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
+        .orderBy("cid")
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["vec"]]) for r in rows]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the seed quantizer (FAISS IVF training step).
+
+    Per iteration: (1) map-only argmin assignment via the literal fold —
+    no shuffle, no row amplification; (2) element-wise means via
+    ``posexplode`` + groupBy(cid, pos) — partial aggregation combines
+    map-side, so the shuffle carries ~nlist×dim rows REGARDLESS of corpus
+    size.  Centroids stay driver-sized throughout (nlist×dim floats).
+    Lists that go empty keep their previous centroid (standard k-means
+    empty-cluster handling).
+    """
+    cents = seed_centroids(corpus, id_col, vec_col, nlist)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        assigned = corpus.select(
+            _argmin_cid(F.col(vec_col), cents, round_to).alias("cid"),
+            F.posexplode(dbl).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .collect()
+        )
+        new_cents = dict(cents)
+        for r in means:
+            new_cents[int(r["cid"])] = [float(p["m"]) for p in r["pm"]]
+        cents = sorted(new_cents.items())
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,6 +206,8 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     round_to: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k (inverted-file index, FAISS IVF,Flat shape).
 
@@ -139,46 +229,29 @@ def ivf_topk(
     Distances are rounded to ``round_to`` before ranking so the
     list-assignment is reproducible across engines (oracle parity).
     Each corpus vector lives in exactly one list → no duplicate pairs.
+    Pass ``train_iters > 0`` (or explicit ``centroids``) for a Lloyd-refined
+    quantizer — same dataflow, better-balanced lists.
     """
     from pyspark.sql import Window
 
-    cents = corpus.filter(F.col(id_col) < nlist).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
-    )
-
-    # Materialize the (tiny) centroid set once and embed it as a literal:
-    # array<struct<cid,vec>> sorted by centroid_id so a strict `<` fold keeps
-    # the lowest centroid id on distance ties — identical semantics to the
-    # old ORDER BY (__d2, centroid_id) row_number()==1.
-    cent_rows = cents.orderBy("centroid_id").collect()
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["__cent"]]).alias("vec"),
+    if centroids is None:
+        if train_iters > 0:
+            centroids = kmeans_centroids(
+                corpus, id_col, vec_col, nlist, iters=train_iters, round_to=round_to
             )
-            for r in cent_rows
-        ]
+        else:
+            centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+
+    cents = corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "centroid_id long, __cent array<double>",
     )
 
     c = _spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     )
-
-    def _closer(acc: Column, cent: Column) -> Column:
-        d2 = F.round(l2sq(F.col("__cvec"), cent["vec"]), round_to)
-        better = d2 < acc["d2"]
-        return F.struct(
-            F.when(better, cent["cid"]).otherwise(acc["cid"]).alias("cid"),
-            F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
-        )
-
-    argmin_init = F.struct(
-        F.lit(-1).cast("long").alias("cid"),
-        F.lit(float("inf")).alias("d2"),
-    )
     c_assigned = c.withColumn(
-        "centroid_id", F.aggregate(cent_arr, argmin_init, _closer)["cid"]
+        "centroid_id", _argmin_cid(F.col("__cvec"), centroids, round_to)
     ).select("neighbor_id", "__cvec", "centroid_id")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))

@@ -394,3 +394,50 @@ def test_train_test_split_deterministic_and_partition_stable(spark):
     kept2 = {r.doc_id for r in stratified_sample(d.repartition(7), "doc_id", fr, "lang").collect()}
     assert kept1 == kept2
     assert 0.2 < len(kept1) / n < 0.8
+
+
+def test_ivf_kmeans_refinement(spark):
+    """Lloyd refinement must reduce quantizer inertia (sum of d2 to the
+    assigned centroid) vs the seed quantizer, and ivf_topk output stays a
+    valid per-query top-k with exact cosine values."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        _argmin_cid,
+        ivf_topk,
+        kmeans_centroids,
+        l2sq,
+        seed_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def inertia(cents):
+        best = F.aggregate(
+            F.array(*[F.lit(None)]),  # placeholder, replaced below
+            F.lit(0.0),
+            lambda acc, _: acc,
+        )
+        # distance to the assigned centroid via a second fold
+        from sql_data_warehouse_samples_spark.operators.similarity import (
+            _cent_literal,
+        )
+
+        def closer(acc, cent):
+            d2 = l2sq(F.col("embedding"), cent["vec"])
+            return F.least(acc, d2)
+
+        best = F.aggregate(
+            _cent_literal(cents), F.lit(float("inf")), closer
+        )
+        return e.agg(F.sum(best)).collect()[0][0]
+
+    seeds = seed_centroids(e, nlist=8)
+    refined = kmeans_centroids(e, nlist=8, iters=2)
+    assert len(refined) == 8
+    assert inertia(refined) < inertia(seeds)
+
+    out = ivf_topk(e, e.filter("vec_id < 3"), k=4, nlist=8, nprobe=3, train_iters=2)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.nbr_rank)
+    assert per_q and all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
