@@ -78,6 +78,19 @@ class Engine:
         self.external = ExternalObjects(self.spark)
         self._requests: list[RequestRecord] = []
         self._steps: list[tuple] = []  # (request_id, step_index, op, detail, row_count)
+        # sys.dm_pdw_exec_sessions parity: one session per Engine handle
+        # (UserActivitiesDetails.sql:1-3); loads tracked for the
+        # UserActivities "Loads" quadrant (UserActivities.sql:26-31)
+        import getpass
+
+        self._session = {
+            "session_id": f"SID{id(self) % 100000}",
+            "login_name": getpass.getuser(),
+            "app_name": self.spark.sparkContext.appName,
+            "status": "Active",
+            "login_time": time.time(),
+        }
+        self._load_log: list[dict] = []
         # static principal/role config — vw_security_role_members parity
         # (microsoft.vw_security_role_members.sql:10-12); no real authz
         self._role_members: list[tuple[str, str]] = [("db_owner", "dbo")]
@@ -165,6 +178,7 @@ class Engine:
         # CTAS materialized the cleaned rows into the managed table — drop
         # the cached CSV stage so repeated loads don't accumulate blocks
         result.release()
+        self._load_log.extend(loader.audit_log)
         return result
 
     def run_script(self, statements: list[str], dialect: str = "spark") -> list:
@@ -338,6 +352,29 @@ class Engine:
             " executor_run_ms long",
         ).filter("job_id >= 0")
 
+    def exec_sessions(self) -> DataFrame:
+        """sys.dm_pdw_exec_sessions parity (UserActivitiesDetails.sql:1-3)."""
+        import datetime as dt
+
+        s = self._session
+        return self.spark.createDataFrame(
+            [
+                (
+                    s["session_id"],
+                    s["status"],
+                    s["login_name"],
+                    dt.datetime.fromtimestamp(s["login_time"]),
+                    s["app_name"],
+                    len(self._requests),
+                )
+            ],
+            "session_id string, status string, login_name string,"
+            " login_time timestamp, app_name string, request_count int",
+        )
+
+    def close_session(self) -> None:
+        self._session["status"] = "Closed"
+
     def resource_waits(self) -> DataFrame:
         """sys.dm_pdw_resource_waits parity (vw_query_queue.sql:10)."""
         return self.spark.createDataFrame(
@@ -470,6 +507,40 @@ class Engine:
                    ROUND(SUM(disk_spill_bytes) / 1e6, 3) AS tempdb_mb
             FROM meta_memory
             GROUP BY request_id
+            """
+        )
+        # sessions + the four-quadrant activity monitor
+        # (UserActivities.sql:1-31: active sessions / active queries /
+        #  queued queries / running loads)
+        self.exec_sessions().createOrReplaceTempView("meta_sessions")
+        import datetime as dt
+
+        self.spark.createDataFrame(
+            [
+                (
+                    e["path"],
+                    e["table"],
+                    e["rows_loaded"],
+                    e["rows_rejected"],
+                    float(e["elapsed_sec"]),
+                )
+                for e in self._load_log
+            ]
+            or [("", "", -1, 0, 0.0)],
+            "path string, table string, rows_loaded long, rows_rejected long,"
+            " elapsed_sec double",
+        ).filter("rows_loaded >= 0").createOrReplaceTempView("meta_load_runs")
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_user_activities AS
+            SELECT
+              (SELECT COUNT(*) FROM meta_sessions
+               WHERE status <> 'Closed') AS Active_Sessions,
+              (SELECT COUNT(*) FROM meta_requests
+               WHERE status NOT IN ('Completed','Failed','Cancelled')) AS Active_Queries,
+              (SELECT COUNT(*) FROM meta_resource_waits
+               WHERE state = 'Queued') AS Queued_Queries,
+              (SELECT COUNT(*) FROM meta_load_runs) AS Loads
             """
         )
         self._register_statistics_views()

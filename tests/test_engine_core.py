@@ -709,3 +709,54 @@ def test_refresh_replicated_tables(engine, spark):
     state = {r.table_name: r for r in engine.replicated_state().collect()}
     rec = state["testfact.nation_r2"]
     assert rec.cache_state == "Ready" and rec.row_count == 10
+
+
+def test_sessions_and_user_activities(engine):
+    """UserActivities.sql four-quadrant monitor + exec_sessions parity."""
+    engine.sql("SELECT 1 AS probe_ua", label="ua-probe")
+    engine.register_monitoring_views()
+    s = engine.spark.sql("SELECT * FROM meta_sessions").collect()[0]
+    assert s.status == "Active" and s.request_count >= 1
+    ua = engine.spark.sql("SELECT * FROM vw_user_activities").collect()[0]
+    assert ua.Active_Sessions == 1
+    assert ua.Active_Queries == 0  # engine.sql marks Completed at plan time
+    assert ua.Queued_Queries >= 0 and ua.Loads >= 0
+    engine.close_session()
+    engine.register_monitoring_views()
+    ua2 = engine.spark.sql("SELECT * FROM vw_user_activities").collect()[0]
+    assert ua2.Active_Sessions == 0
+    engine._session["status"] = "Active"  # restore for other tests
+
+
+def test_schema_sync_deployment(engine, spark):
+    """AddTableChanges/DeployTableChanges: staged source-schema manifest ->
+    ALTER ADD COLUMNS on drifted tables; excluded names skipped."""
+    from sql_data_warehouse_samples_spark.deploy import SchemaSync
+
+    engine.create_schema("deploytest")
+    base = spark.range(3).selectExpr("id AS pk", "CAST(id AS STRING) AS name")
+    try:
+        engine.create_table_as("deploytest.cust", base, mode="overwrite")
+        engine.create_table_as("deploytest.cust_Backup", base, mode="overwrite")
+
+        source_columns = [
+            ("cust", "pk", "bigint"),          # already present
+            ("cust", "loyalty_tier", "string"),  # new
+            ("cust", "signup_date", "date"),     # new
+            ("cust_Backup", "ghost", "int"),     # excluded by name filter
+            ("missing_tbl", "x", "int"),         # not in target -> skipped
+        ]
+        sync = SchemaSync(spark, engine.catalog)
+        deltas = sync.diff(source_columns, "deploytest")
+        assert {(d.table, d.column) for d in deltas} == {
+            ("deploytest.cust", "loyalty_tier"),
+            ("deploytest.cust", "signup_date"),
+        }
+        stmts = sync.apply(source_columns, "deploytest", engine)
+        assert len(stmts) == 1 and "ADD COLUMNS" in stmts[0]
+        cols = {c.name for c in spark.catalog.listColumns("cust", "deploytest")}
+        assert {"loyalty_tier", "signup_date"} <= cols
+        # idempotent: second run finds nothing
+        assert sync.diff(source_columns, "deploytest") == []
+    finally:
+        engine.catalog.drop_schema("deploytest", cascade=True)
