@@ -136,3 +136,106 @@ class ScaleLadder:
 
     def scale_down(self, **gate) -> int:
         return self.scale(self._step(-1), **gate)
+
+    # --- pause / resume (M5): SuspendOrPauseAzureSQLDataWarehouse.ps1,
+    # ResumeAzureSQLDataWarehouse.ps1, DWPauseTrigger/DWResumeTrigger ------
+
+    @property
+    def paused(self) -> bool:
+        return getattr(self, "_paused", False)
+
+    def pause(self, active_queries: int = 0) -> None:
+        """Suspend compute.  Refuses while queries run (the automation
+        scripts quiesce first); locally this is a state transition + an
+        operation-status row — on a cluster it would stop executors."""
+        if active_queries:
+            raise RuntimeError("cannot pause: queries are active")
+        if not self.paused:
+            now = time.time()
+            self.history.append(
+                ("PAUSE DATABASE", self.current, self.current, now, now, "COMPLETED")
+            )
+            self._paused = True
+
+    def resume(self) -> None:
+        if self.paused:
+            now = time.time()
+            self.history.append(
+                ("RESUME DATABASE", self.current, self.current, now, now, "COMPLETED")
+            )
+            self._paused = False
+
+
+class AutoScaler:
+    """Alert/timer-driven scale policy — the sqlDwAutoScaler function pair.
+
+    * ``ensure_default`` (ScaleSqlDwByTimer.cs:36-44): if the warehouse sits
+      below the default DWU, scale up to it.
+    * ``handle_alert`` (ScaleSqlDw.cs:44-120): an Activated "scale up" alert
+      steps one ladder level up (no-op at max); "scale down" steps one level
+      down unless inside the scheduled scale-up hours; every decision is
+      logged with DWU before/after, action, and error (DwScaleLogEntity).
+
+    ``clock`` is an injectable ``() -> local_hour`` so schedule behavior is
+    testable; the schedule window mirrors IsInsideScaleUpScheduleTime.
+    """
+
+    def __init__(
+        self,
+        ladder: ScaleLadder,
+        default_dwu: int = 500,
+        schedule_hours: tuple[int, int] = (8, 18),
+        clock=None,
+    ) -> None:
+        self.ladder = ladder
+        self.default_dwu = default_dwu
+        self.schedule_hours = schedule_hours
+        self._clock = clock or (lambda: time.localtime().tm_hour)
+        self.logs: list[dict] = []
+
+    def _log(self, alert: str, action: str, before: int, after: int, error: str | None = None) -> None:
+        self.logs.append(
+            {
+                "alert_name": alert,
+                "action": action,
+                "dwu_before": f"DW{before}",
+                "dwu_after": f"DW{after}",
+                "error": error,
+            }
+        )
+
+    def inside_schedule(self) -> bool:
+        lo, hi = self.schedule_hours
+        return lo <= self._clock() < hi
+
+    def ensure_default(self, **gate) -> int:
+        before = self.ladder.current
+        if before < self.default_dwu:
+            after = self.ladder.scale(self.default_dwu, **gate)
+            self._log("timer", "Scale Up", before, after)
+            return after
+        self._log("timer", "None", before, before)
+        return before
+
+    def handle_alert(self, alert_name: str, status: str = "Activated", **gate) -> int:
+        before = self.ladder.current
+        if status != "Activated":
+            self._log(alert_name, "None", before, before, "alert not activated")
+            return before
+        name = alert_name.lower()
+        if "scale up" in name:
+            after = self.ladder.scale_up(**gate)
+            self._log(alert_name, "Scale Up" if after != before else "None", before, after,
+                      None if after != before else "already at MAX level")
+            return after
+        if "scale down" in name:
+            if self.inside_schedule():
+                self._log(alert_name, "None", before, before,
+                          "inside scheduled scale up hours")
+                return before
+            after = self.ladder.scale_down(**gate)
+            self._log(alert_name, "Scale Down" if after != before else "None", before, after,
+                      None if after != before else "already at MIN level")
+            return after
+        self._log(alert_name, "None", before, before, "unrecognized alert")
+        return before

@@ -760,3 +760,44 @@ def test_schema_sync_deployment(engine, spark):
         assert sync.diff(source_columns, "deploytest") == []
     finally:
         engine.catalog.drop_schema("deploytest", cascade=True)
+
+
+def test_autoscaler_policy_and_pause_resume():
+    """sqlDwAutoScaler policy (timer default, alert step up/down, schedule
+    gate, decision log) + pause/resume operation rows."""
+    from sql_data_warehouse_samples_spark.wlm import AutoScaler, ScaleLadder
+
+    hour = [12]  # inside the 8-18 schedule
+    sl = ScaleLadder(current=200)
+    a = AutoScaler(sl, default_dwu=500, clock=lambda: hour[0])
+
+    assert a.ensure_default() == 500          # timer: below default → default
+    assert a.ensure_default() == 500          # already there → no-op
+    assert a.handle_alert("DW scale up alert") == 600
+    # scale down refused inside scheduled hours
+    assert a.handle_alert("DW scale down alert") == 600
+    assert a.logs[-1]["error"] == "inside scheduled scale up hours"
+    hour[0] = 22                              # outside schedule → allowed
+    assert a.handle_alert("DW scale down alert") == 500
+    # resolved alerts are ignored
+    assert a.handle_alert("DW scale up alert", status="Resolved") == 500
+    # log carries before/after
+    assert a.logs[0] == {
+        "alert_name": "timer", "action": "Scale Up",
+        "dwu_before": "DW200", "dwu_after": "DW500", "error": None,
+    }
+    # max-level no-op
+    sl2 = ScaleLadder(current=6000)
+    a2 = AutoScaler(sl2, clock=lambda: 22)
+    assert a2.handle_alert("scale up") == 6000
+    assert a2.logs[-1]["error"] == "already at MAX level"
+
+    # pause / resume
+    with pytest.raises(RuntimeError):
+        sl.pause(active_queries=2)
+    sl.pause()
+    assert sl.paused
+    sl.resume()
+    assert not sl.paused
+    ops = [h[0] for h in sl.history]
+    assert "PAUSE DATABASE" in ops and "RESUME DATABASE" in ops
