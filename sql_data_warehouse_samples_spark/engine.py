@@ -423,6 +423,18 @@ class Engine:
             GROUP BY resource_class
             """
         )
+        # concurrency pivot (running_queued_queries_slots.sql:1-12)
+        self.spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW vw_running_queued_slots AS
+            SELECT
+              SUM(CASE WHEN state = 'Granted' THEN 1 ELSE 0 END) AS running_queries,
+              SUM(CASE WHEN state = 'Granted' THEN slots ELSE 0 END) AS running_queries_slots,
+              SUM(CASE WHEN state = 'Queued' THEN 1 ELSE 0 END) AS queued_queries,
+              SUM(CASE WHEN state = 'Queued' THEN slots ELSE 0 END) AS queued_queries_slots
+            FROM meta_resource_waits
+            """
+        )
         self.spark.sql(
             """
             CREATE OR REPLACE TEMP VIEW vw_query_steps AS

@@ -308,6 +308,8 @@ def test_full_monitoring_view_corpus(engine):
         "vw_table_space_by_distribution", "vw_table_space_by_distribution_type",
         "vw_table_space_by_index_type", "vw_tables_with_skew",
         "vw_statistics_age", "vw_security_role_members",
+        "vw_running_queued_slots", "vw_user_activities", "vw_memory_consumption",
+        "vw_tempdb_usage", "vw_latest_backup", "vw_slo_status", "vw_tde_status",
     ]
     for v in views:
         engine.spark.sql(f"SELECT * FROM {v}").collect()
