@@ -352,6 +352,28 @@ class Engine:
             " executor_run_ms long",
         ).filter("job_id >= 0")
 
+    def pdw_nodes(self) -> DataFrame:
+        """sys.dm_pdw_nodes parity: one row per executor (compute node) plus
+        the driver (control node), with per-node resource counters from the
+        status REST API (metrics.py)."""
+        from .metrics import executor_metrics
+
+        rows = executor_metrics(self.spark)
+        cols = (
+            "node_id string, node_type string, host_port string,"
+            " is_active boolean, rdd_blocks long, memory_used_bytes long,"
+            " disk_used_bytes long, total_cores long, max_tasks long,"
+            " active_tasks long, completed_tasks long, failed_tasks long,"
+            " total_task_ms long, total_gc_ms long, input_bytes long,"
+            " shuffle_read_bytes long, shuffle_write_bytes long,"
+            " max_memory_bytes long"
+        )
+        names = [c.strip().split(" ")[0] for c in cols.split(",")]
+        data = [tuple(r[n] for n in names) for r in rows] or [
+            ("", "", "", False) + (0,) * 14
+        ]
+        return self.spark.createDataFrame(data, cols).filter("node_id != ''")
+
     def exec_sessions(self) -> DataFrame:
         """sys.dm_pdw_exec_sessions parity (UserActivitiesDetails.sql:1-3)."""
         import datetime as dt
@@ -521,6 +543,8 @@ class Engine:
             GROUP BY request_id
             """
         )
+        # node-level resource DMV (sys.dm_pdw_nodes)
+        self.pdw_nodes().createOrReplaceTempView("meta_nodes")
         # sessions + the four-quadrant activity monitor
         # (UserActivities.sql:1-31: active sessions / active queries /
         #  queued queries / running loads)

@@ -38,6 +38,54 @@ _FIELDS = {
 EMPTY = {v: 0 for v in _FIELDS.values()}
 
 
+#: ExecutorSummary fields → node DMV columns (sys.dm_pdw_nodes parity:
+#: one Spark executor = one compute node; the driver = the control node).
+_EXEC_FIELDS = {
+    "rddBlocks": "rdd_blocks",
+    "memoryUsed": "memory_used_bytes",
+    "diskUsed": "disk_used_bytes",
+    "totalCores": "total_cores",
+    "maxTasks": "max_tasks",
+    "activeTasks": "active_tasks",
+    "completedTasks": "completed_tasks",
+    "failedTasks": "failed_tasks",
+    "totalDuration": "total_task_ms",
+    "totalGCTime": "total_gc_ms",
+    "totalInputBytes": "input_bytes",
+    "totalShuffleRead": "shuffle_read_bytes",
+    "totalShuffleWrite": "shuffle_write_bytes",
+    "maxMemory": "max_memory_bytes",
+}
+
+
+def executor_metrics(spark) -> list[dict]:
+    """One row per executor (+ the driver) from ``/api/v1/.../executors`` —
+    feeds the node-level DMV (sys.dm_pdw_nodes / per-node resource usage).
+    Empty list when the UI/REST server is off."""
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return []
+    url = f"{base}/api/v1/applications/{sc.applicationId}/executors"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            execs: list[dict[str, Any]] = json.load(resp)
+    except Exception:  # noqa: BLE001 — metrics must never break a DMV query
+        return []
+    out = []
+    for e in execs:
+        row = {
+            "node_id": str(e.get("id", "")),
+            "node_type": "CONTROL" if e.get("id") == "driver" else "COMPUTE",
+            "host_port": str(e.get("hostPort", "")),
+            "is_active": bool(e.get("isActive", False)),
+        }
+        for field, col in _EXEC_FIELDS.items():
+            row[col] = int(e.get(field, 0) or 0)
+        out.append(row)
+    return out
+
+
 def stage_metrics(spark) -> dict[int, dict[str, int]]:
     """{stage_id: {dmv_column: value}} for every stage attempt the status
     store still holds (latest attempt wins).  Empty dict if the UI/REST

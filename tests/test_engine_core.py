@@ -450,6 +450,10 @@ def test_shuffle_and_memory_metrics(engine):
         f"SELECT * FROM vw_memory_consumption WHERE request_id = '{rid}'"
     ).collect()
     assert mem and mem[0].peak_memory_bytes > 0
+    # node-level DMV: at least one active node with completed tasks
+    nodes = engine.spark.sql("SELECT * FROM meta_nodes").collect()
+    assert nodes and any(n.completed_tasks > 0 and n.is_active for n in nodes)
+    assert any(n.total_cores > 0 for n in nodes)
     # tempdb view runs (no spill expected at this scale)
     engine.spark.sql("SELECT * FROM vw_tempdb_usage").collect()
 
