@@ -67,11 +67,12 @@ def test_simhash_near_dups(docs_with_dups):
 
 
 def test_lsh_bucket_cap_bounds_mass_duplicates(spark):
-    """A mass-duplicate cluster (600 identical docs → one LSH bucket) must
-    stay LINEAR: star pairs against the min-id representative, not C(n,2)."""
+    """A mass-duplicate cluster (10k identical docs → one LSH bucket) must
+    stay LINEAR: star pairs against the min-id representative, not the
+    ~50M-pair C(n,2) blowup of an uncapped pairwise join."""
     from sql_data_warehouse_samples_spark.operators.dedup import minhash_dedup_pairs
 
-    n = 600
+    n = 10_000
     text = "the quick brown fox jumps over the lazy dog and keeps on running far away"
     rows = [(i, text) for i in range(n)]
     rows += [(n + i, f"distinct document number {i} about topic {i * 7}") for i in range(5)]
