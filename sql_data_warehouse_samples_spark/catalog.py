@@ -231,6 +231,68 @@ class Catalog:
             extras.append(f"PARTITION ({layout.partition_column})")
         return base + "\n-- WITH (" + ", ".join(extras) + ")"
 
+    #: Spark DDL type → T-SQL rendering for scripted clone DDL
+    #: (usp_ConstructCreateStatementForTable.sql:44-50 type/precision cases).
+    _SPARK_TO_TSQL = {
+        "bigint": "[bigint]",
+        "int": "[int]",
+        "smallint": "[smallint]",
+        "tinyint": "[tinyint]",
+        "double": "[float]",
+        "float": "[real]",
+        "boolean": "[bit]",
+        "date": "[date]",
+        "timestamp": "[datetime2](7)",
+        "timestamp_ntz": "[datetime2](7)",
+        "string": "[nvarchar](4000)",
+        "binary": "[varbinary](8000)",
+    }
+
+    def construct_create_statement(self, name: str, name_appendix: str = "") -> str:
+        """Full T-SQL-shaped clone DDL — usp_ConstructCreateStatementForTable
+        parity (deployments/usp_ConstructCreateStatementForTable.sql:25-100):
+        bracketed identifiers, typed column list with NULL/NOT NULL, and the
+        WITH (DISTRIBUTION = ..., index clause) the reference appends.  The
+        ``name_appendix`` supports the script's table-clone workflow
+        (GetCreateStatement_Table.sql)."""
+        schema_name, table_name = name.split(".", 1)
+        df = self.spark.table(self._q(name))
+        cols = []
+        for f in df.schema.fields:
+            dtype = f.dataType.simpleString()
+            if dtype.startswith("decimal"):
+                rendered = "[decimal]" + dtype[len("decimal"):].replace(",", ", ")
+            else:
+                rendered = self._SPARK_TO_TSQL.get(dtype, f"[{dtype}]")
+            nullness = " NULL" if f.nullable else " NOT NULL"
+            cols.append(f"   [{f.name}] {rendered}{nullness}")
+        layout = self.get_layout(name)
+        if layout.distribution == "hash":
+            dist = f"HASH([{layout.distribution_column}])"
+        elif layout.distribution == "replicate":
+            dist = "REPLICATE"
+        else:
+            dist = "ROUND_ROBIN"
+        if layout.sort_columns:
+            index = (
+                "CLUSTERED INDEX ("
+                + ", ".join(f"[{c}]" for c in layout.sort_columns)
+                + ")"
+            )
+        elif layout.index_type == "heap":
+            index = "HEAP"
+        else:
+            index = "CLUSTERED COLUMNSTORE INDEX"
+        return (
+            f"CREATE TABLE [{schema_name}].[{table_name}{name_appendix}]\n(\n"
+            + ",\n".join(cols)
+            + "\n)\nWITH ( DISTRIBUTION = "
+            + dist
+            + ", "
+            + index
+            + " )"
+        )
+
 
 def with_identity(
     df: DataFrame, col_name: str = "id", start: int = 1, dense: bool = True

@@ -807,3 +807,17 @@ def test_autoscaler_policy_and_pause_resume():
     assert not sl.paused
     ops = [h[0] for h in sl.history]
     assert "PAUSE DATABASE" in ops and "RESUME DATABASE" in ops
+
+
+def test_construct_create_statement(engine):
+    """usp_ConstructCreateStatementForTable parity: full T-SQL clone DDL
+    with bracketed typed columns, nullability, and the WITH clause."""
+    ddl = engine.catalog.construct_create_statement(
+        "testfact.lineitem_h", name_appendix="_BKP"
+    )
+    assert ddl.startswith("CREATE TABLE [testfact].[lineitem_h_BKP]\n(")
+    assert "[l_orderkey] [bigint]" in ddl
+    assert "[l_quantity] [float]" in ddl or "[l_quantity] [decimal]" in ddl
+    assert ddl.rstrip().endswith(")")
+    assert "DISTRIBUTION = HASH([l_orderkey])" in ddl
+    assert "NULL" in ddl  # nullability rendered per column
