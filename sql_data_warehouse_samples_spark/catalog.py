@@ -216,6 +216,22 @@ class Catalog:
         guard = "IF EXISTS " if if_exists else ""
         self.spark.sql(f"DROP VIEW {guard}{self._q(name)}")
 
+    def show_create_view(self, name: str) -> str:
+        """View definition scripting (GetCreateStatement_Function_Proc_View
+        .sql:1-20 — sys.sql_modules extract for deployment scripts)."""
+        return self.spark.sql(
+            f"SHOW CREATE TABLE {self._q(name)}"
+        ).collect()[0][0]
+
+    def script_schema_views(self, schema: str) -> dict[str, str]:
+        """All view definitions of a schema, name → CREATE statement — the
+        GenerateScripts.ps1 bulk-extract loop."""
+        out = {}
+        for t in self.spark.catalog.listTables(schema):
+            if t.tableType == "VIEW" and not t.isTemporary:
+                out[t.name] = self.show_create_view(f"{schema}.{t.name}")
+        return out
+
     # --- DDL scripting (D15: usp_ConstructCreateStatementForTable) -------
 
     def show_create_table(self, name: str) -> str:

@@ -96,7 +96,17 @@ class StatisticsService:
                 f"ANALYZE TABLE {q} COMPUTE STATISTICS FOR COLUMNS {cols}"
             )
             self.spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
+            # record the analyzed row count — the control-node belief the
+            # ImpactedTables drift check compares against (Spark drops the
+            # catalog estimate on writes, the ledger keeps the last one)
+            entry["row_count"] = catalog_row_estimate(self.spark, table)
         self._ledger.append(entry)
+
+    def last_analyzed_rows(self, table: str) -> int | None:
+        for e in reversed(self._ledger):
+            if e["table"] == table and e.get("row_count") is not None:
+                return e["row_count"]
+        return None
 
     def generate_statistics_ddl(
         self,
@@ -220,6 +230,89 @@ class CompactionService:
             for t in tables
             if self.rowgroup_health(t, min_total_rows)["needs_rebuild"]
         ]
+
+
+def catalog_row_estimate(spark: SparkSession, table: str) -> int | None:
+    """Optimizer row estimate from catalog statistics (the control-node
+    count the reference's ImpactedTables calls ctl_row_count) — None when
+    the table was never ANALYZEd."""
+    import re
+
+    rows = spark.sql(f"DESCRIBE EXTENDED {Catalog._q(table)}").collect()
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            m = re.search(r"(\d+)\s+rows", r["data_type"])
+            if m:
+                return int(m.group(1))
+    return None
+
+
+def impacted_tables(
+    spark: SparkSession,
+    catalog: Catalog,
+    meta: Meta,
+    tables: list[str],
+    min_rows: int = 1_000_000,
+    min_skew_percent: float = 10.0,
+    outdated_stats_pct: float = 20.0,
+    stats: "StatisticsService | None" = None,
+) -> DataFrame:
+    """ImpactedTables report (sqlops/MonitoringScripts/ImpactedTables:1-56):
+    tables whose optimizer statistics are missing or drifted from the actual
+    stored rows, or whose per-distribution layout is skewed.
+
+    * cmp_row_count — actual rows from parquet footers (compute-node truth)
+    * ctl_row_count — catalog statistics estimate (control-node belief)
+    * stat_info     — 'missing stats' (never analyzed) or 'outdated stats'
+      (|ctl−cmp|·100/cmp > ``outdated_stats_pct``)
+    * skew_info     — 'data skew' when (max−min)·100/total ≥
+      ``min_skew_percent`` across distributions
+    Only tables with cmp_row_count > ``min_rows`` AND at least one finding
+    are returned, like the reference's final filter.
+    """
+    rows = []
+    for t in tables:
+        ps = meta.partition_stats(t).agg(
+            F.count(F.lit(1)).alias("partitions"),
+            F.sum("row_count").alias("cmp"),
+            F.min("row_count").alias("mn"),
+            F.max("row_count").alias("mx"),
+        ).collect()[0]
+        cmp_rows = ps["cmp"] or 0
+        skew_pct = (
+            round((ps["mx"] - ps["mn"]) * 100.0 / cmp_rows, 2) if cmp_rows else 0.0
+        )
+        ctl_rows = catalog_row_estimate(spark, t)
+        if ctl_rows is None and stats is not None:
+            ctl_rows = stats.last_analyzed_rows(t)
+        if ctl_rows is None:
+            stat_info = "missing stats"
+        elif cmp_rows and abs(ctl_rows - cmp_rows) * 100.0 / cmp_rows > outdated_stats_pct:
+            stat_info = "outdated stats"
+        else:
+            stat_info = None
+        skew_info = "data skew" if skew_pct >= min_skew_percent else None
+        layout = catalog.get_layout(t)
+        if cmp_rows > min_rows and (stat_info or skew_info):
+            rows.append(
+                (
+                    t,
+                    layout.distribution,
+                    int(ps["partitions"]),
+                    int(ctl_rows) if ctl_rows is not None else None,
+                    int(cmp_rows),
+                    float(skew_pct),
+                    stat_info,
+                    skew_info,
+                )
+            )
+    return spark.createDataFrame(
+        rows
+        or [("", "", 0, None, -1, 0.0, None, None)],
+        "table string, distribution_type string, partitions int,"
+        " ctl_row_count long, cmp_row_count long, skew_percent double,"
+        " stat_info string, skew_info string",
+    ).filter("cmp_row_count >= 0")
 
 
 def health_report(spark: SparkSession, catalog: Catalog, meta: Meta, tables: list[str]) -> DataFrame:

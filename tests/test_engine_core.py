@@ -821,3 +821,49 @@ def test_construct_create_statement(engine):
     assert ddl.rstrip().endswith(")")
     assert "DISTRIBUTION = HASH([l_orderkey])" in ddl
     assert "NULL" in ddl  # nullability rendered per column
+
+
+def test_view_scripting(engine, spark):
+    """View-definition extraction for deployment scripts
+    (GetCreateStatement_Function_Proc_View.sql / GenerateScripts.ps1)."""
+    engine.create_schema("viewscript")
+    try:
+        base = spark.range(5).selectExpr("id", "id * 2 AS dbl")
+        engine.create_table_as("viewscript.base_t", base, mode="overwrite")
+        engine.catalog.create_view(
+            "viewscript.v_dbl", "SELECT id, dbl FROM viewscript.base_t WHERE dbl > 2"
+        )
+        ddl = engine.catalog.show_create_view("viewscript.v_dbl")
+        assert "CREATE VIEW" in ddl and "dbl > 2" in ddl
+        scripts = engine.catalog.script_schema_views("viewscript")
+        assert set(scripts) == {"v_dbl"} and scripts["v_dbl"] == ddl
+    finally:
+        engine.catalog.drop_schema("viewscript", cascade=True)
+
+
+def test_impacted_tables_report(engine, spark):
+    """ImpactedTables parity: missing stats -> analyzed-healthy ->
+    outdated stats after unanalyzed growth; skew classification."""
+    from sql_data_warehouse_samples_spark.catalog import round_robin_layout
+    from sql_data_warehouse_samples_spark.maintenance import impacted_tables
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    engine.create_table_as(
+        "testfact.li_imp", li, round_robin_layout(), mode="overwrite"
+    )
+    try:
+        args = (engine.spark, engine.catalog, engine.meta, ["testfact.li_imp"])
+        kw = {"min_rows": 1000, "stats": engine.stats}
+        rep = impacted_tables(*args, **kw).collect()
+        assert len(rep) == 1 and rep[0].stat_info == "missing stats"
+
+        engine.stats.create_statistics("testfact.li_imp")
+        assert impacted_tables(*args, **kw).collect() == []
+
+        # grow the table ~2x without re-analyzing -> outdated stats
+        engine.catalog.insert_into("testfact.li_imp", li)
+        rep2 = impacted_tables(*args, **kw).collect()
+        assert len(rep2) == 1 and rep2[0].stat_info == "outdated stats"
+        assert rep2[0].cmp_row_count == 2 * rep2[0].ctl_row_count
+    finally:
+        engine.catalog.drop_table("testfact.li_imp")
