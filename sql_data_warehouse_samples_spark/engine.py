@@ -398,12 +398,21 @@ class Engine:
         self._session["status"] = "Closed"
 
     def resource_waits(self) -> DataFrame:
-        """sys.dm_pdw_resource_waits parity (vw_query_queue.sql:10)."""
-        return self.spark.createDataFrame(
-            self.wlm.waits_log() or [("", "", "", 0.0, -1)],
+        """sys.dm_pdw_resource_waits parity (vw_query_queue.sql:10).
+        Carries the reference's column names too (``type``,
+        ``concurrency_slots_used`` — SlotUsage.sql:3-12) so the sqlops
+        monitoring scripts run near-verbatim through the rewriter."""
+        rows = [
+            w + ("UserConcurrencyResourceType",) for w in self.wlm.waits_log()
+        ] or [("", "", "", 0.0, -1, "")]
+        df = self.spark.createDataFrame(
+            rows,
             "request_id string, resource_class string, state string,"
-            " wait_sec double, slots int",
+            " wait_sec double, slots int, type string",
         ).filter("slots >= 0")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("concurrency_slots_used", F.col("slots"))
 
     def register_monitoring_views(self, tables: list[str] | None = None) -> None:
         """Port of the solutions/monitoring view corpus (SURVEY §2.10):
@@ -680,6 +689,12 @@ class Engine:
             self.meta.tables_with_skew().createOrReplaceTempView(
                 "vw_tables_with_skew"
             )
+            # stats-drift + skew classification (sqlops ImpactedTables:1-56)
+            from .maintenance import impacted_tables
+
+            impacted_tables(
+                self.spark, self.catalog, self.meta, tables, stats=self.stats
+            ).createOrReplaceTempView("vw_impacted_tables")
 
     def _register_statistics_views(self) -> None:
         """meta_statistics + vw_statistics_age (microsoft.vw_statistics_age.

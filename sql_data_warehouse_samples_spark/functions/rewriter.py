@@ -86,6 +86,10 @@ def _split_literals(sql: str) -> list[tuple[bool, str]]:
 
 def _rewrite_segment(seg: str) -> str:
     s = seg
+    # normalize bracketed catalog references ([sys].[dm_pdw_x]) so the
+    # relation map below matches the sqlops scripts verbatim
+    s = re.sub(r"\[sys\]\s*\.\s*\[(\w+)\]", r"sys.\1", s, flags=re.I)
+    s = re.sub(r"\bsys\s*\.\s*\[(\w+)\]", r"sys.\1", s, flags=re.I)
     s = re.sub(r"\[([^\]\[]+)\]", r"`\1`", s)
     # QUOTENAME(x) → concat('[', x, ']') — vw_table_sizes.sql:12 idiom.
     # Single-level parens in the argument are tolerated.

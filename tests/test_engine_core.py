@@ -309,6 +309,7 @@ def test_full_monitoring_view_corpus(engine):
         "vw_table_space_by_index_type", "vw_tables_with_skew",
         "vw_statistics_age", "vw_security_role_members",
         "vw_running_queued_slots", "vw_user_activities", "vw_memory_consumption",
+        "vw_impacted_tables",
         "vw_tempdb_usage", "vw_latest_backup", "vw_slo_status", "vw_tde_status",
     ]
     for v in views:
@@ -867,3 +868,28 @@ def test_impacted_tables_report(engine, spark):
         assert rep2[0].cmp_row_count == 2 * rep2[0].ctl_row_count
     finally:
         engine.catalog.drop_table("testfact.li_imp")
+
+
+def test_reference_slotusage_script_verbatim(engine):
+    """The reference's SlotUsage.sql (sqlops/MonitoringScripts/SlotUsage.sql
+    :1-12) runs UNMODIFIED through engine.tsql against the meta views."""
+    engine.sql("SELECT 1 AS warm3", label="warm3")
+    engine.register_monitoring_views()
+    script = """-- Total running queries and slots consumed
+SELECT
+\tSUM(CASE WHEN r.[status] ='Running'   THEN 1 ELSE 0 END)\t\t\t\t\t\t\t[running_queries]
+\t, SUM(CASE WHEN r.[status] ='Running'   THEN rw.concurrency_slots_used ELSE 0 END)\t[running_queries_slots]
+\t, SUM(CASE WHEN r.[status] ='Suspended' THEN 1 ELSE 0 END)\t\t\t\t\t\t\t[queued_queries]
+\t, SUM(CASE WHEN rw.[state] ='Queued'    THEN rw.concurrency_slots_used ELSE 0 END)\t[queued_queries_slots]
+FROM
+\t[sys].[dm_pdw_exec_requests] r 
+\tJOIN [sys].[dm_pdw_resource_waits] rw ON rw.request_id = r.request_id
+WHERE
+\t( (r.[status] = 'Running' AND r.[resource_class] IS NOT NULL ) OR r.[status] ='Suspended' )
+\tAND rw.[type] ='UserConcurrencyResourceType';"""
+    rows = engine.tsql(script).collect()
+    assert len(rows) == 1
+    assert set(rows[0].asDict()) == {
+        "running_queries", "running_queries_slots",
+        "queued_queries", "queued_queries_slots",
+    }
