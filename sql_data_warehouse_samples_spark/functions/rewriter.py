@@ -103,6 +103,10 @@ def _rewrite_segment(seg: str) -> str:
     s = re.sub(r"\bCOUNT_BIG\s*\(", "COUNT(", s, flags=re.I)
     s = re.sub(r"\b(?:GETDATE|SYSDATETIME|SYSUTCDATETIME)\s*\(\s*\)",
                "current_timestamp()", s, flags=re.I)
+    s = re.sub(r"\bDB_NAME\s*\(\s*\)", "current_database()", s, flags=re.I)
+    s = re.sub(r"\b(?:SUSER_SNAME|USER_NAME|CURRENT_USER)\s*\(\s*\)",
+               "current_user()", s, flags=re.I)
+    s = re.sub(r"\bNEWID\s*\(\s*\)", "uuid()", s, flags=re.I)
 
     def datefn(m: re.Match) -> str:
         fn, part = m.group(1).lower(), m.group(2).lower()
