@@ -153,9 +153,20 @@ class Engine:
         """Submit a T-SQL-flavored statement: rewritten to Spark SQL
         (functions/rewriter.py), OPTION(LABEL=...) becomes the request
         label — the reference monitoring corpus runs near-verbatim."""
+        import re
+
         from .functions.rewriter import rewrite_tsql
 
         spark_sql, label = rewrite_tsql(query)
+        # SESSION_ID() (UserActivitiesDetails.sql:3) resolves to THIS
+        # engine handle's session — an engine-context substitution the
+        # engine-agnostic rewriter can't make
+        spark_sql = re.sub(
+            r"\bSESSION_ID\s*\(\s*\)",
+            f"'{self._session['session_id']}'",
+            spark_sql,
+            flags=re.I,
+        )
         return self.sql(spark_sql, label=label, resource_class=resource_class)
 
     def load_csv(

@@ -50,6 +50,7 @@ _RELATION_MAP = {
     "sys.dm_pdw_exec_requests": "meta_requests",
     "sys.dm_pdw_request_steps": "meta_request_steps",
     "sys.dm_pdw_resource_waits": "meta_resource_waits",
+    "sys.dm_pdw_exec_sessions": "meta_sessions",
     "sys.dm_pdw_sql_requests": "vw_sql_requests",
     "sys.tables": "meta_tables",
     "sys.columns": "meta_columns",

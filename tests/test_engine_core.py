@@ -893,3 +893,20 @@ WHERE
         "running_queries", "running_queries_slots",
         "queued_queries", "queued_queries_slots",
     }
+
+
+def test_reference_useractivitiesdetails_verbatim(engine):
+    """UserActivitiesDetails.sql runs unmodified: sessions DMV mapping +
+    SESSION_ID() resolved to the engine's own session."""
+    engine.register_monitoring_views()
+    rows = engine.tsql(
+        """SELECT *
+    FROM sys.dm_pdw_exec_sessions 
+    WHERE status <> 'Closed' and session_id <> session_id()"""
+    ).collect()
+    # the only live session IS this engine's session, so it's excluded
+    assert rows == []
+    rows2 = engine.tsql(
+        "SELECT session_id FROM sys.dm_pdw_exec_sessions WHERE status <> 'Closed'"
+    ).collect()
+    assert len(rows2) == 1
