@@ -565,6 +565,8 @@ class Engine:
         )
         # node-level resource DMV (sys.dm_pdw_nodes)
         self.pdw_nodes().createOrReplaceTempView("meta_nodes")
+        # external-object catalog (sys.external_* / database_credentials)
+        self.external.register_views()
         # sessions + the four-quadrant activity monitor
         # (UserActivities.sql:1-31: active sessions / active queries /
         #  queued queries / running loads)

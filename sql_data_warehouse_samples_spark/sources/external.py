@@ -301,6 +301,44 @@ class ExternalObjects:
         cleaned = staged.withColumn("_is_bad", bad).filter("NOT _is_bad")
         return cleaned.select(*[loader._clean_column(s, opts) for s in tbl.columns])
 
+    def register_views(self) -> None:
+        """sys.external_tables / external_data_sources / external_file_formats
+        / database_credentials parity views (GenerateLoadScript-V1.sql:11-15,
+        sp_create_statistics.sql:54 exclusion joins).  Secrets stay masked."""
+        self.describe().createOrReplaceTempView("meta_external_tables")
+        ds_rows = [
+            (d.name, d.source_type, d.location, d.credential)
+            for d in self.data_sources.values()
+        ] or [("", "", "", None)]
+        self.spark.createDataFrame(
+            ds_rows,
+            "name string, source_type string, location string, credential string",
+        ).filter("name != ''").createOrReplaceTempView("meta_external_data_sources")
+        ff_rows = [
+            (
+                f.name,
+                f.format_type,
+                f.field_terminator,
+                f.string_delimiter,
+                f.date_format,
+                f.use_type_default,
+                f.compression,
+            )
+            for f in self.file_formats.values()
+        ] or [("", "", "", "", None, False, None)]
+        self.spark.createDataFrame(
+            ff_rows,
+            "name string, format_type string, field_terminator string,"
+            " string_delimiter string, date_format string,"
+            " use_type_default boolean, compression string",
+        ).filter("name != ''").createOrReplaceTempView("meta_external_file_formats")
+        cred_rows = [
+            (c.name, c.identity, c.has_secret) for c in self.credentials.values()
+        ] or [("", "", False)]
+        self.spark.createDataFrame(
+            cred_rows, "name string, identity string, has_secret boolean"
+        ).filter("name != ''").createOrReplaceTempView("meta_credentials")
+
     def describe(self) -> DataFrame:
         """sys.external_tables-style listing (secrets never surfaced)."""
         rows = [

@@ -234,5 +234,16 @@ def test_polybase_external_ddl_ctas_end_to_end(spark, tmp_path):
         # sys.external_tables-style listing
         ext = eng.external.describe().collect()
         assert ext[0].table_name == "ext_ACCOUNT_FACT" and ext[0].n_columns == 4
+        # external-object catalog views registered with the corpus
+        eng.register_monitoring_views()
+        assert eng.spark.sql(
+            "SELECT * FROM meta_external_data_sources"
+        ).collect()[0].name == "AzureStorage"
+        ff = eng.spark.sql("SELECT * FROM meta_external_file_formats").collect()[0]
+        assert ff.field_terminator == "," and not ff.use_type_default
+        cred = eng.spark.sql("SELECT * FROM meta_credentials").collect()[0]
+        assert cred.name == "AzureCredential" and cred.has_secret
+        assert "secret" not in {f.name.lower() for f in
+                                eng.spark.table("meta_credentials").schema.fields}
     finally:
         eng.catalog.drop_schema("pocdm", cascade=True)
