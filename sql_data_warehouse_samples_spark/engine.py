@@ -47,6 +47,7 @@ class RequestRecord:
 _REQUESTS_SCHEMA = T.StructType(
     [
         T.StructField("request_id", T.StringType()),
+        T.StructField("session_id", T.StringType()),
         T.StructField("command", T.StringType()),
         T.StructField("label", T.StringType()),
         T.StructField("resource_class", T.StringType()),
@@ -76,6 +77,9 @@ class Engine:
         self.stats = StatisticsService(self.spark)
         self.ops = OpsService(self.spark, self.catalog)
         self.external = ExternalObjects(self.spark)
+        from .pdw_catalog import PdwSysCatalog
+
+        self.pdw_sys = PdwSysCatalog(self)
         self._requests: list[RequestRecord] = []
         self._steps: list[tuple] = []  # (request_id, step_index, op, detail, row_count)
         # sys.dm_pdw_exec_sessions parity: one session per Engine handle
@@ -275,6 +279,7 @@ class Engine:
         rows = [
             (
                 r.request_id,
+                self._session["session_id"],
                 r.command,
                 r.label,
                 r.resource_class,
@@ -423,7 +428,12 @@ class Engine:
         ).filter("slots >= 0")
         from pyspark.sql import functions as F
 
-        return df.withColumn("concurrency_slots_used", F.col("slots"))
+        return df.withColumn("concurrency_slots_used", F.col("slots")).withColumn(
+            # when the request entered the queue (queued_queries.sql:4
+            # computes queued_sec as GETDATE() - request_time)
+            "request_time",
+            F.current_timestamp() - F.expr("make_interval(0,0,0,0,0,0,wait_sec)"),
+        )
 
     def register_monitoring_views(self, tables: list[str] | None = None) -> None:
         """Port of the solutions/monitoring view corpus (SURVEY §2.10):
@@ -708,6 +718,19 @@ class Engine:
             impacted_tables(
                 self.spark, self.catalog, self.meta, tables, stats=self.stats
             ).createOrReplaceTempView("vw_impacted_tables")
+        # the raw sys.* PDW catalog (pdw_catalog.py) — what the sqlops
+        # scripts actually join — plus its scalar helpers
+        self.pdw_sys.register(tables)
+        from pyspark.sql import types as T
+
+        cur_db = self.spark.catalog.currentDatabase()
+        # DB_NAME(db_id) with an argument (TempdbConsumption.sql:6):
+        # database_id 2 is tempdb, like SQL Server's fixed id
+        self.spark.udf.register(
+            "DB_NAME",
+            lambda dbid: "tempdb" if dbid == 2 else cur_db,
+            T.StringType(),
+        )
 
     def _register_statistics_views(self) -> None:
         """meta_statistics + vw_statistics_age (microsoft.vw_statistics_age.

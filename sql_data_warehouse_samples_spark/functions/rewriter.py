@@ -16,6 +16,8 @@ of scope; the rewriter covers the dialect gap the corpus actually uses:
 * ``OPTION (LABEL = '...')``      → stripped; returned as the request label
 
 * ``QUOTENAME(x)``                → ``concat('[', x, ']')``
+* ``AS 'alias'``                  → ``AS `alias``` (TempdbConsumption.sql:4)
+* ``[alias] = expr`` select item  → ``expr AS alias`` (queued_queries.sql:5)
 * ``'lit' + x`` / ``x + 'lit'``   → ``||`` (literal-adjacent ``+`` only —
   a ``+`` with no string-literal neighbor stays numeric addition)
 * ``IF OBJECT_ID('..') IS NOT NULL DROP TABLE t`` → ``DROP TABLE IF EXISTS``
@@ -45,18 +47,53 @@ _DATEPARTS = {
     "microsecond": "MICROSECOND", "mcs": "MICROSECOND",
 }
 
-# DMV / catalog view names → our meta views (SURVEY §2.10)
+# DMV / catalog view names → our meta views (SURVEY §2.10).  The raw
+# ``sys.*`` catalog relations (pdw_sys_*) come from pdw_catalog.py; the
+# engine-log DMVs (meta_*) from engine.py.  Replacement iterates
+# longest-name-first so prefix pairs (sys.stats / sys.stats_columns)
+# can't mis-resolve.
 _RELATION_MAP = {
     "sys.dm_pdw_exec_requests": "meta_requests",
     "sys.dm_pdw_request_steps": "meta_request_steps",
     "sys.dm_pdw_resource_waits": "meta_resource_waits",
     "sys.dm_pdw_exec_sessions": "meta_sessions",
-    "sys.dm_pdw_sql_requests": "vw_sql_requests",
-    "sys.tables": "meta_tables",
-    "sys.columns": "meta_columns",
-    "sys.dm_pdw_nodes_db_partition_stats": "meta_partition_stats",
-    "sys.pdw_nodes_column_store_row_groups": "meta_rowgroups",
     "sys.database_role_members": "meta_role_members",
+    # raw PDW catalog (pdw_catalog.py)
+    "sys.schemas": "pdw_sys_schemas",
+    "sys.tables": "pdw_sys_tables",
+    "sys.objects": "pdw_sys_objects",
+    "sys.columns": "pdw_sys_columns",
+    "sys.types": "pdw_sys_types",
+    "sys.indexes": "pdw_sys_indexes",
+    "sys.stats": "pdw_sys_stats",
+    "sys.stats_columns": "pdw_sys_stats_columns",
+    "sys.pdw_table_distribution_properties":
+        "pdw_sys_pdw_table_distribution_properties",
+    "sys.pdw_column_distribution_properties":
+        "pdw_sys_pdw_column_distribution_properties",
+    "sys.pdw_table_mappings": "pdw_sys_pdw_table_mappings",
+    "sys.pdw_nodes_tables": "pdw_sys_pdw_nodes_tables",
+    "sys.pdw_distributions": "pdw_sys_pdw_distributions",
+    "sys.dm_pdw_nodes": "pdw_sys_dm_pdw_nodes",
+    "sys.dm_pdw_nodes_db_partition_stats":
+        "pdw_sys_dm_pdw_nodes_db_partition_stats",
+    "sys.pdw_nodes_column_store_row_groups":
+        "pdw_sys_pdw_nodes_column_store_row_groups",
+    "sys.dm_pdw_nodes_db_column_store_row_group_physical_stats":
+        "pdw_sys_dm_pdw_nodes_db_column_store_row_group_physical_stats",
+    "sys.dm_pdw_nodes_os_performance_counters":
+        "pdw_sys_dm_pdw_nodes_os_performance_counters",
+    "sys.dm_pdw_nodes_db_session_space_usage":
+        "pdw_sys_dm_pdw_nodes_db_session_space_usage",
+    "sys.dm_pdw_waits": "pdw_sys_dm_pdw_waits",
+    "sys.dm_pdw_dms_external_work": "pdw_sys_dm_pdw_dms_external_work",
+    "sys.dm_pdw_nodes_exec_query_memory_grants":
+        "pdw_sys_dm_pdw_nodes_exec_query_memory_grants",
+    "sys.dm_pdw_sql_requests": "pdw_sys_dm_pdw_sql_requests",
+    "sys.pdw_loader_backup_runs": "pdw_sys_pdw_loader_backup_runs",
+    "sys.databases": "pdw_sys_databases",
+    "sys.database_service_objectives": "pdw_sys_database_service_objectives",
+    "sys.dm_operation_status": "pdw_sys_dm_operation_status",
 }
 
 _TSQL_TYPES = {
@@ -137,8 +174,9 @@ def _rewrite_segment(seg: str) -> str:
         r"\s*([^(),]+(?:\([^()]*\))?[^(),]*)\s*(?:,\s*\d+\s*)?\)",
         convert, s, flags=re.I,
     )
-    for tsql_name, ours in _RELATION_MAP.items():
-        s = re.sub(re.escape(tsql_name) + r"\b", ours, s, flags=re.I)
+    for tsql_name in sorted(_RELATION_MAP, key=len, reverse=True):
+        s = re.sub(re.escape(tsql_name) + r"\b", _RELATION_MAP[tsql_name],
+                   s, flags=re.I)
     return s
 
 
@@ -202,6 +240,61 @@ def _rewrite_tops(out: str) -> str:
         ) + out[m.end() :]
 
 
+def _alias_equals(sql: str) -> str:
+    """T-SQL ``[alias] = expr`` select items → ``expr AS alias``
+    (queued_queries.sql:5 ``[queued_sec] = DATEDIFF(...) / 1000.0``).
+
+    Only bracketed aliases directly after ``SELECT`` or a select-list comma
+    are rewritten (a bare ``[col] = x`` in WHERE/ON is preceded by neither),
+    and the expression end is found with a literal-aware depth scan — the
+    next depth-0 comma, FROM, or statement end."""
+    while True:
+        lit_spans = [m.span() for m in _LITERAL_RE.finditer(sql)]
+
+        def in_literal(i: int) -> bool:
+            return any(a <= i < b for a, b in lit_spans)
+
+        m = next(
+            (
+                m
+                for m in re.finditer(
+                    r"(,|\bSELECT\b)\s*\[(\w+)\]\s*=\s*(?![=<>])", sql, re.I
+                )
+                if not in_literal(m.start())
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        alias = m.group(2)
+        depth = 0
+        end = len(sql)
+        for i in range(m.end(), len(sql)):
+            if in_literal(i):
+                continue
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch == ",":
+                    end = i
+                    break
+                if (
+                    ch in "FfOoGg"
+                    and not re.match(r"\w", sql[i - 1])
+                    and re.match(r"(?:FROM|ORDER|GROUP)\b", sql[i:], re.I)
+                ):
+                    end = i
+                    break
+        expr = sql[m.end() : end].rstrip()
+        sql = sql[: m.start()] + m.group(1) + " " + expr + f" AS `{alias}` " + sql[end:]
+
+
 def rewrite_tsql(sql: str) -> tuple[str, str | None]:
     """Rewrite one T-SQL statement → (spark_sql, label_or_None)."""
     label = None
@@ -209,6 +302,11 @@ def rewrite_tsql(sql: str) -> tuple[str, str | None]:
     if m:
         label = m.group(1).replace("''", "'")
         sql = sql[: m.start()] + sql[m.end() :]
+
+    # T-SQL quoted column alias (TempdbConsumption.sql:4 ``AS 'x'``) —
+    # rewritten before literal splitting (the alias IS a quoted span)
+    sql = re.sub(r"\bAS\s+'([A-Za-z_][\w ]*)'", r"AS `\1`", sql, flags=re.I)
+    sql = _alias_equals(sql)
 
     # existence-guarded drop (GenerateLoadScript-V3 staging pattern):
     # IF OBJECT_ID('x'[, 'U']) IS NOT NULL DROP TABLE|VIEW t → IF EXISTS
