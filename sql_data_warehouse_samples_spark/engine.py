@@ -173,6 +173,35 @@ class Engine:
         )
         return self.sql(spark_sql, label=label, resource_class=resource_class)
 
+    def tsql_script(self, text: str) -> list:
+        """Run a multi-batch T-SQL deployment script VERBATIM — the
+        ``PRINT 'Info: ...'; GO; CREATE VIEW ...; GO`` shape of the
+        monitoring solution (solutions/monitoring/scripts/{schema,views,
+        clean}.sql).
+
+        Batches split on ``GO`` lines.  ``PRINT`` batches are logged, not
+        executed; ``DROP PROCEDURE`` batches are skipped (procedures are a
+        Python API here — D14).  Returns [(batch_sql, DataFrame | None)].
+        """
+        import re
+
+        results = []
+        for batch in re.split(r"(?im)^\s*GO\s*;?\s*$", text):
+            stmt = batch.strip().rstrip(";").strip()
+            # leading line comments don't decide the batch's kind
+            stmt = re.sub(r"(?m)\A(?:\s*--[^\n]*\n)+", "", stmt).strip()
+            if not stmt:
+                continue
+            m = re.match(r"(?is)^PRINT\s+'((?:[^']|'')*)'$", stmt)
+            if m:
+                results.append((stmt, None))
+                continue
+            if re.search(r"(?i)\bDROP\s+PROCEDURE\b", stmt):
+                results.append((stmt, None))
+                continue
+            results.append((stmt, self.tsql(stmt)))
+        return results
+
     def load_csv(
         self,
         path: str,
@@ -290,7 +319,12 @@ class Engine:
             )
             for r in self._requests
         ]
-        return self.spark.createDataFrame(rows, _REQUESTS_SCHEMA)
+        from pyspark.sql import functions as F
+
+        # the DMV's own name for elapsed ms (vw_query_steps.sql:10)
+        return self.spark.createDataFrame(rows, _REQUESTS_SCHEMA).withColumn(
+            "total_elapsed_time", F.col("total_elapsed_ms")
+        )
 
     def finalize_request(self, request_id: str, df: DataFrame) -> None:
         """Refresh a request's step rows with executed-plan metrics (the
@@ -304,12 +338,22 @@ class Engine:
                 self._steps.append((request_id, i, op, detail, rc))
 
     def request_steps(self) -> DataFrame:
-        """sys.dm_pdw_request_steps parity (vw_query_steps.sql:14-19)."""
-        return self.spark.createDataFrame(
-            self._steps or [("", -1, "", "", None)],
-            "request_id string, step_index int, operation_type string,"
-            " detail string, row_count long",
-        ).filter("step_index >= 0")
+        """sys.dm_pdw_request_steps parity (vw_query_steps.sql:14-19;
+        location_type/status/total_elapsed_time are the columns
+        vw_query_step_details.sql:15-19 projects)."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.createDataFrame(
+                self._steps or [("", -1, "", "", None)],
+                "request_id string, step_index int, operation_type string,"
+                " detail string, row_count long",
+            )
+            .filter("step_index >= 0")
+            .withColumn("location_type", F.lit("Compute"))
+            .withColumn("status", F.lit("Complete"))
+            .withColumn("total_elapsed_time", F.lit(None).cast("long"))
+        )
 
     def task_requests(self) -> DataFrame:
         """sys.dm_pdw_sql_requests parity: one row per executed stage of each

@@ -57,7 +57,7 @@ _RELATION_MAP = {
     "sys.dm_pdw_request_steps": "meta_request_steps",
     "sys.dm_pdw_resource_waits": "meta_resource_waits",
     "sys.dm_pdw_exec_sessions": "meta_sessions",
-    "sys.database_role_members": "meta_role_members",
+    "sys.database_role_members": "pdw_sys_database_role_members",
     # raw PDW catalog (pdw_catalog.py)
     "sys.schemas": "pdw_sys_schemas",
     "sys.tables": "pdw_sys_tables",
@@ -87,6 +87,10 @@ _RELATION_MAP = {
         "pdw_sys_dm_pdw_nodes_db_session_space_usage",
     "sys.dm_pdw_waits": "pdw_sys_dm_pdw_waits",
     "sys.dm_pdw_dms_external_work": "pdw_sys_dm_pdw_dms_external_work",
+    "sys.dm_pdw_dms_workers": "pdw_sys_dm_pdw_dms_workers",
+    "sys.database_principals": "pdw_sys_database_principals",
+    "sys.views": "pdw_sys_views",
+    "sys.procedures": "pdw_sys_procedures",
     "sys.dm_pdw_nodes_exec_query_memory_grants":
         "pdw_sys_dm_pdw_nodes_exec_query_memory_grants",
     "sys.dm_pdw_sql_requests": "pdw_sys_dm_pdw_sql_requests",
@@ -128,6 +132,11 @@ def _rewrite_segment(seg: str) -> str:
     # relation map below matches the sqlops scripts verbatim
     s = re.sub(r"\[sys\]\s*\.\s*\[(\w+)\]", r"sys.\1", s, flags=re.I)
     s = re.sub(r"\bsys\s*\.\s*\[(\w+)\]", r"sys.\1", s, flags=re.I)
+    # the monitoring solution deploys into a 'microsoft' schema
+    # (schema/microsoft.sql:4); its views land here as schema-flattened
+    # temp views (microsoft.vw_x → microsoft_vw_x)
+    s = re.sub(r"\[microsoft\]\s*\.\s*\[(\w+)\]", r"microsoft_\1", s, flags=re.I)
+    s = re.sub(r"\bmicrosoft\s*\.\s*\[?(\w+)\]?", r"microsoft_\1", s, flags=re.I)
     s = re.sub(r"\[([^\]\[]+)\]", r"`\1`", s)
     # QUOTENAME(x) → concat('[', x, ']') — vw_table_sizes.sql:12 idiom.
     # Single-level parens in the argument are tolerated.
@@ -307,6 +316,22 @@ def rewrite_tsql(sql: str) -> tuple[str, str | None]:
     # rewritten before literal splitting (the alias IS a quoted span)
     sql = re.sub(r"\bAS\s+'([A-Za-z_][\w ]*)'", r"AS `\1`", sql, flags=re.I)
     sql = _alias_equals(sql)
+    # N'unicode literal' → plain literal (clean.sql:5)
+    sql = re.sub(r"\bN'", "'", sql)
+    # CREATE VIEW → temp view (the monitoring solution's views/*.sql deploy;
+    # temp because they sit over session-scoped DMV snapshots)
+    sql = re.sub(
+        r"\bCREATE\s+VIEW\b", "CREATE OR REPLACE TEMP VIEW", sql, flags=re.I
+    )
+    # catalog-guarded drops (clean.sql:5-13):
+    # IF EXISTS (SELECT ...) DROP VIEW|SCHEMA|PROCEDURE x → DROP x IF EXISTS
+    sql = re.sub(
+        r"\bIF\s+EXISTS\s*\((?:[^()]|\([^()]*\))*\)\s*"
+        r"DROP\s+(VIEW|PROCEDURE|SCHEMA)\s+",
+        r"DROP \1 IF EXISTS ",
+        sql,
+        flags=re.I,
+    )
 
     # existence-guarded drop (GenerateLoadScript-V3 staging pattern):
     # IF OBJECT_ID('x'[, 'U']) IS NOT NULL DROP TABLE|VIEW t → IF EXISTS

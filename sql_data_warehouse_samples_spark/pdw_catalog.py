@@ -136,6 +136,13 @@ class PdwSysCatalog:
             [(name, sid) for name, sid in schemas.items()],
             "name string, schema_id long",
         ).createOrReplaceTempView("pdw_sys_schemas")
+        from pyspark.sql import types as T
+
+        name_of = {sid: name for name, sid in schemas.items()}
+        # SCHEMA_NAME(schema_id) (clean.sql:5 existence guards)
+        self.spark.udf.register(
+            "SCHEMA_NAME", lambda sid: name_of.get(sid), T.StringType()
+        )
         self._df(
             [(n, o, s, "U", "USER_TABLE") for n, o, s in tbls],
             "name string, object_id long, schema_id long, type string,"
@@ -420,10 +427,10 @@ class PdwSysCatalog:
         for r in self.engine._requests:
             spid = object_id(r.request_id) % 100000
             sqlreqs.append(
-                (r.request_id, 0, -1, r.status,
+                (r.request_id, 0, self._compute_ids()[0], -1, r.status, None,
                  dt.datetime.fromtimestamp(r.start_time or r.submit_time),
                  dt.datetime.fromtimestamp(r.end_time) if r.end_time else None,
-                 r.total_elapsed_ms, spid, r.command)
+                 r.total_elapsed_ms, None, spid, r.command)
             )
             if r.resource_class:
                 # grant = the class's slot share of executor memory — the
@@ -434,15 +441,58 @@ class PdwSysCatalog:
                 )
         self._df(
             sqlreqs,
-            "request_id string, step_index int, distribution_id int,"
-            " status string, start_time timestamp, end_time timestamp,"
-            " total_elapsed_time long, spid int, command string",
+            "request_id string, step_index int, pdw_node_id int,"
+            " distribution_id int, status string, error_id string,"
+            " start_time timestamp, end_time timestamp,"
+            " total_elapsed_time long, row_count long, spid int,"
+            " command string",
         ).createOrReplaceTempView("pdw_sys_dm_pdw_sql_requests")
         self._df(
             grants,
             "pdw_node_id int, session_id int, requested_memory_kb long,"
             " granted_memory_kb long, ideal_memory_kb long",
         ).createOrReplaceTempView("pdw_sys_dm_pdw_nodes_exec_query_memory_grants")
+
+        # DMS workers (vw_query_step_details.sql:24-33): our data-movement
+        # worker = a shuffle stage; bytes/rows from the status REST API
+        dms = []
+        for row in self.engine.task_requests().collect():
+            moved = row.shuffle_read_bytes + row.shuffle_write_bytes
+            rows_moved = row.shuffle_read_rows + row.shuffle_write_rows
+            elapsed = max(row.executor_run_ms, 1)
+            dms.append(
+                (row.request_id, 0, row.stage_id, "Complete",
+                 moved * 1000 // elapsed, moved, rows_moved, elapsed)
+            )
+        self._df(
+            dms,
+            "request_id string, step_index int, dms_step_index int,"
+            " status string, bytes_per_sec long, bytes_processed long,"
+            " rows_processed long, total_elapsed_time long",
+        ).createOrReplaceTempView("pdw_sys_dm_pdw_dms_workers")
+
+        # principals + role membership (vw_security_role_members.sql:8-16)
+        roles = sorted({r for r, _m in self.engine._role_members})
+        members = sorted({m for _r, m in self.engine._role_members})
+        pid = {name: i + 1 for i, name in enumerate(roles + members)}
+        self._df(
+            [(pid[r], r, "DATABASE_ROLE") for r in roles]
+            + [(pid[m], m, "SQL_USER") for m in members],
+            "principal_id int, name string, type_desc string",
+        ).createOrReplaceTempView("pdw_sys_database_principals")
+        self._df(
+            [(pid[r], pid[m]) for r, m in self.engine._role_members],
+            "role_principal_id int, member_principal_id int",
+        ).createOrReplaceTempView("pdw_sys_database_role_members")
+
+        # object-class catalog slices (clean.sql:4-13 existence guards)
+        self.spark.sql(
+            "SELECT name, object_id, schema_id FROM pdw_sys_objects"
+            " WHERE type = 'V'"
+        ).createOrReplaceTempView("pdw_sys_views")
+        self._df(
+            [], "name string, object_id long, schema_id long"
+        ).createOrReplaceTempView("pdw_sys_procedures")
 
         # loader backup runs (LatestBackup.sql:2-10)
         self.engine.ops.backup_runs().selectExpr(

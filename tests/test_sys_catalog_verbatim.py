@@ -105,6 +105,80 @@ def test_skew_detection_accounts_every_distribution(sysengine):
     assert all(r.Data_Size_GB > 0 for r in rows)
 
 
+MONSOL = "/root/reference/solutions/monitoring/scripts"
+
+#: deployment order: base views before the rollups that select from them
+MONITORING_DEPLOY = [
+    "schema/microsoft.sql",
+    "views/microsoft.vw_active_queries.sql",
+    "views/microsoft.vw_query_queue.sql",
+    "views/microsoft.vw_query_slots.sql",
+    "views/microsoft.vw_query_steps.sql",
+    "views/microsoft.vw_query_step_details.sql",
+    "views/microsoft.vw_sql_requests.sql",
+    "views/microsoft.vw_security_role_members.sql",
+    "views/microsoft.vw_statistics_age.sql",
+    "views/microsoft.vw_table_sizes.sql",
+    "views/microsoft.vw_table_space_summary.sql",
+    "views/microsoft.vw_table_space_by_distribution.sql",
+    "views/microsoft.vw_table_space_by_distribution_type.sql",
+    "views/microsoft.vw_table_space_by_index_type.sql",
+    "views/microsoft.vw_tables_with_skew.sql",
+]
+
+
+def test_monitoring_solution_deploys_verbatim(sysengine):
+    """The ENTIRE monitoring solution deploys byte-for-byte: the schema
+    script, all 14 view-definition scripts (PRINT/GO batches included),
+    then clean.sql tears it down — and every deployed view answers
+    queries with the reference's rows/columns."""
+    spark = sysengine.spark
+    for rel in MONITORING_DEPLOY:
+        with open(os.path.join(MONSOL, rel)) as f:
+            sysengine.tsql_script(f.read())
+    # the full-fidelity space-accounting view: one row per distribution,
+    # reserved = unused + data + index, reference column names intact
+    sizes = spark.table("microsoft_vw_table_sizes")
+    li_rows = [r for r in sizes.collect() if r.table_name == "li"]
+    assert len(li_rows) == 60  # 60-way hash layout → 60 distributions
+    for r in li_rows:
+        assert r.reserved_space_page_count == (
+            r.unused_space_page_count
+            + r.data_space_page_count
+            + r.index_space_page_count
+        )
+        assert r.two_part_name == "[sysfact].[li]"
+    assert (
+        spark.table("microsoft_vw_table_space_summary")
+        .filter("table_name = 'li'")
+        .collect()[0]
+        .table_row_count
+        == spark.table("sysfact.li").count()
+    )
+    # queue/steps/security/statistics views all resolve
+    for vw, min_rows in [
+        ("microsoft_vw_active_queries", 0),
+        ("microsoft_vw_query_queue", 0),
+        ("microsoft_vw_query_slots", 1),
+        ("microsoft_vw_query_steps", 1),
+        ("microsoft_vw_query_step_details", 1),
+        ("microsoft_vw_sql_requests", 1),
+        ("microsoft_vw_security_role_members", 1),
+        ("microsoft_vw_statistics_age", 2),
+        ("microsoft_vw_tables_with_skew", 1),
+        ("microsoft_vw_table_space_by_distribution", 60),
+        ("microsoft_vw_table_space_by_distribution_type", 1),
+        ("microsoft_vw_table_space_by_index_type", 1),
+    ]:
+        assert spark.table(vw).count() >= min_rows, vw
+    # teardown script runs verbatim too
+    with open(os.path.join(MONSOL, "clean.sql")) as f:
+        sysengine.tsql_script(f.read())
+    assert "microsoft_vw_table_sizes" not in [
+        t.name for t in spark.catalog.listTables()
+    ]
+
+
 def test_sys_catalog_join_spine_consistency(sysengine):
     """The emitted sys.* relations agree on join keys: tables ⋈ mappings ⋈
     nodes_tables ⋈ partition_stats resolves every distribution, and the
