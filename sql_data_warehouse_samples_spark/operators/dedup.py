@@ -427,3 +427,71 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination + incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def ngram_strings(text_col: Column | str, n: int = 8) -> Column:
+    """All (overlapping) word n-grams as space-joined strings; empty array
+    below n tokens — the contamination-check unit (n-gram overlap against
+    an eval set is the standard decontamination rule for training corpora)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    make = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Training docs sharing ANY word n-gram with a benchmark/eval doc.
+
+    Scale shape: explode each side to distinct n-gram hashes, then a
+    LEFT SEMI join on the hash — benchmark side is small (eval sets are),
+    so Catalyst broadcasts it; the train side is a map-only explode with
+    no pre-shuffle.  Returns distinct contaminated ``id_col`` rows.
+    """
+    t = train.select(
+        F.col(id_col), F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
+    )
+    b = benchmark.select(
+        F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
+    ).distinct()
+    return t.join(b, "g", "left_semi").select(id_col).distinct()
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New-batch ingestion dedup: drop batch docs whose exact (normalized)
+    content already exists in the corpus, then dedup within the batch.
+
+    The anti-join keys on the md5 content hash — ONE shuffle on a uniform
+    key (or a broadcast when the batch's hash set is small); the corpus is
+    never re-hashed more than once per ingest.  This is the daily-ingest
+    pattern for a growing 100 TB corpus: cost scales with the batch, not
+    the corpus, when the corpus-side hash set is precomputed/persisted.
+    """
+    bh = batch.withColumn("content_hash", F.md5(normalized_text(text_col)))
+    ch = corpus.select(F.md5(normalized_text(text_col)).alias("content_hash")).distinct()
+    fresh = bh.join(ch, "content_hash", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        fresh.withColumn("keep_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("keep_id"))
+        .drop("keep_id")
+    )

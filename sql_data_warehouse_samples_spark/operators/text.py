@@ -116,3 +116,89 @@ def bag_fingerprint(text: Column | str) -> Column:
     """
     bag = F.array_sort(F.array_distinct(tokens(text)))
     return F.substring(F.md5(F.concat_ws(" ", bag)), 1, 16)
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent token 2-grams, space-joined; empty array below 2 tokens."""
+    w = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(F.size(w) >= 2, make).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df, text_col: str, id_col: str):
+    """Gopher-style repetition/quality filter metrics (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 quality heuristics — public paper):
+    per document, the repeated-2-gram fraction, most-frequent-token
+    fraction, mean word length, alphabetic-token fraction, and a composite
+    ``gopher_pass`` flag.
+
+    Scale shape: token/2-gram frequencies via explode → groupBy
+    (map-side combine, one shuffle keyed (doc_id, token) — uniform keys),
+    NOT per-row higher-order-function folds (interpreted lambdas are
+    O(tokens²) per doc for frequency counting).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 — signature documentation
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("w"),
+        bigrams(text_col).alias("g"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).alias("n_ltr"),
+    )
+    tok_stats = (
+        d.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.max("count").alias("max_tok"),
+            F.sum(
+                F.when(F.col("t").rlike("[A-Za-z]"), F.col("count")).otherwise(0)
+            ).alias("n_alpha"),
+        )
+    )
+    gram_stats = (
+        d.select("doc_id", F.explode_outer("g").alias("g2"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("g2").alias("n_2grams"),
+            F.count_distinct("g2").alias("n_distinct_2grams"),
+        )
+    )
+    base = (
+        d.select("doc_id", "n_ltr")
+        .join(tok_stats, "doc_id")
+        .join(gram_stats, "doc_id")
+    )
+    nt = F.col("n_tokens").cast("double")
+    dup2 = F.round(
+        F.when(
+            F.col("n_2grams") > 0,
+            1.0 - F.col("n_distinct_2grams") / F.col("n_2grams").cast("double"),
+        ).otherwise(0.0),
+        6,
+    )
+    top_frac = F.round(F.col("max_tok") / nt, 6)
+    mean_len = F.round(F.col("n_ltr") / nt, 6)
+    alpha_frac = F.round(F.col("n_alpha") / nt, 6)
+    out = base.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.col("n_2grams"),
+        dup2.alias("dup_2gram_frac"),
+        top_frac.alias("top_token_frac"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_token_frac"),
+    )
+    gopher_pass = (
+        F.col("n_tokens").between(10, 100_000)
+        & (F.col("dup_2gram_frac") < 0.9)
+        & (F.col("top_token_frac") < 0.3)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("alpha_token_frac") > 0.7)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)

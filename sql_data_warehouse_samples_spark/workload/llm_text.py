@@ -305,3 +305,175 @@ def d06_train_test_split(spark, sf_dir):
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t05 — Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
+# repeated-2-gram fraction, top-token fraction, mean word length, alpha
+# fraction, composite pass flag.  Frequencies via explode→groupBy (one
+# uniform-key shuffle with map-side combine), not per-row lambda folds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t05_repetition_filters",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w,
+         LENGTH(regexp_replace(text, '\s+', '', 'g')) AS n_ltr
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS t FROM docs
+),
+cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS max_tok,
+         CAST(SUM(CASE WHEN regexp_matches(t, '[A-Za-z]') THEN c ELSE 0 END)
+              AS BIGINT) AS n_alpha
+  FROM cnt GROUP BY 1
+),
+gram_stats AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(LEN(g.grams), 0) AS BIGINT) AS n_2grams,
+         CAST(COALESCE(LEN(list_distinct(g.grams)), 0) AS BIGINT)
+           AS n_distinct_2grams
+  FROM docs d
+  JOIN (
+    SELECT doc_id,
+           CASE WHEN LEN(w) >= 2
+                THEN list_transform(range(1, LEN(w)),
+                                    i -> concat(w[i], ' ', w[i + 1]))
+                ELSE [] END AS grams
+    FROM docs
+  ) g ON d.doc_id = g.doc_id
+)
+SELECT d.doc_id,
+       ts.n_tokens,
+       gs.n_2grams,
+       ROUND(CASE WHEN gs.n_2grams > 0
+                  THEN 1.0 - gs.n_distinct_2grams / CAST(gs.n_2grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_2gram_frac,
+       ROUND(ts.max_tok / CAST(ts.n_tokens AS DOUBLE), 6) AS top_token_frac,
+       ROUND(d.n_ltr / CAST(ts.n_tokens AS DOUBLE), 6) AS mean_word_len,
+       ROUND(ts.n_alpha / CAST(ts.n_tokens AS DOUBLE), 6) AS alpha_token_frac,
+       (ts.n_tokens BETWEEN 10 AND 100000)
+         AND ROUND(CASE WHEN gs.n_2grams > 0
+                        THEN 1.0 - gs.n_distinct_2grams / CAST(gs.n_2grams AS DOUBLE)
+                        ELSE 0.0 END, 6) < 0.9
+         AND ROUND(ts.max_tok / CAST(ts.n_tokens AS DOUBLE), 6) < 0.3
+         AND ROUND(d.n_ltr / CAST(ts.n_tokens AS DOUBLE), 6) BETWEEN 2.0 AND 12.0
+         AND ROUND(ts.n_alpha / CAST(ts.n_tokens AS DOUBLE), 6) > 0.7
+         AS gopher_pass
+FROM docs d
+JOIN tok_stats ts ON d.doc_id = ts.doc_id
+JOIN gram_stats gs ON d.doc_id = gs.doc_id
+""",
+)
+def t05_repetition_filters(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return T.repetition_metrics(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d07 — benchmark decontamination: training docs sharing any word 8-gram
+# with the (deterministic) eval slice doc_id % 97 == 0.  Benchmark side is
+# tiny → broadcast semi-join on the exploded n-gram.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d07_benchmark_contamination",
+    oracle=r"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN LEN(w) >= 8
+                THEN list_transform(range(1, LEN(w) - 6),
+                                    i -> array_to_string(w[i:i + 7], ' '))
+                ELSE [] END) AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT DISTINCT t.doc_id
+FROM train t JOIN bench b ON t.g = b.g
+""",
+)
+def d07_benchmark_contamination(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.contaminated_ids(train, bench, "text", "doc_id", n=8)
+
+
+# ---------------------------------------------------------------------------
+# d08 — incremental ingest dedup: the "new batch" (doc_id >= 400) anti-joins
+# the existing corpus (doc_id < 400) on the content hash, then dedups
+# within itself.  Daily-ingest pattern: cost scales with the batch.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d08_incremental_dedup",
+    oracle=r"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS content_hash
+  FROM documents
+),
+corpus AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 400),
+batch AS (SELECT * FROM hashed WHERE doc_id >= 400),
+fresh AS (
+  SELECT b.doc_id, b.content_hash
+  FROM batch b LEFT JOIN corpus c ON b.content_hash = c.content_hash
+  WHERE c.content_hash IS NULL
+)
+SELECT doc_id, content_hash
+FROM fresh
+WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fresh f2
+                WHERE f2.content_hash = fresh.content_hash)
+""",
+)
+def d08_incremental_dedup(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    return D.incremental_dedup(batch, corpus, "text", "doc_id").select(
+        "doc_id", "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p01 — sequence packing (operators/packing.py): greedy first-fit-decreasing
+# token bins per hash bucket via applyInPandas.  The greedy loop is not
+# SQL-expressible → rows-only driver check; the packing invariants (every
+# doc exactly once, fills ≤ capacity, FFD occupancy) are pytest-asserted in
+# tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+
+@query("p01_sequence_packing")
+def p01_sequence_packing(spark, sf_dir):
+    from ..operators.packing import pack_sequences
+
+    d = tbl(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "doc_id", "text", max_tokens=512, num_buckets=8)
+    return (
+        packed.groupBy("bucket", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("bin_fill").alias("bin_fill"),
+            F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        )
+        .orderBy("bucket", "bin_id")
+    )

@@ -442,3 +442,47 @@ def test_ivf_kmeans_refinement(spark):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.nbr_rank)
     assert per_q and all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    from sql_data_warehouse_samples_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = 256
+    packed = pack_sequences(docs, "doc_id", "text", max_tokens=cap, num_buckets=4)
+    rows = packed.collect()
+
+    # every document assigned exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    fills = {}
+    for r in rows:
+        fills.setdefault((r.bucket, r.bin_id), []).append(r)
+    for (_bkt, _bin), members in fills.items():
+        total = sum(m.n_tokens for m in members)
+        # reported fill is consistent and within capacity unless oversize
+        assert all(m.bin_fill == total for m in members)
+        if not any(m.oversize for m in members):
+            assert total <= cap
+        else:
+            assert len(members) == 1  # oversize docs pack alone
+    # first-fit property: at most ONE non-oversize bin per bucket is ≤ half
+    # full (had two been, the later bin's docs would have first-fit into
+    # the earlier one)
+    by_bucket = {}
+    for (bkt, b), members in fills.items():
+        if not any(m.oversize for m in members):
+            by_bucket.setdefault(bkt, []).append(sum(m.n_tokens for m in members))
+    for bkt, totals in by_bucket.items():
+        assert sum(1 for t in totals if t <= cap // 2) <= 1, (bkt, totals)
+    # deterministic: re-running yields the identical assignment
+    again = pack_sequences(
+        docs, "doc_id", "text", max_tokens=cap, num_buckets=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
