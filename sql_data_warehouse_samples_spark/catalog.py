@@ -53,6 +53,9 @@ class TableLayout:
     # join key by the same count join WITHOUT an Exchange (J14 — "data
     # collocated at query time", white-papers/...md:42-43)
     buckets: int | None = None
+    # declared surrogate-key column (T-SQL IDENTITY(s,i) in CREATE TABLE);
+    # with_identity() supplies the values at load time
+    identity_column: str | None = None
 
     def __post_init__(self) -> None:
         if self.distribution not in VALID_DISTRIBUTIONS:
@@ -77,6 +80,8 @@ class TableLayout:
             props["sdw.partition_expr"] = self.partition_expr
         if self.buckets:
             props["sdw.buckets"] = str(self.buckets)
+        if self.identity_column:
+            props["sdw.identity_column"] = self.identity_column
         return props
 
     @classmethod
@@ -89,6 +94,7 @@ class TableLayout:
             partition_expr=props.get("sdw.partition_expr"),
             index_type=props.get("sdw.index_type", "cci"),
             buckets=int(props["sdw.buckets"]) if props.get("sdw.buckets") else None,
+            identity_column=props.get("sdw.identity_column"),
         )
 
 

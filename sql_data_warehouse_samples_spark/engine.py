@@ -199,7 +199,9 @@ class Engine:
             if re.search(r"(?i)\bDROP\s+PROCEDURE\b", stmt):
                 results.append((stmt, None))
                 continue
-            results.append((stmt, self.tsql(stmt)))
+            # same dispatch as run_script: external DDL → distributed
+            # CTAS → physical CREATE TABLE DDL → plain T-SQL
+            results.append((stmt, self.run_script([stmt], dialect="tsql")[0]))
         return results
 
     def load_csv(
@@ -253,6 +255,9 @@ class Engine:
                 if ctas is not None:
                     results.append(ctas)
                     continue
+                if self._try_create_table_ddl(s):
+                    results.append(None)
+                    continue
                 results.append(self.tsql(s))
             else:
                 results.append(self.sql(s))
@@ -298,6 +303,145 @@ class Engine:
         df = self.tsql(m.group("select"))
         self.create_table_as(table, df, layout)
         return df
+
+    #: T-SQL column type → Spark type for verbatim CREATE TABLE DDL
+    _DDL_TYPES = {
+        "int": "int", "bigint": "bigint", "smallint": "smallint",
+        "tinyint": "tinyint", "bit": "boolean", "date": "date",
+        "datetime": "timestamp", "datetime2": "timestamp",
+        "smalldatetime": "timestamp", "time": "string",
+        "float": "double", "real": "float",
+        "money": "decimal(19,4)", "smallmoney": "decimal(10,4)",
+        "nvarchar": "string", "varchar": "string", "char": "string",
+        "nchar": "string", "sysname": "string", "varbinary": "binary",
+        "binary": "binary", "uniqueidentifier": "string",
+    }
+
+    @staticmethod
+    def _match_paren(s: str, start: int) -> int:
+        """Index just past the ')' matching the '(' at ``start``."""
+        depth = 0
+        for i in range(start, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        raise ValueError("unbalanced parentheses in DDL")
+
+    def _try_create_table_ddl(self, stmt: str) -> bool:
+        """Verbatim WWI-style physical DDL (samples/databases/
+        wide-world-importers/tables/*.sql): ``CREATE TABLE [S].[T] (cols...)
+        WITH (DISTRIBUTION = ..., CLUSTERED [COLUMNSTORE] INDEX [(k ASC)]
+        [, PARTITION (col RANGE ...)])`` → an empty managed parquet table
+        with the declared layout.
+
+        Mapping: HASH(col) → 60-way hash layout, CLUSTERED INDEX (k) →
+        sort-within-files clustering, PARTITION(col RANGE ...) → value
+        partitioning on the column (range boundaries are a PDW physical
+        detail — Spark prunes on partition values directly).  IDENTITY(s,i)
+        is recorded as the surrogate-key column (`catalog.with_identity`
+        supplies values at load).  Returns True when the statement was DDL.
+        """
+        import re
+
+        from pyspark.sql import types as T
+
+        from .catalog import hash_layout, replicate_layout, round_robin_layout
+
+        s = stmt.strip().lstrip("\ufeff").rstrip(";").strip()
+        m = re.match(
+            r"CREATE\s+TABLE\s+((?:\[[^\]]+\]|\w+)(?:\s*\.\s*(?:\[[^\]]+\]|\w+))?)\s*\(",
+            s,
+            re.I,
+        )
+        if m is None:
+            return False
+        cols_open = m.end() - 1
+        cols_close = self._match_paren(s, cols_open)
+        rest = s[cols_close:].strip()
+        wm = re.match(r"WITH\s*\(", rest, re.I)
+        if wm is None:
+            return False
+        with_body = rest[wm.end() - 1 : self._match_paren(rest, wm.end() - 1)]
+        # AS SELECT would have matched the CTAS path before us
+        table = ".".join(
+            p.strip().strip("[]") for p in m.group(1).split(".")
+        ).lower().replace(" ", "_")
+
+        fields, identity_col = [], None
+        for coldef in self._split_depth0(s[cols_open + 1 : cols_close - 1]):
+            cm = re.match(
+                r"\s*(\[[^\]]+\]|\w+)\s+([A-Za-z]\w*)\s*(\(\s*(?:\d+"
+                r"(?:\s*,\s*\d+)?|MAX)\s*\))?\s*(IDENTITY\s*\([^)]*\))?"
+                r"\s*(NOT\s+NULL|NULL)?\s*$",
+                coldef,
+                re.I | re.S,
+            )
+            if cm is None:
+                return False
+            name = cm.group(1).strip("[]")
+            base = cm.group(2).lower()
+            if base in ("decimal", "numeric"):
+                spark_type = f"decimal{(cm.group(3) or '(18,0)')}"
+            else:
+                spark_type = self._DDL_TYPES.get(base)
+            if spark_type is None:
+                return False
+            nullable = (cm.group(5) or "NULL").upper().replace(" ", "") != "NOTNULL"
+            fields.append(T.StructField(name, T._parse_datatype_string(spark_type), nullable))
+            if cm.group(4):
+                identity_col = name
+
+        dm = re.search(
+            r"DISTRIBUTION\s*=\s*(HASH|ROUND_ROBIN|REPLICATE)"
+            r"(?:\s*\(\s*(\[[^\]]+\]|\w+)\s*\))?",
+            with_body,
+            re.I | re.S,
+        )
+        dist = (dm.group(1).upper() if dm else "ROUND_ROBIN")
+        if dist == "HASH" and dm.group(2):
+            layout = hash_layout(dm.group(2).strip("[]"))
+        elif dist == "REPLICATE":
+            layout = replicate_layout()
+        else:
+            layout = round_robin_layout()
+        cim = re.search(r"CLUSTERED\s+INDEX\s*\(([^)]*)\)", with_body, re.I | re.S)
+        if cim:
+            layout.index_type = "clustered"
+            layout.sort_columns = [
+                re.sub(r"\s+(ASC|DESC)\s*$", "", c.strip(), flags=re.I).strip("[] \t\n")
+                for c in cim.group(1).split(",")
+            ]
+        elif re.search(r"\bHEAP\b", with_body, re.I):
+            layout.index_type = "heap"
+        pm = re.search(r"PARTITION\s*\(\s*(\[[^\]]+\]|\w+)\s+RANGE", with_body, re.I | re.S)
+        if pm:
+            layout.partition_column = pm.group(1).strip("[]")
+        if identity_col:
+            layout.identity_column = identity_col
+
+        empty = self.spark.createDataFrame([], T.StructType(fields))
+        self.create_table_as(table, empty, layout)
+        return True
+
+    @staticmethod
+    def _split_depth0(text: str) -> list[str]:
+        out, depth, cur = [], 0, []
+        for ch in text:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur))
+        return out
 
     # --- DMV surfaces ----------------------------------------------------
 

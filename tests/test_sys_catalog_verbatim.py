@@ -105,6 +105,79 @@ def test_skew_detection_accounts_every_distribution(sysengine):
     assert all(r.Data_Size_GB > 0 for r in rows)
 
 
+def test_generate_rebuild_all_verbatim(sysengine):
+    """samples/scripts/indexes/generate_rebuild_all.sql (the statement-
+    generator the index-maintenance loop consumes) runs verbatim over the
+    raw rowgroup/mapping catalog and emits one REBUILD per table."""
+    df = _run(sysengine, "scripts/indexes/generate_rebuild_all.sql")
+    rows = df.collect()
+    stmts = [r[0] for r in rows]
+    assert "ALTER INDEX ALL ON sysfact.li REBUILD;" in stmts
+    # the generated statements run through the maintenance dispatcher
+    sysengine.run_script(
+        [
+            "REBUILD TABLE "
+            + s.removeprefix("ALTER INDEX ALL ON ").removesuffix(" REBUILD;")
+            for s in stmts
+            if "sysfact.li" in s
+        ]
+    )
+
+
+WWI = "/root/reference/samples/databases/wide-world-importers/tables"
+
+
+def test_wwi_schema_ddl_deploys_verbatim(spark, tmp_path_factory):
+    """The entire Wide World Importers physical schema (15 CREATE TABLE
+    scripts: bracketed space-named columns, NVARCHAR/DECIMAL/BIT/
+    VARBINARY(MAX)/DATETIME2 types, IDENTITY keys, HASH/ROUND_ROBIN/
+    REPLICATE distributions, CLUSTERED [COLUMNSTORE] INDEX, RANGE
+    partitioning) deploys verbatim through Engine.tsql_script."""
+    import glob
+
+    from sql_data_warehouse_samples_spark.engine import Engine
+
+    eng = Engine(spark)
+    for sch in ("dimension", "fact", "seed"):
+        eng.catalog.create_schema(sch)
+    try:
+        for path in sorted(glob.glob(os.path.join(WWI, "*.sql"))):
+            with open(path, encoding="utf-8-sig") as f:
+                eng.tsql_script(f.read())
+        tables = {
+            f"{db}.{t.name}"
+            for db in ("dimension", "fact", "seed")
+            for t in spark.catalog.listTables(db)
+            if not t.isTemporary
+        }
+        assert len(tables) == 15
+        sale = eng.catalog.get_layout("fact.sale")
+        assert sale.distribution == "hash"
+        assert sale.distribution_column == "WWI Invoice ID"
+        assert sale.partition_column == "Invoice Date Key"
+        assert sale.identity_column == "Sale Key"
+        date_dim = eng.catalog.get_layout("dimension.date")
+        assert date_dim.index_type == "clustered"
+        assert date_dim.sort_columns == ["Date"]
+        # typed columns survive: DECIMAL scale, DATE, BINARY photo blob
+        f_sale = {f.name: f.dataType.simpleString()
+                  for f in spark.table("fact.sale").schema.fields}
+        assert f_sale["Unit Price"] == "decimal(18,2)"
+        assert f_sale["Invoice Date Key"] == "date"
+        emp = {f.name: f.dataType.simpleString()
+               for f in spark.table("dimension.employee").schema.fields}
+        assert emp["Photo"] == "binary" and emp["Is Salesperson"] == "boolean"
+        # the deployed table is writable and readable
+        spark.sql(
+            "INSERT INTO dimension.transaction_type VALUES (1, 1, 'Invoice',"
+            " TIMESTAMP'2016-01-01 00:00:00', TIMESTAMP'9999-12-31 23:59:59', 1)"
+        )
+        assert spark.table("dimension.transaction_type").count() == 1
+    finally:
+        for sch in ("dimension", "fact", "seed"):
+            eng.catalog.drop_schema(sch, cascade=True)
+
+
 MONSOL = "/root/reference/solutions/monitoring/scripts"
 
 #: deployment order: base views before the rollups that select from them
