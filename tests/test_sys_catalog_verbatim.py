@@ -138,8 +138,10 @@ def test_wwi_schema_ddl_deploys_verbatim(spark, tmp_path_factory):
     from sql_data_warehouse_samples_spark.engine import Engine
 
     eng = Engine(spark)
-    for sch in ("dimension", "fact", "seed"):
-        eng.catalog.create_schema(sch)
+    # the schema scripts deploy verbatim too (security/schemas/*.sql)
+    for path in sorted(glob.glob(os.path.join(WWI, "../security/schemas/*.sql"))):
+        with open(path, encoding="utf-8-sig") as f:
+            eng.tsql_script(f.read())
     try:
         for path in sorted(glob.glob(os.path.join(WWI, "*.sql"))):
             with open(path, encoding="utf-8-sig") as f:
