@@ -1,0 +1,85 @@
+"""Streaming training-data ingest pipeline (SURVEY §2.14 extension).
+
+The batch LLM-pipeline operators (operators/text.py, operators/dedup.py)
+applied to a document STREAM: files land in a drop directory, and each
+micro-batch is quality-scored, Gopher-filtered, content-hashed, and
+deduplicated before reaching the corpus sink — the continuous-ingestion
+shape of a training-data pipeline (the batch d01/t02/t05 queries are the
+oracle for the streamed results, the same batch-equivalent-replay strategy
+as streaming/events.py).
+
+Scale notes:
+
+* Every transform is the SAME pure Column expression the batch path uses —
+  map-only, codegen'd, no Python in the hot path.
+* Streaming dedup state is the content hash within the watermark horizon
+  (``dropDuplicates`` keyed on the md5) — state size is bounded by the
+  horizon, not the corpus.  Cross-run exact dedup against the full corpus
+  is the batch ``incremental_dedup`` anti-join's job (d08), run per shard
+  close — the standard lambda split: cheap in-stream horizon dedup, exact
+  batch reconciliation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string,"
+    " n_chars long, ingest_ts timestamp"
+)
+
+
+def read_document_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Document drop-directory stream; one parquet file = one micro-batch."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def quality_gate(docs: DataFrame, min_tokens: int = 5, min_score: float = 0.3) -> DataFrame:
+    """Score + filter each micro-batch with the batch quality expressions
+    (operators/text.quality_score — identical results to the t02 query)."""
+    from ..operators import text as T
+
+    return (
+        docs.withColumn("n_tokens", T.token_count("text"))
+        .withColumn("quality", T.quality_score("text"))
+        .filter(
+            (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_score)
+        )
+    )
+
+
+def dedup_gate(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on the normalized content hash within the
+    watermark horizon (state-bounded; cross-shard dedup is d08's batch
+    anti-join)."""
+    from ..operators.dedup import normalized_text
+
+    return (
+        docs.withColumn("content_hash", F.md5(normalized_text("text")))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicates(["content_hash"])
+    )
+
+
+def ingest_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    min_tokens: int = 5,
+    min_score: float = 0.3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The full stream: read → quality gate → dedup gate.  Attach a sink
+    with ``writeStream`` (tests drive it with availableNow + a memory
+    sink; production writes parquet shards with a checkpoint)."""
+    docs = read_document_stream(spark, source_dir)
+    return dedup_gate(
+        quality_gate(docs, min_tokens, min_score), watermark
+    )

@@ -155,3 +155,78 @@ def test_checkpoint_recovery_exactly_once(spark, event_source, tmp_path):
     sunk = spark.read.parquet(out_dir)
     assert sunk.count() == total
     assert sunk.select("event_id").distinct().count() == total
+
+
+# ---------------------------------------------------------------------------
+# streaming training-data ingest (streaming/ingest.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ingest_quality_and_dedup(spark, tmp_path_factory):
+    """Docs streamed through the quality+dedup gates equal the batch
+    answer: same survivor hash set, exactly one row per content hash, and
+    a planted cross-batch duplicate is dropped."""
+    import os
+
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    src = str(tmp_path_factory.mktemp("doc_stream"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+        .select(*SI.DOC_SCHEMA.replace(" long", "").replace(" string", "")
+                .replace(" timestamp", "").split(", "))
+    )
+    rows = docs.collect()
+    third = (len(rows) + 2) // 3
+    batches = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    # plant a duplicate of batch-0's first doc into batch 2 (new id, same text)
+    first = batches[0][0]
+    dup = first.asDict()
+    dup["doc_id"] = 999_999
+    dup["ingest_ts"] = batches[2][-1]["ingest_ts"]
+    import pyspark.sql.types as T  # noqa: F401
+
+    batches[2] = batches[2] + [type(first)(**dup)]
+    import glob
+    import shutil
+
+    for i, part in enumerate(batches):
+        staged = os.path.join(src, f"_stage{i}")
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        shutil.move(
+            glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+            os.path.join(src, f"b{i}.parquet"),
+        )
+        shutil.rmtree(staged)
+
+    streamed = SI.ingest_pipeline(spark, src, min_tokens=5, min_score=0.3)
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("ingest_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("ingest_out").collect()
+
+    # batch oracle: same gates as a single batch job
+    from sql_data_warehouse_samples_spark.operators import text as Tops
+    from sql_data_warehouse_samples_spark.operators.dedup import normalized_text
+
+    batch = (
+        spark.read.parquet(os.path.join(src, "*.parquet"))
+        .withColumn("n_tokens", Tops.token_count("text"))
+        .withColumn("quality", Tops.quality_score("text"))
+        .filter("n_tokens >= 5 AND quality >= 0.3")
+        .withColumn("content_hash", F.md5(normalized_text("text")))
+    )
+    expected_hashes = {r.content_hash for r in batch.select("content_hash").collect()}
+    got_hashes = [r.content_hash for r in out]
+    assert set(got_hashes) == expected_hashes
+    assert len(got_hashes) == len(set(got_hashes))  # exactly-once per hash
+    # the planted duplicate did not survive (its hash appeared in batch 0)
+    assert sum(1 for r in out if r.doc_id == 999_999) == 0
