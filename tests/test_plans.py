@@ -130,3 +130,36 @@ def test_lsh_bucket_count_reuses_join_partitioning(spark):
         )
     }
     assert len(ex_ids) == 1
+
+
+def test_d07_contamination_broadcasts_benchmark_side(spark):
+    """The decontamination semi-join must broadcast the (small) benchmark
+    gram set — a shuffled semi-join of the full training corpus would be
+    the scale killer at 100 TB."""
+    df = workload.QUERIES["d07_benchmark_contamination"](spark, SF)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d08_incremental_dedup_single_anti_join(spark):
+    """Batch-vs-corpus dedup: one anti-join on the content hash (broadcast
+    or hash-shuffled — never sort-merge on the raw text), then the
+    in-batch min-over-window on the same key."""
+    df = workload.QUERIES["d08_incremental_dedup"](spark, SF)
+    plan = plan_str(df)
+    assert "LeftAnti" in plan
+    from sql_data_warehouse_samples_spark.plans.steps import count_exchanges
+
+    # hash shuffle for the window + at most one exchange per join side
+    assert count_exchanges(df) <= 4
+
+
+def test_t05_repetition_single_shuffle_per_frequency(spark):
+    """Gopher filters: token and 2-gram frequency each need ONE uniform
+    (doc_id, token)-keyed exchange with partial aggregation pushed
+    map-side; no Python UDFs anywhere in the plan."""
+    df = workload.QUERIES["t05_repetition_filters"](spark, SF)
+    plan = plan_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
