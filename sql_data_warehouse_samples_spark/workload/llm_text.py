@@ -477,3 +477,42 @@ def p01_sequence_packing(spark, sf_dir):
         )
         .orderBy("bucket", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t06 — corpus length distribution: exact interpolated percentiles of the
+# token-count distribution per source (the stats a pipeline uses to pick
+# truncation/packing capacities).  Spark percentile() and DuckDB
+# quantile_cont() share the interpolated definition.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t06_corpus_quantiles",
+    oracle=r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+       ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM (
+  SELECT source, LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+  FROM documents
+)
+GROUP BY source
+""",
+)
+def t06_corpus_quantiles(spark, sf_dir):
+    """Exact percentile() here for oracle parity; the 100 TB scale path is
+    percentile_approx (t-digest sketch, mergeable map-side) — asserted
+    within 2% of exact in test_workload_oracle.test_approx_quantile_scale_path."""
+    d = tbl(spark, sf_dir, "documents")
+    sized = d.select("source", T.token_count("text").alias("n_tokens"))
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

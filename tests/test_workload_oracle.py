@@ -53,3 +53,21 @@ def test_driver_priority_window_pinned():
     # everything in the window has either an oracle or a rows-only design
     rows_only = {n for n in window if n not in workload.ORACLES}
     assert rows_only == {"d03_minhash_lsh_pairs", "d04_simhash_pairs", "s02_ann_lsh_topk"}
+
+
+def test_approx_quantile_scale_path(spark):
+    """t06 uses exact percentile() for oracle parity; the 100 TB path is
+    percentile_approx (mergeable t-digest).  Both must agree within 2%."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators import text as T
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    sized = tbl(spark, "/root/testdata/sf0.01", "documents").select(
+        T.token_count("text").alias("n")
+    )
+    row = sized.agg(
+        F.expr("percentile(n, 0.9)").alias("exact"),
+        F.expr("percentile_approx(n, 0.9, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.02 * row.exact
