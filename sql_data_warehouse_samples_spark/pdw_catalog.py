@@ -82,7 +82,12 @@ class PdwSysCatalog:
 
     def _nodes(self) -> list[tuple[int, str, str]]:
         """[(pdw_node_id, type, name)] — driver = CONTROL; executors =
-        COMPUTE; on local[*] the driver doubles as the only COMPUTE node."""
+        COMPUTE; on local[*] the driver doubles as the only COMPUTE node.
+        Cached per ``register()`` pass — every call hits the status REST
+        endpoint otherwise (one HTTP round-trip per DMV row is the kind of
+        control-plane chatter that melts a 1000-executor driver)."""
+        if getattr(self, "_nodes_cache", None) is not None:
+            return self._nodes_cache
         from .metrics import executor_metrics
 
         rows = executor_metrics(self.spark)
@@ -94,6 +99,7 @@ class PdwSysCatalog:
                 nid += 1
         if len(out) == 1:  # local[*]: the driver is also the compute fleet
             out.append((_FIRST_COMPUTE_ID, "COMPUTE", "localhost"))
+        self._nodes_cache = out
         return out
 
     def _compute_ids(self) -> list[int]:
@@ -131,6 +137,7 @@ class PdwSysCatalog:
         ``tables`` limits the physical (parquet-footer) relations, exactly
         like ``Meta.register_views`` — the logical catalog is always full.
         """
+        self._nodes_cache = None  # refresh node topology once per register
         schemas, tbls, views, cols = self._catalog_rows()
         self._df(
             [(name, sid) for name, sid in schemas.items()],
