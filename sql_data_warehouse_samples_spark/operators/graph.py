@@ -1,0 +1,161 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Pairwise dedup (exact hash groups, MinHash/SimHash/embedding near-dup —
+``operators/dedup.py``) yields EDGES; a training-data pipeline needs the
+transitive closure: every document labeled with its duplicate-cluster id so
+one canonical representative per cluster survives.  A chain A~B~C must
+collapse to ONE cluster even though (A, C) was never emitted as a pair.
+
+Algorithm: the alternating large-star/small-star method of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC 2014) — the standard
+O(log n)-round formulation for bulk-synchronous engines.  Plain label
+propagation needs O(diameter) rounds, which is unbounded on near-dup
+chains; the alternating algorithm contracts every component to a star
+rooted at its minimum id in O(log^2 n) rounds regardless of shape, each
+round being one groupBy-min plus one equi-join (single shuffle pair, no
+collect_list — hub adjacency is never materialized on one row).
+
+Reference parity: the reference engine has no graph operator; this backs
+the LLM-pipeline dedup mandate (duplicate clusters over near-dup pair
+output, SURVEY.md §2.15) the way GraphFrames/GraphX users run it on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (min, max) pairs, self-loops dropped."""
+    return (
+        e.select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        adj.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Point every smaller-or-equal neighbor of u at min(N⁻(u))."""
+    down = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = down.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        down.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every node with its component id (the component's minimum id).
+
+    ``edges`` is an undirected pair list; ``nodes`` optionally supplies the
+    full vertex set so isolated vertices come back as their own singleton
+    component (otherwise only edge endpoints are labeled).  Returns
+    ``(id_col, component)``.
+
+    Each round CHECKPOINTS its edge frame — persist alone is not enough for
+    an iterative dataflow: the logical plan re-nests per round (each star
+    references the previous frame several times), so the Catalyst tree
+    grows geometrically and analysis itself OOMs the driver after a few
+    rounds.  Reliable ``checkpoint()`` is used when the session has a
+    checkpoint dir (the cluster-correct choice: survives executor loss);
+    otherwise ``localCheckpoint`` (executor-local blocks) keeps local and
+    test runs dependency-free.  Convergence is detected by a
+    (count, xxhash64-bit_xor) fingerprint of the canonical edge set: one
+    tiny driver action per round, never a collect of the data.
+    """
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _materialize(
+        _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    )
+    fp = _fingerprint(e)
+    for _ in range(max_iterations):
+        nxt = _materialize(_canon(_small_star(_large_star(e))))
+        nfp = _fingerprint(nxt)
+        e = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # fixed point: every canonical edge is (root, child) with root = the
+    # component minimum, so child -> root is the star assignment
+    star = e.select(F.col("v").alias(id_col), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias(id_col)).distinct()
+    labeled = star.union(
+        roots.select(F.col(id_col), F.col(id_col).alias("component"))
+    )
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(id_col)).distinct()
+        labeled = (
+            all_nodes.join(labeled, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("component"),
+            )
+        )
+    return labeled.distinct()
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cluster near-dup pair output: ``(id, component, is_canonical)``.
+
+    The canonical survivor per cluster is the minimum id (== component),
+    matching ``exact_dedup``'s min-doc_id keep rule, so downstream keeps
+    ``is_canonical`` rows and drops the rest.
+    """
+    cc = connected_components(pairs, id_a, id_b, nodes=nodes, id_col=id_col)
+    return cc.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("component")).cast("boolean")
+    )

@@ -516,3 +516,86 @@ def t06_corpus_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d09 — duplicate-cluster resolution: pairwise dedup output (exact
+# content-hash pairs over the whole corpus + Jaccard-verified near-dup
+# pairs on the bounded slice) is only EDGES; collapsing chains A~B~C into
+# one cluster takes connected components (operators/graph.py, alternating
+# large-star/small-star).  The oracle computes the same transitive closure
+# with a recursive CTE (min reachable id per node).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d09_duplicate_clusters",
+    oracle=r"""
+WITH RECURSIVE
+hashed AS (
+  SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+exact_e AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+docs AS (
+  SELECT doc_id, list_distinct(string_split_regex(TRIM(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 40
+),
+jac_e AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE LEN(list_intersect(a.toks, b.toks))
+        / NULLIF(CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0) >= 0.6
+),
+und AS (SELECT s, t FROM exact_e UNION SELECT s, t FROM jac_e),
+edges AS (SELECT s, t FROM und UNION SELECT t AS s, s AS t FROM und),
+reach AS (
+  SELECT s AS node, s AS comp FROM edges
+  UNION
+  SELECT e.t AS node, r.comp FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(MIN(comp) AS BIGINT) AS component,
+       CAST(MIN(comp) = node AS BOOLEAN) AS is_canonical
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def d09_duplicate_clusters(spark, sf_dir):
+    """Near-dup chains -> cluster labels.  Edge generation reuses the d01
+    content-hash and d02 Jaccard-verify paths; the closure is the
+    alternating-star algorithm (O(log n) rounds at any corpus size, each
+    round one groupBy-min + one equi-join)."""
+    from ..operators.graph import duplicate_clusters
+
+    d = tbl(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(D.normalized_text("text")).alias("h")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    exact_e = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+    toks = (
+        d.filter(F.col("doc_id") < 40)
+        .select("doc_id", F.array_distinct(T.tokens("text")).alias("toks"))
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    # raw (unrounded) similarity in the predicate, matching the oracle's
+    # filter exactly — D.jaccard rounds for display, which could flip a
+    # borderline pair across the threshold
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
+    jac_e = (
+        ta.join(tb, F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .filter(inter / F.nullif(union, F.lit(0.0)) >= 0.6)
+        .select(F.col("ta.doc_id").alias("id_a"), F.col("tb.doc_id").alias("id_b"))
+    )
+    pairs = exact_e.union(jac_e)
+    return duplicate_clusters(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component", "is_canonical"
+    ).orderBy("doc_id")

@@ -486,3 +486,99 @@ def test_pack_sequences_invariants(spark):
         docs, "doc_id", "text", max_tokens=cap, num_buckets=4
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def _cc_check(spark, edges, nodes=None):
+    from sql_data_warehouse_samples_spark.operators.graph import (
+        connected_components,
+    )
+
+    e_df = spark.createDataFrame(
+        edges or [(0, 0)], "src: long, dst: long"
+    )
+    if not edges:  # self-loop placeholder keeps the schema; canon drops it
+        e_df = e_df.filter("src <> dst")
+    n_df = (
+        spark.createDataFrame([(n,) for n in nodes], "id: long")
+        if nodes is not None
+        else None
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(e_df, nodes=n_df).collect()
+    }
+    universe = set(nodes) if nodes is not None else {x for e in edges for x in e}
+    want = _union_find_components(edges, universe)
+    assert got == want
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # a 12-node chain (diameter >> 1 forces multiple star rounds), two
+    # cliques, a bridge merging two groups, plus isolated vertices
+    chain = [(i, i + 1) for i in range(100, 112)]
+    clique_a = [(i, j) for i in range(3) for j in range(i + 1, 3)]
+    clique_b = [(i, j) for i in range(20, 24) for j in range(i + 1, 24)]
+    bridge = [(2, 23)]
+    edges = chain + clique_a + clique_b + bridge
+    nodes = list(range(0, 3)) + list(range(20, 24)) + list(range(100, 113)) + [777, 888]
+    _cc_check(spark, edges, nodes)
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(60))
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    _cc_check(spark, edges, nodes)
+
+
+def test_connected_components_empty_and_dup_edges(spark):
+    # duplicate + reversed edges collapse; empty edge set -> all singletons
+    _cc_check(spark, [(1, 2), (2, 1), (1, 2)], [1, 2, 3])
+    _cc_check(spark, [], [5, 6])
+
+
+def test_duplicate_clusters_canonical_flag(spark):
+    from sql_data_warehouse_samples_spark.operators.graph import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31)], "id_a: long, id_b: long"
+    )
+    rows = duplicate_clusters(pairs).collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id[10].component == 10 and by_id[10].is_canonical
+    assert by_id[12].component == 10 and not by_id[12].is_canonical
+    assert by_id[30].component == 30 and by_id[30].is_canonical
+    assert by_id[31].component == 30 and not by_id[31].is_canonical
