@@ -221,3 +221,36 @@ def repetition_metrics(df, text_col: str, id_col: str):
         & (F.col("alpha_token_frac") > 0.7)
     )
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (map-only regex; no shuffle)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround)
+# so the SAME pattern string runs on Spark executors and in the DuckDB
+# oracle.  Insertion order IS the redaction order: emails first (their
+# local parts can contain digits that the later numeric patterns would
+# otherwise mangle), then phones, then IPv4.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern in the ORIGINAL text."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text, F.lit(pat))
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with its placeholder token, chained in
+    ``PII_PATTERNS`` order (counts are taken on the original text, the
+    redaction is cumulative)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(PII_PATTERNS):
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out

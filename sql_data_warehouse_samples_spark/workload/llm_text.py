@@ -599,3 +599,54 @@ def d09_duplicate_clusters(spark, sf_dir):
     return duplicate_clusters(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component", "is_canonical"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t07 — PII detection + redaction (operators/text.py PII_PATTERNS).  The
+# synthetic corpus carries no PII, so the query plants a deterministic
+# email/phone/IPv4 per doc (round-robin by doc_id) IDENTICALLY on both
+# sides, then counts on the original and redacts cumulatively — an exact
+# end-to-end oracle for the regex surface (Java-regex ∩ RE2 subset).
+# ---------------------------------------------------------------------------
+
+_T07_DECORATE_SQL = r"""
+text || CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+  WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
+  ELSE ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) || ' up'
+END
+"""
+
+
+@query(
+    "t07_pii_redaction",
+    oracle=rf"""
+WITH decorated AS (
+  SELECT doc_id, {_T07_DECORATE_SQL} AS txt FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(txt, '\b\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b')) AS BIGINT) AS n_phones,
+       CAST(LEN(regexp_extract_all(txt, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\b\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b', '<PHONE>', 'g'),
+             '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g')) AS redacted_md5
+FROM decorated ORDER BY doc_id
+""",
+)
+def t07_pii_redaction(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.expr(_T07_DECORATE_SQL.replace("AS VARCHAR", "AS STRING")).alias("txt"),
+    )
+    return decorated.select(
+        "doc_id",
+        T.pii_count("txt", "email").cast("long").alias("n_emails"),
+        T.pii_count("txt", "phone").cast("long").alias("n_phones"),
+        T.pii_count("txt", "ipv4").cast("long").alias("n_ips"),
+        F.md5(T.redact_pii("txt")).alias("redacted_md5"),
+    ).orderBy("doc_id")

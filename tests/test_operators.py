@@ -582,3 +582,33 @@ def test_duplicate_clusters_canonical_flag(spark):
     assert by_id[12].component == 10 and not by_id[12].is_canonical
     assert by_id[30].component == 30 and by_id[30].is_canonical
     assert by_id[31].component == 30 and not by_id[31].is_canonical
+
+
+def test_pii_count_and_redact(spark):
+    from sql_data_warehouse_samples_spark.operators import text as T
+
+    rows = [
+        (1, "write to bob.smith+x@corp.example.org or alice@ex.io today"),
+        (2, "call 555-123-4567 or 555 987 6543 from 10.0.0.1"),
+        (3, "plain text with no pii at all"),
+        (4, "version 1.2.3.4 and 256.1.1.1 still match the naive ipv4 shape"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, txt: string")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            T.pii_count("txt", "email").alias("e"),
+            T.pii_count("txt", "phone").alias("p"),
+            T.pii_count("txt", "ipv4").alias("i"),
+            T.redact_pii("txt").alias("red"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].p, got[1].i) == (2, 0, 0)
+    assert got[1].red == "write to <EMAIL> or <EMAIL> today"
+    assert (got[2].e, got[2].p, got[2].i) == (0, 2, 1)
+    assert got[2].red == "call <PHONE> or <PHONE> from <IP>"
+    assert (got[3].e, got[3].p, got[3].i) == (0, 0, 0)
+    assert got[3].red == rows[2][1]
+    # documented naive-shape behavior: dotted quads match regardless of range
+    assert got[4].i == 2
