@@ -26,6 +26,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def star_edges(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Equivalence-class edges in star form: ``(id_a, id_b)`` with ``id_a``
+    the group minimum and ``id_b`` each other member.
+
+    A group of n rows sharing ``key`` emits n−1 edges instead of the
+    n·(n−1)/2 a pairwise self-join produces — same transitive closure
+    (connected components only needs the component connected, not the full
+    clique), but a 10k-identical-document pile yields 9 999 edges, not
+    ~50M.  One groupBy-min plus one equi-join on ``key``, both
+    hash-partitioned on ``key``, so AQE coalesces them into a single
+    exchange.  This is the only safe way to turn mass-duplicate groups
+    into edges at 100 TB.
+    """
+    reps = df.groupBy(key).agg(F.min(id_col).alias("__rep"))
+    return (
+        df.join(reps, key)
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+
 def _canon(e: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (min, max) pairs, self-loops dropped."""
     return (

@@ -568,17 +568,17 @@ def d09_duplicate_clusters(spark, sf_dir):
     content-hash and d02 Jaccard-verify paths; the closure is the
     alternating-star algorithm (O(log n) rounds at any corpus size, each
     round one groupBy-min + one equi-join)."""
-    from ..operators.graph import duplicate_clusters
+    from ..operators.graph import duplicate_clusters, star_edges
 
     d = tbl(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id", F.md5(D.normalized_text("text")).alias("h")
     )
-    a, b = hashed.alias("a"), hashed.alias("b")
-    exact_e = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # star form, NOT a pairwise self-join on h: a group of n identical
+    # documents emits n-1 (min-id, member) edges with the same transitive
+    # closure, where the pairwise form emits n(n-1)/2 — quadratic on
+    # exactly the dup-heavy corpora this query exists for
+    exact_e = star_edges(hashed, "h", "doc_id")
 
     toks = (
         d.filter(F.col("doc_id") < 40)

@@ -584,6 +584,56 @@ def test_duplicate_clusters_canonical_flag(spark):
     assert by_id[31].component == 30 and not by_id[31].is_canonical
 
 
+def test_star_edges_linear_in_group_size(spark):
+    """A group of n equal keys must emit exactly n-1 star edges (rep=min id),
+    never the n(n-1)/2 a pairwise self-join would — the dup-heavy-corpus
+    guarantee behind d09."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.graph import star_edges
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("samehash").alias("h")
+    )
+    e = star_edges(df, "h", "doc_id")
+    assert e.count() == n - 1
+    agg = e.agg(
+        F.min("id_a").alias("lo"), F.max("id_a").alias("hi"),
+        F.countDistinct("id_b").alias("members"),
+    ).collect()[0]
+    assert agg.lo == 0 and agg.hi == 0  # every edge roots at the group min
+    assert agg.members == n - 1
+
+
+def test_star_edges_same_components_as_pairwise(spark):
+    """Star edges and full pairwise edges give identical connected
+    components (closure needs connectivity, not the clique)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.graph import (
+        connected_components,
+        star_edges,
+    )
+
+    rows = [(i, f"h{i % 3}") for i in range(12)] + [(100, "solo")]
+    df = spark.createDataFrame(rows, "doc_id: long, h: string")
+    star = star_edges(df, "h", "doc_id")
+    a, b = df.alias("a"), df.alias("b")
+    pairwise = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    got_star = {
+        (r.id, r.component)
+        for r in connected_components(star, "id_a", "id_b", id_col="id").collect()
+    }
+    got_pair = {
+        (r.id, r.component)
+        for r in connected_components(pairwise, "id_a", "id_b", id_col="id").collect()
+    }
+    assert got_star == got_pair
+
+
 def test_pii_count_and_redact(spark):
     from sql_data_warehouse_samples_spark.operators import text as T
 

@@ -155,6 +155,25 @@ def test_d08_incremental_dedup_single_anti_join(spark):
     assert count_exchanges(df) <= 4
 
 
+def test_d09_exact_edges_are_star_formed(spark):
+    """d09's exact-dup edge builder must be the star form (groupBy-min +
+    equi-join on h), never a pairwise theta self-join: the plan carries no
+    nested-loop join and no '<' predicate on the hash path (the only
+    bounded '<' join allowed is the doc_id<40 Jaccard slice)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.graph import star_edges
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    e = star_edges(hashed, "h", "doc_id")
+    plan = plan_str(e)
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # groupBy-min + join both key on h: at most 2 distinct data exchanges
+    assert count_exchanges(e) <= 2
+
+
 def test_t05_repetition_single_shuffle_per_frequency(spark):
     """Gopher filters: token and 2-gram frequency each need ONE uniform
     (doc_id, token)-keyed exchange with partial aggregation pushed
