@@ -477,21 +477,31 @@ def contaminated_ids(
 
 def incremental_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """New-batch ingestion dedup: drop batch docs whose exact (normalized)
     content already exists in the corpus, then dedup within the batch.
 
     The anti-join keys on the md5 content hash — ONE shuffle on a uniform
-    key (or a broadcast when the batch's hash set is small); the corpus is
-    never re-hashed more than once per ingest.  This is the daily-ingest
-    pattern for a growing 100 TB corpus: cost scales with the batch, not
-    the corpus, when the corpus-side hash set is precomputed/persisted.
+    key (or a broadcast when the batch's hash set is small).  Pass
+    ``corpus_hashes`` (a one-column ``content_hash`` frame, e.g. from
+    ``operators.ledger.ContentHashLedger``) to skip re-hashing the corpus
+    entirely — the daily-ingest pattern for a growing 100 TB corpus: cost
+    scales with the batch, never the corpus text.  ``corpus`` (raw
+    documents, hashed here) remains for one-shot reconciliation runs.
     """
+    if (corpus is None) == (corpus_hashes is None):
+        raise ValueError("pass exactly one of corpus / corpus_hashes")
     bh = batch.withColumn("content_hash", F.md5(normalized_text(text_col)))
-    ch = corpus.select(F.md5(normalized_text(text_col)).alias("content_hash")).distinct()
+    if corpus_hashes is not None:
+        ch = corpus_hashes.select("content_hash").distinct()
+    else:
+        ch = corpus.select(
+            F.md5(normalized_text(text_col)).alias("content_hash")
+        ).distinct()
     fresh = bh.join(ch, "content_hash", "left_anti")
     from pyspark.sql import Window
 

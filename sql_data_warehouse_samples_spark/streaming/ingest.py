@@ -56,16 +56,27 @@ def quality_gate(docs: DataFrame, min_tokens: int = 5, min_score: float = 0.3) -
     )
 
 
-def dedup_gate(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def dedup_gate(
+    docs: DataFrame, watermark: str = "1 hour", ledger=None
+) -> DataFrame:
     """Streaming exact dedup on the normalized content hash within the
     watermark horizon (state-bounded; cross-shard dedup is d08's batch
-    anti-join)."""
+    anti-join).
+
+    Pass an ``operators.ledger.ContentHashLedger`` to ALSO drop documents
+    already admitted to the corpus: a stream-static LEFT ANTI join against
+    the ledger's compact hash column (never the corpus text).  The static
+    side snapshots at stream start; duplicates that land after that are
+    caught by the batch reconciliation pass (``ledger.ingest`` / d08)."""
     from ..operators.dedup import normalized_text
 
-    return (
-        docs.withColumn("content_hash", F.md5(normalized_text("text")))
-        .withWatermark("ingest_ts", watermark)
-        .dropDuplicates(["content_hash"])
+    hashed = docs.withColumn("content_hash", F.md5(normalized_text("text")))
+    if ledger is not None:
+        hashed = hashed.join(
+            ledger.hashes(), "content_hash", "left_anti"
+        )
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicates(
+        ["content_hash"]
     )
 
 
@@ -75,11 +86,13 @@ def ingest_pipeline(
     min_tokens: int = 5,
     min_score: float = 0.3,
     watermark: str = "1 hour",
+    ledger=None,
 ) -> DataFrame:
-    """The full stream: read → quality gate → dedup gate.  Attach a sink
+    """The full stream: read → quality gate → dedup gate (optionally
+    anti-joined against a persistent content-hash ledger).  Attach a sink
     with ``writeStream`` (tests drive it with availableNow + a memory
     sink; production writes parquet shards with a checkpoint)."""
     docs = read_document_stream(spark, source_dir)
     return dedup_gate(
-        quality_gate(docs, min_tokens, min_score), watermark
+        quality_gate(docs, min_tokens, min_score), watermark, ledger=ledger
     )

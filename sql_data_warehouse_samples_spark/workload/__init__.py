@@ -45,11 +45,15 @@ def query(name: str, oracle: str | None = None):
 
 #: The external driver records correctness rows for the FIRST 50 registered
 #: queries only, so registration order is part of the evaluation contract.
-#: This list pins the window: every operator family keeps at least one entry,
-#: the events + LLM-pipeline surface is fully inside, and the redundant
-#: per-family batteries (q31–q36, folded into q52) plus second exemplars of
-#: already-covered families (q09/q10/q14/q16/q23/q24/q27/q29/q30/q46/q51)
-#: ride after the window — still registered, still pytest-checked.
+#: This list pins the window: every operator family keeps at least one
+#: in-window exemplar and every LLM-mandate op (t05–t07, d06–d09, p01
+#: included) carries a driver row.  Variant exemplars of already-covered
+#: families ride after the window — still registered, still pytest-checked:
+#: q38 sliding≈q37 tumbling, q45 RANGE≈q28 ROWS, q41 pivot≈q19, q42
+#: funnel≈windows+join, and the folded pairs q08+q43 (→q55 union battery),
+#: q12+q13 (→q54 outer-join battery), q49+q50 (→q53 set-op battery),
+#: d06+t06 (→d06_t06_split_quantiles) whose combined batteries cover the
+#: same families in one slot each.
 DRIVER_PRIORITY: list[str] = [
     # relational core (every join/filter/agg/set-op family)
     "q01_pricing_summary",
@@ -59,10 +63,9 @@ DRIVER_PRIORITY: list[str] = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q07_distinct_pairs",
-    "q08_union_all_accounts",
+    "q55_union_battery",  # U1 + U4 (folds q08 + q43)
     "q11_customers_without_orders",
-    "q12_right_join_nations",
-    "q13_full_outer_balance",
+    "q54_outer_join_battery",  # J5 + J6 (folds q12 + q13)
     "q15_self_join_pairs",
     "q17_brands_of_hot_parts",
     "q18_distribution_skew",
@@ -70,37 +73,38 @@ DRIVER_PRIORITY: list[str] = [
     "q20_expression_aggregates",
     "q21_count_distinct",
     "q22_nested_aggregation",
-    "q43_union_dedup",
     "q44_composite_key_join",
     "q47_like_patterns",
-    "q49_intersect_all",
-    "q50_except_all",
+    "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
     # window functions
     "q25_nation_revenue_rank",
     "q26_latest_orders_per_customer",
     "q28_moving_revenue",
-    "q45_range_frame",
     # scalar families (q52 = combined battery) + statistical aggregates
     "q52_scalar_battery",
     "q34_statistical_aggs",
     # events (streaming batch twins) + pandas-UDF grouped map
     "q37_tumbling_hourly",
-    "q38_sliding_hourly",
     "q39_user_sessions",
     "q40_json_props",
-    "q41_event_pivot",
-    "q42_signup_to_purchase",
     "q48_grouped_map_summary",
-    # LLM text pipeline
+    # LLM text pipeline — every mandate op in-window
     "t01_token_stats",
     "t02_quality_score",
     "t03_language_id",
     "t04_fingerprints",
+    "t05_repetition_filters",
+    "t07_pii_redaction",
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
     "d03_minhash_lsh_pairs",
     "d04_simhash_pairs",
     "d05_embedding_neardup",
+    "d06_t06_split_quantiles",  # d06 + t06 in one slot
+    "d07_benchmark_contamination",
+    "d08_incremental_dedup",
+    "d09_duplicate_clusters",
+    "p01_sequence_packing",  # rows-only: greedy FFD not SQL-expressible
     # similarity search + multimodal
     "s01_cosine_topk",
     "s02_ann_lsh_topk",

@@ -519,6 +519,50 @@ def t06_corpus_quantiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# d06+t06 combined — stratified-split assignment (operators/sampling.py
+# md5-threshold, bit-identical across engines) + token-count quantiles at
+# the (split, source) grain.  One driver slot proves BOTH mandate surfaces;
+# the standalone d06/t06 queries stay registered post-window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d06_t06_split_quantiles",
+    oracle=rf"""
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM (
+  SELECT {_split_sql('doc_id', _D06_WEIGHTS, seed='corpus-v1')} AS split,
+         source,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+  FROM documents
+)
+GROUP BY split, source
+""",
+)
+def d06_t06_split_quantiles(spark, sf_dir):
+    """Combined exemplar for d06 (deterministic train/val/test split) and
+    t06 (corpus token quantiles): split assignment is the keyed md5-hex
+    threshold (map-only, repartition-stable), quantiles the exact
+    percentile() for oracle parity — percentile_approx is the documented
+    100 TB path (test_approx_quantile_scale_path)."""
+    d = tbl(spark, sf_dir, "documents")
+    split = S_ops.train_test_split(d, "doc_id", _D06_WEIGHTS, seed="corpus-v1")
+    sized = split.select(
+        "split", "source", T.token_count("text").alias("n_tokens")
+    )
+    return sized.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d09 — duplicate-cluster resolution: pairwise dedup output (exact
 # content-hash pairs over the whole corpus + Jaccard-verified near-dup
 # pairs on the bounded slice) is only EDGES; collapsing chains A~B~C into

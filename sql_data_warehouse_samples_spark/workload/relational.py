@@ -952,6 +952,176 @@ def q50_except_all(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q53 — combined INTERSECT ALL + EXCEPT ALL battery (U2/U3, same citations
+# as q49/q50: "Set Operator Optimization ... (UNION, INTERSECT, EXCEPT)",
+# white-papers/...md:437).  One driver slot proves both ALL-variant set
+# operators; the standalone q49/q50 stay registered post-window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q53_setop_all_battery",
+    oracle="""
+SELECT 'intersect' AS op, c_nationkey FROM (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+  INTERSECT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'except' AS op, c_nationkey FROM (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+)
+def q53_setop_all_battery(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_nationkey")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    inter = rich.intersectAll(seg).select(
+        F.lit("intersect").alias("op"), "c_nationkey"
+    )
+    exc = rich.exceptAll(seg).select(F.lit("except").alias("op"), "c_nationkey")
+    return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# q54 — combined RIGHT OUTER + FULL OUTER battery (J5/J6, same citations as
+# q12/q13: vw_sql_requests.sql:21-22 RIGHT JOIN; white-papers/...md:261 FULL
+# OUTER support).  The region filters give each full-outer side exclusive
+# keys so both preserved-null directions are actually exercised.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q54_outer_join_battery",
+    oracle="""
+WITH cs AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+cn AS (
+  SELECT n.n_nationkey AS nationkey, n.n_name,
+         COALESCE(cs.n_cust, 0) AS n_cust
+  FROM cs RIGHT JOIN nation n ON cs.nk = n.n_nationkey
+  WHERE n.n_regionkey <= 2
+),
+sn AS (
+  SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_supp
+  FROM supplier s JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE n2.n_regionkey >= 2 AND s.s_acctbal > 9000
+  GROUP BY s.s_nationkey
+)
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       cn.n_name,
+       COALESCE(cn.n_cust, 0) AS n_cust,
+       COALESCE(sn.n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+""",
+)
+def q54_outer_join_battery(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    cs = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    cn = (
+        cs.join(n, cs.nk == n.n_nationkey, "right")
+        .filter(F.col("n_regionkey") <= 2)
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+    )
+    sn = (
+        s.join(n.alias("n2"), s.s_nationkey == F.col("n2.n_nationkey"))
+        .filter((F.col("n2.n_regionkey") >= 2) & (F.col("s_acctbal") > 9000))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    cn_a, sn_a = cn.alias("cn"), sn.alias("sn")
+    return cn_a.join(
+        sn_a, F.col("cn.nationkey") == F.col("sn.nationkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("cn.nationkey"), F.col("sn.nationkey")).alias("nationkey"),
+        F.col("cn.n_name").alias("n_name"),
+        F.coalesce(F.col("cn.n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("sn.n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — combined UNION ALL + UNION-dedup battery (U1/U4, same citations as
+# q08/q43: StorageSize.sql:100,199 three-block UNION ALL; "UNION statements
+# within derived tables", white-papers/...md:309).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_union_battery",
+    oracle="""
+SELECT 'union_all' AS mode, side, nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT 'customer' AS side, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS side, s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+)
+GROUP BY side, nationkey
+UNION ALL
+SELECT 'union_dedup' AS mode, 'either' AS side, nation_key AS nationkey,
+       CAST(1 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_nationkey AS nation_key FROM customer WHERE c_acctbal > 5000
+  UNION
+  SELECT s_nationkey AS nation_key FROM supplier WHERE s_acctbal > 5000
+)
+""",
+)
+def q55_union_battery(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    u_all = c.select(
+        F.lit("customer").alias("side"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).unionByName(
+        s.select(
+            F.lit("supplier").alias("side"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    agg = (
+        u_all.groupBy("side", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("acctbal", "total_bal"))
+        .select(
+            F.lit("union_all").alias("mode"), "side", "nationkey", "n", "total_bal"
+        )
+    )
+    ded = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(
+            s.filter(F.col("s_acctbal") > 5000)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
+        .distinct()
+        .select(
+            F.lit("union_dedup").alias("mode"),
+            F.lit("either").alias("side"),
+            "nationkey",
+            F.lit(1).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("total_bal"),
+        )
+    )
+    return agg.unionByName(ded)
+
+
+# ---------------------------------------------------------------------------
 # q51 — Date-dimension generation (dimension.date.sql: the WWI calendar
 # dimension; DW engines materialize it rather than compute date parts per
 # query).  Pure JVM: sequence + explode + date-part functions.

@@ -584,6 +584,72 @@ def test_duplicate_clusters_canonical_flag(spark):
     assert by_id[31].component == 30 and not by_id[31].is_canonical
 
 
+def test_content_hash_ledger_two_batches(spark, tmp_path):
+    """The ledger persists admitted hashes across ingests: batch 2's
+    anti-join sees batch 1's content without re-reading any corpus text,
+    and in-batch + cross-batch duplicates both drop."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    led = ContentHashLedger(spark, str(tmp_path / "ledger"))
+    assert led.hashes().count() == 0
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha  beta"), (3, "gamma delta")],
+        "doc_id: long, text: string",
+    )  # 1 and 2 normalize to the same content
+    out1 = led.ingest(b1)
+    assert {r.doc_id for r in out1.collect()} == {1, 3}
+    assert led.hashes().count() == 2
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA BETA"), (11, "epsilon zeta"), (12, "epsilon  zeta")],
+        "doc_id: long, text: string",
+    )  # 10 duplicates ledger content; 11/12 duplicate each other
+    out2 = led.ingest(b2)
+    assert {r.doc_id for r in out2.collect()} == {11}
+    assert led.hashes().count() == 3
+    # idempotent re-offer: everything already admitted
+    assert led.ingest(b1.union(b2)).count() == 0
+
+
+def test_ledger_ingest_plan_never_scans_corpus_text(spark, tmp_path):
+    """With corpus_hashes supplied, incremental_dedup's corpus side reads
+    ONLY the 16-byte hash column — the 100 TB corpus text is never
+    rescanned per ingest."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    led = ContentHashLedger(spark, str(tmp_path / "ledger"))
+    led.ingest(
+        spark.createDataFrame([(1, "seed text")], "doc_id: long, text: string")
+    )
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fresh = incremental_dedup(batch, corpus_hashes=led.hashes())
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(schemas) == 2  # batch + ledger, nothing else
+    assert sum(1 for ln in schemas if "text" in ln) == 1  # only the batch
+    assert any("content_hash:string" in ln and "text" not in ln for ln in schemas)
+
+
+def test_incremental_dedup_requires_one_corpus_side(spark):
+    import pytest as _pytest
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    b = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError):
+        incremental_dedup(b)
+    with _pytest.raises(ValueError):
+        incremental_dedup(b, corpus=b, corpus_hashes=b.select(F.lit("h").alias("content_hash")))
+
+
 def test_star_edges_linear_in_group_size(spark):
     """A group of n equal keys must emit exactly n-1 star edges (rep=min id),
     never the n(n-1)/2 a pairwise self-join would — the dup-heavy-corpus

@@ -230,3 +230,44 @@ def test_streaming_ingest_quality_and_dedup(spark, tmp_path_factory):
     assert len(got_hashes) == len(set(got_hashes))  # exactly-once per hash
     # the planted duplicate did not survive (its hash appeared in batch 0)
     assert sum(1 for r in out if r.doc_id == 999_999) == 0
+
+
+def test_streaming_dedup_gate_anti_joins_ledger(spark, tmp_path):
+    """A document already admitted to the persistent content-hash ledger is
+    dropped by the stream's static anti-join — without the stream ever
+    reading corpus text (the static side is the ledger's hash column)."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    led = ContentHashLedger(spark, str(tmp_path / "ledger"))
+    led.ingest(
+        spark.createDataFrame(
+            [(1, "already in the corpus body")], "doc_id: long, text: string"
+        )
+    )
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [
+            (100, "already  in the corpus body", "en", "web", 27),
+            (101, "a genuinely new document", "en", "web", 24),
+        ],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    ).write.parquet(src)
+
+    streamed = SI.dedup_gate(
+        SI.read_document_stream(spark, src), ledger=led
+    )
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("ledger_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("ledger_gate_out").collect()
+    assert [r.doc_id for r in out] == [101]

@@ -42,17 +42,25 @@ def test_driver_priority_window_pinned():
     assert len(workload.DRIVER_PRIORITY) == 50
     assert names[:50] == workload.DRIVER_PRIORITY
     window = set(workload.DRIVER_PRIORITY)
-    # events + pandas-UDF + every LLM-pipeline family must be inside
+    # events + pandas-UDF + EVERY LLM-mandate op must be inside
     for must in [
-        "q37_tumbling_hourly", "q42_signup_to_purchase", "q48_grouped_map_summary",
-        "t01_token_stats", "d01_dedup_exact", "d03_minhash_lsh_pairs",
-        "d05_embedding_neardup", "s01_cosine_topk", "s04_ivf_topk",
+        "q37_tumbling_hourly", "q48_grouped_map_summary",
+        "t01_token_stats", "t05_repetition_filters", "t07_pii_redaction",
+        "d01_dedup_exact", "d03_minhash_lsh_pairs", "d05_embedding_neardup",
+        "d06_t06_split_quantiles", "d07_benchmark_contamination",
+        "d08_incremental_dedup", "d09_duplicate_clusters",
+        "p01_sequence_packing", "s01_cosine_topk", "s04_ivf_topk",
         "m01_media_meta", "q52_scalar_battery",
     ]:
         assert must in window, must
     # everything in the window has either an oracle or a rows-only design
     rows_only = {n for n in window if n not in workload.ORACLES}
-    assert rows_only == {"d03_minhash_lsh_pairs", "d04_simhash_pairs", "s02_ann_lsh_topk"}
+    assert rows_only == {
+        "d03_minhash_lsh_pairs",
+        "d04_simhash_pairs",
+        "s02_ann_lsh_topk",
+        "p01_sequence_packing",
+    }
 
 
 def test_approx_quantile_scale_path(spark):
