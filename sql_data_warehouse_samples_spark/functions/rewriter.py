@@ -24,8 +24,12 @@ of scope; the rewriter covers the dialect gap the corpus actually uses:
 * ``TOP n`` in subqueries         → ``LIMIT n`` at the subquery's close
   (paren-depth scan, literal-aware)
 
+* ``DECLARE @x type = literal;``  → constant inlined at every ``@x`` use
+  (ImpactedTables:5-8 threshold block; ``decimal`` w/o precision keeps
+  T-SQL's (18,0) truncation)
+
 String literals are never rewritten (the text is split on quoted spans
-first).  Known non-goals: procedural T-SQL (WHILE/DECLARE/cursors) — use
+first).  Known non-goals: procedural T-SQL (WHILE/SET @x/cursors) — use
 the Python API / ``Engine.run_script`` for those.
 """
 
@@ -65,6 +69,7 @@ _RELATION_MAP = {
     "sys.columns": "pdw_sys_columns",
     "sys.types": "pdw_sys_types",
     "sys.indexes": "pdw_sys_indexes",
+    "sys.partitions": "pdw_sys_partitions",
     "sys.stats": "pdw_sys_stats",
     "sys.stats_columns": "pdw_sys_stats_columns",
     "sys.pdw_table_distribution_properties":
@@ -168,25 +173,108 @@ def _rewrite_segment(seg: str) -> str:
 
     s = re.sub(r"\bDATEPART\s*\(\s*(\w+)\s*,", datepart, s, flags=re.I)
 
-    def convert(m: re.Match) -> str:
-        t = m.group(1).lower()
-        base = re.match(r"(\w+)", t).group(1)
-        mapped = _TSQL_TYPES.get(base)
-        if mapped is None:  # decimal(p,s) etc. pass through
-            mapped = t.upper()
-        elif "(" in t and base not in ("varchar", "nvarchar", "char", "nchar"):
-            mapped = t.upper().replace(base.upper(), mapped, 1)
-        return f"CAST({m.group(2).strip()} AS {mapped})"
-
-    s = re.sub(
-        r"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*,"
-        r"\s*([^(),]+(?:\([^()]*\))?[^(),]*)\s*(?:,\s*\d+\s*)?\)",
-        convert, s, flags=re.I,
-    )
+    s = _rewrite_converts(s)
     for tsql_name in sorted(_RELATION_MAP, key=len, reverse=True):
         s = re.sub(re.escape(tsql_name) + r"\b", _RELATION_MAP[tsql_name],
                    s, flags=re.I)
     return s
+
+
+def _rewrite_converts(s: str) -> str:
+    """``CONVERT(type, expr[, style])`` → ``CAST(expr AS type)`` with a
+    paren-depth scan, so arbitrarily nested expressions work
+    (ImpactedTables:24 ``convert(decimal(10,2), ((max(x)-min(x))*100.0 /
+    nullif(sum(x),0)))``).  Runs per non-literal segment — a CONVERT whose
+    argument spans a string literal is out of corpus scope."""
+    while True:
+        m = re.search(
+            r"\bCONVERT\s*\(\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*,",
+            s, flags=re.I,
+        )
+        if m is None:
+            return s
+        depth = 0
+        end = None
+        for i in range(m.end(), len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+        if end is None:  # unbalanced — leave untouched
+            return s
+        arg = s[m.end():end].strip()
+        # optional trailing style argument: a depth-0 comma + bare integer
+        d = 0
+        for j in range(len(arg) - 1, -1, -1):
+            ch = arg[j]
+            if ch == ")":
+                d += 1
+            elif ch == "(":
+                d -= 1
+            elif ch == "," and d == 0:
+                if re.fullmatch(r"\s*\d+\s*", arg[j + 1:]):
+                    arg = arg[:j].rstrip()
+                break
+        t = m.group(1).lower()
+        base = re.match(r"(\w+)", t).group(1)
+        mapped = _TSQL_TYPES.get(base)
+        if mapped is None:  # decimal(p,s) etc. pass through
+            mapped = re.sub(r"\s+", "", t).upper()
+        elif "(" in t and base not in ("varchar", "nvarchar", "char", "nchar"):
+            mapped = re.sub(r"\s+", "", t).upper().replace(base.upper(), mapped, 1)
+        s = s[: m.start()] + f"CAST({arg} AS {mapped})" + s[end + 1:]
+
+
+def _inline_declares(sql: str) -> str:
+    """``DECLARE @name type = literal;`` constants → inlined values
+    (ImpactedTables:5-8's threshold block).  T-SQL ``decimal`` with no
+    precision spec defaults to (18,0), so those values are cast — the
+    reference's ``@minSkewPercent decimal=10.0`` really compares against
+    10, and the inlined form preserves that truncation.  Procedural
+    variables (SET/SELECT @x=, WHILE) remain out of scope (module doc)."""
+    decls: dict[str, str] = {}
+
+    def grab(m: re.Match) -> str:
+        name, typ, val = m.group(1), m.group(2), m.group(3).strip().rstrip(";")
+        base = re.match(r"(\w+)", typ).group(1).lower()
+        if base in ("decimal", "numeric"):
+            prec = re.search(r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", typ)
+            p, sc = (prec.group(1), prec.group(2) or "0") if prec else ("18", "0")
+            val = f"CAST({val} AS DECIMAL({p},{sc}))"
+        decls[name] = val
+        return ""
+
+    sql = re.sub(
+        r"(?im)^\s*DECLARE\s+@(\w+)\s+"
+        r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*=\s*"
+        r"('(?:[^']|'')*'|[^;\n]+);?\s*$",
+        grab,
+        sql,
+    )
+    for name in sorted(decls, key=len, reverse=True):
+        sql = re.sub(r"@" + re.escape(name) + r"\b", decls[name], sql)
+    return sql
+
+
+def _strip_nprefix(sql: str) -> str:
+    """Drop the ``N`` of ``N'...'`` unicode-literal prefixes: an N directly
+    before a literal-start quote, itself outside any literal and not part
+    of a longer identifier (``COLUMN'x'`` stays untouched)."""
+    drop = set()
+    for m in _LITERAL_RE.finditer(sql):
+        p = m.start()
+        if (
+            p >= 1
+            and sql[p - 1] in "Nn"
+            and (p == 1 or not (sql[p - 2].isalnum() or sql[p - 2] == "_"))
+        ):
+            drop.add(p - 1)
+    if not drop:
+        return sql
+    return "".join(ch for i, ch in enumerate(sql) if i not in drop)
 
 
 def _concat_plus(parts: list[tuple[bool, str]]) -> list[tuple[bool, str]]:
@@ -307,6 +395,7 @@ def _alias_equals(sql: str) -> str:
 def rewrite_tsql(sql: str) -> tuple[str, str | None]:
     """Rewrite one T-SQL statement → (spark_sql, label_or_None)."""
     label = None
+    sql = _inline_declares(sql)
     m = re.search(r"\bOPTION\s*\(\s*LABEL\s*=\s*'((?:[^']|'')*)'\s*\)", sql, re.I)
     if m:
         label = m.group(1).replace("''", "'")
@@ -316,8 +405,10 @@ def rewrite_tsql(sql: str) -> tuple[str, str | None]:
     # rewritten before literal splitting (the alias IS a quoted span)
     sql = re.sub(r"\bAS\s+'([A-Za-z_][\w ]*)'", r"AS `\1`", sql, flags=re.I)
     sql = _alias_equals(sql)
-    # N'unicode literal' → plain literal (clean.sql:5)
-    sql = re.sub(r"\bN'", "'", sql)
+    # N'unicode literal' → plain literal (clean.sql:5).  Only an N that
+    # PREFIXES a literal is dropped — an N inside one ('N', 'NOT x') is
+    # content (the naive \bN' regex matched the closing quote of 'N')
+    sql = _strip_nprefix(sql)
     # CREATE VIEW → temp view (the monitoring solution's views/*.sql deploy;
     # temp because they sit over session-scoped DMV snapshots)
     sql = re.sub(

@@ -187,12 +187,13 @@ class PdwSysCatalog:
         """indexes / distribution properties / column distribution ordinal /
         table mappings — from the engine catalog's declared layouts
         (StorageSize.sql:76-97's join spine)."""
-        indexes, dist_props, col_dist, mappings = [], [], [], []
+        indexes, dist_props, col_dist, mappings, partitions = [], [], [], [], []
         sch_of = {}
         for db in self.spark.catalog.listDatabases():
             for t in self.spark.catalog.listTables(db.name):
                 if not t.isTemporary and t.tableType != "VIEW":
                     sch_of[object_id(f"{db.name}.{t.name}")] = db.name
+        self._index_id = {}  # object_id → index_id, shared with partition DMV
         for name, oid, _sid in tbls:
             qual = f"{sch_of.get(oid, 'default')}.{name}"
             try:
@@ -205,6 +206,24 @@ class PdwSysCatalog:
                 "heap": (0, "HEAP"),
             }.get(index_type, (1, "CLUSTERED"))
             indexes.append((oid, 1 if itype else 0, itype, idesc))
+            self._index_id[oid] = 1 if itype else 0
+            # sys.partitions: the CONTROL node's row-count belief comes from
+            # optimizer statistics, so a never-analyzed table reports the
+            # PDW default estimate of 1000 rows — exactly the sentinel
+            # ImpactedTables:6 tests (@missingStatCtlRowCount int=1000)
+            ctl_rows = None
+            try:
+                from .maintenance import catalog_row_estimate
+
+                ctl_rows = catalog_row_estimate(self.spark, qual)
+            except Exception:  # noqa: BLE001
+                pass
+            if ctl_rows is None:
+                ctl_rows = self.engine.stats.last_analyzed_rows(qual)
+            partitions.append(
+                (oid, self._index_id[oid], 1,
+                 1000 if ctl_rows is None else int(ctl_rows))
+            )
             policy = (layout.distribution if layout else None) or "round_robin"
             pdesc = {"hash": "HASH", "replicate": "REPLICATE"}.get(
                 policy, "ROUND_ROBIN"
@@ -232,6 +251,10 @@ class PdwSysCatalog:
         self._df(
             mappings, "object_id long, physical_name string"
         ).createOrReplaceTempView("pdw_sys_pdw_table_mappings")
+        self._df(
+            partitions,
+            "object_id long, index_id int, partition_number int, rows long",
+        ).createOrReplaceTempView("pdw_sys_partitions")
 
     def _register_stats(self, cols) -> None:
         """sys.stats / sys.stats_columns + the STATS_DATE() lookup — from the
@@ -285,8 +308,9 @@ class PdwSysCatalog:
                 reserved = -(-r.used_bytes // 8192)
                 data = -(-r.data_bytes // 8192)
                 pstats.append(
-                    (oid, node, r.distribution_id, 1, reserved, reserved,
-                     data, 0, 0, r.row_count)
+                    (oid, node, r.distribution_id,
+                     getattr(self, "_index_id", {}).get(oid, 1), 1,
+                     reserved, reserved, data, 0, 0, r.row_count)
                 )
             for g in self.engine.meta.rowgroups(qual).collect():
                 dist, node = dist_of_file.get(g.file_path, (0, compute[0]))
@@ -302,7 +326,7 @@ class PdwSysCatalog:
         self._df(
             pstats,
             "object_id long, pdw_node_id int, distribution_id int,"
-            " partition_number int, reserved_page_count long,"
+            " index_id int, partition_number int, reserved_page_count long,"
             " used_page_count long, in_row_data_page_count long,"
             " row_overflow_used_page_count long, lob_used_page_count long,"
             " row_count long",

@@ -512,6 +512,33 @@ def test_tsql_rewriter_concat_quotename_guards_subquery_top():
     assert "LIMIT 3" in sql5 and sql5.endswith("LIMIT 10")
 
 
+def test_tsql_rewriter_declare_inlining_and_nested_convert():
+    from sql_data_warehouse_samples_spark.functions.rewriter import rewrite_tsql
+
+    # ImpactedTables:5-8 shape: DECLARE constants inlined at every use;
+    # bare `decimal` keeps T-SQL's default (18,0) truncation
+    sql, _ = rewrite_tsql(
+        "declare @minRows int=1000000;\n"
+        "declare @minSkewPercent decimal=10.0;\n"
+        "SELECT * FROM t WHERE c > @minRows AND s >= @minSkewPercent"
+    )
+    assert "DECLARE" not in sql.upper() and "@" not in sql
+    assert "c > 1000000" in sql
+    assert "s >= CAST(10.0 AS DECIMAL(18,0))" in sql
+    # CONVERT with an arbitrarily nested second argument (ImpactedTables:24)
+    sql2, _ = rewrite_tsql(
+        "SELECT convert(decimal(10,2),((max(b) - min(b))*100.0 /"
+        " nullif(sum(b),0))) skew FROM t"
+    )
+    assert (
+        "CAST(((max(b) - min(b))*100.0 / nullif(sum(b),0)) AS DECIMAL(10,2))"
+        in sql2
+    )
+    # trailing style argument dropped, nested call preserved
+    sql3, _ = rewrite_tsql("SELECT CONVERT(varchar, coalesce(a, b), 120) AS x FROM t")
+    assert "CAST(coalesce(a, b) AS STRING)" in sql3
+
+
 def test_tsql_subquery_top_executes(engine):
     engine.sql("SELECT 1 AS warm2", label="warm2")
     engine.register_monitoring_views()

@@ -72,6 +72,12 @@ SCRIPTS = [
      "transparent_data_encryption_status.sql", {"name", "Encrypted"}, 1),
     ("scripts/queries/query_memory_usage.sql",
      {"request_id", "granted_memory_kb", "requested_memory_gap"}, 1),
+    # multi-statement DECLARE-threshold script: the @minRows=1,000,000 filter
+    # exceeds the fixture's 5k rows, so verbatim success = correct columns,
+    # zero findings (the semantics fire in test_impacted_tables_* below)
+    (f"{SQLOPS}/ImpactedTables",
+     {"sch_name", "table_name", "cmp_row_count", "ctl_row_count",
+      "skew_percent", "stat_info", "skew_info"}, 0),
 ]
 
 
@@ -82,6 +88,29 @@ def test_reference_script_verbatim(sysengine, relpath, cols, min_rows):
     df = _run(sysengine, relpath)
     assert cols <= set(df.columns)
     assert df.count() >= min_rows
+
+
+def test_impacted_tables_detectors_fire(sysengine):
+    """ImpactedTables' detection CTEs produce findings when thresholds
+    permit: a stats-free table reports the PDW 1000-row control-node
+    sentinel → 'missing stats'.  Only the DECLARE literals are lowered to
+    fixture scale; the query body runs untouched."""
+    spark = sysengine.spark
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(500)
+    sysengine.create_table_as("sysfact.nostats", li)
+    sysengine.register_monitoring_views(["sysfact.li", "sysfact.nostats"])
+    try:
+        with open(os.path.join(REF, f"{SQLOPS}/ImpactedTables")) as f:
+            text = f.read().replace("@minRows int=1000000", "@minRows int=10")
+        rows = {r.table_name: r for r in sysengine.tsql(text).collect()}
+        assert rows["nostats"].stat_info == "missing stats"
+        assert rows["nostats"].ctl_row_count == 1000
+        assert rows["nostats"].cmp_row_count == 500
+        # sysfact.li has fresh stats and balanced hash layout → no finding
+        assert "li" not in rows
+    finally:
+        sysengine.catalog.drop_table("sysfact.nostats")
+        sysengine.register_monitoring_views(["sysfact.li"])
 
 
 def test_reference_slo_status_first_statement_verbatim(sysengine):
