@@ -45,6 +45,9 @@ HEADLINE = [
     "s01_cosine_topk",
     "s04_ivf_topk",
     "t02_quality_score",
+    "t05_repetition_filters",
+    "t06_corpus_quantiles",
+    "d09_duplicate_clusters",
     "m01_media_meta",
 ]
 

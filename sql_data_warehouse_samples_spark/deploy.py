@@ -94,3 +94,68 @@ class SchemaSync:
         stmts = self.generate_statements(self.diff(source_columns, schema))
         engine.run_script(stmts)
         return stmts
+
+    # --- view-definition sync (AddSPChanges.sql:1-23 / DeploySPChanges.ps1
+    # / GetCreateStatement_Function_Proc_View.sql) ------------------------
+    #
+    # The reference exports each module's sys.sql_modules definition from
+    # the dev instance and ships a guarded drop+recreate per changed
+    # object.  Procedures are a Python API here (D14), so the module class
+    # this syncs is VIEWS: the manifest is view_name → SELECT body.
+
+    @staticmethod
+    def _norm_sql(sql: str) -> str:
+        """Whitespace/case-insensitive definition compare key."""
+        return " ".join(sql.split()).rstrip(";").lower()
+
+    def _live_view_text(self, schema: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for t in self.spark.catalog.listTables(schema):
+            if t.tableType != "VIEW" or t.isTemporary:
+                continue
+            for r in self.spark.sql(
+                f"DESCRIBE EXTENDED `{schema}`.`{t.name}`"
+            ).collect():
+                if r["col_name"] == "View Text":
+                    out[t.name] = r["data_type"]
+                    break
+        return out
+
+    def diff_views(
+        self, source_views: dict[str, str], schema: str
+    ) -> list[tuple[str, str, str]]:
+        """(view, body, reason) for every manifest view that is missing
+        from the target or whose live definition drifted — the
+        sql_modules-definition compare the reference performs by
+        regenerating ChangeScripts_SP for every source object."""
+        live = self._live_view_text(schema)
+        out = []
+        for name, body in sorted(source_views.items()):
+            if self._excluded(name):
+                continue
+            if name not in live:
+                out.append((name, body, "missing"))
+            elif self._norm_sql(live[name]) != self._norm_sql(body):
+                out.append((name, body, "changed"))
+        return out
+
+    def generate_view_statements(
+        self, deltas: list[tuple[str, str, str]], schema: str
+    ) -> list[str]:
+        """AddSPChanges' @autoDeploy shape — existence-guarded drop, then
+        recreate — collapsed to Spark's atomic CREATE OR REPLACE VIEW."""
+        return [
+            f"CREATE OR REPLACE VIEW `{schema}`.`{name}` AS {body}"
+            for name, body, _reason in deltas
+        ]
+
+    def apply_views(
+        self, source_views: dict[str, str], schema: str, engine
+    ) -> list[str]:
+        """Diff → generate → execute (DeploySPChanges.ps1 end-to-end for
+        the view module class); returns the statements that ran."""
+        stmts = self.generate_view_statements(
+            self.diff_views(source_views, schema), schema
+        )
+        engine.run_script(stmts)
+        return stmts

@@ -181,3 +181,107 @@ class OpsService:
             for name in dbs
         ]
         return self.spark.createDataFrame(rows, "name string, Encrypted string")
+
+
+# --- ADF management-operations pipeline (samples/adf/management-operations)
+
+
+@dataclass
+class ManagementActivity:
+    """One parsed activity of the ADF management pipeline
+    (json/pipeline-managementoperations.json:7-52)."""
+
+    name: str
+    action_types: list[str]          # "Pause|Resume|Scale" placeholder split
+    service_objective: str | None    # extendedProperties.ServiceObjective
+    frequency: str                   # scheduler.frequency
+    interval: int                    # scheduler.interval
+    retry: int                       # Policy.retry
+    concurrency: int                 # Policy.concurrency
+
+
+class ManagementPipeline:
+    """The reference's ADF pause/resume/scale pipeline as an engine surface.
+
+    The JSON shape (DotNetActivity calling ManagementActivity with
+    ActionType ∈ {Pause, Resume, Scale} + ServiceObjective, on an hourly
+    scheduler with a retry policy) parses VERBATIM; ``run`` dispatches the
+    action onto the warehouse's scale ladder — the semantics
+    ``wlm.AutoScaler`` models, now reachable from the reference's own
+    pipeline definition file.  Azure credentials/subscription fields are
+    deployment config with no engine analogue and are ignored.
+    """
+
+    def __init__(self, activities: list[ManagementActivity]) -> None:
+        self.activities = activities
+
+    @classmethod
+    def from_json(cls, path: str) -> "ManagementPipeline":
+        import json
+
+        with open(path, encoding="utf-8-sig") as f:  # ADF files carry a BOM
+            doc = json.load(f)
+        acts = []
+        for a in doc.get("properties", {}).get("activities", []):
+            props = a.get("typeProperties", {})
+            ext = props.get("extendedProperties", {})
+            policy = a.get("Policy", {})
+            sched = a.get("scheduler", {})
+            acts.append(
+                ManagementActivity(
+                    name=a.get("Name", ""),
+                    action_types=[
+                        s.strip()
+                        for s in ext.get("ActionType", "").split("|")
+                        if s.strip()
+                    ],
+                    service_objective=ext.get("ServiceObjective"),
+                    frequency=sched.get("frequency", "Hour"),
+                    interval=int(sched.get("interval", 1)),
+                    retry=int(policy.get("retry", 0)),
+                    concurrency=int(policy.get("concurrency", 1)),
+                )
+            )
+        return cls(acts)
+
+    def run(self, ops: OpsService, action: str | None = None, **gate) -> list[str]:
+        """Execute each activity; ``action`` picks one when the definition
+        carries the multi-choice placeholder.  Failures retry up to the
+        activity's Policy.retry count (the ADF slice-retry semantics);
+        returns one 'name: action -> result' line per activity."""
+        out = []
+        for act in self.activities:
+            chosen = action if action in act.action_types else (
+                act.action_types[0] if len(act.action_types) == 1 else action
+            )
+            if chosen not in ("Pause", "Resume", "Scale"):
+                raise ValueError(
+                    f"activity {act.name!r} offers {act.action_types}; "
+                    f"pass action= to choose"
+                )
+            last_err = None
+            for _attempt in range(act.retry + 1):
+                try:
+                    if chosen == "Pause":
+                        ops.ladder.pause(
+                            active_queries=gate.get("active_queries", 0)
+                        )
+                        result = "Paused"
+                    elif chosen == "Resume":
+                        ops.ladder.resume()
+                        result = "Online"
+                    else:
+                        dwu = int(
+                            "".join(c for c in (act.service_objective or "")
+                                    if c.isdigit()) or 0
+                        )
+                        ops.ladder.scale(dwu, **gate)
+                        result = f"DW{ops.ladder.current}c"
+                    last_err = None
+                    break
+                except RuntimeError as e:  # gate refusal — the retryable class
+                    last_err = e
+            if last_err is not None:
+                raise last_err
+            out.append(f"{act.name}: {chosen} -> {result}")
+        return out

@@ -214,6 +214,10 @@ GROUP BY quartile
 """,
 )
 def q30_customer_quartiles(spark, sf_dir):
+    # Exact T-SQL NTILE semantics → global window (single partition); this
+    # input grows with the corpus, so the 100 TB path is the two-pass
+    # operators/quantiles.approx_ntile (boundary sketch + map-only CASE),
+    # equivalence-tested against this exact form at sf0.01.
     o = tbl(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend"))
     w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))

@@ -796,6 +796,89 @@ def test_schema_sync_deployment(engine, spark):
         engine.catalog.drop_schema("deploytest", cascade=True)
 
 
+def test_view_sync_detects_and_redeploys_changed_views(engine, spark):
+    """AddSPChanges/DeploySPChanges for the view module class: the staged
+    sys.sql_modules manifest vs live view text — missing views created,
+    drifted definitions recreated, unchanged and excluded names skipped."""
+    from sql_data_warehouse_samples_spark.deploy import SchemaSync
+
+    engine.create_schema("viewsync")
+    base = spark.range(10).selectExpr("id AS pk", "id * 2 AS amount")
+    try:
+        engine.create_table_as("viewsync.fact", base, mode="overwrite")
+        engine.catalog.create_view(
+            "viewsync.v_small", "SELECT pk FROM viewsync.fact WHERE amount < 6"
+        )
+        engine.catalog.create_view(
+            "viewsync.v_total", "SELECT SUM(amount) AS total FROM viewsync.fact"
+        )
+        manifest = {
+            # unchanged (whitespace/case drift only → no redeploy)
+            "v_total": "select   SUM(amount) AS total\nFROM viewsync.fact",
+            # changed predicate
+            "v_small": "SELECT pk FROM viewsync.fact WHERE amount < 12",
+            # missing in target
+            "v_big": "SELECT pk FROM viewsync.fact WHERE amount >= 12",
+            # excluded by the reference's name filters
+            "v_source": "SELECT 1 AS x",
+        }
+        sync = SchemaSync(spark, engine.catalog)
+        deltas = sync.diff_views(manifest, "viewsync")
+        assert {(n, r) for n, _b, r in deltas} == {
+            ("v_small", "changed"),
+            ("v_big", "missing"),
+        }
+        stmts = sync.apply_views(manifest, "viewsync", engine)
+        assert len(stmts) == 2
+        assert spark.sql("SELECT COUNT(*) AS n FROM viewsync.v_small").first().n == 6
+        assert spark.sql("SELECT COUNT(*) AS n FROM viewsync.v_big").first().n == 4
+        # idempotent: second diff is clean
+        assert sync.diff_views(manifest, "viewsync") == []
+    finally:
+        engine.catalog.drop_schema("viewsync", cascade=True)
+
+
+def test_adf_management_pipeline_runs_reference_json(engine):
+    """The ADF management-operations pipeline definition
+    (samples/adf/management-operations/json/pipeline-managementoperations
+    .json) parses verbatim (BOM and all) and drives pause/resume/scale on
+    the engine's ladder, honoring the retry policy and quiesce gate."""
+    import os
+
+    from sql_data_warehouse_samples_spark.ops import ManagementPipeline
+
+    path = (
+        "/root/reference/samples/adf/management-operations/json/"
+        "pipeline-managementoperations.json"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    p = ManagementPipeline.from_json(path)
+    act = p.activities[0]
+    assert act.action_types == ["Pause", "Resume", "Scale"]
+    assert act.service_objective == "DW1000"
+    assert (act.frequency, act.interval, act.retry) == ("Hour", 1, 3)
+
+    ops = engine.ops
+    before = ops.ladder.current
+    try:
+        assert p.run(ops, action="Scale") == ["Scale Activity: Scale -> DW1000c"]
+        assert ops.ladder.current == 1000
+        assert p.run(ops, action="Pause") == ["Scale Activity: Pause -> Paused"]
+        assert ops.ladder.paused
+        assert p.run(ops, action="Resume") == ["Scale Activity: Resume -> Online"]
+        assert not ops.ladder.paused
+        # quiesce gate propagates: active queries block the scale even
+        # after the policy's 3 retries
+        with pytest.raises(RuntimeError):
+            p.run(ops, action="Scale", active_queries=2)
+        # the operation-status DMV saw all three operations
+        ops_seen = {r.operation for r in ops.operation_status().collect()}
+        assert {"ALTER DATABASE", "PAUSE DATABASE", "RESUME DATABASE"} <= ops_seen
+    finally:
+        ops.ladder.scale(before)
+
+
 def test_autoscaler_policy_and_pause_resume():
     """sqlDwAutoScaler policy (timer default, alert step up/down, schedule
     gate, decision log) + pause/resume operation rows."""

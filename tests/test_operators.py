@@ -728,3 +728,48 @@ def test_pii_count_and_redact(spark):
     assert got[3].red == rows[2][1]
     # documented naive-shape behavior: dotted quads match regardless of range
     assert got[4].i == 2
+
+
+def test_approx_ntile_matches_exact_ntile(spark):
+    """Two-pass NTILE (operators/quantiles.py) vs exact single-partition
+    NTILE on the q30 input shape: per-row agreement ≥99% (ties and sketch
+    error are the only divergence sources) and every bucket populated."""
+    from pyspark.sql import Window
+
+    from sql_data_warehouse_samples_spark.operators.quantiles import approx_ntile
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    exact = per_cust.withColumn("q_exact", F.ntile(4).over(w))
+    got = approx_ntile(exact, "spend", 4, descending=True, out="q_approx")
+    agree, total = got.select(
+        F.sum((F.col("q_exact") == F.col("q_approx")).cast("int")),
+        F.count(F.lit(1)),
+    ).first()
+    assert total > 1000
+    assert agree / total >= 0.99
+    assert got.select("q_approx").distinct().count() == 4
+    # ascending variant agrees with ascending exact NTILE too
+    w2 = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    exact2 = per_cust.withColumn("q_exact", F.ntile(4).over(w2))
+    got2 = approx_ntile(exact2, "spend", 4, out="q_approx")
+    agree2, total2 = got2.select(
+        F.sum((F.col("q_exact") == F.col("q_approx")).cast("int")),
+        F.count(F.lit(1)),
+    ).first()
+    assert agree2 / total2 >= 0.99
+
+
+def test_approx_ntile_assignment_plan_is_map_only(spark):
+    """The scale path's assignment pass: no WindowExec, no exchange — the
+    boundary literals make it a pure map over the input."""
+    from sql_data_warehouse_samples_spark.operators.quantiles import approx_ntile
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = approx_ntile(d, "doc_id", 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange" not in plan
