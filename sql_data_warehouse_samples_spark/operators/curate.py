@@ -1,0 +1,79 @@
+"""Curation-funnel composition: many filters, ONE scan, per-stage accounting.
+
+A production training-data pipeline chains filters (length → language →
+quality → repetition → dedup → decontamination) and must report how many
+documents each stage removed — the funnel numbers every curation paper
+tabulates (e.g. Gopher's pipeline table, Rae et al. 2021).
+
+The naive composition runs one count() job per stage — k full scans of a
+100 TB corpus.  Here every stage is a Column predicate evaluated in a
+single fused pass; the funnel is ONE aggregate producing per-stage pass
+counts and cumulative survivors, and the final dataset is the same scan
+filtered by the conjunction.  Non-map-only signals (e.g. the exact-dup
+keeper flag, which needs a hash-group min) are precomputed as columns by
+the caller and referenced as plain predicates, so their shuffles are paid
+once and shared.
+
+100 TB shape: funnel = one scan + one ~k-row reduce; apply = one scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Stage:
+    """One curation filter: ``keep`` is True for surviving documents."""
+
+    name: str
+    keep: Column
+
+
+def _flag(stage: Stage) -> Column:
+    # NULL predicate (e.g. ratio over empty text) = fail, both engines
+    return F.coalesce(stage.keep.cast("int"), F.lit(0))
+
+
+def annotate(df: DataFrame, stages: list[Stage]) -> DataFrame:
+    """Add one ``<name>_pass`` int column per stage + ``keep_all``."""
+    out = df
+    keep_all = F.lit(1)
+    for st in stages:
+        f = _flag(st)
+        out = out.withColumn(f"{st.name}_pass", f)
+        keep_all = keep_all * f
+    return out.withColumn("keep_all", keep_all)
+
+
+def funnel(df: DataFrame, stages: list[Stage]) -> DataFrame:
+    """(stage_idx, stage, n_pass, n_cum) per stage in ONE aggregate.
+
+    ``n_pass`` counts documents passing the stage in isolation; ``n_cum``
+    counts survivors of stages 1..k — the funnel curve."""
+    aggs = []
+    cum = F.lit(1)
+    for i, st in enumerate(stages, 1):
+        f = _flag(st)
+        cum = cum * f
+        aggs.append(F.sum(f).alias(f"p{i}"))
+        aggs.append(F.sum(cum).alias(f"c{i}"))
+    row = df.agg(*aggs)
+    stack_args = []
+    for i, st in enumerate(stages, 1):
+        stack_args += [str(i), f"'{st.name}'", f"p{i}", f"c{i}"]
+    return row.selectExpr(
+        f"stack({len(stages)}, {', '.join(stack_args)})"
+        " AS (stage_idx, stage, n_pass, n_cum)"
+    )
+
+
+def apply(df: DataFrame, stages: list[Stage]) -> DataFrame:
+    """The curated output: documents passing EVERY stage (one scan)."""
+    keep = F.lit(True)
+    for st in stages:
+        keep = keep & st.keep.isNotNull() & st.keep
+    return df.filter(keep)

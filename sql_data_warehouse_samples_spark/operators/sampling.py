@@ -107,3 +107,91 @@ def stratified_sample(
     if keep is None:
         raise ValueError("fractions must not be empty")
     return df.filter(keep)
+
+
+# --- domain-mixture sampling (training-data curation) ----------------------
+
+
+def mixture_rates(
+    counts: dict[str, int], target_shares: dict[str, float], budget_rows: int
+) -> dict[str, float]:
+    """Per-source keep rates hitting a target domain mixture.
+
+    ``target_shares`` is the desired post-sample composition (normalized
+    internally — the Pile/DoReMi-style domain-weights vector); ``budget_rows``
+    the total sample size.  A source whose quota exceeds its population is
+    capped at 1.0 (kept whole, like upsampling-free mixture construction);
+    sources absent from ``target_shares`` get rate 0 (dropped)."""
+    total = sum(target_shares.values())
+    if total <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    out = {}
+    for s, share in target_shares.items():
+        cnt = counts.get(s, 0)
+        if cnt > 0:
+            # evaluation order matters: the SQL mirror reproduces this
+            # exact double arithmetic for bit-identical thresholds
+            out[s] = min(share / total * budget_rows / cnt, 1.0)
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    budget_rows: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sample: ~``budget_rows`` rows whose
+    source composition matches ``target_shares``.
+
+    Two stages, both scale-safe: (1) per-source counts — one partial-agg
+    shuffle of #sources rows, collected driver-side (domains are dozens,
+    not data-sized); (2) a map-only keyed-hash filter with per-source
+    thresholds, stable under repartitioning and reproducible in the DuckDB
+    oracle (``mixture_sql``).  No sort, no window, no per-row Python."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    rates = mixture_rates(counts, target_shares, budget_rows)
+    h = _bucket_hex(F.col(key_col), seed)
+    keep = None
+    for s, rate in sorted(rates.items()):
+        cond = (F.col(source_col) == s) & (h < _threshold(rate))
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep if keep is not None else F.lit(False))
+
+
+def mixture_sql(
+    table: str,
+    key_expr: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    budget_rows: int,
+    seed: str = "",
+) -> str:
+    """DuckDB-oracle mirror of ``mixture_sample``: recomputes the per-source
+    rates from a counts CTE with the same double arithmetic and renders the
+    same 8-hex-digit thresholds (printf), so row selection is identical."""
+    total = sum(target_shares.values())
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({share / total!r} AS DOUBLE)"
+        for s, share in sorted(target_shares.items())
+    )
+    h = f"substr(md5('{seed}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+    return f"""
+WITH cnt AS (
+  SELECT {source_col} AS s, COUNT(*) AS c FROM {table}
+  WHERE {source_col} IN ({", ".join(f"'{s}'" for s in sorted(target_shares))})
+  GROUP BY 1
+),
+rates AS (
+  SELECT s, printf('%08x', CAST(LEAST(CAST(FLOOR(
+           LEAST(CASE s {case} END * {budget_rows} / CAST(c AS DOUBLE), 1.0)
+           * 4294967296) AS BIGINT), 4294967295) AS BIGINT)) AS thr
+  FROM cnt
+)
+SELECT d.* FROM {table} d JOIN rates r ON d.{source_col} = r.s
+WHERE {h} < r.thr
+"""

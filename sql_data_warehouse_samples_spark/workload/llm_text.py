@@ -694,3 +694,116 @@ def t07_pii_redaction(spark, sf_dir):
         T.pii_count("txt", "ipv4").cast("long").alias("n_ips"),
         F.md5(T.redact_pii("txt")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d10 — domain-mixture sampling: construct a training mix whose source
+# composition hits target weights (the Pile/DoReMi domain-weights step).
+# Post-window exemplar; the DuckDB oracle recomputes the count-adaptive
+# per-source thresholds with bit-identical double→hex arithmetic.
+# ---------------------------------------------------------------------------
+
+_MIX_SHARES = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+_MIX_BUDGET = 60
+
+
+@query(
+    "d10_mixture_sample",
+    oracle=S_ops.mixture_sql(
+        "documents", "doc_id", "source", _MIX_SHARES, _MIX_BUDGET, seed="mix"
+    ),
+)
+def d10_mixture_sample(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return S_ops.mixture_sample(
+        d, "doc_id", "source", _MIX_SHARES, _MIX_BUDGET, seed="mix"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t08 — curation funnel: the full preprocessing filter chain in ONE scan
+# with per-stage pass/survivor accounting (operators/curate.py).  Each
+# predicate is a fragment already hash-proven by t01/t02/t03/d01; the
+# funnel composes them and the oracle recomputes the same flags in SQL.
+# ---------------------------------------------------------------------------
+
+_QS_SQL = rf"""ROUND(
+  0.5 * (LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+         / NULLIF(CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE), 0))
+  + 0.3 * LEAST(CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
+  + 0.2 * (1.0 - LEN(list_filter(string_split_regex(TRIM(text), '\s+'),
+                                 t -> list_contains([{_SW}], t)))
+                 / NULLIF(CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE), 0)),
+  6)"""
+
+_PUNCT_SQL = r"""ROUND(
+  (LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9_\s]', '', 'g')))
+  / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6)"""
+
+_PRED_LANG_SQL = rf"""CASE
+  WHEN GREATEST({_marker_sql('en')}, {_marker_sql('fr')}, {_marker_sql('de')},
+                {_marker_sql('es')}, {_marker_sql('zh')}) <= 0 THEN 'und'
+  WHEN {_marker_sql('en')} = GREATEST({_marker_sql('en')}, {_marker_sql('fr')},
+       {_marker_sql('de')}, {_marker_sql('es')}, {_marker_sql('zh')}) THEN 'en'
+  WHEN {_marker_sql('fr')} = GREATEST({_marker_sql('en')}, {_marker_sql('fr')},
+       {_marker_sql('de')}, {_marker_sql('es')}, {_marker_sql('zh')}) THEN 'fr'
+  WHEN {_marker_sql('de')} = GREATEST({_marker_sql('en')}, {_marker_sql('fr')},
+       {_marker_sql('de')}, {_marker_sql('es')}, {_marker_sql('zh')}) THEN 'de'
+  WHEN {_marker_sql('es')} = GREATEST({_marker_sql('en')}, {_marker_sql('fr')},
+       {_marker_sql('de')}, {_marker_sql('es')}, {_marker_sql('zh')}) THEN 'es'
+  ELSE 'zh' END"""
+
+
+@query(
+    "t08_curation_funnel",
+    oracle=rf"""
+WITH canon AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM documents GROUP BY 1
+),
+flags AS (
+  SELECT
+    CASE WHEN LEN(string_split_regex(TRIM(d.text), '\s+')) >= 10
+         THEN 1 ELSE 0 END AS f1,
+    CASE WHEN ({_PRED_LANG_SQL}) = d.lang THEN 1 ELSE 0 END AS f2,
+    CASE WHEN ({_QS_SQL}) >= 0.5 THEN 1 ELSE 0 END AS f3,
+    CASE WHEN ({_PUNCT_SQL}) <= 0.35 THEN 1 ELSE 0 END AS f4,
+    CASE WHEN d.doc_id = c.keeper THEN 1 ELSE 0 END AS f5
+  FROM documents d JOIN canon c ON md5(d.text) = c.h
+),
+agg AS (
+  SELECT
+    CAST(SUM(f1) AS BIGINT) AS p1, CAST(SUM(f1) AS BIGINT) AS c1,
+    CAST(SUM(f2) AS BIGINT) AS p2, CAST(SUM(f1*f2) AS BIGINT) AS c2,
+    CAST(SUM(f3) AS BIGINT) AS p3, CAST(SUM(f1*f2*f3) AS BIGINT) AS c3,
+    CAST(SUM(f4) AS BIGINT) AS p4, CAST(SUM(f1*f2*f3*f4) AS BIGINT) AS c4,
+    CAST(SUM(f5) AS BIGINT) AS p5, CAST(SUM(f1*f2*f3*f4*f5) AS BIGINT) AS c5
+  FROM flags
+)
+SELECT 1 AS stage_idx, 'min_length' AS stage, p1 AS n_pass, c1 AS n_cum FROM agg
+UNION ALL SELECT 2, 'language', p2, c2 FROM agg
+UNION ALL SELECT 3, 'quality', p3, c3 FROM agg
+UNION ALL SELECT 4, 'punctuation', p4, c4 FROM agg
+UNION ALL SELECT 5, 'exact_canonical', p5, c5 FROM agg
+""",
+)
+def t08_curation_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators import curate as C
+
+    d = tbl(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    annotated = d.withColumn("keeper", keeper)
+    c = F.col("text")
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9_\s]", ""))
+    punct_ratio = F.round(
+        n_punct / F.nullif(F.length(c).cast("double"), F.lit(0.0)), 6
+    )
+    stages = [
+        C.Stage("min_length", T.token_count("text") >= 10),
+        C.Stage("language", T.language_id("text") == F.col("lang")),
+        C.Stage("quality", T.quality_score("text") >= 0.5),
+        C.Stage("punctuation", punct_ratio <= 0.35),
+        C.Stage("exact_canonical", F.col("doc_id") == F.col("keeper")),
+    ]
+    return C.funnel(annotated, stages)

@@ -247,3 +247,80 @@ def test_polybase_external_ddl_ctas_end_to_end(spark, tmp_path):
                                 eng.spark.table("meta_credentials").schema.fields}
     finally:
         eng.catalog.drop_schema("pocdm", cascade=True)
+
+
+# --- JSONL loader (sources/jsonl.py) ---------------------------------------
+
+
+@pytest.fixture()
+def jloader(spark):
+    from sql_data_warehouse_samples_spark.sources.jsonl import JsonlLoader
+
+    return JsonlLoader(spark)
+
+
+JDOCS = (
+    '{"id": 1, "name": "alice", "amount": 10.5, "born": "1990-01-01"}\n'
+    '{"id": 2, "name": "bob", "amount": 20.25, "born": "1985-06-15"}\n'
+)
+
+
+def test_jsonl_clean_load(jloader, tmp_path):
+    p = write(tmp_path, "ok.jsonl", JDOCS)
+    res = jloader.load(p, COLS)
+    assert res.rows_loaded == 2 and res.rows_rejected == 0
+    rows = {r.id: r for r in res.df.collect()}
+    assert rows[1].name == "alice" and float(rows[2].amount) == 20.25
+    assert str(rows[1].born) == "1990-01-01"
+
+
+def test_jsonl_missing_key_is_null_not_error(jloader, tmp_path):
+    # schema evolution: older shards lack 'amount'; NOT NULL id intact
+    p = write(tmp_path, "evolve.jsonl", '{"id": 3, "name": "carol"}\n' + JDOCS)
+    res = jloader.load(p, COLS)
+    assert res.rows_loaded == 3 and res.rows_rejected == 0
+    r3 = [r for r in res.df.collect() if r.id == 3][0]
+    assert r3.amount is None and r3.born is None
+
+
+def test_jsonl_corrupt_line_policies(jloader, tmp_path):
+    bad = JDOCS + "{this is not json\n" + '{"id": "NaN-ish", "name": "d"}\n'
+    p = write(tmp_path, "bad.jsonl", bad)
+    # substitute: corrupt line dropped, bad typed value -> sentinel
+    res = jloader.load(p, COLS)
+    assert res.rows_loaded == 3
+    subbed = [r for r in res.df.collect() if r.name == "d"][0]
+    assert subbed.id == -28  # DBLoader sentinel
+    # discard: both the corrupt line and the bad-cast row are rejected
+    res2 = jloader.load(p, COLS, LoadOptions(on_error="discard"))
+    assert res2.rows_loaded == 2 and res2.rows_rejected == 2
+    # fail: first malformed row kills the load
+    with pytest.raises(ValueError, match="malformed"):
+        jloader.load(p, COLS, LoadOptions(on_error="fail"))
+    # reject_value: tolerance of 1 is exceeded by 2 rejects
+    with pytest.raises(ValueError, match="REJECT_VALUE"):
+        jloader.load(p, COLS, LoadOptions(on_error="discard", reject_value=1))
+
+
+def test_jsonl_gzip_and_extra_keys(jloader, tmp_path):
+    extra = (
+        '{"id": 9, "name": "zed", "amount": 1.0, "born": "2000-02-02",'
+        ' "lang": "en", "meta": {"src": "web"}}\n'
+    )
+    p = write(tmp_path, "docs.jsonl.gz", JDOCS + extra, compress=True)
+    res = jloader.load(p, COLS, LoadOptions(compression="gzip"))
+    assert res.rows_loaded == 3  # unknown keys ignored, nested object too
+    assert {r.id for r in res.df.collect()} == {1, 2, 9}
+
+
+def test_jsonl_varchar_truncation_and_not_null_default(jloader, tmp_path):
+    p = write(
+        tmp_path,
+        "trunc.jsonl",
+        '{"id": 1, "name": "a-very-long-name-indeed", "amount": 2.5}\n'
+        '{"name": "noid"}\n',
+    )
+    res = jloader.load(p, COLS)
+    rows = sorted(res.df.collect(), key=lambda r: r.id)
+    assert rows[1].name == "a-very-lon"  # varchar(10) truncation (L1)
+    assert rows[0].id == 0  # NOT NULL default (L7) for the missing id

@@ -773,3 +773,96 @@ def test_approx_ntile_assignment_plan_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Exchange" not in plan
+
+
+def test_mixture_sample_composition_and_stability(spark):
+    """Domain-mixture sampling: hits target composition (within keyed-hash
+    variance), caps over-quota sources at keep-all, drops unlisted sources,
+    and is stable under repartitioning."""
+    from sql_data_warehouse_samples_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]  # 1000 per source
+    df = spark.createDataFrame(rows, "id: long, src: string")
+    shares = {"s0": 6.0, "s1": 1.0, "s2": 1.0}  # s3 unlisted -> dropped
+    got = mixture_sample(df, "id", "src", shares, budget_rows=1600, seed="t")
+    by_src = {r.src: r.cnt for r in got.groupBy("src").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert "s3" not in by_src
+    # s0 quota = 6/8*1600 = 1200 > 1000 -> capped, kept whole
+    assert by_src["s0"] == 1000
+    # s1/s2 quota = 200 of 1000 -> rate 0.2; md5 buckets give ~200 ± noise
+    assert 140 <= by_src["s1"] <= 260 and 140 <= by_src["s2"] <= 260
+    # repartition-stable: identical selected ids regardless of layout
+    ids_a = {r.id for r in got.collect()}
+    ids_b = {
+        r.id
+        for r in mixture_sample(
+            df.repartition(17, "src"), "id", "src", shares, 1600, seed="t"
+        ).collect()
+    }
+    assert ids_a == ids_b
+    # rate math unit cases
+    rates = mixture_rates({"a": 10, "b": 0}, {"a": 1.0, "b": 1.0}, 10)
+    assert rates == {"a": 0.5}  # zero-count source skipped, no div-by-zero
+    with pytest.raises(ValueError):
+        mixture_rates({"a": 1}, {"a": 0.0}, 10)
+
+
+def test_mixture_sample_filter_is_map_only(spark):
+    """Stage 2 (the filter over thresholds) adds no shuffle: the plan after
+    the counts collect is scan + filter only."""
+    from sql_data_warehouse_samples_spark.operators.sampling import mixture_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(d, "doc_id", "source", {"src0": 1.0, "src1": 1.0}, 20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_curation_funnel_counts_and_apply(spark):
+    """funnel(): per-stage pass + cumulative survivors in one aggregate;
+    apply() returns exactly the docs passing every stage; NULL predicate
+    counts as fail."""
+    from sql_data_warehouse_samples_spark.operators import curate as C
+
+    rows = [
+        (1, 20, "en"),   # passes all
+        (2, 5, "en"),    # fails len
+        (3, 50, None),   # NULL lang -> language stage fails (not NULL-poison)
+        (4, 30, "fr"),   # fails language (!= en)
+        (5, 15, "en"),   # passes all
+    ]
+    df = spark.createDataFrame(rows, "id: long, n_tok: int, lang: string")
+    stages = [
+        C.Stage("len", F.col("n_tok") >= 10),
+        C.Stage("lang", F.col("lang") == "en"),
+    ]
+    got = {r.stage: r for r in C.funnel(df, stages).collect()}
+    assert (got["len"].n_pass, got["len"].n_cum) == (4, 4)
+    assert got["lang"].n_pass == 3  # ids 1, 2, 5
+    assert got["lang"].n_cum == 2   # ids 1, 5 (2 failed len)
+    assert got["len"].stage_idx == 1 and got["lang"].stage_idx == 2
+    assert {r.id for r in C.apply(df, stages).collect()} == {1, 5}
+    ann = C.annotate(df, stages)
+    assert [r.keep_all for r in ann.orderBy("id").collect()] == [1, 0, 0, 0, 1]
+
+
+def test_curation_funnel_single_scan_plan(spark):
+    """The funnel is one scan + one reduce: a single parquet scan node and
+    a single pair of hash aggregates in the plan, no join, no window."""
+    from sql_data_warehouse_samples_spark.operators import curate as C
+    from sql_data_warehouse_samples_spark.operators import text as T
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stages = [
+        C.Stage("len", T.token_count("text") >= 10),
+        C.Stage("quality", T.quality_score("text") >= 0.5),
+    ]
+    out = C.funnel(d, stages)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
