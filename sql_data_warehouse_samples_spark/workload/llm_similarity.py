@@ -161,3 +161,37 @@ WHERE nbr_rank <= 5
 def s04_ivf_topk(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
     return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# s05 — int8 embedding quantization (operators/similarity.quantize_embeddings):
+# the 4x storage/shuffle compression path for a 100 TB embedding corpus.
+# Map-only; all math in float64 so the oracle reproduces it exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s05_embedding_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS q_scale
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(q_scale, 6) AS q_scale6,
+       CASE WHEN q_scale = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS INT)) END AS q
+FROM s
+""",
+)
+def s05_embedding_quantize(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings(e)
+    return out.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale6"),
+        "q",
+    )

@@ -807,3 +807,36 @@ def t08_curation_funnel(spark, sf_dir):
         C.Stage("exact_canonical", F.col("doc_id") == F.col("keeper")),
     ]
     return C.funnel(annotated, stages)
+
+
+# ---------------------------------------------------------------------------
+# t09 — document chunking into overlapping token windows (context-length
+# preprocessing before packing).  Map-only explode; oracle mirrors the
+# slice arithmetic (DuckDB list slicing is 1-based inclusive, range()
+# end-exclusive == Spark sequence(0, n-1, stride)).
+# ---------------------------------------------------------------------------
+
+_CHUNK_MAX, _CHUNK_STRIDE = 64, 48
+
+
+@query(
+    "t09_document_chunks",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents
+),
+off AS (
+  SELECT doc_id, toks, UNNEST(range(0, LEN(toks), {_CHUNK_STRIDE})) AS o FROM tok
+)
+SELECT doc_id,
+       CAST(o // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(toks[o + 1 : o + {_CHUNK_MAX}], ' ') AS chunk_text,
+       CAST(LEN(toks[o + 1 : o + {_CHUNK_MAX}]) AS INT) AS n_chunk_tokens
+FROM off
+""",
+)
+def t09_document_chunks(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return T.chunk_documents(
+        d, "text", "doc_id", max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE
+    )

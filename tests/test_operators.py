@@ -866,3 +866,58 @@ def test_curation_funnel_single_scan_plan(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_chunk_documents_invariants(spark):
+    """Chunking: full coverage (concat of stride-prefixes rebuilds the
+    doc), overlap = max_tokens - stride, all chunks <= max_tokens, final
+    chunk may be short, map-only plan."""
+    from sql_data_warehouse_samples_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo")],
+        "doc_id: long, text: string",
+    )
+    out = chunk_documents(df, "text", "doc_id", max_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    chunks = [r.chunk_text.split(" ") for r in by_doc[1]]
+    assert all(len(c) <= 4 for c in chunks)
+    assert all(r.n_chunk_tokens == len(c) for r, c in zip(by_doc[1], chunks))
+    # consecutive chunks overlap by max_tokens - stride = 1 token
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[3:] == b[: len(a[3:])]
+    # stride-prefixes reconstruct the document exactly
+    rebuilt = [t for c in chunks for t in c[:3]] + chunks[-1][3:]
+    assert rebuilt == [f"w{i}" for i in range(10)]
+    assert by_doc[2][0].chunk_text == "solo"
+    plan = (
+        chunk_documents(df, "text", "doc_id", 4, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", 0)
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark):
+    """int8 quantization: q in [-127, 127], max element hit exactly, zero
+    vector safe, dequantization error <= scale/2 per element."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    rows = quantize_embeddings(e).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.q)
+        assert max(abs(q) for q in r.q) == 127  # the max-|x| element saturates
+        for x, q in zip(r.embedding, r.q):
+            assert abs(float(x) - q * r.q_scale) <= r.q_scale / 2 + 1e-12
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id: long, embedding: array<float>"
+    )
+    zr = quantize_embeddings(z).collect()[0]
+    assert zr.q == [0, 0] and zr.q_scale == 0.0
