@@ -296,3 +296,36 @@ def chunk_documents(
             F.size(chunk).alias("n_chunk_tokens"),
         )
     )
+
+
+def common_ngrams(
+    df,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_doc_freq: int = 2,
+    top_k: int = 50,
+):
+    """Corpus-wide repeated n-gram mining: the boilerplate detector that
+    informs dedup/filter policy (header/footer phrases, license blurbs,
+    navigation text show up as high-doc-frequency n-grams).
+
+    One explode → (gram)-keyed aggregation with map-side combine; the
+    distinct doc frequency rides the same shuffle as a two-phase distinct
+    aggregate.  Output is driver-small (top_k rows) with a deterministic
+    (count DESC, gram ASC) tiebreak.  At 100 TB the gram key space is
+    large and uniform — hot grams are exactly what partial aggregation
+    collapses before the exchange.
+    """
+    g = F.explode(adjacent_ngrams(tokens(text_col), n)).alias("ngram")
+    return (
+        df.select(F.col(id_col).alias("_doc"), g)
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("_doc").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top_k)
+    )

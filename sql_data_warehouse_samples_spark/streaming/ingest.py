@@ -42,6 +42,21 @@ def read_document_stream(
     )
 
 
+def read_document_stream_jsonl(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """JSONL drop-directory stream — the wire format training corpora
+    actually arrive in (sources/jsonl.py is the batch twin).  Same
+    projected schema; a malformed line yields NULL columns and is removed
+    by the quality gate's token minimum, mirroring the batch loader's
+    corrupt-line discard."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
 def quality_gate(docs: DataFrame, min_tokens: int = 5, min_score: float = 0.3) -> DataFrame:
     """Score + filter each micro-batch with the batch quality expressions
     (operators/text.quality_score — identical results to the t02 query)."""

@@ -840,3 +840,39 @@ def t09_document_chunks(spark, sf_dir):
     return T.chunk_documents(
         d, "text", "doc_id", max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — repeated n-gram mining (boilerplate detection): top trigrams by
+# occurrence with document frequency — the corpus-analysis step that
+# drives dedup/filter policy.  Same n-gram construction the d07
+# contamination oracle uses (1-based inclusive slices over range()).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t10_common_ngrams",
+    oracle=r"""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN LEN(w) >= 3
+              THEN list_transform(range(1, LEN(w) - 1),
+                                  i -> array_to_string(w[i:i + 2], ' '))
+              ELSE [] END AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+flat AS (SELECT doc_id, unnest(gs) AS g FROM grams)
+SELECT g AS ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM flat
+GROUP BY g
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, ngram
+LIMIT 50
+""",
+)
+def t10_common_ngrams(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return T.common_ngrams(d, "text", "doc_id", n=3, min_doc_freq=2, top_k=50)

@@ -921,3 +921,21 @@ def test_quantize_embeddings_bounds_and_reconstruction(spark):
     )
     zr = quantize_embeddings(z).collect()[0]
     assert zr.q == [0, 0] and zr.q_scale == 0.0
+
+
+def test_common_ngrams_boilerplate_detection(spark):
+    """Repeated-trigram mining: a planted boilerplate footer shared by many
+    docs dominates the ranking; unique text stays below min_doc_freq."""
+    from sql_data_warehouse_samples_spark.operators.text import common_ngrams
+
+    footer = "all rights reserved worldwide"
+    rows = [(i, f"unique words {i} here plus {footer}") for i in range(20)]
+    rows += [(100, "totally unrelated single document text")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = common_ngrams(df, "text", "doc_id", n=3, min_doc_freq=2, top_k=10)
+    top = got.collect()
+    assert top[0].ngram == "all rights reserved"
+    assert top[0].n_occurrences == 20 and top[0].doc_freq == 20
+    grams = {r.ngram for r in top}
+    assert "rights reserved worldwide" in grams
+    assert all("unrelated" not in g for g in grams)  # df=1 filtered out

@@ -90,3 +90,70 @@ def test_loader_tolerant_cast_properties(spark):
             assert r.cast == int(r.raw), r
         else:
             assert r.cast == sentinel or r.cast is None, r
+
+
+# --- pure-Python invariants of the new sampling/quantile operators ---------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+    ),
+    shares=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+        min_size=1,
+    ),
+    budget=st.integers(min_value=0, max_value=100_000),
+)
+def test_mixture_rates_invariants(counts, shares, budget):
+    from sql_data_warehouse_samples_spark.operators.sampling import mixture_rates
+
+    rates = mixture_rates(counts, shares, budget)
+    # only listed sources with population; rates in (0, 1]
+    assert set(rates) <= set(shares)
+    for s, r in rates.items():
+        assert counts.get(s, 0) > 0
+        assert 0.0 <= r <= 1.0
+        # expected kept rows never exceed the source quota (cap at keep-all)
+        total = sum(shares.values())
+        assert r * counts[s] <= shares[s] / total * budget + 1e-6 or r == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2,
+        max_size=50,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_bucket_expr_thresholds_are_monotone(values, n):
+    """The CASE chain of approx_ntile: assignment is monotone in the value
+    and every bucket id is within [1, n] — checked via the pure-Python
+    mirror of the boundary comparison."""
+    import numpy as np
+
+    bounds = list(np.quantile(np.array(values), [i / n for i in range(1, n)]))
+
+    def assign_asc(v):
+        for k, b in enumerate(bounds, 1):
+            if v <= b:
+                return k
+        return n
+
+    got = [assign_asc(v) for v in sorted(values)]
+    assert got == sorted(got)  # monotone
+    assert all(1 <= g <= n for g in got)
+    # descending mirror reverses the ranking
+    def assign_desc(v):
+        for k in range(1, n):
+            if v > bounds[n - 1 - k]:
+                return k
+        return n
+
+    got_desc = [assign_desc(v) for v in sorted(values, reverse=True)]
+    assert got_desc == sorted(got_desc)

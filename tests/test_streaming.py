@@ -271,3 +271,52 @@ def test_streaming_dedup_gate_anti_joins_ledger(spark, tmp_path):
     q.awaitTermination()
     out = spark.table("ledger_gate_out").collect()
     assert [r.doc_id for r in out] == [101]
+
+
+def test_streaming_jsonl_ingest(spark, tmp_path_factory):
+    """JSONL drop-dir stream (the corpus wire format): well-formed lines
+    flow through quality+dedup gates like the parquet stream; a malformed
+    line degrades to NULLs and is removed by the quality gate."""
+    import json
+    import os
+
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    src = str(tmp_path_factory.mktemp("jsonl_stream"))
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    lines = [
+        json.dumps(
+            {
+                "doc_id": i,
+                "text": f"{text} variant {i}",
+                "lang": "en",
+                "source": "web",
+                "n_chars": len(text),
+                "ingest_ts": f"2024-01-01T00:00:{i:02d}.000Z",
+            }
+        )
+        for i in range(5)
+    ]
+    # duplicate content under a new id + one malformed line
+    dup = json.loads(lines[0])
+    dup["doc_id"] = 99
+    dup["ingest_ts"] = "2024-01-01T00:01:00.000Z"
+    with open(os.path.join(src, "shard0.jsonl"), "w") as f:
+        f.write("\n".join(lines + [json.dumps(dup), "{not valid json"]))
+
+    stream = SI.dedup_gate(
+        SI.quality_gate(SI.read_document_stream_jsonl(spark, src))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_ingest")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM jsonl_ingest").collect()
+    # 5 distinct docs survive; the content-dup and the corrupt line do not
+    assert len(got) == 5
+    assert {r.doc_id for r in got} <= set(range(5)) | {99}
+    assert len({r.content_hash for r in got}) == 5
