@@ -939,3 +939,38 @@ def test_common_ngrams_boilerplate_detection(spark):
     grams = {r.ngram for r in top}
     assert "rights reserved worldwide" in grams
     assert all("unrelated" not in g for g in grams)  # df=1 filtered out
+
+
+def test_ivf_index_persist_and_pruned_search(spark, tmp_path):
+    """IvfIndex: build-once/search-many equals the one-shot ivf_topk with
+    the same quantizer; the search scan is partition-pruned to the probed
+    lists; load() round-trips the quantizer."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        ivf_topk,
+        seed_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.limit(5)
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(e, path, nlist=8)
+    cents = seed_centroids(e, "vec_id", "embedding", 8)
+    assert idx.centroids == sorted(cents)
+
+    got = idx.search(queries, k=3, nprobe=2)
+    want = ivf_topk(e, queries, k=3, nprobe=2, nlist=8, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # partition pruning: the lists scan carries a static PartitionFilters
+    # IN-list over centroid_id — the reader never opens unprobed lists
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "centroid_id" in ln and " IN " in ln
+    ]
+    assert pf, plan
+    # loaded index searches identically
+    idx2 = IvfIndex.load(spark, path)
+    got2 = idx2.search(queries, k=3, nprobe=2)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, got.collect()))
