@@ -47,6 +47,7 @@ HEADLINE = [
     "t02_quality_score",
     "t05_repetition_filters",
     "t06_corpus_quantiles",
+    "t08_curation_funnel",
     "d09_duplicate_clusters",
     "m01_media_meta",
 ]

@@ -53,7 +53,6 @@ def approx_ntile(
     bounds = df.select(
         F.percentile_approx(col, probs, accuracy).alias("b")
     ).first()["b"]
-    df.sparkSession  # noqa: B018 — touch to keep lint quiet about unused
     return df.withColumn(out, _bucket_expr(F.col(col), bounds, descending))
 
 

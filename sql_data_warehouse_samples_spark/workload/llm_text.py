@@ -792,21 +792,32 @@ def t08_curation_funnel(spark, sf_dir):
     from ..operators import curate as C
 
     d = tbl(spark, sf_dir, "documents")
-    keeper = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
-    annotated = d.withColumn("keeper", keeper)
     c = F.col("text")
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9_\s]", ""))
     punct_ratio = F.round(
         n_punct / F.nullif(F.length(c).cast("double"), F.lit(0.0)), 6
     )
+    # Project the map-only stage flags + content hash FIRST: the keeper
+    # window then shuffles ~50 B/row (hash + flags), never the document
+    # text — windowing the raw frame would move the whole corpus.
+    narrow = d.select(
+        "doc_id",
+        (T.token_count("text") >= 10).alias("f_len"),
+        (T.language_id("text") == F.col("lang")).alias("f_lang"),
+        (T.quality_score("text") >= 0.5).alias("f_qual"),
+        (punct_ratio <= 0.35).alias("f_punct"),
+        F.md5("text").alias("h"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    flagged = narrow.withColumn("f_canon", F.col("doc_id") == keeper)
     stages = [
-        C.Stage("min_length", T.token_count("text") >= 10),
-        C.Stage("language", T.language_id("text") == F.col("lang")),
-        C.Stage("quality", T.quality_score("text") >= 0.5),
-        C.Stage("punctuation", punct_ratio <= 0.35),
-        C.Stage("exact_canonical", F.col("doc_id") == F.col("keeper")),
+        C.Stage("min_length", F.col("f_len")),
+        C.Stage("language", F.col("f_lang")),
+        C.Stage("quality", F.col("f_qual")),
+        C.Stage("punctuation", F.col("f_punct")),
+        C.Stage("exact_canonical", F.col("f_canon")),
     ]
-    return C.funnel(annotated, stages)
+    return C.funnel(flagged, stages)
 
 
 # ---------------------------------------------------------------------------

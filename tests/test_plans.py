@@ -182,3 +182,33 @@ def test_t05_repetition_single_shuffle_per_frequency(spark):
     plan = plan_str(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_t10_ngram_topk_no_global_sort(spark):
+    """t10's top-k lands as TakeOrderedAndProject (driver-sized k), never a
+    global sort; the distinct doc-frequency costs the standard two-level
+    aggregate (≤ 4 exchanges incl. AQE reads)."""
+    df = workload.QUERIES["t10_common_ngrams"](spark, SF)
+    df.collect()
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not any(
+        ln.strip().startswith("Sort ") for ln in plan.splitlines()
+    )
+    assert plan.count("Exchange") <= 4
+
+
+def test_t08_funnel_shuffles_flags_not_text(spark):
+    """The curation funnel's only wide-input shuffle is the keeper window
+    on the content hash — and its exchange input is the NARROW flag
+    projection (text is consumed map-side), so the corpus text never
+    moves."""
+    df = workload.QUERIES["t08_curation_funnel"](spark, SF)
+    plan = plan_str(df)
+    lines = plan.splitlines()
+    exch = [i for i, ln in enumerate(lines)
+            if "Exchange hashpartitioning(h#" in ln]
+    assert exch, plan
+    child = lines[exch[0] + 1]
+    # the shuffled row is the flag projection, not the raw document
+    assert "AS f_len" in child and "Project [doc_id#" in child
