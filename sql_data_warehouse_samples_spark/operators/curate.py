@@ -77,3 +77,27 @@ def apply(df: DataFrame, stages: list[Stage]) -> DataFrame:
     for st in stages:
         keep = keep & st.keep.isNotNull() & st.keep
     return df.filter(keep)
+
+
+def calibrate_threshold(
+    df: DataFrame,
+    score_col: str,
+    keep_rate: float,
+    *,
+    higher_is_better: bool = True,
+    accuracy: int = 10_000,
+) -> float:
+    """Derive the filter threshold that keeps ~``keep_rate`` of documents:
+    the (1 − keep_rate) quantile of the score distribution (or keep_rate
+    quantile when lower scores are better).
+
+    The calibration loop every curation pipeline runs ("keep the top 60%
+    by quality"): ONE percentile_approx aggregate — partial sketches per
+    partition, a driver-sized merge — instead of a global sort.  Feed the
+    result to a ``Stage`` predicate."""
+    if not 0.0 < keep_rate <= 1.0:
+        raise ValueError(f"keep_rate must be in (0, 1], got {keep_rate}")
+    q = (1.0 - keep_rate) if higher_is_better else keep_rate
+    return df.select(
+        F.percentile_approx(score_col, q, accuracy).alias("t")
+    ).first()["t"]

@@ -507,3 +507,22 @@ class IvfIndex:
             .filter(F.col("nbr_rank") <= k)
             .select("query_id", "neighbor_id", "cosine_sim", "nbr_rank")
         )
+
+    def add(self, batch: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding", round_to: int = 6) -> None:
+        """Incremental index maintenance: assign a new batch against the
+        FROZEN quantizer and append into the partitioned lists — cost
+        scales with the batch, the existing lists are untouched (parquet
+        append writes only the probed partitions' new files).  The
+        standard IVF serving pattern: rebuild the quantizer only when
+        drift warrants it, append otherwise."""
+        assigned = _spread(
+            batch.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+            )
+        ).withColumn(
+            "centroid_id", _argmin_cid(F.col("__cvec"), self.centroids, round_to)
+        )
+        assigned.write.partitionBy("centroid_id").mode("append").parquet(
+            f"{self.path}/lists"
+        )

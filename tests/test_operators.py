@@ -974,3 +974,42 @@ def test_ivf_index_persist_and_pruned_search(spark, tmp_path):
     idx2 = IvfIndex.load(spark, path)
     got2 = idx2.search(queries, k=3, nprobe=2)
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    """IvfIndex.add: a new batch lands in the lists under the frozen
+    quantizer; search then sees both old and new vectors, identical to a
+    one-shot ivf_topk over the union with the same centroids."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = e.filter("vec_id < 40")
+    new = e.filter("vec_id >= 40 AND vec_id < 50")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(old, path, nlist=4)
+    idx.add(new)
+    queries = e.filter("vec_id < 3")
+    got = idx.search(queries, k=3, nprobe=2)
+    want = ivf_topk(
+        old.unionAll(new), queries, k=3, nprobe=2, nlist=4,
+        centroids=idx.centroids,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_calibrate_threshold_hits_keep_rate(spark):
+    from sql_data_warehouse_samples_spark.operators import curate as C
+
+    df = spark.range(1000).select((F.col("id") / 1000.0).alias("score"))
+    t = C.calibrate_threshold(df, "score", 0.25)
+    kept = df.filter(F.col("score") >= t).count()
+    assert abs(kept - 250) <= 10
+    # lower-is-better mirror (e.g. perplexity-style scores)
+    t2 = C.calibrate_threshold(df, "score", 0.25, higher_is_better=False)
+    kept2 = df.filter(F.col("score") <= t2).count()
+    assert abs(kept2 - 250) <= 10
+    with pytest.raises(ValueError):
+        C.calibrate_threshold(df, "score", 0.0)
