@@ -195,3 +195,53 @@ rates AS (
 SELECT d.* FROM {table} d JOIN rates r ON d.{source_col} = r.s
 WHERE {h} < r.thr
 """
+
+
+def mixture_sample_with_upsampling(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    budget_rows: int,
+    seed: str = "",
+) -> DataFrame:
+    """Domain mixture where under-represented sources may be UPSAMPLED
+    (rate > 1): each row emits ``floor(rate)`` guaranteed copies plus one
+    more when its keyed hash falls under the fractional remainder — the
+    "epochs per domain" construction (e.g. the Pile's per-set epochs).
+
+    Output adds ``copy_idx`` (1-based) so duplicated rows stay distinct
+    downstream.  Still map-only after the #sources-row count aggregate:
+    replication is a per-row ``explode(sequence(...))`` with no shuffle,
+    and the expected composition matches ``target_shares`` exactly in
+    expectation.  Deterministic and repartition-stable like the capped
+    variant."""
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    total = sum(target_shares.values())
+    if total <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    h = _bucket_hex(F.col(key_col), seed)
+    copies = F.lit(0)
+    for s, share in sorted(target_shares.items()):
+        cnt = counts.get(s, 0)
+        if cnt == 0:
+            continue
+        rate = share / total * budget_rows / cnt
+        n_full = int(rate)
+        frac = rate - n_full
+        per_src = F.lit(n_full) + F.when(
+            h < _threshold(frac), F.lit(1)
+        ).otherwise(F.lit(0))
+        copies = F.when(F.col(source_col) == s, per_src).otherwise(copies)
+    return (
+        df.withColumn("__n", copies)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.when(
+                    F.col("__n") >= 1, F.sequence(F.lit(1), F.col("__n"))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__n")
+    )

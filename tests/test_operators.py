@@ -1013,3 +1013,35 @@ def test_calibrate_threshold_hits_keep_rate(spark):
     assert abs(kept2 - 250) <= 10
     with pytest.raises(ValueError):
         C.calibrate_threshold(df, "score", 0.0)
+
+
+def test_mixture_upsampling_composition(spark):
+    """Upsampled mixture: a scarce source replicates to ~its quota (copies
+    distinguished by copy_idx), plentiful sources downsample; map-only
+    after the count aggregate; deterministic across runs."""
+    from sql_data_warehouse_samples_spark.operators.sampling import (
+        mixture_sample_with_upsampling,
+    )
+
+    rows = [(i, "rare" if i < 100 else "common") for i in range(2100)]
+    df = spark.createDataFrame(rows, "id: long, src: string")
+    # equal target shares, budget 1000 -> rare quota 500 (rate 5.0),
+    # common quota 500 of 2000 (rate 0.25)
+    got = mixture_sample_with_upsampling(
+        df, "id", "src", {"rare": 1.0, "common": 1.0}, 1000, seed="u"
+    )
+    by_src = {r.src: r.cnt for r in got.groupBy("src").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_src["rare"] == 500  # rate 5.0 exactly -> 5 copies each
+    assert 420 <= by_src["common"] <= 580
+    # copies are distinct rows: (id, copy_idx) unique, max copy_idx == 5
+    rare = got.filter("src = 'rare'")
+    assert rare.select("id", "copy_idx").distinct().count() == 500
+    assert rare.agg(F.max("copy_idx")).first()[0] == 5
+    # deterministic rerun
+    again = mixture_sample_with_upsampling(
+        df.repartition(13), "id", "src", {"rare": 1.0, "common": 1.0}, 1000, seed="u"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # replication is map-only
