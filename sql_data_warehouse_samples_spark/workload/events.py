@@ -282,3 +282,78 @@ def q48_grouped_map_summary(spark, sf_dir):
         "user_id long, n_events long, n_types long, span_sec long,"
         " first_event_id long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — cohort retention matrix: users grouped by first-signup week, the
+# fraction of each cohort active k weeks later.  The classic event-analytics
+# report (cohort × weeks-since grid).  Scale shape: one user-keyed join of
+# events against the driver-small firsts frame, a distinct on the
+# (user, cohort, week) triple, then a tiny grouped aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q56_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS fs FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+coh AS (
+  SELECT user_id, fs, CAST(date_trunc('week', fs) AS DATE) AS cohort_week
+  FROM firsts
+),
+act AS (
+  SELECT DISTINCT c.user_id, c.cohort_week,
+         CAST(FLOOR(datediff('day', c.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+              AS INT) AS weeks_since
+  FROM events e JOIN coh c ON e.user_id = c.user_id
+  WHERE e.ts >= c.fs
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM coh GROUP BY 1)
+SELECT a.cohort_week, a.weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(MAX(s.n_cohort) AS BIGINT) AS n_cohort,
+       ROUND(COUNT(*) * 100.0 / MAX(s.n_cohort), 4) AS retention_pct
+FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY 1, 2
+""",
+)
+def q56_retention_cohorts(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fs"))
+    )
+    coh = firsts.select(
+        "user_id", "fs", F.date_trunc("week", "fs").cast("date").alias("cohort_week")
+    )
+    act = (
+        ev.join(coh, "user_id")
+        .filter(F.col("ts") >= F.col("fs"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0
+            ).cast("int").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    sizes = coh.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        act.groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.round(F.col("n_active") * 100.0 / F.col("n_cohort"), 4).alias(
+                "retention_pct"
+            ),
+        )
+    )
