@@ -59,8 +59,9 @@ def funnel(df: DataFrame, stages: list[Stage]) -> DataFrame:
     for i, st in enumerate(stages, 1):
         f = _flag(st)
         cum = cum * f
-        aggs.append(F.sum(f).alias(f"p{i}"))
-        aggs.append(F.sum(cum).alias(f"c{i}"))
+        # COALESCE: an empty corpus funnels to zeros, not NULLs
+        aggs.append(F.coalesce(F.sum(f), F.lit(0)).alias(f"p{i}"))
+        aggs.append(F.coalesce(F.sum(cum), F.lit(0)).alias(f"c{i}"))
     row = df.agg(*aggs)
     stack_args = []
     for i, st in enumerate(stages, 1):

@@ -772,11 +772,11 @@ flags AS (
 ),
 agg AS (
   SELECT
-    CAST(SUM(f1) AS BIGINT) AS p1, CAST(SUM(f1) AS BIGINT) AS c1,
-    CAST(SUM(f2) AS BIGINT) AS p2, CAST(SUM(f1*f2) AS BIGINT) AS c2,
-    CAST(SUM(f3) AS BIGINT) AS p3, CAST(SUM(f1*f2*f3) AS BIGINT) AS c3,
-    CAST(SUM(f4) AS BIGINT) AS p4, CAST(SUM(f1*f2*f3*f4) AS BIGINT) AS c4,
-    CAST(SUM(f5) AS BIGINT) AS p5, CAST(SUM(f1*f2*f3*f4*f5) AS BIGINT) AS c5
+    CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS p1, CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS c1,
+    CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS p2, CAST(COALESCE(SUM(f1*f2), 0) AS BIGINT) AS c2,
+    CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS p3, CAST(COALESCE(SUM(f1*f2*f3), 0) AS BIGINT) AS c3,
+    CAST(COALESCE(SUM(f4), 0) AS BIGINT) AS p4, CAST(COALESCE(SUM(f1*f2*f3*f4), 0) AS BIGINT) AS c4,
+    CAST(COALESCE(SUM(f5), 0) AS BIGINT) AS p5, CAST(COALESCE(SUM(f1*f2*f3*f4*f5), 0) AS BIGINT) AS c5
   FROM flags
 )
 SELECT 1 AS stage_idx, 'min_length' AS stage, p1 AS n_pass, c1 AS n_cum FROM agg

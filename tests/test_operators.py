@@ -1045,3 +1045,28 @@ def test_mixture_upsampling_composition(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # replication is map-only
+
+
+def test_new_operator_edge_cases(spark):
+    """Degenerate inputs: empty text chunks to one empty chunk; mixture
+    with no listed source present returns empty (not an error); funnel of
+    zero docs returns zero counts; approx_ntile n=1 is constant."""
+    from sql_data_warehouse_samples_spark.operators import curate as C
+    from sql_data_warehouse_samples_spark.operators.quantiles import approx_ntile
+    from sql_data_warehouse_samples_spark.operators.sampling import mixture_sample
+    from sql_data_warehouse_samples_spark.operators.text import chunk_documents
+
+    empty_text = spark.createDataFrame([(1, "")], "doc_id: long, text: string")
+    out = chunk_documents(empty_text, "text", "doc_id", 4, 3).collect()
+    assert len(out) == 1 and out[0].chunk_idx == 0
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, src: string")
+    none = mixture_sample(docs, "id", "src", {"zzz": 1.0}, 10)
+    assert none.count() == 0
+
+    stages = [C.Stage("always", F.lit(True))]
+    funnel_empty = C.funnel(docs.filter("id < 0"), stages).collect()
+    assert funnel_empty[0].n_pass == 0 and funnel_empty[0].n_cum == 0
+
+    one = approx_ntile(docs, "id", 1)
+    assert [r.bucket for r in one.collect()] == [1, 1]
