@@ -511,3 +511,39 @@ def incremental_dedup(
         .filter(F.col(id_col) == F.col("keep_id"))
         .drop("keep_id")
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 20
+) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing any verbatim
+    run of ``n`` tokens (the ExactSubstr criterion of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper — re-expressed relationally: a shared length-n token window IS
+    a shared n-gram, no suffix array needed).
+
+    Star-formed per gram: each gram links its members to the gram's
+    minimum doc id, so a boilerplate gram shared by 10k documents emits
+    9 999 edges, never the C(n,2) clique — mass duplication stays linear
+    by construction (no bucket cap needed).  Shape: one explode over
+    per-doc DISTINCT grams, one gram-keyed min, one equi-join back, one
+    pair-keyed count — all uniform hash keys.  ``n_shared_grams`` counts
+    the grams for which ``id_a`` is the global representative (a
+    diagnostic weight, not symmetric gram overlap).  Feed the pairs to
+    ``graph.duplicate_clusters`` for transitive resolution.
+    """
+    from .text import adjacent_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(adjacent_ngrams(tokens(text_col), n))
+        ).alias("g"),
+    )
+    reps = grams.groupBy("g").agg(F.min("doc_id").alias("id_a"))
+    return (
+        grams.join(reps, "g")
+        .filter(F.col("doc_id") > F.col("id_a"))
+        .groupBy("id_a", F.col("doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

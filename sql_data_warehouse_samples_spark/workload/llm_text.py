@@ -887,3 +887,36 @@ LIMIT 50
 def t10_common_ngrams(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     return T.common_ngrams(d, "text", "doc_id", n=3, min_doc_freq=2, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# d11 — exact-substring duplicate pairs (Lee et al. 2021 ExactSubstr as a
+# shared-20-token-gram join, star-formed per gram so boilerplate stays
+# linear).  Oracle uses the d07 slice-over-range gram construction.
+# ---------------------------------------------------------------------------
+
+_SUB_N = 20
+
+
+@query(
+    "d11_substring_dup_pairs",
+    oracle=rf"""
+WITH grams AS (
+  SELECT doc_id, unnest(CASE WHEN LEN(w) >= {_SUB_N}
+    THEN list_distinct(list_transform(range(1, LEN(w) - {_SUB_N - 2}),
+                       i -> array_to_string(w[i:i + {_SUB_N - 1}], ' ')))
+    ELSE [] END) AS g
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+reps AS (SELECT g, MIN(doc_id) AS id_a FROM grams GROUP BY 1)
+SELECT r.id_a, gr.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM grams gr JOIN reps r ON gr.g = r.g
+WHERE gr.doc_id > r.id_a
+GROUP BY 1, 2
+""",
+)
+def d11_substring_dup_pairs(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return D.substring_dup_pairs(d, "text", "doc_id", n=_SUB_N)

@@ -1070,3 +1070,40 @@ def test_new_operator_edge_cases(spark):
 
     one = approx_ntile(docs, "id", 1)
     assert [r.bucket for r in one.collect()] == [1, 1]
+
+
+def test_substring_dup_pairs_planted(spark):
+    """ExactSubstr detection: a 20-token verbatim run shared between two
+    otherwise-different docs is caught; short docs and disjoint docs are
+    not; a mass-shared gram stays linear (star pairs to the min id)."""
+    from sql_data_warehouse_samples_spark.operators.dedup import substring_dup_pairs
+
+    run = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, f"prefix one {run} suffix alpha"),
+        (2, f"different opening {run} other ending"),
+        (3, "entirely unrelated words " + " ".join(f"x{i}" for i in range(20))),
+        (4, "short doc"),
+    ]
+    # 50 docs all sharing the same boilerplate run
+    rows += [(100 + i, f"doc {i} variant {run}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = substring_dup_pairs(df, "text", "doc_id", n=20).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (1, 2) in pairs
+    # linear, not quadratic: every doc appears via star edges per gram,
+    # far fewer than the C(52,2)=1326 clique
+    members = {1, 2} | {100 + i for i in range(50)}
+    touched = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert touched == members
+    assert len(pairs) < 120
+    assert not any(3 in p or 4 in p for p in pairs)
+    # transitive closure: one duplicate cluster over all sharers
+    from sql_data_warehouse_samples_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src: long, dst: long"
+    )
+    comp = connected_components(edges, "src", "dst")
+    labels = {r[0]: r[1] for r in comp.collect()}
+    assert len({labels[m] for m in members}) == 1
