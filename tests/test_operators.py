@@ -1107,3 +1107,58 @@ def test_substring_dup_pairs_planted(spark):
     comp = connected_components(edges, "src", "dst")
     labels = {r[0]: r[1] for r in comp.collect()}
     assert len({labels[m] for m in members}) == 1
+
+
+def test_llm_pipeline_end_to_end_composition(spark):
+    """The full curation pipeline composed: calibrated quality threshold ->
+    funnel filters -> exact dedup -> train/val split -> chunking ->
+    sequence packing.  Row-conservation and determinism invariants hold at
+    every stage — the integration proof that the operators compose."""
+    from sql_data_warehouse_samples_spark.operators import curate as C
+    from sql_data_warehouse_samples_spark.operators import text as T
+    from sql_data_warehouse_samples_spark.operators.dedup import exact_dedup
+    from sql_data_warehouse_samples_spark.operators.packing import pack_sequences
+    from sql_data_warehouse_samples_spark.operators.sampling import train_test_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n0 = docs.count()
+
+    # 1. calibrate a quality threshold for ~80% keep, then funnel
+    scored = docs.withColumn("q", T.quality_score("text"))
+    thresh = C.calibrate_threshold(scored, "q", 0.8)
+    stages = [
+        C.Stage("quality", F.col("q") >= thresh),
+        C.Stage("min_len", T.token_count("text") >= 5),
+    ]
+    fun = {r.stage: r for r in C.funnel(scored, stages).collect()}
+    curated = C.apply(scored, stages)
+    n1 = curated.count()
+    assert n1 == fun["min_len"].n_cum
+    assert 0.6 * n0 <= n1 <= 0.95 * n0
+
+    # 2. exact dedup keeps one representative per content hash
+    deduped = exact_dedup(curated, "text", "doc_id").filter(~F.col("is_duplicate"))
+    n2 = deduped.count()
+    assert n2 <= n1
+
+    # 3. deterministic split partitions exactly
+    split = train_test_split(deduped, "doc_id", {"train": 0.9, "val": 0.1})
+    by = {r.split: r.c for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(by.values()) == n2
+
+    # 4. chunking covers every surviving train doc
+    train = split.filter("split = 'train'")
+    chunks = T.chunk_documents(train, "text", "doc_id", max_tokens=64, stride=64)
+    assert chunks.select("doc_id").distinct().count() == by.get("train", 0)
+    # non-overlapping stride => total chunk tokens == total doc tokens
+    tot_doc = train.agg(F.sum(T.token_count("text"))).first()[0]
+    tot_chunk = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    assert tot_doc == tot_chunk
+
+    # 5. packing bins every chunk exactly once
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"), "chunk_text"
+    )
+    packed = pack_sequences(chunk_docs, "cid", "chunk_text", max_tokens=128)
+    assert packed.count() == chunk_docs.count()
