@@ -83,3 +83,23 @@ def test_option_label_extracted(label):
     out, got = rewrite_tsql(sql)
     assert got == label
     assert "OPTION" not in out.upper()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    depth=st.integers(min_value=0, max_value=4),
+    typ=st.sampled_from(
+        [("varchar", "STRING"), ("int", "INT"), ("decimal(10,2)", "DECIMAL(10,2)")]
+    ),
+    inner=st.sampled_from(["a", "a + b", "coalesce(a, b)", "f(g(a), h(b, c))"]),
+    style=st.booleans(),
+)
+def test_convert_depth_scan_roundtrip(depth, typ, inner, style):
+    """CONVERT with arbitrarily nested second arguments becomes CAST with
+    the expression preserved verbatim; a trailing style integer drops."""
+    tsql_t, spark_t = typ
+    expr = "(" * depth + inner + ")" * depth
+    arg = f"{expr}, 120" if style else expr
+    out, _ = rewrite_tsql(f"SELECT CONVERT({tsql_t}, {arg}) AS x FROM t")
+    assert f"CAST({expr} AS {spark_t})" in out
+    assert "CONVERT" not in out.upper()
