@@ -920,3 +920,34 @@ GROUP BY 1, 2
 def d11_substring_dup_pairs(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     return D.substring_dup_pairs(d, "text", "doc_id", n=_SUB_N)
+
+
+# ---------------------------------------------------------------------------
+# t11 — model-based quality filtering (operators/model_filter.py): the
+# classifier gate of a modern pipeline through real Arrow mapInPandas
+# plumbing; the deterministic default scorer is mirrored bit-for-bit by
+# the oracle's md5 hex math, so the whole Python-worker path is
+# hash-checked end-to-end (the m01 injectable-seam pattern).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t11_model_quality_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) / 4294967296.0
+           AS model_score
+  FROM documents
+)
+SELECT doc_id, ROUND(model_score, 6) AS score6
+FROM scored
+WHERE model_score >= 0.5
+""",
+)
+def t11_model_quality_filter(spark, sf_dir):
+    from ..operators.model_filter import filter_by_model
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = filter_by_model(d, 0.5)
+    return kept.select("doc_id", F.round("model_score", 6).alias("score6"))

@@ -1162,3 +1162,34 @@ def test_llm_pipeline_end_to_end_composition(spark):
     )
     packed = pack_sequences(chunk_docs, "cid", "chunk_text", max_tokens=128)
     assert packed.count() == chunk_docs.count()
+
+
+def test_model_filter_scorer_injection_and_passthrough(spark):
+    """score_documents: all input columns pass through, the injected
+    scorer's values land per-row, batches respect batch_size, and the
+    default fake is deterministic."""
+    from sql_data_warehouse_samples_spark.operators import model_filter as M
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}", "en") for i in range(10)],
+        "doc_id: long, text: string, lang: string",
+    )
+    try:
+        M.set_scorer(lambda texts: texts.str.len().astype(float))
+        got = {r.doc_id: r for r in M.score_documents(df, batch_size=3).collect()}
+        assert got[7].model_score == float(len("doc number 7"))
+        assert got[7].lang == "en"  # passthrough intact
+    finally:
+        M.set_scorer(None)
+    # default fake: deterministic across runs and partitionings
+    a = {r.doc_id: r.model_score for r in M.score_documents(df).collect()}
+    b = {
+        r.doc_id: r.model_score
+        for r in M.score_documents(df.repartition(5)).collect()
+    }
+    assert a == b and all(0.0 <= v < 1.0 for v in a.values())
+    # filter gate keeps exactly the rows over threshold
+    kept = M.filter_by_model(df, 0.5)
+    assert {r.doc_id for r in kept.collect()} == {
+        i for i, v in a.items() if v >= 0.5
+    }
