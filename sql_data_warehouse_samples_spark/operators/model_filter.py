@@ -63,7 +63,9 @@ def score_documents(
     initializes it once.
     """
     scorer = _scorer or deterministic_fake_scorer
-    schema = df.schema.simpleString()[7:-1] + f", {out} double"
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out}` double"
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
