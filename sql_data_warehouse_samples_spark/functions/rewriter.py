@@ -254,9 +254,17 @@ def _inline_declares(sql: str) -> str:
         grab,
         sql,
     )
-    for name in sorted(decls, key=len, reverse=True):
-        sql = re.sub(r"@" + re.escape(name) + r"\b", decls[name], sql)
-    return sql
+    if not decls:
+        return sql
+    # substitute outside string literals only — '@name' inside a literal
+    # is content, not a variable reference
+    parts = []
+    for lit, seg in _split_literals(sql):
+        if not lit:
+            for name in sorted(decls, key=len, reverse=True):
+                seg = re.sub(r"@" + re.escape(name) + r"\b", decls[name], seg)
+        parts.append(seg)
+    return "".join(parts)
 
 
 def _strip_nprefix(sql: str) -> str:
