@@ -102,12 +102,19 @@ def ingest_pipeline(
     min_score: float = 0.3,
     watermark: str = "1 hour",
     ledger=None,
+    model_threshold: float | None = None,
 ) -> DataFrame:
-    """The full stream: read → quality gate → dedup gate (optionally
-    anti-joined against a persistent content-hash ledger).  Attach a sink
+    """The full stream: read → quality gate → [model gate] → dedup gate
+    (optionally anti-joined against a persistent content-hash ledger).
+    ``model_threshold`` adds the classifier stage (operators/model_filter
+    — mapInPandas runs per micro-batch in Structured Streaming; the
+    scorer initializes once per executor, not per batch).  Attach a sink
     with ``writeStream`` (tests drive it with availableNow + a memory
     sink; production writes parquet shards with a checkpoint)."""
     docs = read_document_stream(spark, source_dir)
-    return dedup_gate(
-        quality_gate(docs, min_tokens, min_score), watermark, ledger=ledger
-    )
+    gated = quality_gate(docs, min_tokens, min_score)
+    if model_threshold is not None:
+        from ..operators.model_filter import filter_by_model
+
+        gated = filter_by_model(gated, model_threshold)
+    return dedup_gate(gated, watermark, ledger=ledger)

@@ -320,3 +320,47 @@ def test_streaming_jsonl_ingest(spark, tmp_path_factory):
     assert len(got) == 5
     assert {r.doc_id for r in got} <= set(range(5)) | {99}
     assert len({r.content_hash for r in got}) == 5
+
+
+def test_streaming_model_gate(spark, tmp_path_factory):
+    """The classifier gate runs inside the stream: survivors are exactly
+    the quality-passing docs whose deterministic model score clears the
+    threshold — identical to the batch filter_by_model answer."""
+    import os
+
+    from sql_data_warehouse_samples_spark.operators import model_filter as M
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    src = str(tmp_path_factory.mktemp("model_stream"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        .select("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "_stage"))
+    import glob
+    import shutil
+
+    shutil.move(
+        glob.glob(os.path.join(src, "_stage", "part-*.parquet"))[0],
+        os.path.join(src, "shard0.parquet"),
+    )
+
+    stream = SI.ingest_pipeline(spark, src, model_threshold=0.5)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("model_gate")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM model_gate").collect()}
+
+    batch = SI.dedup_gate(
+        M.filter_by_model(SI.quality_gate(docs), 0.5)
+    ).drop("content_hash")
+    want = {r.doc_id for r in batch.collect()}
+    assert got == want and got
