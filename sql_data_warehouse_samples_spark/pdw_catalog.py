@@ -170,7 +170,7 @@ class PdwSysCatalog:
             sorted({(tid, tid, name) for tid, name, _len in _SYSTYPES.values()}),
             "user_type_id int, system_type_id int, name string",
         ).createOrReplaceTempView("pdw_sys_types")
-        self._register_layout(tbls)
+        self._register_layout(tbls, set(tables) if tables else None)
         self._register_stats(cols)
         self._register_physical(tables or [])
         self._register_runtime()
@@ -183,10 +183,18 @@ class PdwSysCatalog:
 
     # ---- physical layout (distribution metadata) -------------------------
 
-    def _register_layout(self, tbls) -> None:
+    def _register_layout(self, tbls, monitored: set[str] | None = None) -> None:
         """indexes / distribution properties / column distribution ordinal /
         table mappings — from the engine catalog's declared layouts
-        (StorageSize.sql:76-97's join spine)."""
+        (StorageSize.sql:76-97's join spine).
+
+        ``monitored`` bounds the control-plane cost: the sys.partitions
+        row-belief needs a DESCRIBE EXTENDED per table (a driver
+        round-trip), so the catalog-statistics lookup runs only for the
+        monitored set; every other table answers from the in-memory stats
+        ledger (or the 1000-row missing-stats sentinel) — the same numbers
+        ImpactedTables' drift check consumes, without O(all tables) RPCs
+        on every register() of a wide catalog."""
         indexes, dist_props, col_dist, mappings, partitions = [], [], [], [], []
         sch_of = {}
         for db in self.spark.catalog.listDatabases():
@@ -212,12 +220,13 @@ class PdwSysCatalog:
             # PDW default estimate of 1000 rows — exactly the sentinel
             # ImpactedTables:6 tests (@missingStatCtlRowCount int=1000)
             ctl_rows = None
-            try:
-                from .maintenance import catalog_row_estimate
+            if monitored is None or qual in monitored:
+                try:
+                    from .maintenance import catalog_row_estimate
 
-                ctl_rows = catalog_row_estimate(self.spark, qual)
-            except Exception:  # noqa: BLE001
-                pass
+                    ctl_rows = catalog_row_estimate(self.spark, qual)
+                except Exception:  # noqa: BLE001
+                    pass
             if ctl_rows is None:
                 ctl_rows = self.engine.stats.last_analyzed_rows(qual)
             partitions.append(
