@@ -1169,3 +1169,60 @@ def q51_date_dimension(spark, sf_dir):
         F.trunc("date_key", "month").alias("month_start"),
         F.last_day("date_key").alias("month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — GROUPING SETS with GROUPING() disambiguation: the explicit-sets
+# member of the q24/q46 ROLLUP/CUBE family (multi-grain report in one
+# pass — Spark plans one Expand over the scan, not one scan per grain).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q57_grouping_sets",
+    oracle="""
+SELECT n_name,
+       CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(GROUPING(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))) AS INT)
+         AS g_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS (
+  (n_name, EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))),
+  (n_name),
+  (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))),
+  ()
+)
+""",
+)
+def q57_grouping_sets(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year(F.col("o_orderdate").cast("date")).alias("order_year"),
+            dec("o_totalprice").alias("price"),
+        )
+    )
+    joined.createOrReplaceTempView("__q57")
+    return joined.sparkSession.sql(
+        """
+        SELECT n_name, order_year,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(order_year) AS INT) AS g_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(price) AS DOUBLE) AS revenue
+        FROM __q57
+        GROUP BY GROUPING SETS (
+          (n_name, order_year), (n_name), (order_year), ()
+        )
+        """
+    )

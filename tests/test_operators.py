@@ -1193,3 +1193,24 @@ def test_model_filter_scorer_injection_and_passthrough(spark):
     assert {r.doc_id for r in kept.collect()} == {
         i for i, v in a.items() if v >= 0.5
     }
+
+
+def test_ivf_index_build_with_kmeans_refinement(spark, tmp_path):
+    """IvfIndex.build(train_iters>0): the Lloyd-refined quantizer persists
+    and searches identically to one-shot ivf_topk with the same refined
+    centroids."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfk")
+    idx = IvfIndex.build(e, path, nlist=4, train_iters=2)
+    cents = kmeans_centroids(e, "vec_id", "embedding", 4, iters=2)
+    assert idx.centroids == sorted(cents)
+    q = e.limit(3)
+    got = idx.search(q, k=3, nprobe=2)
+    want = ivf_topk(e, q, k=3, nprobe=2, nlist=4, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
