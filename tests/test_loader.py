@@ -324,3 +324,37 @@ def test_jsonl_varchar_truncation_and_not_null_default(jloader, tmp_path):
     rows = sorted(res.df.collect(), key=lambda r: r.id)
     assert rows[1].name == "a-very-lon"  # varchar(10) truncation (L1)
     assert rows[0].id == 0  # NOT NULL default (L7) for the missing id
+
+
+# --- corpus sink (sources/corpus_sink.py) ----------------------------------
+
+
+def test_write_corpus_partitioned_bounded_shards(spark, tmp_path):
+    """write_corpus: lang-partitioned layout, shard files bounded by
+    max_rows_per_file, reads partition-prune, roundtrip lossless."""
+    import glob
+
+    from sql_data_warehouse_samples_spark.sources.corpus_sink import (
+        read_corpus,
+        write_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "corpus")
+    write_corpus(
+        docs, path, partition_by=["lang"],
+        max_rows_per_file=50, shards_per_partition=2,
+    )
+    # hive layout per language
+    langs = {p.rsplit("=", 1)[1] for p in glob.glob(f"{path}/lang=*")}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+    # every shard respects the row bound
+    for f in glob.glob(f"{path}/lang=*/*.parquet"):
+        assert spark.read.parquet(f).count() <= 50
+    # roundtrip is lossless
+    assert read_corpus(spark, path).count() == docs.count()
+    # partition filter prunes to one language
+    en = read_corpus(spark, path, lang="en")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert en.count() == docs.filter("lang = 'en'").count()
+    assert "PartitionFilters: [isnotnull(lang" in plan
