@@ -547,3 +547,35 @@ def substring_dup_pairs(
         .groupBy("id_a", F.col("doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def pair_metrics(
+    candidates: DataFrame, truth: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> dict:
+    """Precision/recall/F1 of a candidate pair set against ground truth —
+    the tuning loop for LSH bands/thresholds (run on a labeled sample,
+    not the corpus).  Pairs are order-normalized before comparison; the
+    counts come from two small joins (sample-sized inputs)."""
+    def norm(df: DataFrame) -> DataFrame:
+        lo = F.least(F.col(id_a), F.col(id_b)).alias("a")
+        hi = F.greatest(F.col(id_a), F.col(id_b)).alias("b")
+        return df.select(lo, hi).distinct()
+
+    c, t = norm(candidates), norm(truth)
+    n_c, n_t = c.count(), t.count()
+    n_hit = c.join(t, ["a", "b"]).count()
+    precision = n_hit / n_c if n_c else 0.0
+    recall = n_hit / n_t if n_t else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "n_candidates": n_c,
+        "n_truth": n_t,
+        "n_hit": n_hit,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

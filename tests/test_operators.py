@@ -1214,3 +1214,34 @@ def test_ivf_index_build_with_kmeans_refinement(spark, tmp_path):
     got = idx.search(q, k=3, nprobe=2)
     want = ivf_topk(e, q, k=3, nprobe=2, nlist=4, centroids=cents)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pair_metrics_precision_recall(spark, docs_with_dups):
+    """The tuning harness: LSH candidates vs exact-Jaccard ground truth on
+    the planted corpus; order-normalization and the metric math verified
+    on a hand-computed case."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        pair_metrics,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5)], "id_a: long, id_b: long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "id_a: long, id_b: long"
+    )
+    m = pair_metrics(cand, truth)
+    assert (m["n_hit"], m["n_candidates"], m["n_truth"]) == (2, 3, 3)
+    assert abs(m["precision"] - 2 / 3) < 1e-12 and abs(m["recall"] - 2 / 3) < 1e-12
+    # real harness: planted near-dups recovered with high recall
+    pairs = minhash_dedup_pairs(
+        docs_with_dups, "text", "doc_id", threshold=0.5, bands=16
+    ).select("id_a", "id_b")
+    planted = spark.createDataFrame(
+        [(d, 10_000 + d) for d in docs_with_dups.planted_ids]
+        + [(0, 20_000)],
+        "id_a: long, id_b: long",
+    )
+    m2 = pair_metrics(pairs, planted)
+    assert m2["recall"] == 1.0
