@@ -1212,17 +1212,13 @@ def q57_grouping_sets(spark, sf_dir):
             dec("o_totalprice").alias("price"),
         )
     )
-    joined.createOrReplaceTempView("__q57")
-    return joined.sparkSession.sql(
-        """
-        SELECT n_name, order_year,
-               CAST(GROUPING(n_name) AS INT) AS g_nation,
-               CAST(GROUPING(order_year) AS INT) AS g_year,
-               COUNT(*) AS n_orders,
-               CAST(SUM(price) AS DOUBLE) AS revenue
-        FROM __q57
-        GROUP BY GROUPING SETS (
-          (n_name, order_year), (n_name), (order_year), ()
-        )
-        """
+    return joined.groupingSets(
+        [["n_name", "order_year"], ["n_name"], ["order_year"], []],
+        "n_name",
+        "order_year",
+    ).agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("order_year").cast("int").alias("g_year"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("revenue"),
     )
