@@ -212,3 +212,14 @@ def test_t08_funnel_shuffles_flags_not_text(spark):
     child = lines[exch[0] + 1]
     # the shuffled row is the flag projection, not the raw document
     assert "AS f_len" in child and "Project [doc_id#" in child
+
+
+def test_q57_grouping_sets_single_expand(spark):
+    """GROUPING SETS plans as ONE Expand over one scan of the joined
+    input — not one aggregation pass per grain (the multi-pass emulation
+    the MicroStrategy white-paper describes is exactly what Spark
+    avoids)."""
+    df = workload.QUERIES["q57_grouping_sets"](spark, SF)
+    plan = plan_str(df)
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") <= 3  # orders + customer + nation once
