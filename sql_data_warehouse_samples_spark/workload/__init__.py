@@ -53,7 +53,12 @@ def query(name: str, oracle: str | None = None):
 #: funnel≈windows+join, and the folded pairs q08+q43 (→q55 union battery),
 #: q12+q13 (→q54 outer-join battery), q49+q50 (→q53 set-op battery),
 #: d06+t06 (→d06_t06_split_quantiles) whose combined batteries cover the
-#: same families in one slot each.
+#: same families in one slot each.  Round-3 folds: the stat-agg family
+#: (q34) rides in q01's flagship battery, RANK-over-aggregate (q25) rides
+#: in q28's rank_in_month column, and expression aggregates (q20) were
+#: always exercised by q01's sum_disc_price/sum_charge — freeing three
+#: slots for d10 (domain mixture), d11 (exact-substring dedup) and t08
+#: (curation funnel), each with an exact oracle.
 DRIVER_PRIORITY: list[str] = [
     # relational core (every join/filter/agg/set-op family)
     "q01_pricing_summary",
@@ -70,19 +75,16 @@ DRIVER_PRIORITY: list[str] = [
     "q17_brands_of_hot_parts",
     "q18_distribution_skew",
     "q19_status_pivot",
-    "q20_expression_aggregates",
     "q21_count_distinct",
     "q22_nested_aggregation",
     "q44_composite_key_join",
     "q47_like_patterns",
     "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
-    # window functions
-    "q25_nation_revenue_rank",
+    # window functions (q28 carries W2 RANK + W3 lag/moving + W4 frames)
     "q26_latest_orders_per_customer",
     "q28_moving_revenue",
-    # scalar families (q52 = combined battery) + statistical aggregates
+    # scalar families (q52 = combined battery; stat aggs ride in q01)
     "q52_scalar_battery",
-    "q34_statistical_aggs",
     # events (streaming batch twins) + pandas-UDF grouped map
     "q37_tumbling_hourly",
     "q39_user_sessions",
@@ -104,6 +106,9 @@ DRIVER_PRIORITY: list[str] = [
     "d07_benchmark_contamination",
     "d08_incremental_dedup",
     "d09_duplicate_clusters",
+    "d10_mixture_sample",
+    "d11_substring_dup_pairs",
+    "t08_curation_funnel",
     "p01_sequence_packing",  # rows-only: greedy FFD not SQL-expressible
     # similarity search + multimodal
     "s01_cosine_topk",

@@ -15,7 +15,12 @@ from ._util import davg, dec, dsum, tbl
 # q01 — flagship: grouped aggregate battery (SUM/AVG/COUNT over expressions).
 # Reference patterns: A2-A4, A8 (TableHealthCount.sql:13-36 uses the same
 # SUM/MIN/MAX/AVG/COUNT battery; expression aggregates like
-# `SUM(page_count * 8)` at TempdbConsumption.sql:4).
+# `SUM(page_count * 8)` at TempdbConsumption.sql:4).  Also carries the
+# statistical-aggregate family STDEV/STDEVP/VAR/VARP
+# (white-papers/...md:511-514) so that family keeps an exemplar inside the
+# driver's 50-query correctness window; the dedicated q34 battery stays
+# registered for depth.  Rounded to 6 dp: float accumulation order differs
+# across engines.
 # ---------------------------------------------------------------------------
 
 
@@ -36,7 +41,11 @@ SELECT
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
-  COUNT(*) AS count_order
+  COUNT(*) AS count_order,
+  ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stdev,
+  ROUND(STDDEV_POP(l_quantity), 6) AS qty_stdevp,
+  ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
+  ROUND(VAR_POP(l_quantity), 6) AS qty_varp
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -58,6 +67,10 @@ def q01_pricing_summary(spark, sf_dir):
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stdev"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stdevp"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.var_pop("l_quantity"), 6).alias("qty_varp"),
         )
     )
 

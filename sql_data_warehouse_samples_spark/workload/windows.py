@@ -124,7 +124,11 @@ def q27_order_gaps(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q28 — moving average + running sum with explicit frames (W3/W4:
 # MovingAvg → `avg(#0) over (... rows 6 preceding)` and RunningSum,
-# white-papers/...md:578-588).
+# white-papers/...md:578-588).  Also carries a month-partitioned
+# RANK-over-aggregate column (W2, white-papers/...md:571-575) so that family
+# keeps an exemplar inside the driver window; q25's nation-grain RANK stays
+# registered for depth.  day_rev is an exact DECIMAL sum, so the rank order
+# is bit-identical across engines.
 # ---------------------------------------------------------------------------
 
 
@@ -143,7 +147,9 @@ SELECT order_day,
          / COUNT(day_rev) OVER (ORDER BY order_day
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg_7d,
        CAST(SUM(day_rev) OVER (ORDER BY order_day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+       RANK() OVER (PARTITION BY DATE_TRUNC('month', order_day)
+            ORDER BY day_rev DESC, order_day) AS rank_in_month
 FROM daily
 """,
 )
@@ -161,6 +167,13 @@ def q28_moving_revenue(spark, sf_dir):
             "moving_avg_7d"
         ),
         F.sum("day_rev").over(wrun).cast("double").alias("running_rev"),
+        F.rank()
+        .over(
+            Window.partitionBy(F.trunc("order_day", "month")).orderBy(
+                F.desc("day_rev"), F.asc("order_day")
+            )
+        )
+        .alias("rank_in_month"),
     )
 
 
