@@ -49,6 +49,8 @@ HEADLINE = [
     "t06_corpus_quantiles",
     "t08_curation_funnel",
     "d09_duplicate_clusters",
+    "d12_semantic_dedup",
+    "q58_asof_attribution",
     "m01_media_meta",
 ]
 

@@ -579,3 +579,71 @@ def pair_metrics(
         "recall": recall,
         "f1": f1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 6,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    semantic deduplication over an embedding column.
+
+    1. Assign every vector to its nearest centroid — the same map-only
+       argmin fold over a literal centroid array as ``similarity.ivf_topk``
+       (zero row amplification, no shuffle).
+    2. Within each cluster, compare pairs by cosine; a vector is pruned when
+       some LOWER-id member of its cluster is ≥ ``threshold`` similar — the
+       deterministic stand-in for the paper's keep-one-per-ε-ball rule.
+    3. Survivors are returned as (id, centroid_id).
+
+    Scale shape: the pairwise stage is keyed on centroid id, so the shuffle
+    is one equi-join exchange; per-cluster cost is quadratic in cluster
+    size, which SemDeDup controls by raising k (cluster count scales with
+    corpus, cluster SIZE stays roughly constant).  For skewed/degenerate
+    clusterings, ``max_cluster`` bounds any one cluster's work by degrading
+    it to linear star pairing against the min-id representative — the same
+    guardrail as the LSH bucket cap (``_candidate_pairs``).
+
+    Prune math is float64 with a sequential fold and ``round_to`` rounding,
+    so an ANSI-SQL oracle reproduces it bit-for-bit (workload d12).
+    """
+    from .similarity import _argmin_cid, dot, norm
+
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _argmin_cid(F.col(vec_col), centroids, round_to).alias("__cid"),
+        as_double.alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    banded = base.select("__id", F.lit(0).alias("band"), F.col("__cid").alias("bh"))
+    cand = _candidate_pairs(banded, max_cluster)
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    pruned = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.round(sim, round_to) >= threshold)
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+    )
+    return base.join(pruned, "__id", "left_anti").select(
+        F.col("__id").alias(id_col), F.col("__cid").alias("centroid_id")
+    )

@@ -357,3 +357,62 @@ def q56_retention_cohorts(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — as-of attribution join (operators/asof.asof_join): each purchase
+# matched to the user's most recent view at-or-before it.  The reference
+# expresses point-in-time lookups as correlated TOP 1 ... ORDER BY ts DESC
+# subqueries (LatestBackup.sql:2-10); the Spark form is a single union +
+# per-user ordered window — one shuffle, no row amplification.  Oracle:
+# DuckDB's native ASOF LEFT JOIN.  (user_id, ts) is unique in the events
+# table, so the matched row is deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q58_asof_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+         CAST(value AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id AS user_id, purchase_id, p_ts, purchase_value, view_id, v_ts,
+       epoch_us(p_ts) - epoch_us(v_ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+""",
+)
+def q58_asof_attribution(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("double").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="p_ts", right_ts="v_ts"
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "p_ts",
+        "purchase_value",
+        "view_id",
+        "v_ts",
+        # timestampdiff works on both TIMESTAMP and TIMESTAMP_NTZ (unix_micros
+        # does not); exact µs arithmetic either way, matching epoch_us diff.
+        F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("gap_us"),
+    )

@@ -195,3 +195,57 @@ def s05_embedding_quantize(spark, sf_dir):
         F.round("q_scale", 6).alias("q_scale6"),
         "q",
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — semantic dedup (SemDeDup, operators/dedup.semantic_dedup): cluster by
+# nearest seed centroid, prune any vector with a ≥-threshold lower-id
+# neighbor in its cluster, return survivors.  Deterministic seed quantizer
+# (vec_id < 8) makes the whole pipeline SQL-expressible → exact oracle.
+# The corpus has no planted near-identical embeddings, so the threshold sits
+# at the top of the observed cosine range (~0.35+) to exercise real pruning;
+# semantics at production thresholds (0.9+) are covered by planted-dup tests.
+# ---------------------------------------------------------------------------
+
+_D12_L2 = (
+    "ROUND(list_sum(list_transform(list_zip({l}.embedding, cents.cent),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+)
+
+_D12_DOT = (
+    "list_sum(list_transform(list_zip(a.v, b.v),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_D12_NA = "sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+_D12_NB = "sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+
+
+@query(
+    "d12_semantic_dedup",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+               FROM embeddings WHERE vec_id < 8),
+ca AS (SELECT e.vec_id AS id, e.embedding AS v, centroid_id,
+              {_D12_L2.format(l='e')} AS d2
+       FROM embeddings e, cents),
+assign AS (
+  SELECT id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                 ORDER BY d2, centroid_id) AS r FROM ca)
+  WHERE r = 1)
+SELECT s.id AS vec_id, s.centroid_id
+FROM assign s
+WHERE NOT EXISTS (
+  SELECT 1 FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.id < b.id
+  WHERE b.id = s.id
+    AND ROUND({_D12_DOT} / NULLIF({_D12_NA} * {_D12_NB}, 0), 6) >= 0.35)
+""",
+)
+def d12_semantic_dedup(spark, sf_dir):
+    from ..operators.dedup import semantic_dedup
+
+    e = tbl(spark, sf_dir, "embeddings")
+    cents = S.seed_centroids(e, nlist=8)
+    return semantic_dedup(e, cents, threshold=0.35)

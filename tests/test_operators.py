@@ -1245,3 +1245,169 @@ def test_pair_metrics_precision_recall(spark, docs_with_dups):
     )
     m2 = pair_metrics(pairs, planted)
     assert m2["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, "p1"),
+            (1, 200, "p2"),
+            (1, 50, "p0"),   # before any right row
+            (2, 100, "p3"),  # key with no right rows at all
+        ],
+        "k: long, lt: long, pid: string",
+    ).select("k", F.timestamp_micros("lt").alias("lt"), "pid")
+    right = spark.createDataFrame(
+        [
+            (1, 90, "v1"),
+            (1, 100, "v2"),   # ties lt=100 exactly -> eligible (<=)
+            (1, 150, "v3"),
+            (3, 10, "vx"),    # key absent on the left
+        ],
+        "k: long, rt: long, vid: string",
+    ).select("k", F.timestamp_micros("rt").alias("rt"), "vid")
+    return left, right
+
+
+def test_asof_join_backward(spark):
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, on="k", left_ts="lt", right_ts="rt")
+    got = {r["pid"]: r["vid"] for r in out.collect()}
+    # p1@100 matches v2@100 (equal ts eligible), p2@200 -> v3@150,
+    # p0@50 -> no earlier view, p3 key 2 -> no right rows
+    assert got == {"p1": "v2", "p2": "v3", "p0": None, "p3": None}
+    assert out.count() == 4  # left-outer: every left row exactly once
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    fwd = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", direction="forward"
+    )
+    got = {r["pid"]: r["vid"] for r in fwd.collect()}
+    # earliest right at-or-after: p0@50->v1@90, p1@100->v2@100, p2@200->none
+    assert got == {"p0": "v1", "p1": "v2", "p2": None, "p3": None}
+
+    tol = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        tolerance="'0.00002' SECOND",  # 20 µs
+    )
+    got_tol = {r["pid"]: r["vid"] for r in tol.collect()}
+    # p2@200 is 50 µs after v3@150 -> outside tolerance, nulled
+    assert got_tol == {"p1": "v2", "p2": None, "p0": None, "p3": None}
+
+
+def test_asof_join_rejects_overlap_and_bad_direction(spark):
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="lt", right_ts="rt",
+                  direction="sideways")
+    with pytest.raises(ValueError, match="overlapping"):
+        asof_join(left, left.withColumnRenamed("k", "k2"),
+                  on="k", left_ts="lt", right_ts="lt")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (operators/dedup.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_prunes_planted_neighbor(spark):
+    """A vector ≥-threshold close to a LOWER-id cluster member is pruned;
+    everything else survives with its cluster id."""
+    from sql_data_warehouse_samples_spark.operators.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [
+        (10, [0.9, 0.1, 0.0]),    # cluster 0
+        (11, [0.91, 0.1, 0.0]),   # near-identical to 10 -> pruned
+        (12, [0.9, 0.0, 0.4]),    # cluster 0 but dissimilar enough
+        (20, [0.1, 0.8, 0.0]),    # cluster 1, alone
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = semantic_dedup(df, cents, threshold=0.999)
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    assert got == {10: 0, 12: 0, 20: 1}
+
+
+def test_semantic_dedup_star_cap_bounds_cluster(spark):
+    """With max_cluster exceeded the cluster degrades to star pairing: all
+    near-dups of the min-id representative are still pruned, and the work
+    is linear in cluster size (no pairwise blowup)."""
+    from sql_data_warehouse_samples_spark.operators.dedup import semantic_dedup
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    # 50 near-identical vectors in cluster 0, ids 100..149 (cosine to the
+    # min-id representative stays ≥ 0.99999 across the whole set)
+    rows = [(100 + i, [1.0, 0.0001 * i]) for i in range(50)]
+    rows.append((500, [0.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = semantic_dedup(df, cents, threshold=0.999, max_cluster=10)
+    ids = {r["vec_id"] for r in out.collect()}
+    # representative 100 survives, every near-dup of it is pruned, the
+    # other cluster is untouched
+    assert 100 in ids and 500 in ids
+    assert ids.isdisjoint(set(range(101, 150)))
+
+
+def test_asof_join_matches_naive_reference(spark):
+    """Randomized equivalence: the union+window as-of join agrees with the
+    naive join+ROW_NUMBER formulation on 400 left rows across 20 keys
+    (both directions).  Seeded, so failures reproduce."""
+    import random
+
+    from pyspark.sql import Window
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    lrows = [
+        (rng.randrange(20), rng.randrange(10_000), i) for i in range(400)
+    ]
+    rrows = [
+        (rng.randrange(20), rng.randrange(10_000), 1000 + i) for i in range(300)
+    ]
+    left = spark.createDataFrame(lrows, "k: long, lt_us: long, lid: long").select(
+        "k", F.timestamp_micros("lt_us").alias("lt"), "lid"
+    )
+    right = spark.createDataFrame(rrows, "k: long, rt_us: long, rid: long").select(
+        "k", F.timestamp_micros("rt_us").alias("rt"), "rid"
+    )
+    # de-dup right (k, rt) so the matched rid is well-defined
+    right = right.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k", "rt").orderBy(F.desc("rid")))
+    ).filter(F.col("rn") == 1).drop("rn")
+
+    for direction, cmp in (("backward", "<="), ("forward", ">=")):
+        got = (
+            asof_join(left, right, on="k", left_ts="lt", right_ts="rt",
+                      direction=direction)
+            .select("lid", "rid")
+        )
+        order = F.desc("rt") if direction == "backward" else F.asc("rt")
+        naive = (
+            left.join(right, ["k"], "left")
+            .filter(F.expr(f"rt IS NULL OR rt {cmp} lt"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("lid").orderBy(order)
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("lid", "rid")
+        )
+        # the naive filter drops unmatched left rows; re-add them as NULL
+        naive = left.select("lid").join(naive, "lid", "left")
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0

@@ -223,3 +223,14 @@ def test_q57_grouping_sets_single_expand(spark):
     plan = plan_str(df)
     assert plan.count("Expand") == 1
     assert plan.count("Scan parquet") <= 3  # orders + customer + nation once
+
+
+def test_asof_join_single_exchange_no_row_blowup(spark):
+    """The as-of join is a union + one keyed window: exactly ONE exchange
+    (the window's hash partitioning on the key), no Join node at all."""
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+
+    ev = workload.QUERIES["q58_asof_attribution"](spark, SF)
+    plan = plan_str(ev)
+    assert "Join" not in plan  # no join operator anywhere — union + window
+    assert count_exchanges(ev) == 1
