@@ -617,6 +617,8 @@ def semantic_dedup(
     Prune math is float64 with a sequential fold and ``round_to`` rounding,
     so an ANSI-SQL oracle reproduces it bit-for-bit (workload d12).
     """
+    from pyspark import StorageLevel
+
     from .similarity import _argmin_cid, dot, norm
 
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -625,7 +627,10 @@ def semantic_dedup(
         _argmin_cid(F.col(vec_col), centroids, round_to).alias("__cid"),
         as_double.alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # FOUR plan branches consume base (bucket frame, both pair-join payload
+    # sides, the survivor anti-join) — without the cache each one would
+    # recompute the argmin centroid fold over the whole corpus.
     banded = base.select("__id", F.lit(0).alias("band"), F.col("__cid").alias("bh"))
     cand = _candidate_pairs(banded, max_cluster)
     a = base.select(

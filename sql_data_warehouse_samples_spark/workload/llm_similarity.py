@@ -201,7 +201,9 @@ def s05_embedding_quantize(spark, sf_dir):
 # d12 — semantic dedup (SemDeDup, operators/dedup.semantic_dedup): cluster by
 # nearest seed centroid, prune any vector with a ≥-threshold lower-id
 # neighbor in its cluster, return survivors.  Deterministic seed quantizer
-# (vec_id < 8) makes the whole pipeline SQL-expressible → exact oracle.
+# (vec_id < 16) makes the whole pipeline SQL-expressible → exact oracle.
+# nlist=16 balances the argmin fold (∝ nlist) against the quadratic
+# in-cluster pair stage (∝ n²/nlist) at the bench scale.
 # The corpus has no planted near-identical embeddings, so the threshold sits
 # at the top of the observed cosine range (~0.35+) to exercise real pruning;
 # semantics at production thresholds (0.9+) are covered by planted-dup tests.
@@ -225,7 +227,7 @@ _D12_NB = "sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE)*CAST(x AS DO
     "d12_semantic_dedup",
     oracle=f"""
 WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings WHERE vec_id < 16),
 ca AS (SELECT e.vec_id AS id, e.embedding AS v, centroid_id,
               {_D12_L2.format(l='e')} AS d2
        FROM embeddings e, cents),
@@ -247,5 +249,5 @@ def d12_semantic_dedup(spark, sf_dir):
     from ..operators.dedup import semantic_dedup
 
     e = tbl(spark, sf_dir, "embeddings")
-    cents = S.seed_centroids(e, nlist=8)
+    cents = S.seed_centroids(e, nlist=16)
     return semantic_dedup(e, cents, threshold=0.35)
