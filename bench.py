@@ -51,6 +51,7 @@ HEADLINE = [
     "d09_duplicate_clusters",
     "d12_semantic_dedup",
     "q58_asof_attribution",
+    "q59_session_interval_join",
     "m01_media_meta",
 ]
 

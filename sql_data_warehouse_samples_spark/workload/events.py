@@ -416,3 +416,72 @@ def q58_asof_attribution(spark, sf_dir):
         # does not); exact µs arithmetic either way, matching epoch_us diff.
         F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — interval (range-containment) join (operators/intervals.interval_join):
+# purchases by ANY user landing inside the activity sessions of users 0-19.
+# The bucketed equi-join turns the classic O(|P|·|I|) range predicate into a
+# hash join on the 10-minute bucket + residual filter (plan-asserted: no
+# nested-loop/cartesian join).  Oracle: DuckDB native inequality join over
+# the same gaps-and-islands sessions as q39.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_session_interval_join",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '10 minutes'
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id AS session_user, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '10 minutes' AS session_end
+  FROM sessions GROUP BY user_id, session_id
+),
+p AS (
+  SELECT ts AS p_ts, CAST(value AS DOUBLE) AS p_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT session_user, session_start,
+       COUNT(*) AS n_concurrent_purchases,
+       CAST(SUM(CAST(p_value AS DECIMAL(18,4))) AS DOUBLE) AS concurrent_value
+FROM bounds b JOIN p ON p.p_ts >= b.session_start AND p.p_ts < b.session_end
+GROUP BY session_user, session_start
+""",
+)
+def q59_session_interval_join(spark, sf_dir):
+    from ..operators.intervals import interval_join
+
+    ev = tbl(spark, sf_dir, "events")
+    bounds = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col("user_id").alias("session_user"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.col("value").cast("double").alias("p_value")
+    )
+    joined = interval_join(
+        purchases, bounds, point_ts="p_ts",
+        start_ts="session_start", end_ts="session_end",
+    )
+    return joined.groupBy("session_user", "session_start").agg(
+        F.count(F.lit(1)).alias("n_concurrent_purchases"),
+        dsum("p_value", "concurrent_value"),
+    )

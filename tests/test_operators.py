@@ -1411,3 +1411,74 @@ def test_asof_join_matches_naive_reference(spark):
         naive = left.select("lid").join(naive, "lid", "left")
         assert got.exceptAll(naive).count() == 0
         assert naive.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# interval join (operators/intervals.py)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_naive_reference(spark):
+    """Randomized equivalence: the bucketed equi-join agrees with the naive
+    inequality join — including intervals spanning many buckets, empty
+    intervals, and bucket-boundary points.  Seeded for reproducibility."""
+    import random
+
+    from sql_data_warehouse_samples_spark.operators.intervals import interval_join
+
+    rng = random.Random(11)
+    DAY = 86_400_000_000
+    pts = [(i, rng.randrange(0, DAY)) for i in range(300)]
+    ivs = []
+    for j in range(120):
+        s = rng.randrange(0, DAY)
+        ln = rng.choice([0, 1, 60, 600, 3600, 50_000]) * 1_000_000
+        ivs.append((1000 + j, s, s + ln))
+    points = spark.createDataFrame(pts, "pid: long, t_us: long").select(
+        "pid", F.timestamp_micros("t_us").alias("pt")
+    )
+    intervals = spark.createDataFrame(ivs, "iid: long, s_us: long, e_us: long").select(
+        "iid",
+        F.timestamp_micros("s_us").alias("ivs"),
+        F.timestamp_micros("e_us").alias("ive"),
+    )
+    got = interval_join(
+        points, intervals, point_ts="pt", start_ts="ivs", end_ts="ive",
+        bucket_seconds=600,
+    ).select("pid", "iid")
+    naive = (
+        points.crossJoin(intervals)
+        .filter((F.col("ivs") <= F.col("pt")) & (F.col("pt") < F.col("ive")))
+        .select("pid", "iid")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_interval_join_keyed_and_overlap_guard(spark):
+    from sql_data_warehouse_samples_spark.operators.intervals import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b")], "k: long, t_us: long, tag: string"
+    ).select("k", F.timestamp_micros("t_us").alias("pt"), "tag")
+    intervals = spark.createDataFrame(
+        [(1, 0, 1000, "w1"), (2, 500, 1000, "w2")],
+        "k: long, s_us: long, e_us: long, wname: string",
+    ).select(
+        "k",
+        F.timestamp_micros("s_us").alias("ivs"),
+        F.timestamp_micros("e_us").alias("ive"),
+        "wname",
+    )
+    out = interval_join(
+        points, intervals, point_ts="pt", start_ts="ivs", end_ts="ive",
+        on="k", bucket_seconds=1,
+    )
+    got = {(r["tag"], r["wname"]) for r in out.collect()}
+    # key 1's point@100 is inside w1; key 2's point@100 is before w2 starts
+    assert got == {("a", "w1")}
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(
+            points.withColumnRenamed("tag", "wname"), intervals,
+            point_ts="pt", start_ts="ivs", end_ts="ive", on="k",
+        )

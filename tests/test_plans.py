@@ -234,3 +234,12 @@ def test_asof_join_single_exchange_no_row_blowup(spark):
     plan = plan_str(ev)
     assert "Join" not in plan  # no join operator anywhere — union + window
     assert count_exchanges(ev) == 1
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    """The bucketed interval join must plan as a hash equi-join on the time
+    bucket — never a nested-loop/cartesian scan of points x intervals."""
+    df = workload.QUERIES["q59_session_interval_join"](spark, SF)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
