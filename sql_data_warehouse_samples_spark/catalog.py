@@ -213,6 +213,112 @@ class Catalog:
     def truncate_table(self, name: str) -> None:
         self.spark.sql(f"TRUNCATE TABLE {self._q(name)}")
 
+    # --- MERGE / upsert (D16, beyond the D6-D9 DML surface) ---------------
+
+    def merge_into(
+        self,
+        table: str,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        delete_unmatched_target: bool = False,
+    ) -> None:
+        """T-SQL ``MERGE`` (upsert) as copy-on-write over a managed parquet
+        table.  Semantics per row class:
+
+        * matched (key in both): ``when_matched`` = ``"update"`` (source row
+          wins) | ``"keep"`` (target row wins) | ``"delete"`` (row dropped)
+        * source-only: ``when_not_matched`` = ``"insert"`` | ``"ignore"``
+        * target-only: kept, unless ``delete_unmatched_target`` (full sync)
+
+        Scale path: for a Hive-partitioned table, only partitions touched by
+        the merge — partitions of incoming source rows plus partitions of
+        the target rows they match — are recomputed and rewritten via
+        dynamic partition overwrite; a daily upsert into a date-partitioned
+        100 TB fact rewrites ~the affected days, not the table.  Bucketed
+        tables (persisted co-location) go through a staged CTAS + swap so
+        the bucket layout survives the rewrite.  Not transactional
+        (parquet, no log): a crash mid-swap can require re-running the
+        merge — same contract as the reference's CTAS-rename pattern
+        (samples/sqlops sp_FlipFlop generation; SURVEY §2.9 D3).
+        """
+        if when_matched not in ("update", "keep", "delete"):
+            raise ValueError(f"unknown when_matched {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"unknown when_not_matched {when_not_matched!r}")
+        keys = [on] if isinstance(on, str) else list(on)
+        layout = self.get_layout(table)
+        target = self.spark.table(self._q(table))
+
+        # derive the partition column on the source the same way writes do,
+        # so row classes and affected partitions line up with storage
+        if layout.partition_expr and layout.partition_column:
+            source = source.withColumn(
+                layout.partition_column, F.expr(layout.partition_expr)
+            )
+        missing = [c for c in target.columns if c not in source.columns]
+        if missing:
+            raise ValueError(f"source is missing target columns: {missing}")
+        source = source.select(*[F.col(c) for c in target.columns])
+
+        part = layout.partition_column
+        prune = bool(part) and not delete_unmatched_target and not layout.buckets
+        if prune:
+            # affected partitions: where source rows land + where their
+            # matched target rows currently live (a key's partition value
+            # may have changed)
+            src_parts = source.select(part).distinct()
+            matched_parts = (
+                target.join(source.select(*keys).distinct(), keys, "left_semi")
+                .select(part)
+                .distinct()
+            )
+            aff = [
+                r[0] for r in src_parts.unionByName(matched_parts).distinct().collect()
+            ]
+            target_scope = target.filter(F.col(part).isin(aff))
+        else:
+            target_scope = target
+
+        pieces = []
+        if not delete_unmatched_target:
+            pieces.append(target_scope.join(source, keys, "left_anti"))
+        if when_matched == "update":
+            pieces.append(source.join(target_scope, keys, "left_semi"))
+        elif when_matched == "keep":
+            pieces.append(target_scope.join(source, keys, "left_semi"))
+        # "delete": matched rows contribute nothing
+        if when_not_matched == "insert":
+            pieces.append(source.join(target_scope, keys, "left_anti"))
+        merged = pieces[0]
+        for p in pieces[1:]:
+            merged = merged.unionByName(p)
+
+        if layout.buckets:
+            # staged CTAS + swap keeps the persisted bucket co-location
+            stage = f"{table}__merge_stage"
+            self.create_table_as(stage, merged, layout, mode="overwrite")
+            self.drop_table(table)
+            self.spark.sql(
+                f"ALTER TABLE {self._q(stage)} RENAME TO {self._q(table)}"
+            )
+            self._set_layout_properties(table, layout)
+            return
+
+        # break lineage before overwriting the table being read from
+        merged = self._apply_write_layout(merged, layout).localCheckpoint(eager=True)
+        mode_conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_conf, "static")
+        try:
+            if prune:
+                # dynamic mode replaces ONLY the partitions present in the
+                # written frame — untouched partitions keep their files
+                self.spark.conf.set(mode_conf, "dynamic")
+            merged.write.insertInto(self._q(table), overwrite=True)
+        finally:
+            self.spark.conf.set(mode_conf, prev)
+
     # --- views (D4) ------------------------------------------------------
 
     def create_view(self, name: str, sql: str) -> None:

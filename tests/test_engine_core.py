@@ -1020,3 +1020,91 @@ def test_reference_useractivitiesdetails_verbatim(engine):
         "SELECT session_id FROM sys.dm_pdw_exec_sessions WHERE status <> 'Closed'"
     ).collect()
     assert len(rows2) == 1
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (Catalog.merge_into, D16)
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(engine, spark, name, layout=None):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id: long, tag: string, v: double",
+    )
+    engine.catalog.create_table_as(
+        f"testfact.{name}", base, layout or TableLayout(), mode="overwrite"
+    )
+    return spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id: long, tag: string, v: double"
+    )
+
+
+def test_merge_into_upsert_semantics(engine, spark):
+    src = _merge_fixture(engine, spark, "m_plain")
+    engine.catalog.merge_into("testfact.m_plain", src, on="id")
+    got = {r["id"]: (r["tag"], r["v"]) for r in engine.table("testfact.m_plain").collect()}
+    # 2 updated, 4 inserted, 1/3 untouched
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_into_delete_and_sync_modes(engine, spark):
+    src = _merge_fixture(engine, spark, "m_modes")
+    engine.catalog.merge_into(
+        "testfact.m_modes", src, on="id",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert {r["id"] for r in engine.table("testfact.m_modes").collect()} == {1, 3}
+    # full sync: table becomes exactly the source
+    src2 = _merge_fixture(engine, spark, "m_sync")
+    engine.catalog.merge_into(
+        "testfact.m_sync", src2, on="id", delete_unmatched_target=True
+    )
+    assert {r["id"] for r in engine.table("testfact.m_sync").collect()} == {2, 4}
+    with pytest.raises(ValueError, match="when_matched"):
+        engine.catalog.merge_into("testfact.m_sync", src2, on="id", when_matched="upsert")
+
+
+def test_merge_into_partitioned_rewrites_only_affected(engine, spark):
+    """Partition-pruned copy-on-write: merging rows for day 2 must leave the
+    files of day 1's partition physically untouched."""
+    import glob
+    import os
+
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0), (3, "2024-01-02", 3.0)],
+        "id: long, day: string, v: double",
+    )
+    layout = TableLayout(partition_column="day")
+    engine.catalog.create_table_as("testfact.m_part", base, layout, mode="overwrite")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    d1 = os.path.join(wh, "testfact.db", "m_part", "day=2024-01-01", "*.parquet")
+    before = sorted(glob.glob(d1))
+    assert before
+    src = spark.createDataFrame(
+        [(3, "2024-01-02", 33.0), (4, "2024-01-02", 4.0)],
+        "id: long, day: string, v: double",
+    )
+    engine.catalog.merge_into("testfact.m_part", src, on="id")
+    got = {r["id"]: r["v"] for r in engine.table("testfact.m_part").collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 33.0, 4: 4.0}
+    assert sorted(glob.glob(d1)) == before  # day 1 files untouched
+
+
+def test_merge_into_bucketed_preserves_colocation(engine, spark):
+    """Bucketed targets merge via staged CTAS + swap; the bucket layout (and
+    its no-shuffle join property) survives."""
+    from sql_data_warehouse_samples_spark.catalog import hash_layout
+
+    src = _merge_fixture(
+        engine, spark, "m_buck", hash_layout("id", buckets=4)
+    )
+    engine.catalog.merge_into("testfact.m_buck", src, on="id")
+    got = {r["id"]: r["v"] for r in engine.table("testfact.m_buck").collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    layout = engine.catalog.get_layout("testfact.m_buck")
+    assert layout.buckets == 4 and layout.distribution_column == "id"
