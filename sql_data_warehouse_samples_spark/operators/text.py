@@ -329,3 +329,69 @@ def common_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(df, text_col: str, id_col: str, alpha: float = 0.5,
+                     round_to: int = 6):
+    """Per-document negative log-likelihood under an add-α bigram language
+    model trained on the corpus itself — the KenLM-style perplexity filter
+    (CCNet, Wenzek et al. 2020) without an external model artifact.
+
+    Train: one explode→groupBy pass builds bigram counts; the unigram
+    (history) counts and vocabulary size derive from that gram table, not
+    from a second corpus scan.  Score: each document's bigrams hash-join
+    the two count tables; per-gram ``nll = -ln((c(w1w2)+α)/(c(w1)+α·V))``
+    rounded to ``round_to``, then an exact-decimal average per document.
+
+    Output: (doc_id, n_bigrams, avg_nll) — higher avg_nll = less
+    corpus-typical text.  Documents under 2 tokens carry no bigrams and are
+    absent (outer-join downstream if needed).
+
+    Scale shape: two shuffles over narrow (doc_id, gram) rows with map-side
+    combine, two hash equi-joins keyed on the gram/history string (uniform
+    hash keys), one broadcast scalar for V.  The gram frame is persisted —
+    it feeds both the training aggregate and the scoring join, and
+    recomputing it would re-scan the corpus text.  At 100 TB the count
+    tables are vocabulary-sized (≪ corpus); if the full vocabulary no
+    longer fits a join side, a top-K table + OOV fallback bucket keeps the
+    same plan shape.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+
+    doc_grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bigrams(F.col(text_col))).alias("g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bc = doc_grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bc.groupBy(F.substring_index("g", " ", 1).alias("w1")).agg(
+        F.sum("cb").alias("cu")
+    )
+    vocab = uc.agg(F.count(F.lit(1)).alias("vv"))
+    nll = F.round(
+        -F.log(
+            (F.col("cb") + F.lit(alpha))
+            / (F.col("cu") + F.lit(alpha) * F.col("vv"))
+        ),
+        round_to,
+    )
+    scored = (
+        doc_grams.join(bc, "g")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
+        ).alias("avg_nll"),
+    )

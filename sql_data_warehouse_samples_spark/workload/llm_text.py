@@ -951,3 +951,46 @@ def t11_model_quality_filter(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     kept = filter_by_model(d, 0.5)
     return kept.select("doc_id", F.round("model_score", 6).alias("score6"))
+
+
+# ---------------------------------------------------------------------------
+# t12 — corpus-trained bigram-LM scoring (operators/text.bigram_lm_scores):
+# the perplexity-style quality filter (CCNet, Wenzek et al. 2020) with the
+# model trained on the corpus itself, so the whole train+score pipeline is
+# SQL-expressible → exact oracle.  Both sides: identical add-α math, ROUND
+# 6dp per-gram nll, exact-decimal per-doc average.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t12_bigram_lm_nll",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(w[:len(w)-1], (x,i) -> x || ' ' || w[i+1])) AS g
+  FROM toks WHERE len(w) >= 2
+),
+bc AS (SELECT g, COUNT(*) AS cb FROM grams GROUP BY g),
+uc AS (SELECT split_part(g, ' ', 1) AS w1, SUM(cb) AS cu FROM bc GROUP BY 1),
+v AS (SELECT COUNT(*) AS vv FROM uc),
+scored AS (
+  SELECT doc_id, ROUND(-LN((cb + 0.5) / (cu + 0.5 * vv)), 6) AS nll
+  FROM grams
+  JOIN bc USING (g)
+  JOIN uc ON split_part(g, ' ', 1) = uc.w1
+  CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def t12_bigram_lm_nll(spark, sf_dir):
+    from ..operators.text import bigram_lm_scores
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d, "text", "doc_id")

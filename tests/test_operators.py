@@ -1482,3 +1482,27 @@ def test_interval_join_keyed_and_overlap_guard(spark):
             points.withColumnRenamed("tag", "wname"), intervals,
             point_ts="pt", start_ts="ivs", end_ts="ive", on="k",
         )
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-α bigram LM on a 2-document corpus, checked against hand-derived
+    counts: c(a b)=2, c(b a)=1, c(a c)=1, history counts a=3 b=1, V=2."""
+    import math
+
+    from sql_data_warehouse_samples_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}  # <2 tokens -> no bigrams -> absent
+    nll_ab = round(-math.log((2 + 0.5) / (3 + 0.5 * 2)), 6)
+    nll_ba = round(-math.log((1 + 0.5) / (1 + 0.5 * 2)), 6)
+    nll_ac = round(-math.log((1 + 0.5) / (3 + 0.5 * 2)), 6)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_nll"] - round((2 * nll_ab + nll_ba) / 3, 6)) < 1e-6
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_nll"] - nll_ac) < 1e-6
+    # corpus-typical text scores lower nll than rare text
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]
