@@ -118,3 +118,36 @@ def ingest_pipeline(
 
         gated = filter_by_model(gated, model_threshold)
     return dedup_gate(gated, watermark, ledger=ledger)
+
+
+def merge_sink(
+    stream: DataFrame,
+    catalog,
+    table: str,
+    on: str | list[str],
+    checkpoint: str,
+    **merge_kw,
+):
+    """Streaming UPSERT sink: each micro-batch MERGEs into a managed table
+    (``foreachBatch`` → ``catalog.merge_into``).  Re-delivered batches
+    (at-least-once after a checkpoint-recovery replay) converge to the same
+    table state because MERGE on the key is idempotent for update/insert —
+    the classic exactly-once-effect upsert sink.  On a date-partitioned
+    target the merge rewrites only the partitions the batch touches
+    (Catalog.merge_into's pruned copy-on-write), so continuous ingest cost
+    tracks batch size, not table size.
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.merge_into(table, batch_df, on=on, **merge_kw)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -364,3 +364,62 @@ def test_streaming_model_gate(spark, tmp_path_factory):
     ).drop("content_hash")
     want = {r.doc_id for r in batch.collect()}
     assert got == want and got
+
+
+def test_streaming_merge_sink_upsert(spark, tmp_path_factory):
+    """foreachBatch MERGE sink: micro-batches upsert into a managed table
+    keyed on doc_id, and replaying the whole stream from a fresh checkpoint
+    converges to the identical table state (idempotent upsert)."""
+    import os
+    import time
+
+    from sql_data_warehouse_samples_spark.catalog import Catalog, TableLayout
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    src = str(tmp_path_factory.mktemp("merge_stream"))
+    base = tmp_path_factory.mktemp("merge_ckpt")
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text), "2024-01-01 00:00:00")
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long, ingest_ts string"
+        ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    write_file("f1", [doc(1, "first version of one"), doc(2, "two arrives")])
+    write_file("f2", [doc(2, "two updated later"), doc(3, "three is new")])
+
+    cat = Catalog(spark)
+    cat.create_schema("strm")
+    seed = spark.createDataFrame(
+        [doc(1, "stale seed row")],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, ingest_ts string",
+    ).withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+    cat.create_table_as("strm.docs", seed, TableLayout(), mode="overwrite")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(SI.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = SI.merge_sink(stream, cat, "strm.docs", on="doc_id", checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    run(str(base / "c1"))
+    got = {r["doc_id"]: r["text"] for r in spark.table("strm.docs").collect()}
+    assert got == {
+        1: "first version of one",
+        2: "two updated later",
+        3: "three is new",
+    }
+    # full replay from a fresh checkpoint: same final state
+    run(str(base / "c2"))
+    got2 = {r["doc_id"]: r["text"] for r in spark.table("strm.docs").collect()}
+    assert got2 == got
+    cat.drop_schema("strm", cascade=True)
