@@ -17,6 +17,7 @@ Catalyst remains the real optimizer/executor — this layer only observes.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -98,6 +99,17 @@ class Engine:
         # static principal/role config — vw_security_role_members parity
         # (microsoft.vw_security_role_members.sql:10-12); no real authz
         self._role_members: list[tuple[str, str]] = [("db_owner", "dbo")]
+        # result-set caching (M10 — SET RESULT_SET_CACHING parity): off by
+        # default like the platform; content-derived keys, see result_cache.py
+        from .result_cache import ResultCache
+
+        wh = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        self.result_cache = ResultCache(
+            self.spark, os.path.join(wh, "_result_cache")
+        )
+        self._result_caching = False
         # table → (cache_state, refreshed_at, row_count); M6 surface
         self._replicated_state: dict[str, tuple[str, float, int]] = {}
         self._lock = threading.Lock()
@@ -117,11 +129,17 @@ class Engine:
             self._requests.append(rec)
         return rec
 
+    def set_result_caching(self, on: bool) -> None:
+        """``SET RESULT_SET_CACHING ON|OFF`` parity — a per-engine-session
+        default; per-query override via ``sql(use_result_cache=...)``."""
+        self._result_caching = bool(on)
+
     def sql(
         self,
         query: str,
         label: str | None = None,
         resource_class: str = "smallrc",
+        use_result_cache: bool | None = None,
     ) -> DataFrame:
         """Submit SQL through admission control with request logging.
 
@@ -129,6 +147,10 @@ class Engine:
         the plan is produced (execution metrics land in plan_steps when the
         caller materializes).  LABEL parity: also set as the Spark job group
         so the Spark UI shows it (D3).
+
+        With result caching on (M10), a repeated deterministic query over
+        unchanged input files is served from the materialized result; any
+        input rewrite changes the content-derived key → automatic miss.
         """
         rec = self._new_request(query, label, resource_class)
         with self.wlm.admit(rec.request_id, resource_class):
@@ -141,6 +163,24 @@ class Engine:
             )
             try:
                 df = self.spark.sql(query)
+                caching = (
+                    self._result_caching
+                    if use_result_cache is None
+                    else use_result_cache
+                )
+                if caching:
+                    key = self.result_cache.key_for(query, df)
+                    if key is None:
+                        self.result_cache.bypasses += 1
+                    else:
+                        hit = self.result_cache.lookup(key)
+                        if hit is not None:
+                            self._steps.append(
+                                (rec.request_id, 0, "Return", "ResultCacheHit", None)
+                            )
+                            rec.status = "Completed"
+                            return hit
+                        df = self.result_cache.store(key, df)
                 for i, (op, detail) in enumerate(plan_steps(df)):
                     self._steps.append((rec.request_id, i, op, detail, None))
                 rec.status = "Completed"

@@ -1,0 +1,135 @@
+"""Result-set caching (M10): the Azure Synapse dedicated-SQL feature
+(``SET RESULT_SET_CACHING ON`` — public platform docs) re-expressed for a
+parquet-backed Spark engine.
+
+A completed query's result is materialized once as parquet; an identical
+re-submission whose *input data is unchanged* is served from the cache
+without touching the fact tables.  Invalidation is automatic and
+content-derived: the cache key hashes the normalized SQL together with the
+query's input-file signature (path, size, mtime for every file the scan
+would read).  Any rewrite of an input table — CTAS swap, MERGE, INSERT
+OVERWRITE — changes the file set, which changes the key, which is a miss;
+no bookkeeping hooks are needed on the write path.
+
+Mirrors the platform's documented exclusions: queries using
+nondeterministic functions are never cached, and queries whose inputs
+cannot be fingerprinted (no file-backed scan) are passed through.
+
+Scale shape: the cache stores RESULTS (typically small aggregates), not
+inputs; a hit costs one parquet read of the result.  Entries evict LRU by
+count — result reuse is a warm-dashboard optimization, not a storage tier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+# the platform's documented cache-bypass list, Spark-side equivalents
+_NONDETERMINISTIC = re.compile(
+    r"\b(newid|rand|randn|uuid|getdate|getutcdate|current_timestamp|"
+    r"current_date|now|unix_timestamp|sysdatetime|monotonically_increasing_id"
+    r")\b",
+    re.I,
+)
+
+
+class ResultCache:
+    def __init__(self, spark: SparkSession, cache_dir: str, max_entries: int = 64):
+        self.spark = spark
+        self.dir = cache_dir
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+        self.bypasses = 0
+        os.makedirs(cache_dir, exist_ok=True)
+
+    # --- keying -----------------------------------------------------------
+
+    @staticmethod
+    def _normalize(sql: str) -> str:
+        return re.sub(r"\s+", " ", sql).strip().lower()
+
+    def _input_signature(self, df: DataFrame) -> str | None:
+        """(path, size, mtime) for every file the plan would scan; None when
+        any input is not a fingerprintable file (→ bypass, never stale)."""
+        files = df.inputFiles()
+        if not files:
+            return None
+        parts = []
+        for uri in sorted(files):
+            path = uri.removeprefix("file:")
+            try:
+                st = os.stat(path)
+            except OSError:
+                return None
+            parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+        return "|".join(parts)
+
+    def cacheable(self, sql: str) -> bool:
+        return not _NONDETERMINISTIC.search(sql)
+
+    def key_for(self, sql: str, df: DataFrame) -> str | None:
+        if not self.cacheable(sql):
+            return None
+        sig = self._input_signature(df)
+        if sig is None:
+            return None
+        h = hashlib.sha256()
+        h.update(self._normalize(sql).encode())
+        h.update(b"\x00")
+        h.update(sig.encode())
+        return h.hexdigest()[:32]
+
+    # --- store ------------------------------------------------------------
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.dir, key)
+
+    def lookup(self, key: str) -> DataFrame | None:
+        p = self._path(key)
+        if os.path.isdir(p):
+            os.utime(p)  # LRU touch
+            self.hits += 1
+            return self.spark.read.parquet(p)
+        return None
+
+    def store(self, key: str, df: DataFrame) -> DataFrame:
+        """Materialize the result into the cache, return the cached frame."""
+        p = self._path(key)
+        df.write.mode("overwrite").parquet(p)
+        self.misses += 1
+        self._evict()
+        return self.spark.read.parquet(p)
+
+    def _evict(self) -> None:
+        entries = [
+            (os.path.getmtime(os.path.join(self.dir, d)), d)
+            for d in os.listdir(self.dir)
+            if os.path.isdir(os.path.join(self.dir, d))
+        ]
+        entries.sort()
+        while len(entries) > self.max_entries:
+            _, victim = entries.pop(0)
+            shutil.rmtree(os.path.join(self.dir, victim), ignore_errors=True)
+
+    def clear(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def stats(self) -> dict:
+        return {
+            "hits": self.hits,
+            "misses": self.misses,
+            "bypasses": self.bypasses,
+            "entries": len(
+                [d for d in os.listdir(self.dir)
+                 if os.path.isdir(os.path.join(self.dir, d))]
+            ),
+            "checked_at": time.time(),
+        }

@@ -1108,3 +1108,53 @@ def test_merge_into_bucketed_preserves_colocation(engine, spark):
     assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
     layout = engine.catalog.get_layout("testfact.m_buck")
     assert layout.buckets == 4 and layout.distribution_column == "id"
+
+
+# ---------------------------------------------------------------------------
+# result-set caching (M10, engine.result_cache)
+# ---------------------------------------------------------------------------
+
+
+def test_result_cache_hit_and_invalidation(engine, spark):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id: long, v: double"
+    )
+    engine.catalog.create_table_as("testfact.rc_t", base, TableLayout(), mode="overwrite")
+    engine.result_cache.clear()
+    h0, m0 = engine.result_cache.hits, engine.result_cache.misses
+    q = "SELECT CAST(SUM(v) AS DOUBLE) AS s FROM testfact.rc_t"
+    r1 = engine.sql(q, use_result_cache=True).collect()
+    assert engine.result_cache.misses == m0 + 1
+    r2 = engine.sql(q, use_result_cache=True).collect()
+    assert engine.result_cache.hits == h0 + 1
+    assert r1 == r2 and r1[0]["s"] == 30.0
+    # whitespace/case normalization still hits
+    engine.sql("select  cast(sum(v) as double)  as s  from testfact.rc_t",
+               use_result_cache=True)
+    assert engine.result_cache.hits == h0 + 2
+    # rewriting the input table changes the file signature -> miss + fresh
+    engine.catalog.insert_into(
+        "testfact.rc_t", spark.createDataFrame([(3, 30.0)], "id: long, v: double")
+    )
+    r3 = engine.sql(q, use_result_cache=True).collect()
+    assert engine.result_cache.misses == m0 + 2
+    assert r3[0]["s"] == 60.0
+
+
+def test_result_cache_bypasses_nondeterministic(engine):
+    engine.result_cache.clear()
+    b0 = engine.result_cache.bypasses
+    engine.sql("SELECT rand() AS r", use_result_cache=True)
+    assert engine.result_cache.bypasses == b0 + 1
+    assert engine.result_cache.stats()["entries"] == 0
+    # session default flag: set_result_caching(True) caches without the
+    # per-call override
+    engine.set_result_caching(True)
+    try:
+        engine.sql("SELECT COUNT(*) AS n FROM testfact.rc_t").collect()
+        engine.sql("SELECT COUNT(*) AS n FROM testfact.rc_t").collect()
+        assert engine.result_cache.hits >= 1
+    finally:
+        engine.set_result_caching(False)
