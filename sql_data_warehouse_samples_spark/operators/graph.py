@@ -124,9 +124,12 @@ def connected_components(
     """
 
     def _materialize(df: DataFrame) -> DataFrame:
+        # LAZY checkpoint: the per-round fingerprint aggregation right below
+        # is the action that materializes it, so each round costs ONE Spark
+        # job (star transform + checkpoint write + fingerprint), not two.
         if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     e = _materialize(
         _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))

@@ -1158,3 +1158,135 @@ def test_result_cache_bypasses_nondeterministic(engine):
         assert engine.result_cache.hits >= 1
     finally:
         engine.set_result_caching(False)
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension merge (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_fixture(engine, spark, name, layout):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout  # noqa: F401
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: one closed version + one open (city changed once before)
+            (1, "alice", "london", "2023-01-01 00:00:00", "2023-06-01 00:00:00", False),
+            (1, "alice", "paris", "2023-06-01 00:00:00", None, True),
+            # key 2: single open version
+            (2, "bob", "berlin", "2023-01-01 00:00:00", None, True),
+            # key 3: single open version (will disappear from the snapshot)
+            (3, "carol", "rome", "2023-01-01 00:00:00", None, True),
+        ],
+        "cust_id: long, name: string, city: string, valid_from: string, valid_to: string, is_current: boolean",
+    ).selectExpr(
+        "cust_id",
+        "name",
+        "city",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+        "is_current",
+    )
+    engine.catalog.create_table_as(f"testfact.{name}", dim, layout, mode="overwrite")
+    # snapshot: key 1 changed city, key 2 unchanged, key 4 is new, key 3 absent
+    return spark.createDataFrame(
+        [(1, "alice", "tokyo"), (2, "bob", "berlin"), (4, "dave", "madrid")],
+        "cust_id: long, name: string, city: string",
+    )
+
+
+def test_scd2_apply_row_classes(engine, spark):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+    from sql_data_warehouse_samples_spark.operators.scd import scd2_apply
+
+    src = _scd2_fixture(engine, spark, "scd_plain", TableLayout())
+    dim = engine.table("testfact.scd_plain")
+    out = scd2_apply(dim, src, "cust_id", as_of="2024-01-01 00:00:00").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["cust_id"], []).append(r)
+    # key 1: old history row + closed paris row + new open tokyo row
+    k1 = sorted(by_key[1], key=lambda r: (r["valid_from"], str(r["valid_to"])))
+    assert len(k1) == 3
+    assert [r["city"] for r in k1] == ["london", "paris", "tokyo"]
+    assert k1[1]["is_current"] is False
+    assert str(k1[1]["valid_to"]).startswith("2024-01-01")
+    assert k1[2]["is_current"] is True and k1[2]["valid_to"] is None
+    # key 2 unchanged: exactly the original open row
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"] is True
+    assert str(by_key[2][0]["valid_from"]).startswith("2023-01-01")
+    # key 3 absent from snapshot, close_missing=False: stays open
+    assert len(by_key[3]) == 1 and by_key[3][0]["is_current"] is True
+    # key 4: brand-new open version
+    assert len(by_key[4]) == 1
+    assert by_key[4][0]["is_current"] is True
+    assert str(by_key[4][0]["valid_from"]).startswith("2024-01-01")
+
+
+def test_scd2_apply_close_missing(engine, spark):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+    from sql_data_warehouse_samples_spark.operators.scd import scd2_apply
+
+    src = _scd2_fixture(engine, spark, "scd_cm", TableLayout())
+    dim = engine.table("testfact.scd_cm")
+    out = scd2_apply(
+        dim, src, "cust_id", as_of="2024-01-01 00:00:00", close_missing=True
+    ).collect()
+    k3 = [r for r in out if r["cust_id"] == 3]
+    assert len(k3) == 1 and k3[0]["is_current"] is False
+    assert str(k3[0]["valid_to"]).startswith("2024-01-01")
+
+
+def test_scd2_merge_history_partition_untouched(engine, spark):
+    """With the dimension partitioned on is_current, a merge appends closed
+    versions to the history partition and replaces only the current
+    partition — history's existing files stay byte-identical."""
+    import glob
+    import os
+
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+    from sql_data_warehouse_samples_spark.operators.scd import scd2_merge
+
+    layout = TableLayout(partition_column="is_current")
+    src = _scd2_fixture(engine, spark, "scd_part", layout)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    hist = os.path.join(wh, "testfact.db", "scd_part", "is_current=false", "*.parquet")
+    before = {p: os.path.getmtime(p) for p in glob.glob(hist)}
+    assert before
+    scd2_merge(engine.catalog, "testfact.scd_part", src, "cust_id",
+               as_of="2024-01-01 00:00:00")
+    after = {p: os.path.getmtime(p) for p in glob.glob(hist)}
+    # original history files still present, unmodified; closed rows appended
+    for p, m in before.items():
+        assert after[p] == m
+    assert len(after) > len(before)
+    rows = engine.table("testfact.scd_part").collect()
+    cur = {r["cust_id"]: r["city"] for r in rows if r["is_current"]}
+    assert cur == {1: "tokyo", 2: "berlin", 3: "rome", 4: "madrid"}
+    closed = [r for r in rows if not r["is_current"] and r["cust_id"] == 1]
+    assert {r["city"] for r in closed} == {"london", "paris"}
+    assert len(rows) == 6
+
+
+def test_scd2_merge_fact_join_as_of(engine, spark):
+    """The point of SCD2: a fact row joins to the attribute version valid at
+    its transaction time (via the asof operator over valid_from)."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+    from sql_data_warehouse_samples_spark.operators.scd import scd2_merge
+
+    src = _scd2_fixture(engine, spark, "scd_fact", TableLayout())
+    scd2_merge(engine.catalog, "testfact.scd_fact", src, "cust_id",
+               as_of="2024-01-01 00:00:00")
+    facts = spark.createDataFrame(
+        [(1, "2023-03-01 00:00:00", 10.0), (1, "2023-08-01 00:00:00", 20.0),
+         (1, "2024-02-01 00:00:00", 30.0)],
+        "cust_id: long, txn_ts: string, amount: double",
+    ).selectExpr("cust_id", "CAST(txn_ts AS TIMESTAMP) AS txn_ts", "amount")
+    dim = engine.table("testfact.scd_fact").selectExpr(
+        "cust_id", "city", "valid_from"
+    )
+    joined = asof_join(
+        facts, dim, on="cust_id", left_ts="txn_ts", right_ts="valid_from"
+    )
+    got = {r["amount"]: r["city"] for r in joined.collect()}
+    assert got == {10.0: "london", 20.0: "paris", 30.0: "tokyo"}
