@@ -131,3 +131,59 @@ def user_running_totals(events: DataFrame, watermark: str = "30 minutes") -> Dat
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_stream_conversion_join(
+    signups: DataFrame,
+    purchases: DataFrame,
+    within: str = "2 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every (signup, purchase) pair for the
+    same user where the purchase lands in ``(signup_ts, signup_ts + within]``.
+
+    Both inputs are streaming frames of the event schema.  This is the
+    Structured Streaming join class with BOUNDED state: the watermark plus
+    the two-sided time-range condition lets Spark evict a buffered signup
+    once ``signup_ts + within`` falls behind the watermark and a buffered
+    purchase once it can no longer match any future signup — state size is
+    O(events inside the interval horizon), not O(stream history).
+
+    Scale shape: state is hash-partitioned on ``user_id`` (the equi-join
+    key), so a 1000-executor cluster holds each user's open interval on
+    exactly one task; the range predicate is evaluated residually within
+    the partition.  Without the time bound Spark would have to buffer both
+    streams forever — the interval IS the scalability contract.
+    """
+    s = (
+        signups.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_event_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return s.join(p, cond, "inner").select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        "purchase_value",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("seconds_to_convert"),
+    )

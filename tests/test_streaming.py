@@ -423,3 +423,49 @@ def test_streaming_merge_sink_upsert(spark, tmp_path_factory):
     got2 = {r["doc_id"]: r["text"] for r in spark.table("strm.docs").collect()}
     assert got2 == got
     cat.drop_schema("strm", cascade=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_source):
+    """Stream-stream equi+interval join (bounded state): replaying the same
+    events through both sides must produce exactly the batch join's pairs."""
+    signups = SE.read_event_stream(spark, event_source)
+    purchases = SE.read_event_stream(spark, event_source)
+    joined = SE.stream_stream_conversion_join(
+        signups, purchases, within="2 hours", watermark="0 seconds"
+    )
+    q = SE.run_to_memory(joined, "ss_join_out", "append")
+    got = {
+        (r.user_id, r.signup_ts, r.purchase_ts): (
+            r.purchase_value,
+            r.seconds_to_convert,
+        )
+        for r in spark.table("ss_join_out").collect()
+    }
+
+    from sql_data_warehouse_samples_spark.workload._util import tbl
+
+    ev = tbl(spark, "/root/testdata/sf0.001", "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 2 hours")),
+    )
+    want = {
+        (r.user_id, r.signup_ts, r.purchase_ts): (
+            r.purchase_value,
+            # same floor-to-second semantics as unix_timestamp() on each side
+            int(r.purchase_ts.timestamp()) - int(r.signup_ts.timestamp()),
+        )
+        for r in batch.collect()
+    }
+    assert want, "fixture must produce at least one conversion pair"
+    assert got == want
