@@ -1235,3 +1235,92 @@ def q57_grouping_sets(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — SCD Type-2 dimension merge (operators/scd.py, SURVEY D17) with an
+# exact end-to-end oracle.  A synthetic versioned customer dimension (one
+# closed history row for every 7th key) receives a snapshot where every 5th
+# key changed acctbal and every 11th key disappeared (close_missing=True).
+# The oracle reconstructs every row class — history passthrough, unchanged,
+# closed-at-as_of, reopened, new-version, missing-closed — in ANSI SQL.
+# Timestamps are literal; acctbal+100 is exact double arithmetic, so hashes
+# match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_scd2_dimension",
+    oracle="""
+WITH hist AS (
+  SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment,
+         c_acctbal - 50.0 AS acctbal,
+         TIMESTAMP '2022-01-01' AS valid_from,
+         TIMESTAMP '2023-01-01' AS valid_to, FALSE AS is_current
+  FROM customer WHERE c_custkey % 7 = 0
+),
+cur AS (
+  SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment,
+         c_acctbal AS acctbal,
+         TIMESTAMP '2023-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer
+)
+SELECT * FROM hist
+UNION ALL
+-- unchanged current rows (still in snapshot, attribute identical)
+SELECT * FROM cur WHERE cust_id % 11 <> 0 AND cust_id % 5 <> 0
+UNION ALL
+-- changed keys: old version closed at the as-of instant
+SELECT cust_id, name, segment, acctbal, valid_from,
+       TIMESTAMP '2024-01-01', FALSE
+FROM cur WHERE cust_id % 11 <> 0 AND cust_id % 5 = 0
+UNION ALL
+-- changed keys: new open version carrying the snapshot attribute
+SELECT cust_id, name, segment, acctbal + 100.0,
+       TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP), TRUE
+FROM cur WHERE cust_id % 11 <> 0 AND cust_id % 5 = 0
+UNION ALL
+-- keys missing from the snapshot: closed (close_missing)
+SELECT cust_id, name, segment, acctbal, valid_from,
+       TIMESTAMP '2024-01-01', FALSE
+FROM cur WHERE cust_id % 11 = 0
+""",
+)
+def q60_scd2_dimension(spark, sf_dir):
+    from ..operators.scd import scd2_apply
+
+    c = tbl(spark, sf_dir, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.to_timestamp(F.lit("2023-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") - F.lit(50.0)).alias("acctbal"),
+        F.to_timestamp(F.lit("2022-01-01")).alias("valid_from"),
+        F.to_timestamp(F.lit("2023-01-01")).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = hist.unionByName(cur)
+    snapshot = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + F.lit(100.0)
+            ).otherwise(F.col("c_acctbal")).alias("acctbal"),
+        )
+    )
+    return scd2_apply(
+        dim, snapshot, "cust_id", as_of="2024-01-01 00:00:00", close_missing=True
+    )
