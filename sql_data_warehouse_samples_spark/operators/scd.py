@@ -31,14 +31,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _changed_predicate(tracked: list[str]) -> Column:
-    """NULL-safe 'any tracked attribute differs' between src.* and cur.*."""
-    terms = [
-        ~F.col(f"src.{c}").eqNullSafe(F.col(f"cur.{c}")) for c in tracked
-    ]
-    return reduce(lambda a, b: a | b, terms)
-
-
 def scd2_apply(
     dim: DataFrame,
     source: DataFrame,
@@ -70,6 +62,11 @@ def scd2_apply(
     * new key: inserted as an open version.
     * key absent from the snapshot: closed if ``close_missing`` (full
       snapshot feeds) else kept open (incremental feeds).
+
+    Plan shape: ONE full-outer join on the business key classifies every
+    key, and a conditional array-explode emits 0–2 output rows per joined
+    row (close + reopen for changed keys) map-side — a single exchange
+    pair, not one join per row class.
     """
     keys = [key] if isinstance(key, str) else list(key)
     scd_cols = (valid_from, valid_to, current_flag)
@@ -84,42 +81,60 @@ def scd2_apply(
         raise ValueError(f"source is missing columns: {missing}")
     tracked = tracked or attr_cols
     ts = F.to_timestamp(F.lit(as_of))
-
-    def open_version(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn(valid_from, ts)
-            .withColumn(valid_to, F.lit(None).cast(dim.schema[valid_to].dataType))
-            .withColumn(current_flag, F.lit(True))
-            .select(*dim.columns)
-        )
-
-    def close_version(df: DataFrame) -> DataFrame:
-        return df.withColumn(valid_to, ts).withColumn(
-            current_flag, F.lit(False)
-        ).select(*dim.columns)
+    vt_type = dim.schema[valid_to].dataType
 
     history = dim.filter(~F.col(current_flag))
-    current = dim.filter(F.col(current_flag))
-    src = source.select(*keys, *attr_cols)
-
-    changed_keys = (
-        current.alias("cur")
-        .join(src.alias("src"), keys, "inner")
-        .filter(_changed_predicate(tracked))
-        .select(*[F.col(f"cur.{k}") for k in keys])
+    current = dim.filter(F.col(current_flag)).withColumn(
+        "__in_cur", F.lit(True)
     )
-    closed = close_version(current.join(changed_keys, keys, "left_semi"))
-    reopened = open_version(src.join(changed_keys, keys, "left_semi"))
-    unchanged = current.join(changed_keys, keys, "left_anti")
-    inserts = open_version(src.join(current, keys, "left_anti"))
-    if close_missing:
-        gone = current.join(src, keys, "left_anti")
-        unchanged = unchanged.join(gone.select(*keys), keys, "left_anti")
-        closed = closed.unionByName(close_version(gone))
-
-    return reduce(
-        DataFrame.unionByName, [history, unchanged, closed, reopened, inserts]
+    src = (
+        source.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in attr_cols])
+        .withColumn("__in_src", F.lit(True))
     )
+
+    j = current.join(src, keys, "full_outer")
+    in_cur = F.col("__in_cur").eqNullSafe(F.lit(True))
+    in_src = F.col("__in_src").eqNullSafe(F.lit(True))
+    changed = in_cur & in_src & reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__s_{c}").eqNullSafe(F.col(c)) for c in tracked],
+    )
+
+    def _struct(attr_src: str, vf: Column, vt: Column, cur_flag: bool) -> Column:
+        fields = [F.col(k).alias(k) for k in keys]
+        for c in attr_cols:
+            fields.append(
+                (F.col(c) if attr_src == "cur" else F.col(f"__s_{c}")).alias(c)
+            )
+        fields += [
+            vf.alias(valid_from),
+            vt.cast(vt_type).alias(valid_to),
+            F.lit(cur_flag).alias(current_flag),
+        ]
+        return F.struct(*fields)
+
+    cur_vf, cur_vt = F.col(valid_from), F.col(valid_to)
+    null_vt = F.lit(None).cast(vt_type)
+    # the existing current row: kept as-is (unchanged / missing-keep),
+    # closed at as_of (changed / missing-close), or absent (new key)
+    keep_pred = in_cur & ~changed & (
+        F.lit(not close_missing) | in_src
+    )
+    close_pred = in_cur & (changed | (F.lit(close_missing) & ~in_src))
+    open_pred = in_src & (changed | ~in_cur)
+    out_rows = F.filter(
+        F.array(
+            F.when(keep_pred, _struct("cur", cur_vf, cur_vt, True)),
+            F.when(close_pred, _struct("cur", cur_vf, ts, False)),
+            F.when(open_pred, _struct("src", ts, null_vt, True)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    applied = (
+        j.select(F.explode(out_rows).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in dim.columns])
+    )
+    return history.unionByName(applied)
 
 
 def scd2_merge(
