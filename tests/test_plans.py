@@ -243,3 +243,19 @@ def test_interval_join_is_hash_equi_join(spark):
     plan = plan_str(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q60_scd2_single_join_explode(spark):
+    """SCD2 apply is ONE full-outer join + map-side explode — never one join
+    per row class (5 joins / 6 exchanges in the naive formulation)."""
+    df = workload.QUERIES["q60_scd2_dimension"](spark, SF)
+    plan = plan_str(df)
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(df) <= 2
