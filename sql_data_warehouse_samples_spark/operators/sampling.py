@@ -109,6 +109,45 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str | list[str],
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Keep EXACTLY min(k, |stratum|) rows per stratum, deterministically.
+
+    Rows rank within their stratum by the keyed md5 hash (tie-broken by the
+    key itself, so the selected set is total-order stable); the first ``k``
+    survive.  Unlike ``stratified_sample``'s fraction thresholds this gives
+    hard per-group quotas — the standard shape for building bounded eval
+    sets ("500 docs per (source, lang)") or per-class caps on skewed
+    corpora.
+
+    Scale shape: one hash-partitioned shuffle on the strata columns; the
+    rank window never sees more than one stratum per partition, and with
+    k ≪ |stratum| the post-filter collapses immediately.  For quotas over
+    very-high-cardinality single strata (one group = one partition's worth
+    of rows) the same pattern applies per-band after salting; at the
+    typical (source, lang) grain partitions stay balanced.  Deterministic
+    and repartition-stable: the hash depends only on (seed, key), never on
+    physical placement.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    strata = [strata_col] if isinstance(strata_col, str) else list(strata_col)
+    h = _bucket_hex(F.col(key_col), seed)
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # --- domain-mixture sampling (training-data curation) ----------------------
 
 

@@ -994,3 +994,34 @@ def t12_bigram_lm_nll(spark, sf_dir):
 
     d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_lm_scores(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d13 — exact-k quota sampling per stratum (operators/sampling.quota_sample).
+# Hard per-(source, lang) caps for bounded eval sets; rank = keyed md5 hash
+# (tie-broken by doc_id) so the selected set is deterministic and
+# engine-portable — the oracle reproduces the identical ranking in SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d13_quota_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY substring(md5('d13' || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, lang, n_chars
+FROM ranked WHERE rk <= 7
+""",
+)
+def d13_quota_sample(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return S_ops.quota_sample(d, "doc_id", ["source", "lang"], k=7, seed="d13")
