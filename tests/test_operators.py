@@ -1506,3 +1506,85 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert abs(out[2]["avg_nll"] - nll_ac) < 1e-6
     # corpus-typical text scores lower nll than rare text
     assert out[1]["avg_nll"] < out[2]["avg_nll"]
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def _rg_coverage(path, col):
+    """Mean (max-min)/global-range of ``col`` across parquet row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans, lo, hi = [], None, None
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                cc = rg.column(c)
+                if cc.path_in_schema == col:
+                    st = cc.statistics
+                    spans.append((float(st.min), float(st.max)))
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    rng = float(hi) - float(lo)
+    return sum((b - a) for a, b in spans) / (rng * len(spans))
+
+
+def test_zorder_tightens_rowgroup_stats_on_both_columns(spark, tmp_path):
+    """Z-order clustering must bound row-group min/max tiles in EVERY
+    participating dimension — the single-column sort leaves the second
+    column's stats spanning ~the full range in every row group."""
+    from sql_data_warehouse_samples_spark.operators.zorder import zorder_write
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    single = str(tmp_path / "single_sort")
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(single)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(o, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+
+    # single-column sort: second column unclustered (~full range per group)
+    assert _rg_coverage(single, "o_totalprice") > 0.8
+    # z-order: BOTH columns tile-bounded
+    z_cust = _rg_coverage(zpath, "o_custkey")
+    z_price = _rg_coverage(zpath, "o_totalprice")
+    assert z_price < 0.6, z_price
+    assert z_cust < 0.6, z_cust
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark):
+    """With explicit boundaries the key is a pure function of the value —
+    identical across arbitrary repartitioning (the sketch-derived default
+    may shift codes by a bucket between differently-partitioned runs,
+    documented; tiles are equivalent either way)."""
+    from sql_data_warehouse_samples_spark.operators.zorder import with_zorder
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bounds = {
+        "o_custkey": [37.0, 75.0, 112.0],
+        "o_totalprice": [125000.0, 250000.0, 375000.0],
+    }
+    z1 = with_zorder(o, ["o_custkey", "o_totalprice"], bits=2, boundaries=bounds)
+    rows = {r["o_orderkey"]: r["__zorder"] for r in z1.collect()}
+    z2 = with_zorder(
+        o.repartition(7), ["o_custkey", "o_totalprice"], bits=2, boundaries=bounds
+    )
+    rows2 = {r["o_orderkey"]: r["__zorder"] for r in z2.collect()}
+    assert rows == rows2  # physical layout never changes the key
+    assert all(0 <= v < (1 << 4) for v in rows.values())  # 2 bits x 2 cols
+    assert len(set(rows.values())) > 4  # keys actually spread across tiles
