@@ -56,6 +56,11 @@ class TableLayout:
     # declared surrogate-key column (T-SQL IDENTITY(s,i) in CREATE TABLE);
     # with_identity() supplies the values at load time
     identity_column: str | None = None
+    # multi-column clustering: writes sort on the Morton z-order key of
+    # these columns so row-group min/max stats prune on EVERY listed column
+    # (operators/zorder.py) — the multi-dimensional generalization of
+    # sort_columns' single-axis clustered-index emulation
+    zorder_columns: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.distribution not in VALID_DISTRIBUTIONS:
@@ -64,6 +69,14 @@ class TableLayout:
             )
         if self.distribution == "hash" and not self.distribution_column:
             raise ValueError("HASH distribution requires a distribution column")
+        if self.zorder_columns and (
+            self.sort_columns or self.buckets or self.distribution == "hash"
+        ):
+            # the z-order range split IS the physical placement; it cannot
+            # coexist with hash/bucket co-location or a single-axis sort
+            raise ValueError(
+                "zorder_columns is exclusive with sort_columns/buckets/hash"
+            )
 
     def to_properties(self) -> dict[str, str]:
         props = {
@@ -82,6 +95,8 @@ class TableLayout:
             props["sdw.buckets"] = str(self.buckets)
         if self.identity_column:
             props["sdw.identity_column"] = self.identity_column
+        if self.zorder_columns:
+            props["sdw.zorder_columns"] = ",".join(self.zorder_columns)
         return props
 
     @classmethod
@@ -95,6 +110,9 @@ class TableLayout:
             index_type=props.get("sdw.index_type", "cci"),
             buckets=int(props["sdw.buckets"]) if props.get("sdw.buckets") else None,
             identity_column=props.get("sdw.identity_column"),
+            zorder_columns=[
+                c for c in props.get("sdw.zorder_columns", "").split(",") if c
+            ],
         )
 
 
@@ -151,7 +169,19 @@ class Catalog:
         # replicate: single parquet, broadcast at read; keep 1 output file
         elif layout.distribution == "replicate":
             df = df.coalesce(1)
-        if layout.sort_columns:
+        if layout.zorder_columns:
+            # multi-column clustering: range-split + sort on the Morton key,
+            # then drop it — files tile the space of ALL listed columns
+            from .operators.zorder import with_zorder
+
+            z = with_zorder(df, layout.zorder_columns)
+            n = self.distribution_count
+            df = (
+                z.repartitionByRange(n, F.col("__zorder"))
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder")
+            )
+        elif layout.sort_columns:
             # clustered-index emulation: sorted within files → min/max skipping
             df = df.sortWithinPartitions(*layout.sort_columns)
         return df

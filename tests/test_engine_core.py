@@ -1290,3 +1290,46 @@ def test_scd2_merge_fact_join_as_of(engine, spark):
     )
     got = {r["amount"]: r["city"] for r in joined.collect()}
     assert got == {10.0: "london", 20.0: "paris", 30.0: "tokyo"}
+
+
+def test_ctas_zorder_layout_roundtrip_and_clustering(engine, spark):
+    """CTAS with zorder_columns: layout round-trips through table
+    properties and the written files tile BOTH clustered columns."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    layout = TableLayout(zorder_columns=["o_custkey", "o_totalprice"])
+    engine.catalog.create_table_as("testfact.z_orders", o, layout, mode="overwrite")
+    got = engine.catalog.get_layout("testfact.z_orders")
+    assert got.zorder_columns == ["o_custkey", "o_totalprice"]
+    assert engine.table("testfact.z_orders").count() == o.count()
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = glob.glob(os.path.join(wh, "testfact.db", "z_orders", "*.parquet"))
+    assert len(files) > 4
+    spans, lo, hi = [], None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                cc = rg.column(c)
+                if cc.path_in_schema == "o_totalprice":
+                    st = cc.statistics
+                    spans.append(float(st.max) - float(st.min))
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    coverage = sum(spans) / ((hi - lo) * len(spans))
+    assert coverage < 0.6, coverage
+
+    # physical-exclusivity validation
+    with _pytest.raises(ValueError):
+        TableLayout(zorder_columns=["a"], sort_columns=["b"])
