@@ -395,3 +395,56 @@ def bigram_lm_scores(df, text_col: str, id_col: str, alpha: float = 0.5,
             round_to,
         ).alias("avg_nll"),
     )
+
+
+def line_dedup(
+    df,
+    text_col: str,
+    id_col: str,
+    max_occurrences: int = 1,
+    sep: str = "\n",
+):
+    """Corpus-level line deduplication (the CCNet / RefinedWeb boilerplate
+    pass): drop every line whose exact text occurs in MORE than
+    ``max_occurrences`` documents' lines across the corpus — navigation
+    chrome, cookie banners, shared footers — and reassemble each document
+    from its surviving lines in original order.
+
+    Returns ``(id_col, text_clean, n_lines_kept, n_lines_dropped)``.
+
+    Scale shape: posexplode to (doc, pos, line); line frequency is ONE
+    count-over-window shuffle keyed by the line hash (md5 → uniform,
+    skew-free even for a footer shared by 100M docs — the window only
+    counts, never materializes a group list); reassembly is one groupBy on
+    the document id sorting each doc's surviving (pos, line) structs
+    map-side.  Row amplification is lines-per-doc, the same factor every
+    line-grain pass pays.
+    """
+    from pyspark.sql import Window
+
+    c_id, c_text = F.col(id_col), F.col(text_col)
+    lines = df.select(
+        c_id.alias("__id"),
+        F.posexplode(F.split(c_text, F.lit(sep))).alias("__pos", "__line"),
+    )
+    w = Window.partitionBy(F.md5(F.col("__line")))
+    counted = lines.withColumn("__freq", F.count(F.lit(1)).over(w))
+    keep = F.col("__freq") <= max_occurrences
+    return (
+        counted.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("__pos", "__line"))
+                        )
+                    ),
+                    lambda x: x["__line"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.when(keep, F.lit(1))).alias("n_lines_kept"),
+            F.count(F.when(~keep, F.lit(1))).alias("n_lines_dropped"),
+        )
+    )

@@ -1025,3 +1025,61 @@ def d13_quota_sample(spark, sf_dir):
         "doc_id", "source", "lang", "n_chars"
     )
     return S_ops.quota_sample(d, "doc_id", ["source", "lang"], k=7, seed="d13")
+
+
+# ---------------------------------------------------------------------------
+# t13 — corpus-level line dedup (CCNet/RefinedWeb boilerplate pass,
+# operators/text.line_dedup).  The synthetic corpus is single-line, so the
+# query plants line structure IDENTICALLY on both sides (t07 precedent): a
+# footer shared by every doc, a promo line shared by every 4th, and a
+# unique tail.  Exact oracle: same split/frequency/threshold/reassembly in
+# ANSI SQL, hash-matched including the per-doc kept/dropped counts.
+# ---------------------------------------------------------------------------
+
+_T13_DECORATE_SQL = (
+    "text || chr(10) || 'shared footer line'"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'promo banner line'"
+    " ELSE '' END"
+    " || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@query(
+    "t13_line_dedup",
+    oracle=f"""
+WITH decorated AS (
+  SELECT doc_id, {_T13_DECORATE_SQL} AS t FROM documents
+),
+exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(t, chr(10)),
+                               (x, i) -> struct_pack(pos := i - 1, line := x))) AS u
+  FROM decorated
+),
+lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM exploded
+),
+freq AS (SELECT line, COUNT(*) AS c FROM lines GROUP BY line)
+SELECT l.doc_id,
+       COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+                FILTER (WHERE f.c <= 2), '') AS text_clean,
+       COUNT(*) FILTER (WHERE f.c <= 2) AS n_lines_kept,
+       COUNT(*) FILTER (WHERE f.c > 2) AS n_lines_dropped
+FROM lines l JOIN freq f USING (line)
+GROUP BY l.doc_id
+""",
+)
+def t13_line_dedup(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared footer line"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\npromo banner line")
+            ).otherwise(F.lit("")),
+            F.lit("\ntail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return T.line_dedup(d, "text", "doc_id", max_occurrences=2)
