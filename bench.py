@@ -52,6 +52,8 @@ HEADLINE = [
     "d12_semantic_dedup",
     "q58_asof_attribution",
     "q59_session_interval_join",
+    "q60_scd2_dimension",
+    "t13_line_dedup",
     "m01_media_meta",
 ]
 

@@ -201,6 +201,15 @@ class Engine:
 
         from .functions.rewriter import rewrite_tsql
 
+        # session options: SET RESULT_SET_CACHING ON|OFF (M10 — the
+        # platform's documented statement form; no result set)
+        m = re.match(
+            r"(?is)^\s*SET\s+RESULT_SET_CACHING\s+(ON|OFF)\s*;?\s*$", query
+        )
+        if m:
+            self.set_result_caching(m.group(1).upper() == "ON")
+            return self.spark.sql("SELECT 1 AS result_set_caching_set").limit(0)
+
         spark_sql, label = rewrite_tsql(query)
         # SESSION_ID() (UserActivitiesDetails.sql:3) resolves to THIS
         # engine handle's session — an engine-context substitution the

@@ -1333,3 +1333,26 @@ def test_ctas_zorder_layout_roundtrip_and_clustering(engine, spark):
     # physical-exclusivity validation
     with _pytest.raises(ValueError):
         TableLayout(zorder_columns=["a"], sort_columns=["b"])
+
+
+def test_tsql_set_result_set_caching_statement(engine, spark):
+    """The platform's `SET RESULT_SET_CACHING ON|OFF` statement form toggles
+    the session default through the T-SQL surface."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    engine.catalog.create_table_as(
+        "testfact.rc_stmt",
+        spark.createDataFrame([(1, 5.0)], "id: long, v: double"),
+        TableLayout(),
+        mode="overwrite",
+    )
+    engine.result_cache.clear()
+    engine.tsql("SET RESULT_SET_CACHING ON")
+    try:
+        assert engine._result_caching is True
+        engine.sql("SELECT COUNT(*) AS n FROM testfact.rc_stmt").collect()
+        engine.sql("SELECT COUNT(*) AS n FROM testfact.rc_stmt").collect()
+        assert engine.result_cache.hits >= 1
+    finally:
+        engine.tsql("SET RESULT_SET_CACHING OFF;")
+    assert engine._result_caching is False
