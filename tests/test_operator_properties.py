@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the temporal operators: asof_join
+against a brute-force per-key reference model, and scd2_apply invariants
+(open-row uniqueness + idempotence) over randomized dimension states.
+
+Examples are kept small and few — each example is a real Spark job — but
+the generated shapes (duplicate timestamps, keys on one side only, empty
+sides) are exactly the edges a fixed fixture misses."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_key = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=20)
+
+_left_rows = st.lists(st.tuples(_key, _ts), min_size=1, max_size=8)
+_right_rows = st.lists(st.tuples(_key, _ts, st.integers(0, 99)), min_size=0, max_size=8)
+
+
+def _epoch(n: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=n)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_backward_matches_reference_model(spark, left, right):
+    from sql_data_warehouse_samples_spark.operators.asof import asof_join
+
+    # unique (key, ts) on the right: the documented determinism contract
+    right = list({(k, t): v for k, t, v in right}.items())
+    right = [(k, t, v) for (k, t), v in right]
+    ldf = spark.createDataFrame(
+        [(k, _epoch(t), i) for i, (k, t) in enumerate(left)],
+        "k: long, lts: timestamp, row_id: long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _epoch(t), v) for k, t, v in right], "k: long, rts: timestamp, val: long"
+    ) if right else spark.createDataFrame([], "k: long, rts: timestamp, val: long")
+
+    got = {
+        r["row_id"]: r["val"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
+
+
+_attr = st.integers(min_value=0, max_value=2)
+_dim_keys = st.lists(_key, min_size=0, max_size=4, unique=True)
+_snap = st.dictionaries(_key, _attr, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(dim_keys=_dim_keys, snap=_snap, attrs=st.data())
+def test_scd2_apply_open_row_uniqueness_and_idempotence(spark, dim_keys, snap, attrs):
+    from sql_data_warehouse_samples_spark.operators.scd import scd2_apply
+
+    dim_rows = [
+        (k, attrs.draw(_attr, label=f"attr_{k}"), _epoch(0), None, True)
+        for k in dim_keys
+    ]
+    dim = spark.createDataFrame(
+        dim_rows,
+        "k: long, a: long, valid_from: timestamp, valid_to: timestamp, is_current: boolean",
+    ) if dim_rows else spark.createDataFrame(
+        [], "k: long, a: long, valid_from: timestamp, valid_to: timestamp, is_current: boolean"
+    )
+    src = spark.createDataFrame(
+        list(snap.items()), "k: long, a: long"
+    ) if snap else spark.createDataFrame([], "k: long, a: long")
+
+    out = scd2_apply(dim, src, "k", as_of="2024-06-01 00:00:00", close_missing=True)
+    rows = out.collect()
+
+    # every key in the snapshot has EXACTLY one open row carrying its value;
+    # keys absent from the snapshot have none (close_missing)
+    open_rows = {}
+    for r in rows:
+        if r["is_current"]:
+            assert r["valid_to"] is None
+            assert r["k"] not in open_rows
+            open_rows[r["k"]] = r["a"]
+    assert open_rows == snap
+    # closed rows are never in the future of the as-of instant
+    for r in rows:
+        if not r["is_current"]:
+            assert r["valid_to"] is not None
+
+    # idempotence: re-applying the SAME snapshot is a no-op
+    again = scd2_apply(
+        out, src, "k", as_of="2024-07-01 00:00:00", close_missing=True
+    ).collect()
+    norm = lambda rs: sorted(  # noqa: E731
+        (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"]) for r in rs
+    )
+    assert norm(again) == norm(rows)
