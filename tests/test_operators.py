@@ -1588,3 +1588,32 @@ def test_zorder_key_is_deterministic_and_bounded(spark):
     assert rows == rows2  # physical layout never changes the key
     assert all(0 <= v < (1 << 4) for v in rows.values())  # 2 bits x 2 cols
     assert len(set(rows.values())) > 4  # keys actually spread across tiles
+
+
+def test_quota_sample_caps_and_repartition_stability(spark):
+    from sql_data_warehouse_samples_spark.operators.sampling import quota_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    out = quota_sample(d, "doc_id", ["source", "lang"], k=5, seed="s")
+    sizes = {
+        (r["source"], r["lang"]): r["n"]
+        for r in out.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        (r["source"], r["lang"]): r["n"]
+        for r in d.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes  # non-empty
+    for stratum, n in sizes.items():
+        assert n == min(5, full[stratum])
+    # physical layout never changes the selected set
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in quota_sample(
+            d.repartition(13), "doc_id", ["source", "lang"], k=5, seed="s"
+        ).collect()
+    }
+    assert ids1 == ids2
