@@ -63,6 +63,11 @@ def scd2_apply(
     * key absent from the snapshot: closed if ``close_missing`` (full
       snapshot feeds) else kept open (incremental feeds).
 
+    Contract: ``source`` carries at most one row per business key and
+    ``dim`` at most one OPEN row per key (the invariant this function
+    itself maintains — see the idempotence property test); duplicate keys
+    on either side would multiply through the join like any keyed upsert.
+
     Plan shape: ONE full-outer join on the business key classifies every
     key, and a conditional array-explode emits 0–2 output rows per joined
     row (close + reopen for changed keys) map-side — a single exchange
@@ -95,9 +100,11 @@ def scd2_apply(
     j = current.join(src, keys, "full_outer")
     in_cur = F.col("__in_cur").eqNullSafe(F.lit(True))
     in_src = F.col("__in_src").eqNullSafe(F.lit(True))
-    changed = in_cur & in_src & reduce(
-        lambda a, b: a | b,
-        [~F.col(f"__s_{c}").eqNullSafe(F.col(c)) for c in tracked],
+    diffs = [~F.col(f"__s_{c}").eqNullSafe(F.col(c)) for c in tracked]
+    changed = (
+        in_cur & in_src & reduce(lambda a, b: a | b, diffs)
+        if diffs
+        else F.lit(False)  # key-only dimension: rows never "change"
     )
 
     def _struct(attr_src: str, vf: Column, vt: Column, cur_flag: bool) -> Column:
