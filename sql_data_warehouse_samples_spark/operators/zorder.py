@@ -104,6 +104,9 @@ def with_zorder(
         all_bounds = casted.approxQuantile(
             [f"__zd_{c}" for c in cols], probs, rel_err
         )
+    if any(not b for b in all_bounds):
+        # empty input (or empty sketch): no meaningful tiling — constant key
+        return df.withColumn(key_col, F.lit(0).cast("long"))
     codes = [
         rank_code(c, bounds) for c, bounds in zip(cols, all_bounds)
     ]
