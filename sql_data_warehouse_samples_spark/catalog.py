@@ -349,6 +349,100 @@ class Catalog:
         finally:
             self.spark.conf.set(mode_conf, prev)
 
+    def _rewrite_where(self, table: str, cond, transform) -> int:
+        """Shared copy-on-write core for predicate DML (DELETE/UPDATE).
+
+        ``cond`` selects the affected rows (NULL predicate = unaffected,
+        SQL three-valued semantics); ``transform(scope, hit)`` returns the
+        rewritten scope.  Partitioned, unbucketed tables rewrite ONLY the
+        partitions that contain affected rows (dynamic partition
+        overwrite); everything else is a full rewrite.  Returns the number
+        of affected rows (the T-SQL @@ROWCOUNT contract) — counted on the
+        same scan that discovers the affected partitions.
+        """
+        layout = self.get_layout(table)
+        target = self.spark.table(self._q(table))
+        hit = F.coalesce(cond, F.lit(False))
+
+        part = layout.partition_column
+        prune = bool(part) and not layout.buckets
+        if prune:
+            agg = (
+                target.filter(hit)
+                .groupBy(part)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            n_affected = sum(r["__n"] for r in agg)
+            if n_affected == 0:
+                return 0
+            aff = [r[part] for r in agg]
+            scope = target.filter(F.col(part).isin(aff))
+        else:
+            n_affected = target.filter(hit).count()
+            if n_affected == 0:
+                return 0
+            scope = target
+
+        rewritten = transform(scope, hit)
+        if layout.buckets:
+            stage = f"{table}__dml_stage"
+            self.create_table_as(stage, rewritten, layout, mode="overwrite")
+            self.drop_table(table)
+            self.spark.sql(
+                f"ALTER TABLE {self._q(stage)} RENAME TO {self._q(table)}"
+            )
+            self._set_layout_properties(table, layout)
+            return n_affected
+        out = self._apply_write_layout(rewritten, layout).localCheckpoint(eager=True)
+        mode_conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_conf, "static")
+        try:
+            if prune:
+                self.spark.conf.set(mode_conf, "dynamic")
+            out.write.insertInto(self._q(table), overwrite=True)
+        finally:
+            self.spark.conf.set(mode_conf, prev)
+        return n_affected
+
+    def delete_where(self, table: str, predicate) -> int:
+        """``DELETE FROM table WHERE predicate`` (row-level DML beyond the
+        keyed ``merge_into`` path).  NULL-predicate rows are kept, matching
+        SQL semantics; returns the deleted row count."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._rewrite_where(
+            table, cond, lambda scope, hit: scope.filter(~hit)
+        )
+
+    def update_where(self, table: str, assignments: dict, predicate) -> int:
+        """``UPDATE table SET col = expr, ... WHERE predicate``.
+
+        ``assignments`` maps column name → SQL expression string or Column
+        (evaluated against the pre-update row, so swaps like
+        ``{"a": "b", "b": "a"}`` behave like SQL UPDATE).  Returns the
+        updated row count."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+        def apply(scope, hit):
+            cols = []
+            for c in scope.columns:
+                if c in assignments:
+                    v = assignments[c]
+                    new = F.expr(v) if isinstance(v, str) else v
+                    cols.append(
+                        F.when(hit, new.cast(scope.schema[c].dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            return scope.select(*cols)
+
+        unknown = [c for c in assignments if c not in self.spark.table(self._q(table)).columns]
+        if unknown:
+            raise ValueError(f"unknown columns in SET: {unknown}")
+        return self._rewrite_where(table, cond, apply)
+
     # --- views (D4) ------------------------------------------------------
 
     def create_view(self, name: str, sql: str) -> None:

@@ -1356,3 +1356,76 @@ def test_tsql_set_result_set_caching_statement(engine, spark):
     finally:
         engine.tsql("SET RESULT_SET_CACHING OFF;")
     assert engine._result_caching is False
+
+
+# ---------------------------------------------------------------------------
+# predicate DML: DELETE WHERE / UPDATE WHERE (catalog._rewrite_where)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_partition_pruned(engine, spark):
+    """DELETE rewrites only partitions containing matches; NULL-predicate
+    rows are kept (SQL three-valued semantics); returns the row count."""
+    import glob
+    import os
+
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 5.0),
+            (2, "2024-01-01", 15.0),
+            (3, "2024-01-02", 25.0),
+            (4, "2024-01-02", None),
+        ],
+        "id: long, day: string, v: double",
+    )
+    engine.catalog.create_table_as(
+        "testfact.del_t", base, TableLayout(partition_column="day"), mode="overwrite"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    d1 = os.path.join(wh, "testfact.db", "del_t", "day=2024-01-01", "*.parquet")
+    before = sorted(glob.glob(d1))
+    n = engine.catalog.delete_where("testfact.del_t", "v > 20")
+    assert n == 1
+    got = {r["id"] for r in engine.table("testfact.del_t").collect()}
+    assert got == {1, 2, 4}  # id=4 has NULL v -> kept
+    assert sorted(glob.glob(d1)) == before  # day-1 partition untouched
+    assert engine.catalog.delete_where("testfact.del_t", "v > 1000") == 0
+
+
+def test_update_where_swap_semantics(engine, spark):
+    """SET expressions evaluate against the PRE-update row (SQL UPDATE), so
+    column swaps work; unknown SET columns are rejected."""
+    import pytest as _pytest
+
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0)], "id: long, a: double, b: double"
+    )
+    engine.catalog.create_table_as("testfact.upd_t", base, TableLayout(), mode="overwrite")
+    n = engine.catalog.update_where(
+        "testfact.upd_t", {"a": "b", "b": "a"}, "id = 2"
+    )
+    assert n == 1
+    got = {r["id"]: (r["a"], r["b"]) for r in engine.table("testfact.upd_t").collect()}
+    assert got == {1: (10.0, 100.0), 2: (200.0, 20.0)}
+    with _pytest.raises(ValueError):
+        engine.catalog.update_where("testfact.upd_t", {"zz": "1"}, "id = 1")
+
+
+def test_delete_where_bucketed_preserves_layout(engine, spark):
+    from sql_data_warehouse_samples_spark.catalog import hash_layout
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id: long, v: double"
+    )
+    engine.catalog.create_table_as(
+        "testfact.del_b", base, hash_layout("id", buckets=4), mode="overwrite"
+    )
+    n = engine.catalog.delete_where("testfact.del_b", "id % 2 = 0")
+    assert n == 10
+    assert engine.table("testfact.del_b").count() == 10
+    layout = engine.catalog.get_layout("testfact.del_b")
+    assert layout.buckets == 4 and layout.distribution_column == "id"
