@@ -210,6 +210,15 @@ class Engine:
             self.set_result_caching(m.group(1).upper() == "ON")
             return self.spark.sql("SELECT 1 AS result_set_caching_set").limit(0)
 
+        # row-level DML statement forms (D18): Spark SQL has no DELETE /
+        # UPDATE over parquet tables, so these dispatch to the catalog's
+        # partition-pruned copy-on-write DML.  Identifiers may be
+        # [bracketed]; predicates/assignments go through the expression
+        # rewriter so T-SQL scalar shims work inside them.
+        dml = self._try_tsql_dml(query)
+        if dml is not None:
+            return dml
+
         spark_sql, label = rewrite_tsql(query)
         # SESSION_ID() (UserActivitiesDetails.sql:3) resolves to THIS
         # engine handle's session — an engine-context substitution the
@@ -221,6 +230,58 @@ class Engine:
             flags=re.I,
         )
         return self.sql(spark_sql, label=label, resource_class=resource_class)
+
+    def _try_tsql_dml(self, query: str):
+        """DELETE FROM t WHERE p / UPDATE t SET a = e, ... WHERE p →
+        catalog predicate DML.  Returns a 1-row (rows_affected) frame, or
+        None when the statement is not a DML form."""
+        import re
+
+        from .functions.rewriter import rewrite_tsql
+
+        def _ident(s: str) -> str:
+            return ".".join(p.strip("[]") for p in s.strip().split("."))
+
+        def _expr(s: str) -> str:
+            # reuse the T-SQL expression surface (brackets, shims) by
+            # rewriting a SELECT wrapper and unwrapping it
+            rewritten, _ = rewrite_tsql(f"SELECT {s}")
+            return rewritten[len("SELECT "):]
+
+        m = re.match(
+            r"(?is)^\s*DELETE\s+FROM\s+([\w.\[\]]+)\s+WHERE\s+(.+?);?\s*$",
+            query,
+        )
+        if m:
+            n = self.catalog.delete_where(_ident(m.group(1)), _expr(m.group(2)))
+            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS rows_affected")
+        m = re.match(
+            r"(?is)^\s*UPDATE\s+([\w.\[\]]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
+            query,
+        )
+        if m:
+            assigns: dict[str, str] = {}
+            depth = 0
+            buf, parts = "", []
+            for ch in m.group(2):
+                if ch == "," and depth == 0:
+                    parts.append(buf)
+                    buf = ""
+                    continue
+                depth += ch in "(["
+                depth -= ch in ")]"
+                buf += ch
+            parts.append(buf)
+            for part in parts:
+                col, _, val = part.partition("=")
+                if not val:
+                    raise ValueError(f"malformed SET clause: {part!r}")
+                assigns[col.strip().strip("[]")] = _expr(val.strip())
+            n = self.catalog.update_where(
+                _ident(m.group(1)), assigns, _expr(m.group(3))
+            )
+            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS rows_affected")
+        return None
 
     def tsql_script(self, text: str) -> list:
         """Run a multi-batch T-SQL deployment script VERBATIM — the

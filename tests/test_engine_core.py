@@ -1429,3 +1429,22 @@ def test_delete_where_bucketed_preserves_layout(engine, spark):
     assert engine.table("testfact.del_b").count() == 10
     layout = engine.catalog.get_layout("testfact.del_b")
     assert layout.buckets == 4 and layout.distribution_column == "id"
+
+
+def test_tsql_delete_and_update_statements(engine, spark):
+    """T-SQL DML statement forms route through the catalog's predicate DML
+    and return @@ROWCOUNT-style results."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0)], "id: long, v: double"
+    )
+    engine.catalog.create_table_as("testfact.dml_t", base, TableLayout(), mode="overwrite")
+    r = engine.tsql("DELETE FROM testfact.dml_t WHERE [v] > 20").collect()
+    assert r[0]["rows_affected"] == 1
+    r = engine.tsql(
+        "UPDATE testfact.dml_t SET [v] = v * 2, id = id + 10 WHERE v >= 15"
+    ).collect()
+    assert r[0]["rows_affected"] == 1
+    got = {r["id"]: r["v"] for r in engine.table("testfact.dml_t").collect()}
+    assert got == {1: 5.0, 12: 30.0}
