@@ -248,13 +248,32 @@ class Engine:
             rewritten, _ = rewrite_tsql(f"SELECT {s}")
             return rewritten[len("SELECT "):]
 
+        def _logged(fn):
+            # DML executes eagerly — record it in the request log like any
+            # submitted statement (sys.dm_pdw_exec_requests parity)
+            rec = self._new_request(query, None, "smallrc")
+            rec.start_time = time.time()
+            try:
+                n = fn()
+            except Exception as e:  # noqa: BLE001
+                rec.status = "Failed"
+                rec.error_message = str(e)[:1000]
+                raise
+            rec.status = "Completed"
+            rec.end_time = time.time()
+            rec.total_elapsed_ms = int((rec.end_time - rec.start_time) * 1000)
+            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS rows_affected")
+
         m = re.match(
             r"(?is)^\s*DELETE\s+FROM\s+([\w.\[\]]+)\s+WHERE\s+(.+?);?\s*$",
             query,
         )
         if m:
-            n = self.catalog.delete_where(_ident(m.group(1)), _expr(m.group(2)))
-            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS rows_affected")
+            return _logged(
+                lambda: self.catalog.delete_where(
+                    _ident(m.group(1)), _expr(m.group(2))
+                )
+            )
         m = re.match(
             r"(?is)^\s*UPDATE\s+([\w.\[\]]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
             query,
@@ -277,10 +296,11 @@ class Engine:
                 if not val:
                     raise ValueError(f"malformed SET clause: {part!r}")
                 assigns[col.strip().strip("[]")] = _expr(val.strip())
-            n = self.catalog.update_where(
-                _ident(m.group(1)), assigns, _expr(m.group(3))
+            return _logged(
+                lambda: self.catalog.update_where(
+                    _ident(m.group(1)), assigns, _expr(m.group(3))
+                )
             )
-            return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS rows_affected")
         return None
 
     def tsql_script(self, text: str) -> list:
