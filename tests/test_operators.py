@@ -1617,3 +1617,24 @@ def test_quota_sample_caps_and_repartition_stability(spark):
         ).collect()
     }
     assert ids1 == ids2
+
+
+def test_line_dedup_reassembly_roundtrip(spark):
+    """With an unreachable threshold nothing drops: reassembly must
+    round-trip byte-for-byte, including docs with >10 lines (numeric, not
+    lexicographic, position ordering)."""
+    from sql_data_warehouse_samples_spark.operators.text import line_dedup
+
+    docs = [
+        (1, "\n".join(f"line {i}" for i in range(15))),
+        (2, "single"),
+        (3, "a\n\nb"),  # empty middle line survives
+    ]
+    d = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in line_dedup(d, "text", "doc_id", max_occurrences=10**6).collect()
+    }
+    assert out[1] == (docs[0][1], 15, 0)
+    assert out[2] == ("single", 1, 0)
+    assert out[3] == ("a\n\nb", 3, 0)
