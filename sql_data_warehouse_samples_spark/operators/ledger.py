@@ -73,3 +73,29 @@ class ContentHashLedger:
         fresh = fresh.localCheckpoint(eager=True)
         fresh.select("content_hash").write.mode("append").parquet(self.path)
         return fresh
+
+    def compact(self, n_files: int | None = None) -> int:
+        """Rewrite the ledger's accumulated per-batch appends into
+        ``n_files`` deduplicated parquet files (default: Spark's shuffle
+        parallelism).  Daily appends each land as separate small files —
+        after a year the ledger scan pays ~365x the open/footer overhead
+        it needs; the rebuild tables it like any parquet rewriter
+        (compaction D13 applied to the ledger).  Staged write + directory
+        swap, same crash contract as the engine's CTAS-rename: a failure
+        before the swap leaves the live ledger untouched.  Returns the
+        distinct-hash count.
+        """
+        import shutil
+
+        distinct = self.hashes().distinct()
+        if n_files:
+            distinct = distinct.repartition(n_files)
+        stage = f"{self.path}__compact"
+        distinct.write.mode("overwrite").parquet(stage)
+        n = self.spark.read.parquet(stage).count()
+        old = f"{self.path}__old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(self.path, old)
+        shutil.move(stage, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n

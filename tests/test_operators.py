@@ -1638,3 +1638,25 @@ def test_line_dedup_reassembly_roundtrip(spark):
     assert out[1] == (docs[0][1], 15, 0)
     assert out[2] == ("single", 1, 0)
     assert out[3] == ("a\n\nb", 3, 0)
+
+
+def test_ledger_compact_preserves_hashes_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from sql_data_warehouse_samples_spark.operators.ledger import ContentHashLedger
+
+    led = ContentHashLedger(spark, str(tmp_path / "ledger"))
+    b1 = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id: long, text: string")
+    b2 = spark.createDataFrame([(3, "ccc"), (4, "aaa")], "doc_id: long, text: string")
+    led.ingest(b1)
+    led.ingest(b2)  # "aaa" dropped as already ledgered
+    before_hashes = {r["content_hash"] for r in led.hashes().collect()}
+    before_files = len(glob.glob(f"{led.path}/*.parquet"))
+    n = led.compact(n_files=1)
+    assert n == 3 and len(before_hashes) == 3
+    assert {r["content_hash"] for r in led.hashes().collect()} == before_hashes
+    assert len(glob.glob(f"{led.path}/*.parquet")) < before_files
+    # ledger still functional after the swap
+    b3 = spark.createDataFrame([(5, "bbb"), (6, "ddd")], "doc_id: long, text: string")
+    kept = led.ingest(b3).collect()
+    assert {r["doc_id"] for r in kept} == {6}
