@@ -532,3 +532,29 @@ class IvfIndex:
         assigned.write.partitionBy("centroid_id").mode("append").parquet(
             f"{self.path}/lists"
         )
+
+    def compact(self, spark, files_per_list: int = 1) -> int:
+        """Rebuild the inverted lists' accumulated ``add()`` appends into
+        ``files_per_list`` files per centroid partition (staged write +
+        directory swap, the ledger/CTAS-rename crash contract: the live
+        index is untouched until the swap).  Keeps the partition-pruned
+        search's per-list open/footer cost flat as batches accumulate.
+        Returns the indexed-vector count."""
+        import shutil
+
+        lists = spark.read.parquet(f"{self.path}/lists")
+        stage = f"{self.path}/lists__compact"
+        (
+            lists.repartition(files_per_list * max(len(self.centroids), 1),
+                              "centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        n = spark.read.parquet(stage).count()
+        live, old = f"{self.path}/lists", f"{self.path}/lists__old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(live, old)
+        shutil.move(stage, live)
+        shutil.rmtree(old, ignore_errors=True)
+        return n

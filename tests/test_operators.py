@@ -1660,3 +1660,23 @@ def test_ledger_compact_preserves_hashes_and_shrinks_files(spark, tmp_path):
     b3 = spark.createDataFrame([(5, "bbb"), (6, "ddd")], "doc_id: long, text: string")
     kept = led.ingest(b3).collect()
     assert {r["doc_id"] for r in kept} == {6}
+
+
+def test_ivf_index_compact_preserves_results(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators.similarity import IvfIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex.build(emb.filter(F.col("vec_id") < 150), str(tmp_path / "ivf"), nlist=4)
+    idx.add(emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 180)))
+    q = emb.filter(F.col("vec_id") < 3)
+    before = sorted(
+        (r["query_id"], r["nbr_rank"], r["neighbor_id"])
+        for r in idx.search(q, k=3, nprobe=4).collect()
+    )
+    n = idx.compact(spark)
+    assert n == 180
+    after = sorted(
+        (r["query_id"], r["nbr_rank"], r["neighbor_id"])
+        for r in idx.search(q, k=3, nprobe=4).collect()
+    )
+    assert before == after
