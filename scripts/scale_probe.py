@@ -1,18 +1,27 @@
 """Scaling probe: the reference claims ~linear scan/agg/CTAS improvement
 with compute units (white-papers/Integrating MicroStrategy...md:17;
-BASELINE.md derived target #1).  This runs representative headline queries
-at increasing local-core counts and prints per-config throughput so the
-claim is checkable on any box:
+BASELINE.md derived target #1).  This measures core-count scaling on this
+box and prints the efficiency curve:
 
     python scripts/scale_probe.py            # cores = 4, 8, 16, 32
-    python scripts/scale_probe.py 2 8 32     # explicit ladder
+    python scripts/scale_probe.py 8 32       # explicit ladder
+    SCALE_PROBE_X=32 python scripts/...      # inflation factor (default 16)
 
-Each config gets a fresh SparkContext (master=local[n]); timings are the
-median of 3 runs after a warmup, so JIT/codegen noise doesn't pollute the
-curve.  Perfect linearity is not expected at small data sizes (fixed
-per-job scheduling costs dominate as task counts shrink) — the probe
-reports the scaling efficiency so regressions in parallelizability show
-up as a falling curve at the TOP end, where data is large enough to matter.
+The sf0.1 test tables are far too small to exercise parallelism (any
+query finishes in ~1 s of mostly fixed per-job cost at 4 cores already),
+so the probe INFLATES them on the fly — each row replicated X times via
+``explode(sequence(...))``, flowing through the same operators the
+workload uses:
+
+* ``agg``   — q01-style decimal aggregation over lineitem × X
+* ``sig``   — MinHash signature fold (32 hashes × shingles) over
+              documents × X, the heaviest per-row compute in the engine
+
+Each config runs in a fresh SparkContext (master=local[n]); timings are
+the median of 3 after a warmup run.  Perfect linearity is still not
+expected on one box (shared memory bandwidth, GC), but compute-bound
+stages should show clear speedup — a flat curve on ``sig`` would mean the
+operator serializes, which is exactly what the probe exists to catch.
 """
 
 from __future__ import annotations
@@ -25,11 +34,64 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sql_data_warehouse_samples_spark import workload  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from sql_data_warehouse_samples_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PROBES = ["q01_pricing_summary", "d01_dedup_exact", "t02_quality_score"]
+INFLATE = int(os.environ.get("SCALE_PROBE_X", "16"))
+
+
+def _inflate(df, n: int):
+    """Replicate every row n times (row-grain explode; no driver data).
+
+    The small test parquet arrives as ONE split, which would pin the whole
+    inflated computation to a single task no matter the core count — the
+    same under-partitioned-scan hazard the workload's ``_spread`` guards
+    (operators/similarity.py).  Spread BEFORE the explode so the probe
+    measures the operators, not a self-inflicted single-partition scan."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).withColumn(
+        "__copy", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    )
+
+
+def probe_agg(spark) -> None:
+    li = _inflate(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"), INFLATE)
+    (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def probe_sig(spark) -> None:
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+    )
+
+    d = _inflate(spark.read.parquet(f"{SF_DIR}/documents.parquet"), INFLATE)
+    (
+        d.select(minhash_signature(shingles("text", 3), 32).alias("__sig"))
+        .select(F.avg(F.element_at("__sig", 1)).alias("s"))  # avg: no long overflow
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+PROBES = {"agg": probe_agg, "sig": probe_sig}
 
 
 def run_config(cores: int) -> dict:
@@ -41,13 +103,12 @@ def run_config(cores: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         timings = {}
-        for name in PROBES:
-            fn = workload.QUERIES[name]
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+        for name, fn in PROBES.items():
+            fn(spark)  # warm (codegen/JIT)
             reps = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                fn(spark)
                 reps.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(reps), 3)
         return timings
@@ -56,11 +117,8 @@ def run_config(cores: int) -> dict:
 
 
 def main() -> None:
-    workload.load_all()
     ladder = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
-    results = {}
-    for cores in ladder:
-        results[cores] = run_config(cores)
+    results = {c: run_config(c) for c in ladder}
     base = ladder[0]
     report = []
     for cores in ladder:
@@ -72,10 +130,10 @@ def main() -> None:
                 "total_sec": round(total, 3),
                 "speedup_vs_first": round(speedup, 2),
                 "efficiency": round(speedup / (cores / base), 2),
-                "queries": results[cores],
+                "probes": results[cores],
             }
         )
-    print(json.dumps({"sf_dir": SF_DIR, "ladder": report}))
+    print(json.dumps({"sf_dir": SF_DIR, "inflate_x": INFLATE, "ladder": report}))
 
 
 if __name__ == "__main__":
