@@ -1448,3 +1448,21 @@ def test_tsql_delete_and_update_statements(engine, spark):
     assert r[0]["rows_affected"] == 1
     got = {r["id"]: r["v"] for r in engine.table("testfact.dml_t").collect()}
     assert got == {1: 5.0, 12: 30.0}
+
+
+def test_tsql_dml_lands_in_request_log(engine, spark):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    engine.catalog.create_table_as(
+        "testfact.dml_log",
+        spark.createDataFrame([(1, 1.0)], "id: long, v: double"),
+        TableLayout(),
+        mode="overwrite",
+    )
+    n_before = len(engine._requests)
+    engine.tsql("DELETE FROM testfact.dml_log WHERE id = 1")
+    recs = engine._requests[n_before:]
+    assert len(recs) == 1
+    assert recs[0].status == "Completed"
+    assert "DELETE FROM testfact.dml_log" in recs[0].command
+    assert recs[0].total_elapsed_ms is not None
