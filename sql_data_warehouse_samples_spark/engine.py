@@ -265,17 +265,18 @@ class Engine:
             return self.spark.sql(f"SELECT CAST({n} AS BIGINT) AS rows_affected")
 
         m = re.match(
-            r"(?is)^\s*DELETE\s+FROM\s+([\w.\[\]]+)\s+WHERE\s+(.+?);?\s*$",
+            r"(?is)^\s*DELETE\s+FROM\s+([\w.\[\]]+)"
+            r"(?:\s+WHERE\s+(.+?))?;?\s*$",
             query,
         )
         if m:
+            pred = _expr(m.group(2)) if m.group(2) else "true"  # no WHERE = all rows
             return _logged(
-                lambda: self.catalog.delete_where(
-                    _ident(m.group(1)), _expr(m.group(2))
-                )
+                lambda: self.catalog.delete_where(_ident(m.group(1)), pred)
             )
         m = re.match(
-            r"(?is)^\s*UPDATE\s+([\w.\[\]]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?);?\s*$",
+            r"(?is)^\s*UPDATE\s+([\w.\[\]]+)\s+SET\s+(.+?)"
+            r"(?:\s+WHERE\s+(.+?))?;?\s*$",
             query,
         )
         if m:
@@ -296,9 +297,10 @@ class Engine:
                 if not val:
                     raise ValueError(f"malformed SET clause: {part!r}")
                 assigns[col.strip().strip("[]")] = _expr(val.strip())
+            pred = _expr(m.group(3)) if m.group(3) else "true"
             return _logged(
                 lambda: self.catalog.update_where(
-                    _ident(m.group(1)), assigns, _expr(m.group(3))
+                    _ident(m.group(1)), assigns, pred
                 )
             )
         return None

@@ -1466,3 +1466,20 @@ def test_tsql_dml_lands_in_request_log(engine, spark):
     assert recs[0].status == "Completed"
     assert "DELETE FROM testfact.dml_log" in recs[0].command
     assert recs[0].total_elapsed_ms is not None
+
+
+def test_tsql_dml_without_where_touches_all_rows(engine, spark):
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    engine.catalog.create_table_as(
+        "testfact.dml_all",
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id: long, v: double"),
+        TableLayout(),
+        mode="overwrite",
+    )
+    r = engine.tsql("UPDATE testfact.dml_all SET v = v + 1").collect()
+    assert r[0]["rows_affected"] == 2
+    assert {x["v"] for x in engine.table("testfact.dml_all").collect()} == {2.0, 3.0}
+    r = engine.tsql("DELETE FROM testfact.dml_all").collect()
+    assert r[0]["rows_affected"] == 2
+    assert engine.table("testfact.dml_all").count() == 0
