@@ -652,3 +652,73 @@ def semantic_dedup(
     return base.join(pruned, "__id", "left_anti").select(
         F.col("__id").alias(id_col), F.col("__cid").alias("centroid_id")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 20
+) -> DataFrame:
+    """ExactSubstr *removal* (Lee et al. 2021 §4.1): where
+    ``substring_dup_pairs`` reports which documents share a verbatim
+    length-``n`` token run, this removes the run itself — every token
+    covered by a shared n-gram is deleted from all but the gram's
+    minimum-id document, so exactly ONE verbatim copy survives
+    corpus-wide and the rest of each document is untouched.
+
+    Returns ``(id_col, text_clean, n_tokens_kept, n_tokens_removed)``.
+
+    Shape: gram explode with start positions (L−n+1 rows/doc), gram-keyed
+    min for the canonical owner, covered-position explode (n rows per
+    duplicated gram start, deduplicated), one anti-join of token
+    positions against covered positions, ordered reassembly per doc —
+    every key a uniform hash (gram text, (doc, pos)), no pairwise join
+    anywhere, so mass-duplicated boilerplate stays linear exactly as in
+    the pair finder.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+    )
+    from .text import adjacent_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(adjacent_ngrams(tokens(text_col), n)).alias("__start", "__g"),
+    )
+    reps = grams.groupBy("__g").agg(F.min("__id").alias("__rep"))
+    covered = (
+        grams.join(reps, "__g")
+        .filter(F.col("__id") > F.col("__rep"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + (n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    survivors = toks.join(covered, ["__id", "__pos"], "left_anti")
+    removed = toks.join(covered, ["__id", "__pos"], "left_semi")
+    counts = survivors.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    removed_counts = removed.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens_removed")
+    )
+    all_ids = df.select(F.col(id_col).alias("__id"))
+    return (
+        all_ids.join(counts, "__id", "left")
+        .join(removed_counts, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )

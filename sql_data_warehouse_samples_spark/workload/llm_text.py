@@ -1083,3 +1083,58 @@ def t13_line_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return T.line_dedup(d, "text", "doc_id", max_occurrences=2)
+
+
+# ---------------------------------------------------------------------------
+# d14 — ExactSubstr span REMOVAL (operators/dedup.remove_duplicate_spans):
+# d11 finds the documents sharing a verbatim 20-token run; d14 removes the
+# run itself, leaving one canonical copy corpus-wide.  Exact oracle: the
+# whole pipeline (positioned grams, gram-min owner, coverage expansion,
+# anti-join, ordered reassembly) reproduced in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d14_duplicate_span_removal",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ts FROM documents
+),
+tok_rows AS (
+  SELECT doc_id,
+         unnest(list_transform(ts, (x, i) -> struct_pack(pos := i - 1, tok := x))) AS u
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - 20 + 2),
+                (i) -> struct_pack(start := i - 1,
+                                   g := array_to_string(ts[CAST(i AS INT):CAST(i + 19 AS INT)], ' ')))) AS u
+  FROM toks WHERE len(ts) >= 20
+),
+reps AS (SELECT u.g AS g, MIN(doc_id) AS rep FROM grams GROUP BY u.g),
+covered AS (
+  SELECT DISTINCT gr.doc_id, gr.u.start + off.o AS pos
+  FROM grams gr JOIN reps r ON gr.u.g = r.g AND gr.doc_id > r.rep,
+       (SELECT unnest(range(0, 20)) AS o) off
+),
+survivors AS (
+  SELECT t.doc_id, t.u.pos AS pos, t.u.tok AS tok
+  FROM tok_rows t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.u.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_tokens_kept
+  FROM survivors GROUP BY doc_id
+),
+rem AS (SELECT doc_id, COUNT(*) AS n_tokens_removed FROM covered GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+       COALESCE(r.n_tokens_removed, 0) AS n_tokens_removed
+FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
+""",
+)
+def d14_duplicate_span_removal(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.remove_duplicate_spans(d, "text", "doc_id", n=20)

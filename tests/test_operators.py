@@ -1680,3 +1680,38 @@ def test_ivf_index_compact_preserves_results(spark, tmp_path):
         for r in idx.search(q, k=3, nprobe=4).collect()
     )
     assert before == after
+
+
+def test_remove_duplicate_spans_keeps_one_copy(spark):
+    """ExactSubstr removal: the shared 5-token run survives only in the
+    minimum-id document; surrounding text is untouched; disjoint docs
+    round-trip; a fully-duplicated doc empties."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        remove_duplicate_spans,
+        substring_dup_pairs,
+    )
+
+    # context words are unique per doc so the ONLY shared >=5-token run is
+    # the planted one (shared context would legitimately extend the run)
+    run = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"intro1 uno {run} coda1 fin1"),
+        (2, f"intro2 dos {run} coda2 fin2"),
+        (3, "completely different text here"),
+        (4, run),  # nothing but the duplicated run
+    ]
+    d = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in remove_duplicate_spans(d, "text", "doc_id", n=5).collect()
+    }
+    assert out[1] == (docs[0][1], 9, 0)  # canonical: untouched
+    assert out[2] == ("intro2 dos coda2 fin2", 4, 5)
+    assert out[3] == (docs[2][1], 4, 0)
+    assert out[4] == ("", 0, 5)
+    # consistency with the pair finder: docs it pairs are docs spans came out of
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(d, "text", "doc_id", n=5).collect()
+    }
+    assert pairs == {(1, 2), (1, 4)}
