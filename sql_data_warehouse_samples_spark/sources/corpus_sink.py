@@ -31,12 +31,18 @@ def write_corpus(
     max_rows_per_file: int = 100_000,
     shards_per_partition: int = 8,
     mode: str = "overwrite",
+    format: str = "parquet",
 ) -> None:
     """Write ``df`` as a partitioned corpus with bounded shard sizes.
 
     ``shards_per_partition`` spreads each partition value over that many
     write tasks (deterministic keyed salt — stable across reruns);
-    ``max_rows_per_file`` caps rows per shard file regardless."""
+    ``max_rows_per_file`` caps rows per shard file regardless.
+    ``format``: ``parquet`` (default) or ``orc`` — both columnar with
+    min/max stats and partition pruning; ORC interops with Hive/Trino
+    estates that standardize on it."""
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported corpus format {format!r}")
     partition_by = partition_by or []
     salt = (F.crc32(F.col(id_col).cast("string")) % shards_per_partition).alias(
         "__shard"
@@ -47,14 +53,15 @@ def write_corpus(
         out.write.option("maxRecordsPerFile", max_rows_per_file)
         .partitionBy(*partition_by)
         .mode(mode)
-        .parquet(path)
+        .format(format)
+        .save(path)
     )
 
 
-def read_corpus(spark, path: str, **filters) -> DataFrame:
+def read_corpus(spark, path: str, format: str = "parquet", **filters) -> DataFrame:
     """Read a corpus written by ``write_corpus``; keyword filters become
     partition predicates the scan prunes on (``lang="en"``)."""
-    df = spark.read.parquet(path)
+    df = spark.read.format(format).load(path)
     for col, val in filters.items():
         df = df.filter(F.col(col) == val)
     return df
