@@ -31,6 +31,8 @@ per-partition (daily loads) with the same code.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +76,7 @@ def with_zorder(
     key_col: str = "__zorder",
     rel_err: float = 0.001,
     boundaries: dict[str, list[float]] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Annotate ``df`` with a Morton z-order key over numeric ``cols``.
 
@@ -81,8 +84,11 @@ def with_zorder(
     merge order depends on physical partitioning, so codes can shift by
     ±1 bucket between runs over differently-partitioned input.  The TILES
     are equally good either way (clustering quality does not need stable
-    codes); pass explicit ``boundaries`` (e.g. from a saved stats run)
-    when bit-reproducible keys matter.
+    codes); pass explicit ``boundaries`` (e.g. from a saved stats run) or
+    ``exact=True`` (one exact-``percentile`` aggregate — deterministic under
+    any partitioning, but the exact sort-based aggregate is the small-table
+    path; keep the sketch at corpus scale) when bit-reproducible keys
+    matter.
 
     Write clustered by it for multi-column row-group skipping::
 
@@ -101,9 +107,19 @@ def with_zorder(
             *df.columns,
             *[F.col(c).cast("double").alias(f"__zd_{c}") for c in cols],
         )
-        all_bounds = casted.approxQuantile(
-            [f"__zd_{c}" for c in cols], probs, rel_err
-        )
+        if exact:
+            parr = ", ".join(repr(p) + "D" for p in probs)
+            row = casted.select(
+                *[
+                    F.expr(f"percentile(`__zd_{c}`, array({parr}))").alias(c)
+                    for c in cols
+                ]
+            ).first()
+            all_bounds = [row[c] or [] for c in cols]
+        else:
+            all_bounds = casted.approxQuantile(
+                [f"__zd_{c}" for c in cols], probs, rel_err
+            )
     if any(not b for b in all_bounds):
         # empty input (or empty sketch): no meaningful tiling — constant key
         return df.withColumn(key_col, F.lit(0).cast("long"))
@@ -119,15 +135,26 @@ def zorder_write(
     cols: list[str],
     n_files: int = 16,
     bits: int = DEFAULT_BITS,
+    exact: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered on the z-order key of ``cols``:
     each output file (row group) covers one tile of the multi-column space,
-    so min/max pruning works for filters on ANY of the columns."""
-    z = with_zorder(df, cols, bits)
+    so min/max pruning works for filters on ANY of the columns.
+
+    Files are assigned by the DYADIC TILE id (the top ``ceil(log2
+    n_files)`` bits of the Morton key), not by raw range-sampling of the
+    key: the range partitioner's sample-derived bounds can land mid-tile
+    and leave a file straddling two tiles in one dimension (observed as
+    ~0.60 vs the ~0.50 geometric coverage).  Partitioning by the coarse
+    tile id first means a bound can only fall BETWEEN tiles — every file
+    covers whole dyadic tiles, deterministically."""
+    z = with_zorder(df, cols, bits, exact=exact)
+    shift = max(bits * len(cols) - max(1, math.ceil(math.log2(n_files))), 0)
+    z = z.withColumn("__ztile", F.shiftright(F.col("__zorder"), shift))
     (
-        z.repartitionByRange(n_files, "__zorder")
+        z.repartitionByRange(n_files, "__ztile")
         .sortWithinPartitions("__zorder")
-        .drop("__zorder")
+        .drop("__zorder", "__ztile")
         .write.mode("overwrite")
         .parquet(path)
     )
