@@ -156,6 +156,62 @@ class Catalog:
     def _q(table: str) -> str:
         return ".".join(f"`{p}`" for p in table.split("."))
 
+    @staticmethod
+    def _part_filter(part: str, values: list):
+        """Null-safe membership filter over partition values: ``isin`` is
+        never true for NULL, which silently dropped the null
+        (__HIVE_DEFAULT_PARTITION__) partition from pruned-DML scope while
+        the discovery scan still counted its rows."""
+        non_null = [v for v in values if v is not None]
+        cond = F.col(part).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in values):
+            cond = cond | F.col(part).isNull()
+        return cond
+
+    @staticmethod
+    def _part_literal(v) -> str:
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'{}'".format(str(v).replace("'", "''"))
+
+    def _overwrite_pruned(
+        self, table: str, frame: DataFrame, part: str | None, aff: list | None
+    ) -> None:
+        """Write ``frame`` over the affected partitions of ``table``.
+
+        Dynamic partitionOverwriteMode replaces only the partitions PRESENT
+        in the written frame — a rewrite that empties a whole partition
+        (full-partition DELETE, UPDATE moving every row out, MERGE
+        when_matched='delete') produces zero rows for it, so its old files
+        would silently survive while @@ROWCOUNT reports them affected.
+        After the write, any affected partition the frame no longer touches
+        is dropped explicitly (``ALTER TABLE .. DROP PARTITION`` — works for
+        the null partition via ``part=null``).
+        """
+        mode_conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_conf, "static")
+        try:
+            if part is not None:
+                self.spark.conf.set(mode_conf, "dynamic")
+            frame.write.insertInto(self._q(table), overwrite=True)
+        finally:
+            self.spark.conf.set(mode_conf, prev)
+        if part is None:
+            return
+        # frame is checkpointed by both callers, so this distinct is a
+        # cheap map-side-combined pass over materialized data
+        present = {r[0] for r in frame.select(part).distinct().collect()}
+        for v in aff or []:
+            if v not in present:
+                self.spark.sql(
+                    f"ALTER TABLE {self._q(table)} DROP IF EXISTS "
+                    f"PARTITION (`{part}`={self._part_literal(v)})"
+                )
+
     def _apply_write_layout(self, df: DataFrame, layout: TableLayout) -> DataFrame:
         if layout.partition_expr and layout.partition_column:
             df = df.withColumn(layout.partition_column, F.expr(layout.partition_expr))
@@ -307,8 +363,9 @@ class Catalog:
             aff = [
                 r[0] for r in src_parts.unionByName(matched_parts).distinct().collect()
             ]
-            target_scope = target.filter(F.col(part).isin(aff))
+            target_scope = target.filter(self._part_filter(part, aff))
         else:
+            aff = None
             target_scope = target
 
         pieces = []
@@ -336,18 +393,14 @@ class Catalog:
             self._set_layout_properties(table, layout)
             return
 
-        # break lineage before overwriting the table being read from
+        # break lineage before overwriting the table being read from;
+        # dynamic mode replaces ONLY the partitions present in the written
+        # frame — untouched partitions keep their files; partitions the
+        # merge emptied are dropped explicitly by _overwrite_pruned
         merged = self._apply_write_layout(merged, layout).localCheckpoint(eager=True)
-        mode_conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(mode_conf, "static")
-        try:
-            if prune:
-                # dynamic mode replaces ONLY the partitions present in the
-                # written frame — untouched partitions keep their files
-                self.spark.conf.set(mode_conf, "dynamic")
-            merged.write.insertInto(self._q(table), overwrite=True)
-        finally:
-            self.spark.conf.set(mode_conf, prev)
+        self._overwrite_pruned(
+            table, merged, part if prune else None, aff if prune else None
+        )
 
     def _rewrite_where(self, table: str, cond, transform) -> int:
         """Shared copy-on-write core for predicate DML (DELETE/UPDATE).
@@ -377,8 +430,9 @@ class Catalog:
             if n_affected == 0:
                 return 0
             aff = [r[part] for r in agg]
-            scope = target.filter(F.col(part).isin(aff))
+            scope = target.filter(self._part_filter(part, aff))
         else:
+            aff = None
             n_affected = target.filter(hit).count()
             if n_affected == 0:
                 return 0
@@ -395,14 +449,9 @@ class Catalog:
             self._set_layout_properties(table, layout)
             return n_affected
         out = self._apply_write_layout(rewritten, layout).localCheckpoint(eager=True)
-        mode_conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(mode_conf, "static")
-        try:
-            if prune:
-                self.spark.conf.set(mode_conf, "dynamic")
-            out.write.insertInto(self._q(table), overwrite=True)
-        finally:
-            self.spark.conf.set(mode_conf, prev)
+        self._overwrite_pruned(
+            table, out, part if prune else None, aff if prune else None
+        )
         return n_affected
 
     def delete_where(self, table: str, predicate) -> int:
