@@ -73,6 +73,39 @@ def scd2_apply(
     row (close + reopen for changed keys) map-side — a single exchange
     pair, not one join per row class.
     """
+    history, applied = _scd2_classify(
+        dim,
+        source,
+        key,
+        tracked,
+        as_of=as_of,
+        valid_from=valid_from,
+        valid_to=valid_to,
+        current_flag=current_flag,
+        close_missing=close_missing,
+    )
+    return history.unionByName(applied.drop("__scd_class"))
+
+
+def _scd2_classify(
+    dim: DataFrame,
+    source: DataFrame,
+    key: str | list[str],
+    tracked: list[str] | None = None,
+    *,
+    as_of: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+    close_missing: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of ``scd2_apply``: returns ``(history, applied)`` where
+    ``applied`` carries a ``__scd_class`` column ('keep'|'close'|'open')
+    naming the row class the explode emitted it as.  ``scd2_merge`` uses
+    the tag to append ONLY rows closed by THIS run — re-filtering the full
+    new state for ``valid_to == as_of`` would re-select rows closed by an
+    earlier run with the same ``as_of`` (crash retry, two merges in one
+    day) out of the history passthrough and append them twice."""
     keys = [key] if isinstance(key, str) else list(key)
     scd_cols = (valid_from, valid_to, current_flag)
     for c in scd_cols:
@@ -107,7 +140,9 @@ def scd2_apply(
         else F.lit(False)  # key-only dimension: rows never "change"
     )
 
-    def _struct(attr_src: str, vf: Column, vt: Column, cur_flag: bool) -> Column:
+    def _struct(
+        attr_src: str, vf: Column, vt: Column, cur_flag: bool, cls: str
+    ) -> Column:
         fields = [F.col(k).alias(k) for k in keys]
         for c in attr_cols:
             fields.append(
@@ -117,6 +152,7 @@ def scd2_apply(
             vf.alias(valid_from),
             vt.cast(vt_type).alias(valid_to),
             F.lit(cur_flag).alias(current_flag),
+            F.lit(cls).alias("__scd_class"),
         ]
         return F.struct(*fields)
 
@@ -131,17 +167,17 @@ def scd2_apply(
     open_pred = in_src & (changed | ~in_cur)
     out_rows = F.filter(
         F.array(
-            F.when(keep_pred, _struct("cur", cur_vf, cur_vt, True)),
-            F.when(close_pred, _struct("cur", cur_vf, ts, False)),
-            F.when(open_pred, _struct("src", ts, null_vt, True)),
+            F.when(keep_pred, _struct("cur", cur_vf, cur_vt, True, "keep")),
+            F.when(close_pred, _struct("cur", cur_vf, ts, False, "close")),
+            F.when(open_pred, _struct("src", ts, null_vt, True, "open")),
         ),
         lambda x: x.isNotNull(),
     )
     applied = (
         j.select(F.explode(out_rows).alias("__r"))
-        .select(*[F.col(f"__r.{c}").alias(c) for c in dim.columns])
+        .select(*[F.col(f"__r.{c}").alias(c) for c in [*dim.columns, "__scd_class"]])
     )
-    return history.unionByName(applied)
+    return history, applied
 
 
 def scd2_merge(
@@ -169,7 +205,7 @@ def scd2_merge(
     """
     dim = catalog.table(table)
     layout = catalog.get_layout(table)
-    new_state = scd2_apply(
+    history, applied = _scd2_classify(
         dim,
         source,
         key,
@@ -184,12 +220,15 @@ def scd2_merge(
     if layout.partition_column == current_flag and not layout.buckets:
         # incremental path: history files untouched, closed rows appended,
         # current partition swapped.  Checkpoint breaks lineage on the table
-        # being overwritten (copy-on-write safety).
-        new_closed = new_state.filter(
-            ~F.col(current_flag)
-            & F.col(valid_to).eqNullSafe(F.to_timestamp(F.lit(as_of)))
+        # being overwritten (copy-on-write safety).  Closed rows come from
+        # the __scd_class tag — ONLY rows this run's explode closed — so a
+        # crash-retry replay with the same as_of appends nothing (the
+        # history passthrough also holds valid_to == as_of rows after the
+        # first run and must never re-qualify).
+        new_closed = applied.filter(F.col("__scd_class") == "close").drop(
+            "__scd_class"
         )
-        new_current = new_state.filter(F.col(current_flag))
+        new_current = applied.filter(F.col(current_flag)).drop("__scd_class")
         new_closed = catalog._apply_write_layout(new_closed, layout).localCheckpoint(
             eager=True
         )
@@ -206,5 +245,6 @@ def scd2_merge(
         finally:
             spark.conf.set(mode_conf, prev)
         return
+    new_state = history.unionByName(applied.drop("__scd_class"))
     merged = catalog._apply_write_layout(new_state, layout).localCheckpoint(eager=True)
     merged.write.insertInto(catalog._q(table), overwrite=True)
