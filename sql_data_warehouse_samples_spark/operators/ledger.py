@@ -42,7 +42,11 @@ class ContentHashLedger:
         self.path = path
 
     def hashes(self) -> DataFrame:
-        """The ledger as a one-column frame (empty if nothing ingested)."""
+        """The ledger as a one-column frame (empty if nothing ingested).
+        Self-heals a compact() interrupted mid-swap first (dirswap)."""
+        from .dirswap import recover
+
+        recover(self.path)
         try:
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
         except Exception:  # path does not exist yet
@@ -80,12 +84,13 @@ class ContentHashLedger:
         parallelism).  Daily appends each land as separate small files —
         after a year the ledger scan pays ~365x the open/footer overhead
         it needs; the rebuild tables it like any parquet rewriter
-        (compaction D13 applied to the ledger).  Staged write + directory
-        swap, same crash contract as the engine's CTAS-rename: a failure
-        before the swap leaves the live ledger untouched.  Returns the
-        distinct-hash count.
+        (compaction D13 applied to the ledger).  Staged write + verified
+        directory swap (dirswap.swap_in): a failure before the swap leaves
+        the live ledger untouched; a crash mid-swap self-heals on the next
+        read; the displaced copy is deleted only after the new live
+        directory verifies readable.  Returns the distinct-hash count.
         """
-        import shutil
+        from .dirswap import swap_in
 
         distinct = self.hashes().distinct()
         if n_files:
@@ -93,9 +98,11 @@ class ContentHashLedger:
         stage = f"{self.path}__compact"
         distinct.write.mode("overwrite").parquet(stage)
         n = self.spark.read.parquet(stage).count()
-        old = f"{self.path}__old"
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.move(self.path, old)
-        shutil.move(stage, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_in(
+            self.path,
+            stage,
+            verify=lambda: self.spark.read.schema(LEDGER_SCHEMA)
+            .parquet(self.path)
+            .first(),
+        )
         return n
