@@ -526,23 +526,32 @@ def substring_dup_pairs(
     minimum doc id, so a boilerplate gram shared by 10k documents emits
     9 999 edges, never the C(n,2) clique — mass duplication stays linear
     by construction (no bucket cap needed).  Shape: one explode over
-    per-doc DISTINCT grams, one gram-keyed min, one equi-join back, one
-    pair-keyed count — all uniform hash keys.  ``n_shared_grams`` counts
-    the grams for which ``id_a`` is the global representative (a
+    per-doc DISTINCT grams, ONE gram-keyed exchange (min-over-window —
+    the groupBy+join-back form shuffled the gram frame twice and
+    re-tokenized the corpus for each branch), one pair-keyed count.
+    Grams shuffle as md5 digests, not n-token strings: the exchange
+    carries 32 bytes per gram instead of ~6n, and 128 bits keeps the
+    collision probability negligible at 100 TB gram counts (a 64-bit
+    key would birthday-collide at ~4e9 grams).  ``n_shared_grams``
+    counts the grams for which ``id_a`` is the global representative (a
     diagnostic weight, not symmetric gram overlap).  Feed the pairs to
     ``graph.duplicate_clusters`` for transitive resolution.
     """
+    from pyspark.sql import Window
+
     from .text import adjacent_ngrams
 
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.array_distinct(adjacent_ngrams(tokens(text_col), n))
-        ).alias("g"),
+            F.array_distinct(
+                F.transform(adjacent_ngrams(tokens(text_col), n), F.md5)
+            )
+        ).alias("gh"),
     )
-    reps = grams.groupBy("g").agg(F.min("doc_id").alias("id_a"))
+    w = Window.partitionBy("gh")
     return (
-        grams.join(reps, "g")
+        grams.withColumn("id_a", F.min("doc_id").over(w))
         .filter(F.col("doc_id") > F.col("id_a"))
         .groupBy("id_a", F.col("doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
@@ -619,15 +628,22 @@ def semantic_dedup(
     """
     from pyspark import StorageLevel
 
-    from .similarity import _argmin_cid, dot, norm
+    from .similarity import assign_centroids, dot, norm
 
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        _argmin_cid(F.col(vec_col), centroids, round_to).alias("__cid"),
-        as_double.alias("__v"),
-        norm(F.col(vec_col)).alias("__n"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # assign_centroids picks the plan-literal fold for small quantizers and
+    # a broadcast-joined fold above CENT_LITERAL_MAX_ELEMS — production
+    # nlist ≈ √n would otherwise blow up the plan tree
+    base = (
+        assign_centroids(df, vec_col, centroids, round_to, out_col="__cid")
+        .select(
+            F.col(id_col).alias("__id"),
+            "__cid",
+            as_double.alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # FOUR plan branches consume base (bucket frame, both pair-join payload
     # sides, the survivor anti-join) — without the cache each one would
     # recompute the argmin centroid fold over the whole corpus.
@@ -666,14 +682,20 @@ def remove_duplicate_spans(
 
     Returns ``(id_col, text_clean, n_tokens_kept, n_tokens_removed)``.
 
-    Shape: gram explode with start positions (L−n+1 rows/doc), gram-keyed
-    min for the canonical owner, covered-position explode (n rows per
-    duplicated gram start, deduplicated), one anti-join of token
-    positions against covered positions, ordered reassembly per doc —
-    every key a uniform hash (gram text, (doc, pos)), no pairwise join
-    anywhere, so mass-duplicated boilerplate stays linear exactly as in
-    the pair finder.
+    Shape: gram explode with start positions (L−n+1 rows/doc), ONE
+    gram-keyed exchange for the canonical owner (min-over-window on the
+    md5 gram digest — 32-byte shuffle keys, single tokenization branch;
+    the groupBy+join-back form paid the gram shuffle twice), covered-
+    position explode (n rows per duplicated gram start, deduplicated),
+    then ONE left join of token positions against covered positions with
+    kept/removed split inside a single per-doc aggregate (the previous
+    anti-join + semi-join + two groupBys shuffled the token frame twice
+    more) — every key a uniform hash, no pairwise join anywhere, so
+    mass-duplicated boilerplate stays linear exactly as in the pair
+    finder.
     """
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
@@ -682,11 +704,13 @@ def remove_duplicate_spans(
 
     grams = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(adjacent_ngrams(tokens(text_col), n)).alias("__start", "__g"),
+        F.posexplode(
+            F.transform(adjacent_ngrams(tokens(text_col), n), F.md5)
+        ).alias("__start", "__gh"),
     )
-    reps = grams.groupBy("__g").agg(F.min("__id").alias("__rep"))
+    w = Window.partitionBy("__gh")
     covered = (
-        grams.join(reps, "__g")
+        grams.withColumn("__rep", F.min("__id").over(w))
         .filter(F.col("__id") > F.col("__rep"))
         .select(
             "__id",
@@ -695,26 +719,26 @@ def remove_duplicate_spans(
             ).alias("__pos"),
         )
         .distinct()
+        .withColumn("__cov", F.lit(True))
     )
-    survivors = toks.join(covered, ["__id", "__pos"], "left_anti")
-    removed = toks.join(covered, ["__id", "__pos"], "left_semi")
-    counts = survivors.groupBy("__id").agg(
+    flagged = toks.join(covered, ["__id", "__pos"], "left")
+    kept_struct = F.when(
+        F.col("__cov").isNull(), F.struct("__pos", "__tok")
+    )  # collect_list drops the NULLs, keeping only surviving tokens
+    agg = flagged.groupBy("__id").agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda x: x["__tok"],
             ),
         ).alias("text_clean"),
-        F.count(F.lit(1)).alias("n_tokens_kept"),
-    )
-    removed_counts = removed.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_tokens_removed")
+        F.count(kept_struct).alias("n_tokens_kept"),
+        F.count("__cov").alias("n_tokens_removed"),
     )
     all_ids = df.select(F.col(id_col).alias("__id"))
     return (
-        all_ids.join(counts, "__id", "left")
-        .join(removed_counts, "__id", "left")
+        all_ids.join(agg, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),

@@ -125,10 +125,18 @@ def _cent_literal(cent_list: list[tuple[int, list[float]]]) -> Column:
     return F.expr(f"array({structs})")
 
 
-def _argmin_cid(vec: Column, cent_list: list[tuple[int, list[float]]], round_to: int) -> Column:
-    """Nearest-centroid id by a map-only ``aggregate`` fold over the literal
-    centroid array.  Strict ``<`` over a cid-sorted list keeps the lowest
-    centroid id on (rounded) distance ties — same semantics as
+# Above this many quantizer elements (nlist × dim) the plan-embedded
+# centroid literal would dominate parse/optimize time — production-scale
+# coarse quantizers (nlist ≈ √n reaches 1e4-1e5 lists at dim 768 ≈ 1e7
+# doubles) ride a broadcast exchange instead, with the IDENTICAL fold
+# applied to a broadcast-joined column.
+CENT_LITERAL_MAX_ELEMS = 50_000
+
+
+def _argmin_fold(vec: Column, cents: Column, round_to: int) -> Column:
+    """Nearest-centroid id by a map-only ``aggregate`` fold over a
+    cid-sorted ``array<struct<cid,vec>>`` column.  Strict ``<`` keeps the
+    lowest centroid id on (rounded) distance ties — same semantics as
     ORDER BY (d2, cid) row_number()=1, with zero row amplification."""
 
     def _closer(acc: Column, cent: Column) -> Column:
@@ -142,7 +150,51 @@ def _argmin_cid(vec: Column, cent_list: list[tuple[int, list[float]]], round_to:
     init = F.struct(
         F.lit(-1).cast("long").alias("cid"), F.lit(float("inf")).alias("d2")
     )
-    return F.aggregate(_cent_literal(cent_list), init, _closer)["cid"]
+    return F.aggregate(cents, init, _closer)["cid"]
+
+
+def _argmin_cid(vec: Column, cent_list: list[tuple[int, list[float]]], round_to: int) -> Column:
+    """The fold over a plan-embedded centroid literal — the zero-exchange
+    small-quantizer path (see CENT_LITERAL_MAX_ELEMS for the cutoff)."""
+    return _argmin_fold(vec, _cent_literal(cent_list), round_to)
+
+
+def assign_centroids(
+    df: DataFrame,
+    vec_col: str | Column,
+    cent_list: list[tuple[int, list[float]]],
+    round_to: int = 6,
+    out_col: str = "centroid_id",
+    max_literal_elems: int | None = None,
+) -> DataFrame:
+    """Annotate ``df`` with each row's nearest-centroid id.
+
+    Small quantizers (≤ ``CENT_LITERAL_MAX_ELEMS`` total elements) embed
+    the centroids as a plan literal — map-only, zero exchange, constant-
+    folded by Catalyst.  Larger ones pack the centroid array into a
+    single-row broadcast frame and apply the identical fold to the joined
+    column: the data moves over a broadcast exchange instead of living in
+    the plan tree, so parse/optimize cost stays flat no matter how large
+    nlist×dim grows.  Both paths produce identical assignments (same fold,
+    same cid-sorted tie semantics)."""
+    cutoff = CENT_LITERAL_MAX_ELEMS if max_literal_elems is None else max_literal_elems
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_elems = sum(len(v) for _, v in cent_list)
+    if n_elems <= cutoff:
+        return df.withColumn(out_col, _argmin_cid(vec, cent_list, round_to))
+    spark = df.sparkSession
+    packed = (
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cent_list],
+            "cid: long, vec: array<double>",
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "vec"))).alias("__cents"))
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(out_col, _argmin_fold(vec, F.col("__cents"), round_to))
+        .drop("__cents")
+    )
 
 
 def seed_centroids(
@@ -182,10 +234,9 @@ def kmeans_centroids(
     cents = seed_centroids(corpus, id_col, vec_col, nlist)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iters):
-        assigned = corpus.select(
-            _argmin_cid(F.col(vec_col), cents, round_to).alias("cid"),
-            F.posexplode(dbl).alias("pos", "val"),
-        )
+        assigned = assign_centroids(
+            corpus, vec_col, cents, round_to, out_col="__kc"
+        ).select(F.col("__kc").alias("cid"), F.posexplode(dbl).alias("pos", "val"))
         means = (
             assigned.groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
@@ -253,9 +304,9 @@ def ivf_topk(
     c = _spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     )
-    c_assigned = c.withColumn(
-        "centroid_id", _argmin_cid(F.col("__cvec"), centroids, round_to)
-    ).select("neighbor_id", "__cvec", "centroid_id")
+    c_assigned = assign_centroids(c, "__cvec", centroids, round_to).select(
+        "neighbor_id", "__cvec", "centroid_id"
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     q_d2 = F.round(l2sq(F.col("__qvec"), F.col("__cent")), round_to)
@@ -441,11 +492,17 @@ class IvfIndex:
             )
         else:
             centroids = seed_centroids(corpus, id_col, vec_col, nlist)
-        assigned = _spread(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-            )
-        ).withColumn("centroid_id", _argmin_cid(F.col("__cvec"), centroids, round_to))
+        assigned = assign_centroids(
+            _spread(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__cvec"),
+                )
+            ),
+            "__cvec",
+            centroids,
+            round_to,
+        )
         assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
             f"{path}/lists"
         )
@@ -498,7 +555,7 @@ class IvfIndex:
         probed = sorted(
             r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
         )
-        lists = spark.read.parquet(f"{self.path}/lists").filter(
+        lists = self._lists(spark).filter(
             F.col("centroid_id").isin(probed)
         )
         sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_to)
@@ -522,27 +579,107 @@ class IvfIndex:
         append writes only the probed partitions' new files).  The
         standard IVF serving pattern: rebuild the quantizer only when
         drift warrants it, append otherwise."""
-        assigned = _spread(
-            batch.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-            )
-        ).withColumn(
-            "centroid_id", _argmin_cid(F.col("__cvec"), self.centroids, round_to)
+        # appended files must carry the SAME element type as the existing
+        # lists — a float corpus + double batch would poison the parquet
+        # table with mixed per-partition schemas
+        vec_type = self._lists(batch.sparkSession).schema["__cvec"].dataType
+        assigned = assign_centroids(
+            _spread(
+                batch.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).cast(vec_type).alias("__cvec"),
+                )
+            ),
+            "__cvec",
+            self.centroids,
+            round_to,
         )
         assigned.write.partitionBy("centroid_id").mode("append").parquet(
             f"{self.path}/lists"
         )
 
+    def _lists(self, spark) -> DataFrame:
+        """Open the inverted lists, healing a compact() interrupted
+        mid-swap first (dirswap.recover)."""
+        from .dirswap import recover
+
+        recover(f"{self.path}/lists")
+        return spark.read.parquet(f"{self.path}/lists")
+
+    def balance(self, spark) -> DataFrame:
+        """Per-list health: vector count + mean/max assigned distance to
+        the FROZEN centroid (one scan, map-side-combined agg — ~nlist
+        rows out).  The drift signal for a served index: skewed ``add()``
+        batches inflate a few lists' counts and distances, degrading both
+        probe recall and partition pruning.  Persist snapshots to
+        ``{path}/meta/balance`` and compare across ingests; when the
+        max/median count ratio or the distance trend crosses your
+        threshold, ``retrain()``."""
+        cents = spark.createDataFrame(
+            list(self.centroids), "centroid_id long, __cent array<double>"
+        )
+        d2 = F.round(l2sq(F.col("__cvec"), F.col("__cent")), 6)
+        return (
+            self._lists(spark)
+            .join(F.broadcast(cents), "centroid_id")
+            .groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(F.avg(d2), 6).alias("mean_d2"),
+                F.max(d2).alias("max_d2"),
+            )
+        )
+
+    def snapshot_balance(self, spark, tag: str = "latest") -> None:
+        """Append one tagged balance snapshot to ``{path}/meta/balance``
+        (the index's own monitoring table — rowgroup-health's analogue,
+        TableHealthCount.sql:13-36, for inverted lists)."""
+        self.balance(spark).withColumn("tag", F.lit(tag)).write.mode(
+            "append"
+        ).parquet(f"{self.path}/meta/balance")
+
+    def retrain(self, spark, nlist: int | None = None, train_iters: int = 2,
+                round_to: int = 6) -> "IvfIndex":
+        """Rebuild the quantizer from the CURRENT contents and re-list
+        every vector under it — the drift remediation the frozen-quantizer
+        ``add()`` path defers.  Runs Lloyd refinement over the indexed
+        vectors (kmeans_centroids: map-only assignment + ~nlist×dim-row
+        shuffles), then rewrites the lists through the same verified
+        staged swap as ``compact()`` — searches keep working against the
+        old lists until the swap lands, and a crash self-heals."""
+        from .dirswap import swap_in
+
+        corpus = self._lists(spark).select("neighbor_id", "__cvec")
+        new_cents = kmeans_centroids(
+            corpus,
+            id_col="neighbor_id",
+            vec_col="__cvec",
+            nlist=nlist or len(self.centroids),
+            iters=train_iters,
+            round_to=round_to,
+        )
+        stage = f"{self.path}/lists__retrain"
+        assigned = assign_centroids(corpus, "__cvec", new_cents, round_to)
+        assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
+        live = f"{self.path}/lists"
+        swap_in(live, stage, verify=lambda: spark.read.parquet(live).first())
+        spark.createDataFrame(
+            list(new_cents), "centroid_id long, __cent array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        self.centroids = list(new_cents)
+        return self
+
     def compact(self, spark, files_per_list: int = 1) -> int:
         """Rebuild the inverted lists' accumulated ``add()`` appends into
         ``files_per_list`` files per centroid partition (staged write +
-        directory swap, the ledger/CTAS-rename crash contract: the live
-        index is untouched until the swap).  Keeps the partition-pruned
-        search's per-list open/footer cost flat as batches accumulate.
-        Returns the indexed-vector count."""
-        import shutil
+        verified directory swap, dirswap.swap_in: live index untouched
+        until the swap, crash mid-swap self-heals on next open, displaced
+        copy deleted only after the new live directory verifies readable).
+        Keeps the partition-pruned search's per-list open/footer cost flat
+        as batches accumulate.  Returns the indexed-vector count."""
+        from .dirswap import swap_in
 
-        lists = spark.read.parquet(f"{self.path}/lists")
+        lists = self._lists(spark)
         stage = f"{self.path}/lists__compact"
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),
@@ -552,9 +689,8 @@ class IvfIndex:
             .parquet(stage)
         )
         n = spark.read.parquet(stage).count()
-        live, old = f"{self.path}/lists", f"{self.path}/lists__old"
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.move(live, old)
-        shutil.move(stage, live)
-        shutil.rmtree(old, ignore_errors=True)
+        live = f"{self.path}/lists"
+        swap_in(
+            live, stage, verify=lambda: spark.read.parquet(live).first()
+        )
         return n

@@ -397,6 +397,69 @@ def test_train_test_split_deterministic_and_partition_stable(spark):
     assert 0.2 < len(kept1) / n < 0.8
 
 
+def test_assign_centroids_broadcast_path_matches_literal(spark):
+    """The broadcast-joined fold (large-quantizer path) must produce
+    IDENTICAL assignments to the plan-literal fold — same fold, same
+    cid-sorted tie semantics."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        assign_centroids,
+        seed_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = seed_centroids(e, nlist=16)
+    lit_out = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(e, "embedding", cents).collect()
+    }
+    bc_out = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(
+            e, "embedding", cents, max_literal_elems=0
+        ).collect()
+    }
+    assert bc_out == lit_out
+    assert len(set(lit_out.values())) > 1
+
+
+def test_assign_centroids_large_quantizer_bounded_plan(spark):
+    """nlist=1024 x dim=64 (65,536 elements — over the literal cutoff)
+    must complete via the broadcast path with the plan tree staying flat:
+    a plan-embedded literal would carry every double through
+    parse/optimize."""
+    import random
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        CENT_LITERAL_MAX_ELEMS,
+        assign_centroids,
+    )
+
+    rng = random.Random(7)
+    dim, nlist = 64, 1024
+    assert nlist * dim > CENT_LITERAL_MAX_ELEMS
+    cents = [
+        (cid, [rng.uniform(-1, 1) for _ in range(dim)]) for cid in range(nlist)
+    ]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = assign_centroids(df, "embedding", cents)
+    # centroid data travels via broadcast exchange, not the plan tree
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "named_struct" not in plan
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+
+    def argmin_py(vec):
+        best_cid, best_d2 = -1, float("inf")
+        for cid, cv in cents:
+            d2 = round(sum((x - y) ** 2 for x, y in zip(vec, cv)), 6)
+            if d2 < best_d2:
+                best_cid, best_d2 = cid, d2
+        return best_cid
+
+    for i, vec in rows:
+        assert got[i] == argmin_py(vec)
+
+
 def test_ivf_kmeans_refinement(spark):
     """Lloyd refinement must reduce quantizer inertia (sum of d2 to the
     assigned centroid) vs the seed quantizer, and ivf_topk output stays a
@@ -610,6 +673,55 @@ def test_content_hash_ledger_two_batches(spark, tmp_path):
     assert led.hashes().count() == 3
     # idempotent re-offer: everything already admitted
     assert led.ingest(b1.union(b2)).count() == 0
+
+
+def test_ledger_compact_crash_mid_swap_self_heals(spark, tmp_path):
+    """Crash contract of the staged-swap compact: a crash between the two
+    renames (live at __old, nothing at the live path) must self-heal on
+    the next read, not error until manual surgery (dirswap.recover)."""
+    import shutil
+
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    path = str(tmp_path / "ledger")
+    led = ContentHashLedger(spark, path)
+    led.ingest(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id: long, text: string"
+        )
+    )
+    assert led.compact(n_files=1) == 2
+    # simulate the crash window: live moved aside, stage never moved in
+    shutil.move(path, f"{path}__old")
+    assert led.hashes().count() == 2  # recovered, not empty/error
+    # and the recovered ledger still dedups
+    assert led.ingest(
+        spark.createDataFrame([(9, "alpha")], "doc_id: long, text: string")
+    ).count() == 0
+
+
+def test_ivf_compact_crash_mid_swap_self_heals(spark, tmp_path):
+    import shutil
+
+    from sql_data_warehouse_samples_spark.operators.similarity import IvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(e, path, nlist=4)
+    q = e.limit(2)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in idx.search(q, k=3).collect()
+    }
+    idx.compact(spark)
+    shutil.move(f"{path}/lists", f"{path}/lists__old")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in idx.search(q, k=3).collect()
+    }
+    assert got == want
 
 
 def test_ledger_ingest_plan_never_scans_corpus_text(spark, tmp_path):
@@ -1715,3 +1827,60 @@ def test_remove_duplicate_spans_keeps_one_copy(spark):
         for r in substring_dup_pairs(d, "text", "doc_id", n=5).collect()
     }
     assert pairs == {(1, 2), (1, 4)}
+
+
+def test_ivf_balance_and_retrain_restores_skewed_lists(spark, tmp_path):
+    """Drift remediation: skewed add() batches pile onto few lists;
+    balance() exposes it, retrain() rebuilds the quantizer from current
+    contents and re-levels the lists, and full-probe search still agrees
+    with brute force."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(e, path, nlist=8, train_iters=1)
+    # skewed batch: many near-copies of ONE existing vector, new ids
+    seed_vec = e.filter("vec_id = 3").select("embedding").first()["embedding"]
+    n_base = e.count()
+    skew = spark.createDataFrame(
+        [(10_000 + i, [float(x) * (1.0 + 0.001 * (i % 3)) for x in seed_vec])
+         for i in range(200)],
+        "vec_id: long, embedding: array<double>",
+    )
+    idx.add(skew)
+    bal = {r["centroid_id"]: r["n_vectors"] for r in idx.balance(spark).collect()}
+    counts = sorted(bal.values())
+    assert sum(counts) == n_base + 200
+    assert counts[-1] > 3 * counts[len(counts) // 2]  # visibly skewed
+    idx.snapshot_balance(spark, tag="post_skew")
+    meta = spark.read.parquet(f"{path}/meta/balance")
+    assert meta.filter("tag = 'post_skew'").count() == len(bal)
+
+    idx.retrain(spark, train_iters=2)
+    bal2 = {r["centroid_id"]: r["n_vectors"] for r in idx.balance(spark).collect()}
+    counts2 = sorted(bal2.values())
+    assert sum(counts2) == n_base + 200
+    # retrain splits the overloaded region: the biggest list shrinks
+    assert counts2[-1] < counts[-1]
+    # reload round-trips the new quantizer
+    idx2 = IvfIndex.load(spark, path)
+    assert idx2.centroids == idx.centroids
+    # full-probe search == brute force (same candidates, same ranking)
+    q = e.filter("vec_id < 2")
+    corpus = idx._lists(spark).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("__cvec").alias("embedding")
+    )
+    want = {
+        (r["query_id"], r["nbr_rank"]): r["neighbor_id"]
+        for r in cosine_topk(corpus, q, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["nbr_rank"]): r["neighbor_id"]
+        for r in idx2.search(q, k=3, nprobe=len(idx2.centroids)).collect()
+    }
+    assert got == want
