@@ -220,6 +220,9 @@ class Engine:
             return dml
 
         spark_sql, label = rewrite_tsql(query)
+        # schema-qualified external-table refs ([ASB].[t]) resolve to
+        # their registered temp views (GenerateLoadScript-V2.sql:99,163)
+        spark_sql = self.external.rewrite_refs(spark_sql)
         # SESSION_ID() (UserActivitiesDetails.sql:3) resolves to THIS
         # engine handle's session — an engine-context substitution the
         # engine-agnostic rewriter can't make
@@ -248,6 +251,69 @@ class Engine:
             rewritten, _ = rewrite_tsql(f"SELECT {s}")
             return rewritten[len("SELECT "):]
 
+        def _split_top_level(s: str, sep: str) -> list[str]:
+            # split on sep at depth 0, skipping '...' literals ('' escape)
+            # and (...)/[...] nesting — `SET name = 'a, b'` is ONE clause
+            parts, buf, depth, in_str, i, n = [], "", 0, False, 0, len(s)
+            while i < n:
+                ch = s[i]
+                if in_str:
+                    if ch == "'":
+                        if i + 1 < n and s[i + 1] == "'":
+                            buf += "''"
+                            i += 2
+                            continue
+                        in_str = False
+                    buf += ch
+                    i += 1
+                    continue
+                if ch == "'":
+                    in_str = True
+                elif ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == sep and depth == 0:
+                    parts.append(buf)
+                    buf = ""
+                    i += 1
+                    continue
+                buf += ch
+                i += 1
+            parts.append(buf)
+            return parts
+
+        def _find_top_level_where(s: str) -> int:
+            # position of the first WHERE keyword outside string literals
+            # and nesting (a literal containing the word WHERE must not
+            # split the statement); -1 if none
+            depth, in_str, i, n = 0, False, 0, len(s)
+            while i < n:
+                ch = s[i]
+                if in_str:
+                    if ch == "'":
+                        if i + 1 < n and s[i + 1] == "'":
+                            i += 2
+                            continue
+                        in_str = False
+                    i += 1
+                    continue
+                if ch == "'":
+                    in_str = True
+                elif ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif depth == 0 and ch in "Ww" and s[i : i + 5].upper() == "WHERE":
+                    pre = i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_$#@")
+                    post = i + 5 >= n or not (
+                        s[i + 5].isalnum() or s[i + 5] in "_$#@"
+                    )
+                    if pre and post:
+                        return i
+                i += 1
+            return -1
+
         def _logged(fn):
             # DML executes eagerly — record it in the request log like any
             # submitted statement (sys.dm_pdw_exec_requests parity)
@@ -275,29 +341,22 @@ class Engine:
                 lambda: self.catalog.delete_where(_ident(m.group(1)), pred)
             )
         m = re.match(
-            r"(?is)^\s*UPDATE\s+([\w.\[\]]+)\s+SET\s+(.+?)"
-            r"(?:\s+WHERE\s+(.+?))?;?\s*$",
+            r"(?is)^\s*UPDATE\s+([\w.\[\]]+)\s+SET\s+(.+?);?\s*$",
             query,
         )
         if m:
+            rest = m.group(2)
+            wpos = _find_top_level_where(rest)
+            set_clause, where_clause = (
+                (rest[:wpos], rest[wpos + 5 :]) if wpos >= 0 else (rest, None)
+            )
             assigns: dict[str, str] = {}
-            depth = 0
-            buf, parts = "", []
-            for ch in m.group(2):
-                if ch == "," and depth == 0:
-                    parts.append(buf)
-                    buf = ""
-                    continue
-                depth += ch in "(["
-                depth -= ch in ")]"
-                buf += ch
-            parts.append(buf)
-            for part in parts:
+            for part in _split_top_level(set_clause, ","):
                 col, _, val = part.partition("=")
                 if not val:
                     raise ValueError(f"malformed SET clause: {part!r}")
                 assigns[col.strip().strip("[]")] = _expr(val.strip())
-            pred = _expr(m.group(3)) if m.group(3) else "true"
+            pred = _expr(where_clause.strip()) if where_clause else "true"
             return _logged(
                 lambda: self.catalog.update_where(
                     _ident(m.group(1)), assigns, pred

@@ -442,7 +442,11 @@ def rewrite_tsql(sql: str) -> tuple[str, str | None]:
         flags=re.I,
     )
 
-    parts = [(lit, seg if lit else _rewrite_segment(seg))
+    # T-SQL string literals have NO escape character — a backslash is
+    # data (GenerateLoadScript-V2.sql:144 strips \" sequences with
+    # replace(x, '\"', '"')).  Spark's parser treats backslash as an
+    # escape, so literal backslashes must double on the way through.
+    parts = [(lit, seg.replace("\\", "\\\\") if lit else _rewrite_segment(seg))
              for lit, seg in _split_literals(sql)]
     out = "".join(seg for _, seg in _concat_plus(parts))
     return _rewrite_tops(out).strip(), label

@@ -49,7 +49,10 @@ class ExternalFileFormat:
     name: str
     format_type: str = "DELIMITEDTEXT"
     field_terminator: str = ","
-    string_delimiter: str = '"'
+    # PolyBase's STRING_DELIMITER defaults to EMPTY (no quoting): quotes
+    # are data unless the format declares a delimiter — V2 relies on this
+    # (it stages quoted fields verbatim and strips quotes in the CTAS)
+    string_delimiter: str | None = None
     date_format: str | None = None
     use_type_default: bool = False
     compression: str | None = None
@@ -96,6 +99,12 @@ _EXTERNAL_TABLE_RE = re.compile(
     r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(\S+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*;?\s*$",
     re.I | re.S,
 )
+# per-table cleanup loop of the container-per-table load
+# (GenerateLoadScript-V2.sql:168-173)
+_DROP_EXTERNAL_RE = re.compile(
+    r"^\s*DROP\s+EXTERNAL\s+(TABLE|DATA\s+SOURCE|FILE\s+FORMAT)\s+(\S+?)\s*;?\s*$",
+    re.I,
+)
 
 
 def _kv_options(body: str) -> dict[str, str]:
@@ -113,6 +122,11 @@ def _kv_options(body: str) -> dict[str, str]:
         elif in_lit:
             cur.append(ch)
         elif ch == "(":
+            # the no-equals `KEY (...)` form — FORMAT_OPTIONS
+            # (FIELD_TERMINATOR = ..., ...) in every reference load script
+            if depth == 0 and key is None and "".join(cur).strip():
+                key = "".join(cur).strip().upper()
+                cur = []
             depth += 1
             cur.append(ch)
         elif ch == ")":
@@ -193,6 +207,10 @@ class ExternalObjects:
         self.data_sources: dict[str, ExternalDataSource] = {}
         self.file_formats: dict[str, ExternalFileFormat] = {}
         self.tables: dict[str, ExternalTable] = {}
+        # schema-qualified DDL name → registered temp-view name, so
+        # queries can keep the reference's [ASB].[t] form
+        # (GenerateLoadScript-V2.sql:99,163)
+        self.qualified: dict[str, str] = {}
 
     # --- DDL dispatch -----------------------------------------------------
 
@@ -252,7 +270,8 @@ class ExternalObjects:
             return True
         m = _EXTERNAL_TABLE_RE.match(statement)
         if m:
-            name = _unq(m.group(1).split(".")[-1])
+            parts = [_unq(p) for p in m.group(1).split(".")]
+            name = parts[-1]
             opts = _kv_options(m.group(3))
             tbl = ExternalTable(
                 name=name,
@@ -264,9 +283,38 @@ class ExternalObjects:
                 reject_value=int(opts.get("REJECT_VALUE", "0")),
             )
             self.tables[name] = tbl
+            if len(parts) == 2:
+                self.qualified[".".join(parts)] = name
             self.df(name).createOrReplaceTempView(name)
             return True
+        m = _DROP_EXTERNAL_RE.match(statement)
+        if m:
+            kind = re.sub(r"\s+", " ", m.group(1).upper())
+            name = _unq(m.group(2).split(".")[-1])
+            if kind == "TABLE":
+                self.tables.pop(name, None)
+                self.qualified = {
+                    q: v for q, v in self.qualified.items() if v != name
+                }
+                self.spark.catalog.dropTempView(name)
+            elif kind == "DATA SOURCE":
+                self.data_sources.pop(name, None)
+            else:
+                self.file_formats.pop(name, None)
+            return True
         return False
+
+    def rewrite_refs(self, sql: str) -> str:
+        """Replace schema-qualified external-table references (already
+        de-bracketed by the T-SQL rewriter) with their registered
+        temp-view names — Spark temp views are single-part, but the
+        reference scripts always write ``[ASB].[table]``."""
+        for q, v in self.qualified.items():
+            sch, tbl = q.split(".", 1)
+            backticked = re.escape(f"`{sch}`.`{tbl}`")
+            plain = rf"(?<![\w.`]){re.escape(q)}(?![\w.`])"
+            sql = re.sub(rf"(?i){backticked}|{plain}", v, sql)
+        return sql
 
     # --- resolution -------------------------------------------------------
 
@@ -277,7 +325,10 @@ class ExternalObjects:
             compression = "gzip"
         return LoadOptions(
             sep=fmt.field_terminator,
-            quote=fmt.string_delimiter,
+            # no STRING_DELIMITER → quotes are DATA (PolyBase semantics;
+            # GenerateLoadScript-V2.sql stages quoted fields verbatim and
+            # strips them in the CTAS cast); U+0000 disables csv quoting
+            quote=fmt.string_delimiter or "\u0000",
             date_format=fmt.date_format,
             timestamp_format=fmt.date_format,
             compression=compression,

@@ -387,3 +387,92 @@ def test_corpus_sink_orc_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_corpus(d, path, format="avro")
+
+
+def test_generate_load_script_v2_container_per_table(spark, tmp_path):
+    """GenerateLoadScript-V2 parity (samples/scripts/data-load/
+    GenerateLoadScript-V2.sql): the CONTAINER-PER-TABLE variant — per
+    table the script drops + recreates the external data source pointing
+    at that table's own container (V2:80-84, LOCATION wasbs://<table>@…),
+    stages every column as varchar via an external table at LOCATION
+    './' with NO string delimiter (V2:97-117), then CTAS-casts with
+    manual lead/tail-quote stripping, '"null"' literals, \\" unescape and
+    char(31)->LF restore (V2:140-152), and drops the external objects
+    before moving to the next table (V2:168-173)."""
+    import gzip
+
+    from sql_data_warehouse_samples_spark.engine import Engine
+
+    soh = "\x01"
+    containers = {
+        "acct": (
+            f'"1"{soh}"Acme \\"X\\" Inc"{soh}"null"\n'
+            f'"2"{soh}"Globex, Ltd"{soh}"20.5"\n'
+        ),
+        "person": f'"7"{soh}"line one{chr(31)}line two"{soh}"1.25"\n',
+    }
+    for tbl, data in containers.items():
+        d = tmp_path / f"container-{tbl}"
+        d.mkdir()
+        with gzip.open(d / f"{tbl}.txt.gz", "wt") as f:
+            f.write(data)
+
+    eng = Engine(spark)
+    eng.create_schema("targ_poc_dm")
+    try:
+        eng.run_script(
+            [
+                "CREATE DATABASE SCOPED CREDENTIAL AzureStorageCredential "
+                "WITH IDENTITY = 'SHARED ACCESS SIGNATURE', SECRET = 'your key here...==';",
+                # V2:15-17 — SOH terminator, gzip, NO STRING_DELIMITER
+                "CREATE EXTERNAL FILE FORMAT TextFileFormat WITH ("
+                "FORMAT_TYPE = DELIMITEDTEXT, FORMAT_OPTIONS (FIELD_TERMINATOR = '0x01', "
+                "USE_TYPE_DEFAULT = FALSE), "
+                "DATA_COMPRESSION = 'org.apache.hadoop.io.compress.GzipCodec');",
+            ],
+            dialect="tsql",
+        )
+        for tbl in containers:
+            eng.run_script(
+                [
+                    # per-table source recreation (V2:70-84)
+                    f"CREATE EXTERNAL DATA SOURCE AzureStorage WITH (TYPE = HADOOP, "
+                    f"LOCATION = '{tmp_path / ('container-' + tbl)}', "
+                    f"CREDENTIAL = AzureStorageCredential);",
+                    # all-varchar staging shape (V2:97-117)
+                    f"CREATE EXTERNAL TABLE [ASB].[{tbl}] ("
+                    "[id] varchar(14) NULL, [name] varchar(70) NULL, [bal] varchar(35) NULL) "
+                    "WITH ( LOCATION='./', DATA_SOURCE = AzureStorage, "
+                    "FILE_FORMAT = TextFileFormat, REJECT_TYPE = VALUE, REJECT_VALUE = 0 );",
+                    # CTAS cast loop shape (V2:139-163)
+                    f"CREATE TABLE [targ_poc_dm].[{tbl}] WITH (DISTRIBUTION = ROUND_ROBIN) "
+                    "AS SELECT "
+                    "ISNULL((case when [id] = '\"null\"' then null else "
+                    "cast(substring([id], 2, LEN([id])-2) as bigint) end), 0) as 'id', "
+                    "case when [name] = '\"null\"' then null else "
+                    "cast(replace(replace(substring([name], 2, LEN([name])-2), "
+                    "'\\\"', '\"'), char(31), char(10)) as varchar(50)) end as 'name', "
+                    "case when [bal] = '\"null\"' then null else "
+                    "cast(substring([bal], 2, LEN([bal])-2) as decimal(18,2)) end as 'bal' "
+                    f"FROM [ASB].[{tbl}] "
+                    f"OPTION (LABEL = 'CTAS : Load [targ_poc_dm].[{tbl}]');",
+                    f"DROP EXTERNAL TABLE [ASB].[{tbl}];",
+                    "DROP EXTERNAL DATA SOURCE AzureStorage;",
+                ],
+                dialect="tsql",
+            )
+        acct = {r.id: r for r in eng.table("targ_poc_dm.acct").collect()}
+        assert acct[1].name == 'Acme "X" Inc'     # \" unescaped
+        assert acct[1].bal is None                # "null" literal
+        assert acct[2].name == "Globex, Ltd"      # SOH keeps embedded comma
+        assert float(acct[2].bal) == 20.5
+        person = eng.table("targ_poc_dm.person").collect()[0]
+        assert person.name == "line one\nline two"  # char(31) -> LF
+        assert float(person.bal) == 1.25
+        # audit shape (V2:176-178): COUNT_BIG(*) per loaded table
+        n = eng.tsql(
+            "SELECT COUNT_BIG(*) AS 'Rows' FROM targ_poc_dm.acct"
+        ).collect()[0][0]
+        assert n == 2
+    finally:
+        eng.catalog.drop_schema("targ_poc_dm", cascade=True)

@@ -25,8 +25,10 @@ def test_rewriter_preserves_literals_and_debrackets(ident, lit):
     sql = f"SELECT [{ident}] FROM t WHERE x = '{lit}' AND [{ident}] IS NOT NULL"
     out, label = rewrite_tsql(sql)
     assert label is None
-    # the literal survives byte-for-byte
-    assert f"'{lit}'" in out
+    # the literal survives byte-for-byte, modulo the documented
+    # backslash-doubling (T-SQL literals are escape-free; Spark's parser
+    # escapes, so the rewriter doubles to preserve the characters)
+    assert "'{}'".format(lit.replace("\\", "\\\\")) in out
     # no bracket identifiers remain outside literals
     stripped = re.sub(r"'(?:[^']|'')*'", "", out)
     assert "[" not in stripped and "]" not in stripped

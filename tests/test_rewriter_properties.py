@@ -37,7 +37,11 @@ lit_text = st.text(
 def test_literals_survive_verbatim(col, val):
     sql = f"SELECT [{col}] FROM t WHERE note = '{val}' AND x = 'TOP 5 [z]'"
     out, _ = rewrite_tsql(sql)
-    assert f"'{val}'" in out
+    # T-SQL literals are escape-free; the rewriter doubles backslashes so
+    # Spark's escaping parser sees the same characters — otherwise the
+    # text passes through verbatim
+    expected = val.replace("\\", "\\\\")
+    assert f"'{expected}'" in out
     assert "'TOP 5 [z]'" in out  # rewriter keywords inside literals untouched
 
 
