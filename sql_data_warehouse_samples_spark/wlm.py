@@ -239,3 +239,79 @@ class AutoScaler:
             return after
         self._log(alert_name, "None", before, before, "unrecognized alert")
         return before
+
+
+class FleetAutoPause:
+    """Tag-driven fleet pause/resume orchestration — the Logic-App
+    workflows of arm-templates/sqlDwLogicAppAutoPause
+    (ScheduledAutoPauseResumeDWFleet.json: a recurrence trigger lists
+    every warehouse carrying the opt-in tag and walks them;
+    EventbasedAutoPauseResumeDW.json adds the Until_ZeroActiveQueries
+    gate before the pause call).
+
+    Members register with a tag set; ``tick`` evaluates the pause/resume
+    schedule for every warehouse carrying ``AutoPauseEnabled`` and acts
+    exactly like the workflow's per-item branch:
+
+    * inside the pause window + Online → pause, but ONLY once active
+      queries drain (the Until_ZeroActiveQueries loop — here: the member
+      stays Online and the decision logs ``waiting``; the next tick
+      retries, which is precisely the workflow's retry-on-recurrence
+      behavior).
+    * inside the resume window + Paused → resume.
+    * untagged members are never touched (the fleet template's
+      Get_tagged_resources filter).
+
+    ``active_queries`` comes from a caller-supplied callable per member
+    (on the engine: ``lambda: len(active requests)``) so the controller
+    composes with both real engines and tests.
+    """
+
+    TAG = "AutoPauseEnabled"
+
+    def __init__(self, pause_hours: tuple[int, int] = (20, 6)) -> None:
+        #: pause window may wrap midnight (20:00 → 06:00), like the
+        #: scheduled template's default off-hours shape
+        self.pause_hours = pause_hours
+        self.members: dict[str, dict] = {}
+        self.decisions: list[dict] = []
+
+    def register(self, name: str, ladder: ScaleLadder, tags: set[str] | None = None,
+                 active_queries=None) -> None:
+        self.members[name] = {
+            "ladder": ladder,
+            "tags": set(tags or ()),
+            "active_queries": active_queries or (lambda: 0),
+        }
+
+    def _in_pause_window(self, hour: int) -> bool:
+        lo, hi = self.pause_hours
+        return lo <= hour or hour < hi if lo > hi else lo <= hour < hi
+
+    def _log(self, name: str, action: str, detail: str | None = None) -> None:
+        self.decisions.append({"warehouse": name, "action": action, "detail": detail})
+
+    def tick(self, hour: int) -> list[dict]:
+        """One recurrence firing.  Returns this tick's decision rows."""
+        start = len(self.decisions)
+        for name, m in self.members.items():
+            if self.TAG not in m["tags"]:
+                continue  # Get_tagged_resources never returns it
+            ladder: ScaleLadder = m["ladder"]
+            if self._in_pause_window(hour):
+                if ladder.paused:
+                    self._log(name, "none", "already paused")
+                    continue
+                n = m["active_queries"]()
+                if n:
+                    self._log(name, "waiting", f"{n} active queries")
+                    continue
+                ladder.pause()
+                self._log(name, "pause", None)
+            else:
+                if ladder.paused:
+                    ladder.resume()
+                    self._log(name, "resume", None)
+                else:
+                    self._log(name, "none", "already online")
+        return self.decisions[start:]

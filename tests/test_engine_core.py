@@ -1267,6 +1267,50 @@ def test_scd2_merge_history_partition_untouched(engine, spark):
     assert len(rows) == 6
 
 
+def test_scd2_merge_same_as_of_replay_is_idempotent(engine, spark):
+    """Crash-retry contract: re-running the incremental merge with the SAME
+    as_of (or two merges in one day) must not re-append rows the first run
+    closed — new_closed comes from this run's applied delta, not from
+    re-filtering the full state for valid_to == as_of."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+    from sql_data_warehouse_samples_spark.operators.scd import scd2_merge
+
+    layout = TableLayout(partition_column="is_current")
+    src = _scd2_fixture(engine, spark, "scd_replay", layout)
+    scd2_merge(engine.catalog, "testfact.scd_replay", src, "cust_id",
+               as_of="2024-01-01 00:00:00")
+    first = sorted(
+        (r["cust_id"], r["city"], str(r["valid_from"]), str(r["valid_to"]),
+         r["is_current"])
+        for r in engine.table("testfact.scd_replay").collect()
+    )
+    # exact replay: identical state, nothing duplicated
+    scd2_merge(engine.catalog, "testfact.scd_replay", src, "cust_id",
+               as_of="2024-01-01 00:00:00")
+    second = sorted(
+        (r["cust_id"], r["city"], str(r["valid_from"]), str(r["valid_to"]),
+         r["is_current"])
+        for r in engine.table("testfact.scd_replay").collect()
+    )
+    assert second == first
+    # second merge same day with a real change: exactly ONE new closed row
+    # (key 1's tokyo version), no duplicates of the first run's closes
+    src2 = spark.createDataFrame(
+        [(1, "alice", "oslo"), (2, "bob", "berlin"), (4, "dave", "madrid")],
+        "cust_id: long, name: string, city: string",
+    )
+    scd2_merge(engine.catalog, "testfact.scd_replay", src2, "cust_id",
+               as_of="2024-01-01 00:00:00")
+    rows = engine.table("testfact.scd_replay").collect()
+    k1 = sorted(
+        [r for r in rows if r["cust_id"] == 1],
+        key=lambda r: (str(r["valid_from"]), str(r["valid_to"])),
+    )
+    assert [r["city"] for r in k1] == ["london", "paris", "tokyo", "oslo"]
+    assert [r["is_current"] for r in k1] == [False, False, False, True]
+    assert len(rows) == len(first) + 1
+
+
 def test_scd2_merge_fact_join_as_of(engine, spark):
     """The point of SCD2: a fact row joins to the attribute version valid at
     its transaction time (via the asof operator over valid_from)."""
@@ -1415,6 +1459,54 @@ def test_update_where_swap_semantics(engine, spark):
         engine.catalog.update_where("testfact.upd_t", {"zz": "1"}, "id = 1")
 
 
+def test_dml_clears_emptied_and_null_partitions(engine, spark):
+    """Dynamic partition overwrite only replaces partitions PRESENT in the
+    rewritten frame — a DELETE emptying a whole partition, an UPDATE moving
+    every row out of one, or a MERGE when_matched='delete' must still clear
+    the old files; and rows in the null partition must be in rewrite scope
+    (isin() is never true for NULL)."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01"),
+            (2, "2024-01-01"),
+            (3, "2024-01-02"),
+            (4, "2024-01-02"),
+            (5, None),
+        ],
+        "id: long, day: string",
+    )
+    engine.catalog.create_table_as(
+        "testfact.del_ep", base, TableLayout(partition_column="day"), mode="overwrite"
+    )
+    # full-partition DELETE: day-2 files must not survive on disk
+    assert engine.catalog.delete_where("testfact.del_ep", "day = '2024-01-02'") == 2
+    got = {(r["id"], r["day"]) for r in engine.table("testfact.del_ep").collect()}
+    assert got == {(1, "2024-01-01"), (2, "2024-01-01"), (5, None)}
+    # null-partition DELETE: the discovery scan counts the row AND the
+    # rewrite scope includes it
+    assert engine.catalog.delete_where("testfact.del_ep", "id = 5") == 1
+    got = {(r["id"], r["day"]) for r in engine.table("testfact.del_ep").collect()}
+    assert got == {(1, "2024-01-01"), (2, "2024-01-01")}
+    # UPDATE moving every row out of its partition empties the old one
+    n = engine.catalog.update_where(
+        "testfact.del_ep", {"day": "'2024-03-01'"}, "day = '2024-01-01'"
+    )
+    assert n == 2
+    got = {(r["id"], r["day"]) for r in engine.table("testfact.del_ep").collect()}
+    assert got == {(1, "2024-03-01"), (2, "2024-03-01")}
+    # MERGE when_matched='delete' that empties the partition
+    src = spark.createDataFrame(
+        [(1, "2024-03-01"), (2, "2024-03-01")], "id: long, day: string"
+    )
+    engine.catalog.merge_into(
+        "testfact.del_ep", src, on="id",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert engine.table("testfact.del_ep").count() == 0
+
+
 def test_delete_where_bucketed_preserves_layout(engine, spark):
     from sql_data_warehouse_samples_spark.catalog import hash_layout
 
@@ -1450,6 +1542,33 @@ def test_tsql_delete_and_update_statements(engine, spark):
     assert got == {1: 5.0, 12: 30.0}
 
 
+def test_tsql_update_parser_is_string_literal_aware(engine, spark):
+    """Commas and the word WHERE inside '...' literals must not split the
+    SET clause or the statement (valid T-SQL was previously rejected)."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+
+    base = spark.createDataFrame(
+        [(1, "x", "y"), (2, "x", "y")], "id: long, name: string, note: string"
+    )
+    engine.catalog.create_table_as(
+        "testfact.dml_q", base, TableLayout(), mode="overwrite"
+    )
+    r = engine.tsql(
+        "UPDATE testfact.dml_q SET name = 'a, b', note = 'find WHERE it hides' "
+        "WHERE id = 1"
+    ).collect()
+    assert r[0]["rows_affected"] == 1
+    got = {r["id"]: (r["name"], r["note"]) for r in engine.table("testfact.dml_q").collect()}
+    assert got == {1: ("a, b", "find WHERE it hides"), 2: ("x", "y")}
+    # escaped quote inside the literal, no WHERE clause at all
+    r = engine.tsql(
+        "UPDATE testfact.dml_q SET note = 'it''s, fine'"
+    ).collect()
+    assert r[0]["rows_affected"] == 2
+    notes = {r["note"] for r in engine.table("testfact.dml_q").collect()}
+    assert notes == {"it's, fine"}
+
+
 def test_tsql_dml_lands_in_request_log(engine, spark):
     from sql_data_warehouse_samples_spark.catalog import TableLayout
 
@@ -1483,3 +1602,141 @@ def test_tsql_dml_without_where_touches_all_rows(engine, spark):
     r = engine.tsql("DELETE FROM testfact.dml_all").collect()
     assert r[0]["rows_affected"] == 2
     assert engine.table("testfact.dml_all").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hub-and-spoke datamart sharing (datamart.py;
+# arm-templates/sqlDwSpokeDbTemplate/AddSpokeDbsWithET.ps1)
+# ---------------------------------------------------------------------------
+
+
+def test_datamart_hub_and_spoke_end_to_end(engine, spark):
+    """Hub control table drives per-spoke external tables: spoke reads hit
+    hub data through LOCATION-attached tables, grants scope what each
+    spoke sees, DDL text keeps the reference's external-table shape."""
+    from sql_data_warehouse_samples_spark.catalog import TableLayout
+    from sql_data_warehouse_samples_spark.datamart import (
+        CONTROL_TABLE,
+        DatamartHub,
+        SpokeDb,
+    )
+
+    engine.catalog.create_schema("hub_dim")
+    engine.catalog.create_schema("hub_fact")
+    try:
+        dim = spark.createDataFrame(
+            [(1, "uk"), (2, "fr")], "city_key: long, city: string"
+        )
+        engine.catalog.create_table_as(
+            "hub_dim.city", dim, TableLayout(), mode="overwrite"
+        )
+        sale = spark.createDataFrame(
+            [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (1, "2024-01-02", 5.0)],
+            "city_key: long, day: string, amount: double",
+        )
+        engine.catalog.create_table_as(
+            "hub_fact.sale", sale, TableLayout(partition_column="day"),
+            mode="overwrite",
+        )
+
+        hub = DatamartHub(engine)
+        # spoke0: only the dimension schema; spoke1: one specific table
+        assert hub.add_objects_for_user("spoke_dm0", "hubdw", schema="hub_dim") == 1
+        assert hub.add_objects_for_user("spoke_dm1", "hubdw", table="hub_fact.sale") == 1
+        assert hub.add_objects_for_user("spoke_dm1", "hubdw", schema="hub_dim") == 1
+        # NOT-EXISTS upsert: re-grant adds nothing, control keeps 3 rows
+        assert hub.add_objects_for_user("spoke_dm1", "hubdw", schema="hub_dim") == 0
+        assert spark.table(CONTROL_TABLE).filter(
+            "datamart_user like 'spoke_dm%'"
+        ).count() == 3
+
+        assert hub.generate_definitions() >= 2
+        # reference DDL shape (CreateExternalTableFromDw, ps1:132-196)
+        ddl = {
+            (r["schema_name"], r["table_name"]): r["ddl"]
+            for r in hub.remote_table_definitions("spoke_dm1").collect()
+        }
+        sale_ddl = ddl[("hub_fact", "sale")]
+        assert "CREATE EXTERNAL TABLE [hubdw].[hub_fact_sale]" in sale_ddl
+        assert "DATA_SOURCE = hubdw" in sale_ddl
+        assert "SCHEMA_NAME  = N'hub_fact'" in sale_ddl
+        assert "OBJECT_NAME  = N'sale'" in sale_ddl
+        assert "[city_key] [bigint]" in sale_ddl
+
+        s0 = SpokeDb(engine, "spoke_dm0")
+        s0.create_external_data_source("hubdw", "hub warehouse", "spoke_dm0")
+        s1 = SpokeDb(engine, "spoke_dm1")
+        made0 = s0.setup_external_tables(hub)
+        made1 = s1.setup_external_tables(hub)
+        # grants scope the spokes: spoke0 never sees the fact table
+        assert made0 == ["spoke_dm0.hub_dim_city"]
+        assert sorted(made1) == [
+            "spoke_dm1.hub_dim_city", "spoke_dm1.hub_fact_sale"
+        ]
+        got = {
+            (r["city_key"], r["city"])
+            for r in spark.table("spoke_dm0.hub_dim_city").collect()
+        }
+        assert got == {(1, "uk"), (2, "fr")}
+        # partitioned hub table reads through with its partition column
+        # (hive partition-type inference may type it date — value parity
+        # is what matters)
+        fact = spark.table("spoke_dm1.hub_fact_sale")
+        assert fact.count() == 3
+        assert {
+            str(r["day"]) for r in fact.select("day").distinct().collect()
+        } == {"2024-01-01", "2024-01-02"}
+        # spoke sees hub WRITES after a cache refresh, no re-setup needed
+        # (shared storage; REFRESH drops the stale file index)
+        engine.catalog.insert_into(
+            "hub_dim.city",
+            spark.createDataFrame([(3, "de")], "city_key: long, city: string"),
+        )
+        s0.refresh()
+        assert spark.table("spoke_dm0.hub_dim_city").count() == 3
+        # idempotent re-setup
+        assert s1.setup_external_tables(hub) == made1
+    finally:
+        for db in ("spoke_dm0", "spoke_dm1", "hub_dim", "hub_fact"):
+            engine.catalog.drop_schema(db, cascade=True)
+        spark.sql(f"DROP TABLE IF EXISTS {CONTROL_TABLE}")
+        spark.sql(
+            "DROP TABLE IF EXISTS meta.datamart_external_table_definitions"
+        )
+
+
+def test_fleet_auto_pause_resume_tag_driven():
+    """ScheduledAutoPauseResumeDWFleet.json semantics: only tagged
+    warehouses are orchestrated; pause waits for zero active queries
+    (Until_ZeroActiveQueries) and retries next tick; resume fires when
+    the window ends; every decision is logged."""
+    from sql_data_warehouse_samples_spark.wlm import (
+        FleetAutoPause,
+        ScaleLadder,
+    )
+
+    fleet = FleetAutoPause(pause_hours=(20, 6))
+    busy = [2]
+    a, b, c = ScaleLadder(), ScaleLadder(), ScaleLadder()
+    fleet.register("dw-a", a, tags={"AutoPauseEnabled"},
+                   active_queries=lambda: busy[0])
+    fleet.register("dw-b", b, tags={"AutoPauseEnabled"})
+    fleet.register("dw-untagged", c)
+
+    # 22:00, inside the wrap-midnight window: b pauses, a waits (busy)
+    d1 = {r["warehouse"]: r for r in fleet.tick(hour=22)}
+    assert d1["dw-a"]["action"] == "waiting" and "2 active" in d1["dw-a"]["detail"]
+    assert d1["dw-b"]["action"] == "pause" and b.paused
+    assert "dw-untagged" not in d1 and not c.paused
+    # queries drain -> the recurrence retry pauses a (2:00 also in window)
+    busy[0] = 0
+    d2 = {r["warehouse"]: r for r in fleet.tick(hour=2)}
+    assert d2["dw-a"]["action"] == "pause" and a.paused
+    assert d2["dw-b"]["action"] == "none"
+    # 9:00, outside the window: both resume; untagged still untouched
+    d3 = {r["warehouse"]: r for r in fleet.tick(hour=9)}
+    assert d3["dw-a"]["action"] == "resume" and not a.paused
+    assert d3["dw-b"]["action"] == "resume" and not b.paused
+    assert not c.paused
+    # operation-status parity rows recorded on the members
+    assert [h[0] for h in a.history] == ["PAUSE DATABASE", "RESUME DATABASE"]
