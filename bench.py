@@ -55,6 +55,11 @@ HEADLINE = [
     "q60_scd2_dimension",
     "t13_line_dedup",
     "m01_media_meta",
+    # round-4 additions: the remaining heavy locals, tracked round-over-round
+    "q57_grouping_sets",
+    "t12_bigram_lm_nll",
+    "d11_substring_dup_pairs",
+    "d14_duplicate_span_removal",
 ]
 
 

@@ -58,14 +58,17 @@ def query(name: str, oracle: str | None = None):
 #: in q28's rank_in_month column, and expression aggregates (q20) were
 #: always exercised by q01's sum_disc_price/sum_charge — freeing three
 #: slots for d10 (domain mixture), d11 (exact-substring dedup) and t08
-#: (curation funnel), each with an exact oracle.
+#: (curation funnel), each with an exact oracle.  Round-4 folds: q03+q05
+#: (both J1/J13 broadcast stars → q03_q05_star_battery) and t01+t04 (both
+#: map-only text projections → t01_t04_text_battery, ONE shared scan) —
+#: freeing two slots for the round-3 flagships d12 (SemDeDup) and q60
+#: (SCD2 merge), both exact-oracle.
 DRIVER_PRIORITY: list[str] = [
     # relational core (every join/filter/agg/set-op family)
     "q01_pricing_summary",
     "q02_topk_orders",
-    "q03_shipping_priority",
+    "q03_q05_star_battery",  # J1 + J13 stars (folds q03 + q05)
     "q04_order_priority_semi",
-    "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q07_distinct_pairs",
     "q55_union_battery",  # U1 + U4 (folds q08 + q43)
@@ -91,10 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     "q40_json_props",
     "q48_grouped_map_summary",
     # LLM text pipeline — every mandate op in-window
-    "t01_token_stats",
+    "t01_t04_text_battery",  # map-only text ops (folds t01 + t04)
     "t02_quality_score",
     "t03_language_id",
-    "t04_fingerprints",
     "t05_repetition_filters",
     "t07_pii_redaction",
     "d01_dedup_exact",
@@ -116,6 +118,10 @@ DRIVER_PRIORITY: list[str] = [
     "s03_embedding_stats",
     "s04_ivf_topk",
     "m01_media_meta",
+    # round-4 rotation: the two slots freed by the q03+q05 and t01+t04
+    # folds go to the round-3 flagships that only had local oracles
+    "d12_semantic_dedup",
+    "q60_scd2_dimension",
 ]
 
 

@@ -159,6 +159,43 @@ def t04_fingerprints(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# t01+t04 — combined map-only text battery (one driver slot): token stats
+# and fingerprints are both pure-Column projections over the SAME scan, so
+# the fold is ONE projection — no union, no extra pass.  Frees a
+# driver-window slot for a round-4 flagship (d12/q60); t01/t04 stay
+# individually registered and locally oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t01_t04_text_battery",
+    oracle=r"""
+SELECT
+  doc_id,
+  LENGTH(text) AS n_chars,
+  LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+  LEN(list_distinct(string_split_regex(TRIM(text), '\s+'))) AS n_distinct_tokens,
+  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_pieces,
+  SUBSTRING(md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')), 1, 16) AS content_fp,
+  SUBSTRING(md5(array_to_string(list_sort(list_distinct(
+      string_split_regex(TRIM(text), '\s+'))), ' ')), 1, 16) AS bag_fp
+FROM documents
+""",
+)
+def t01_t04_text_battery(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        T.word_token_count("text").alias("n_word_pieces"),
+        T.content_fingerprint("text").alias("content_fp"),
+        T.bag_fingerprint("text").alias("bag_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d01 — exact dedup via content-hash groupBy (hash-partitioned, skew-free).
 # ---------------------------------------------------------------------------
 

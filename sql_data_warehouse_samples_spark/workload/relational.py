@@ -236,6 +236,71 @@ def q05_local_supplier_volume(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q03+q05 — combined J1/J13 star-join battery (same family, one driver
+# slot): q03's 3-table broadcast star with top-k and q05's 6-table
+# replicated-dim star, tagged and unioned.  Frees a driver-window slot for
+# a round-4 flagship (d12/q60) while both exemplars stay value-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_q05_star_battery",
+    oracle="""
+SELECT * FROM (
+  SELECT 'shipping_priority' AS mode,
+         CAST(l.l_orderkey AS VARCHAR) AS key,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+         CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+         o.o_orderpriority AS orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+  ORDER BY revenue DESC, l.l_orderkey
+  LIMIT 20
+)
+UNION ALL
+SELECT 'supplier_volume' AS mode,
+       n.n_name AS key,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(NULL AS VARCHAR) AS orderdate,
+       CAST(NULL AS VARCHAR) AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def q03_q05_star_battery(spark, sf_dir):
+    a = q03_shipping_priority(spark, sf_dir).select(
+        F.lit("shipping_priority").alias("mode"),
+        F.col("l_orderkey").cast("string").alias("key"),
+        "revenue",
+        F.col("o_orderdate").cast("string").alias("orderdate"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    )
+    b = q05_local_supplier_volume(spark, sf_dir).select(
+        F.lit("supplier_volume").alias("mode"),
+        F.col("n_name").alias("key"),
+        "revenue",
+        F.lit(None).cast("string").alias("orderdate"),
+        F.lit(None).cast("string").alias("orderpriority"),
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
 # q06 — range-filter global aggregate (A1 ungrouped aggregate,
 # UserActivities.sql:6-8; compound predicates P8).
 # ---------------------------------------------------------------------------
