@@ -94,6 +94,58 @@ def probe_sig(spark) -> None:
 PROBES = {"agg": probe_agg, "sig": probe_sig}
 
 
+def ntile_ladder() -> None:
+    """q30-class total-order window probe: exact NTILE (single-partition
+    WindowExec) vs ``operators/quantiles.approx_ntile`` (two-pass sketch +
+    map-only CASE) across an input-size ladder.  The exact path's cost
+    grows superlinearly in ONE task while the approx path flat-scales with
+    the cluster — this measures the crossover instead of asserting it.
+
+        python scripts/scale_probe.py ntile        # X = 1, 4, 16, 64
+        python scripts/scale_probe.py ntile 8 32   # explicit X ladder
+    """
+    from pyspark.sql import Window
+
+    from sql_data_warehouse_samples_spark.operators.quantiles import approx_ntile
+
+    ladder = [int(a) for a in sys.argv[2:]] or [1, 4, 16, 64]
+    spark = build_session(app_name="scale-probe-ntile")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    report = []
+    for x in ladder:
+        df = _inflate(base, x).select(
+            # unique-ish ordering value so exact NTILE's sort is honest
+            (F.col("c_acctbal") + F.col("__copy") * 0.0001).alias("v")
+        )
+        n_rows = df.count()  # materializes the inflate outside the timings
+
+        def run_exact(d=df):
+            d.withColumn(
+                "bucket", F.ntile(100).over(Window.orderBy("v"))
+            ).select(F.sum("bucket")).write.format("noop").mode("overwrite").save()
+
+        def run_approx(d=df):
+            approx_ntile(d, "v", 100).select(F.sum("bucket")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        timings = {}
+        for name, fn in [("exact", run_exact), ("approx", run_approx)]:
+            fn()  # warm
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(reps), 3)
+        report.append({"inflate_x": x, "rows": n_rows, **timings})
+    spark.stop()
+    print(json.dumps({"sf_dir": SF_DIR, "probe": "ntile", "ladder": report}))
+
+
 def run_config(cores: int) -> dict:
     spark = build_session(
         app_name=f"scale-probe-{cores}",
@@ -117,6 +169,9 @@ def run_config(cores: int) -> dict:
 
 
 def main() -> None:
+    if sys.argv[1:2] == ["ntile"]:
+        ntile_ladder()
+        return
     ladder = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
     results = {c: run_config(c) for c in ladder}
     base = ladder[0]
