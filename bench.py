@@ -60,6 +60,7 @@ HEADLINE = [
     "t12_bigram_lm_nll",
     "d11_substring_dup_pairs",
     "d14_duplicate_span_removal",
+    "s06_pq_codes",
 ]
 
 

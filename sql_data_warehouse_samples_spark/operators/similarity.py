@@ -133,11 +133,12 @@ def _cent_literal(cent_list: list[tuple[int, list[float]]]) -> Column:
 CENT_LITERAL_MAX_ELEMS = 50_000
 
 
-def _argmin_fold(vec: Column, cents: Column, round_to: int) -> Column:
-    """Nearest-centroid id by a map-only ``aggregate`` fold over a
-    cid-sorted ``array<struct<cid,vec>>`` column.  Strict ``<`` keeps the
-    lowest centroid id on (rounded) distance ties — same semantics as
-    ORDER BY (d2, cid) row_number()=1, with zero row amplification."""
+def _argmin_struct(vec: Column, cents: Column, round_to: int) -> Column:
+    """Nearest-centroid (cid, d2) struct by a map-only ``aggregate`` fold
+    over a cid-sorted ``array<struct<cid,vec>>`` column.  Strict ``<``
+    keeps the lowest centroid id on (rounded) distance ties — same
+    semantics as ORDER BY (d2, cid) row_number()=1, with zero row
+    amplification."""
 
     def _closer(acc: Column, cent: Column) -> Column:
         d2 = F.round(l2sq(vec, cent["vec"]), round_to)
@@ -150,7 +151,11 @@ def _argmin_fold(vec: Column, cents: Column, round_to: int) -> Column:
     init = F.struct(
         F.lit(-1).cast("long").alias("cid"), F.lit(float("inf")).alias("d2")
     )
-    return F.aggregate(cents, init, _closer)["cid"]
+    return F.aggregate(cents, init, _closer)
+
+
+def _argmin_fold(vec: Column, cents: Column, round_to: int) -> Column:
+    return _argmin_struct(vec, cents, round_to)["cid"]
 
 
 def _argmin_cid(vec: Column, cent_list: list[tuple[int, list[float]]], round_to: int) -> Column:
@@ -449,6 +454,209 @@ def quantize_embeddings(df, emb_col: str = "embedding", out: str = "q"):
     return df.withColumn(f"{out}_scale", scale).withColumn(out, q)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou, Douze, Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search" (public paper; the FAISS PQ/
+# IVF-PQ compression stage).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic seed codebooks: subspace ``j``'s codebook is the
+    j-th subvector of the ``k`` lowest-id corpus vectors, re-indexed to
+    dense codes 0..k-1 in ascending id order (the seed-quantizer analogue
+    of ``seed_centroids`` — SQL-expressible, so PQ encoding carries an
+    exact oracle; pass the result through per-subspace Lloyd refinement
+    offline when recall matters more than oracle parity)."""
+    rows = (
+        corpus.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus: cannot seed PQ codebooks")
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return [
+        [
+            (code, [float(x) for x in r["v"][j * d_sub : (j + 1) * d_sub]])
+            for code, r in enumerate(rows)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    round_to: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Lloyd-refined PQ codebooks (the FAISS PQ training step): seed with
+    ``pq_codebooks``, then per iteration assign every (subspace,
+    subvector) pair to its nearest code and recompute per-subspace
+    element-wise means.
+
+    One distributed pass per iteration covers ALL m subspaces at once:
+    each row explodes to its m subvectors tagged with the subspace index,
+    the fold picks the j-th codebook out of one nested literal, and the
+    mean shuffle carries ~m × k × dim/m = k × dim rows regardless of
+    corpus size (map-side combine) — same scale shape as
+    ``kmeans_centroids``.  Codebooks stay driver-sized throughout."""
+    books = pq_codebooks(corpus, id_col, vec_col, m, k)
+    d_sub = len(books[0][0][1])
+    vec = F.col(vec_col)
+    subs = corpus.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        F.slice(vec, j * d_sub + 1, d_sub),
+                        lambda x: x.cast("double"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "v")
+    )
+    for _ in range(iters):
+        nested = F.array(*[_cent_literal(b) for b in books])
+        assigned = subs.select(
+            "j",
+            _argmin_fold(F.col("v"), F.element_at(nested, F.col("j") + 1), round_to).alias(
+                "code"
+            ),
+            F.posexplode("v").alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("j", "code", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .collect()
+        )
+        new_books = [dict(b) for b in books]
+        for r in means:
+            new_books[r["j"]][int(r["code"])] = [float(p["mu"]) for p in r["pm"]]
+        books = [sorted(nb.items()) for nb in new_books]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    out: str = "pq",
+) -> DataFrame:
+    """Encode each vector as ``m`` subspace codes: ``out`` is an
+    ``array<struct<code, d2>>`` (nearest codebook entry + its squared
+    subspace distance = the reconstruction error contribution).
+
+    Map-only: one argmin fold per subspace over a plan-literal codebook
+    (m × k × dim/m = k × dim elements total — the FULL-dimension
+    quantizer budget, so the plan-size ceiling of the centroid literal
+    never binds here: k is 256 in production PQ, dim ≤ a few thousand).
+    Storage: m bytes-scale codes per vector instead of 4·dim — 32× on a
+    float32 dim-64 corpus at m=8."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    vec = F.col(vec_col)
+    subs = [
+        _argmin_struct(
+            F.transform(
+                F.slice(vec, j * d_sub + 1, d_sub), lambda x: x.cast("double")
+            ),
+            _cent_literal(codebooks[j]),
+            round_to,
+        )
+        for j in range(m)
+    ]
+    return df.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.struct(s["cid"].alias("code"), s["d2"].alias("d2"))
+                for s in subs
+            ]
+        ).alias(out),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    Query side (tiny, broadcast): per subspace, the distance table from
+    the query subvector to every codebook entry — m × k doubles per
+    query, computed map-side from the codebook literal.  Corpus side:
+    distance = Σ_j table[j][code_j] — a pure lookup fold over the m
+    stored codes; the 4·dim-byte vector never leaves storage.  Shape is
+    identical to ``cosine_topk``: broadcast queries, map-only corpus
+    scan, per-query top-k window."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    qvec = F.col(vec_col)
+
+    def _table(j: int) -> Column:
+        # NOTE: a two-parameter lambda would make transform() pass the
+        # ELEMENT INDEX as the second argument — close over j explicitly
+        sub = F.transform(
+            F.slice(qvec, j * d_sub + 1, d_sub), lambda x: x.cast("double")
+        )
+        return F.transform(
+            _cent_literal(codebooks[j]),
+            lambda c: F.round(l2sq(sub, c["vec"]), round_to),
+        )
+
+    tables = F.array(*[_table(j) for j in range(m)])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), tables.alias("__tabs")
+    )
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__tabs"), j + 1),
+            F.element_at(F.col("pq"), j + 1)["code"].cast("int") + 1,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        _spread(codes.select(F.col(id_col).alias("neighbor_id"), "pq"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2", F.round(adc, round_to))
+        .withColumn("nbr_rank", F.row_number().over(w))
+        .filter(F.col("nbr_rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "nbr_rank")
+    )
+
+
 class IvfIndex:
     """Persisted IVF-flat index: the inverted lists as a parquet table
     PARTITIONED BY centroid_id, plus the coarse quantizer alongside.
@@ -694,3 +902,183 @@ class IvfIndex:
             live, stage, verify=lambda: spark.read.parquet(live).first()
         )
         return n
+
+
+class IvfPqIndex:
+    """Persisted IVF-PQ index (FAISS IVF_PQ shape; Jégou et al. 2011
+    §V): coarse-quantized inverted lists that store the m-byte PQ codes
+    INSTEAD of the raw vectors.
+
+    IVF-flat's partition pruning cuts which files a search opens
+    (~nprobe/nlist of the corpus); PQ compression cuts what those files
+    WEIGH — stored entries are (neighbor_id, codes) at ~m bytes/vector
+    versus 4·dim, so at dim-768 float32 / m=16 the probed-list IO drops
+    another ~190×.  Search ranks candidates by ADC lookup without ever
+    touching a stored vector; the standard trade is a re-rank of the top
+    candidates against raw vectors, which stays partition-pruned too
+    (``search(rerank=...)`` re-reads ONLY the probed lists of the raw
+    IvfIndex layout when one is kept alongside).
+
+    This variant encodes RAW vectors (not residuals): encoding stays
+    SQL-expressible/exactly testable, and the coarse quantizer remains
+    swappable via retrain()-style rebuilds.  Layout under ``path``:
+
+      lists/centroid_id=<cid>/part-*.parquet   (neighbor_id, pq codes)
+      centroids/part-*.parquet                 (coarse quantizer)
+      codebooks/part-*.parquet                 (j, code, vec)
+    """
+
+    def __init__(
+        self,
+        path: str,
+        centroids: list[tuple[int, list[float]]],
+        codebooks: list[list[tuple[int, list[float]]]],
+    ) -> None:
+        self.path = path
+        self.centroids = centroids
+        self.codebooks = codebooks
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        nlist: int = 16,
+        m: int = 8,
+        k_pq: int = 16,
+        train_iters: int = 0,
+        pq_iters: int = 0,
+        round_to: int = 6,
+    ) -> "IvfPqIndex":
+        spark = corpus.sparkSession
+        if train_iters > 0:
+            centroids = kmeans_centroids(
+                corpus, id_col, vec_col, nlist, iters=train_iters, round_to=round_to
+            )
+        else:
+            centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+        if pq_iters > 0:
+            books = pq_train(
+                corpus, id_col, vec_col, m, k_pq, iters=pq_iters, round_to=round_to
+            )
+        else:
+            books = pq_codebooks(corpus, id_col, vec_col, m, k_pq)
+        encoded = pq_encode(corpus, books, id_col, vec_col, round_to).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
+        )
+        assigned = assign_centroids(
+            _spread(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__cvec"),
+                )
+            ),
+            "__cvec",
+            centroids,
+            round_to,
+        ).select("neighbor_id", "centroid_id")
+        (
+            encoded.join(assigned, "neighbor_id")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(f"{path}/lists")
+        )
+        spark.createDataFrame(
+            list(centroids), "centroid_id long, __cent array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [(j, c, v) for j, b in enumerate(books) for c, v in b],
+            "j long, code long, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        return cls(path, list(centroids), books)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        cents = sorted(
+            (r["centroid_id"], list(r["__cent"]))
+            for r in spark.read.parquet(f"{path}/centroids").collect()
+        )
+        rows = spark.read.parquet(f"{path}/codebooks").collect()
+        m = max(r["j"] for r in rows) + 1
+        books: list[list] = [[] for _ in range(m)]
+        for r in rows:
+            books[r["j"]].append((int(r["code"]), [float(x) for x in r["vec"]]))
+        return cls(path, cents, [sorted(b) for b in books])
+
+    def search(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 4,
+        round_to: int = 6,
+    ) -> DataFrame:
+        """Probe-pruned ADC search: the scan opens only the probed lists
+        (static partition filter), candidates rank by the per-query
+        lookup-table fold over stored codes — no raw vector is read."""
+        from pyspark.sql import Window
+
+        spark = queries.sparkSession
+        m = len(self.codebooks)
+        d_sub = len(self.codebooks[0][0][1])
+        cents = spark.createDataFrame(
+            list(self.centroids), "centroid_id long, __cent array<double>"
+        )
+        qvec = F.col(vec_col)
+
+        def _table(j: int) -> Column:
+            sub = F.transform(
+                F.slice(qvec, j * d_sub + 1, d_sub), lambda x: x.cast("double")
+            )
+            return F.transform(
+                _cent_literal(self.codebooks[j]),
+                lambda c: F.round(l2sq(sub, c["vec"]), round_to),
+            )
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            qvec.alias("__qvec"),
+            F.array(*[_table(j) for j in range(m)]).alias("__tabs"),
+        )
+        q_d2 = F.round(l2sq(F.col("__qvec"), F.col("__cent")), round_to)
+        w_q = Window.partitionBy("query_id").orderBy("__d2", "centroid_id")
+        q_probe = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__d2", q_d2)
+            .withColumn("__r", F.row_number().over(w_q))
+            .filter(F.col("__r") <= nprobe)
+            .select("query_id", "__tabs", "centroid_id")
+        )
+        probed = sorted(
+            r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
+        )
+        from .dirswap import recover
+
+        recover(f"{self.path}/lists")
+        lists = spark.read.parquet(f"{self.path}/lists").filter(
+            F.col("centroid_id").isin(probed)
+        )
+        adc = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("__tabs"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_d2"), F.asc("neighbor_id")
+        )
+        return (
+            lists.join(F.broadcast(q_probe), "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("adc_d2", F.round(adc, round_to))
+            .withColumn("nbr_rank", F.row_number().over(w))
+            .filter(F.col("nbr_rank") <= k)
+            .select("query_id", "neighbor_id", "adc_d2", "nbr_rank")
+        )

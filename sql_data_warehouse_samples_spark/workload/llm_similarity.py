@@ -251,3 +251,58 @@ def d12_semantic_dedup(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
     cents = S.seed_centroids(e, nlist=16)
     return semantic_dedup(e, cents, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# s06 — product-quantization encoding (operators/similarity.pq_encode;
+# Jégou et al. 2011, FAISS PQ).  Seed codebooks = the k lowest-id vectors'
+# subvectors (pq_codebooks), so the per-subspace argmin is fully
+# SQL-expressible — exploded to scalar rows for an exact oracle.  m=8
+# subspaces of dim/8; k=16 codes (embeddings ids are dense from 0, so the
+# oracle's seed vec_id IS the dense code).  The ADC search path (pq_topk)
+# is recall-checked against s01 brute force in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+_S06_SUB_D2 = (
+    "ROUND(list_sum(list_transform(list_zip(sub.v, cb.c),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+)
+
+
+@query(
+    "s06_pq_codes",
+    oracle=f"""
+WITH js AS (SELECT unnest(range(8)) AS j),
+sub AS (
+  SELECT e.vec_id, js.j, list_slice(e.embedding, js.j*8+1, js.j*8+8) AS v
+  FROM embeddings e, js
+),
+cb AS (
+  SELECT s.vec_id AS code, js.j, list_slice(s.embedding, js.j*8+1, js.j*8+8) AS c
+  FROM embeddings s, js
+  WHERE s.vec_id < 16
+),
+d AS (
+  SELECT sub.vec_id, sub.j, cb.code, {_S06_SUB_D2} AS d2
+  FROM sub JOIN cb ON sub.j = cb.j
+)
+SELECT vec_id, CAST(j AS BIGINT) AS subspace, code, d2 AS sub_d2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+  FROM d)
+WHERE r = 1
+""",
+)
+def s06_pq_codes(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(e, m=8, k=16)
+    enc = S.pq_encode(e, books)
+    return enc.select(
+        "vec_id", F.posexplode("pq").alias("subspace", "s")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("s.code").alias("code"),
+        F.col("s.d2").alias("sub_d2"),
+    )

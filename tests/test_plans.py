@@ -259,3 +259,49 @@ def test_q60_scd2_single_join_explode(spark):
     assert "Generate explode" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_d11_substring_pairs_single_gram_exchange(spark):
+    """ExactSubstr pair finding pays ONE gram-keyed exchange (the
+    min-over-window form) plus the pair count — the groupBy+join-back
+    shape shuffled the gram frame twice and re-tokenized the corpus per
+    branch."""
+    df = workload.QUERIES["d11_substring_dup_pairs"](spark, SF)
+    plan = plan_str(df)
+    # one scan of documents, tokenized once
+    assert plan.count("Scan parquet") == 1
+    # gram window + pair aggregate: two exchanges total, no join
+    assert count_exchanges(df) <= 2
+    assert "Join" not in plan
+
+
+def test_d14_span_removal_no_pairwise_join_one_gram_exchange(spark):
+    """Span removal: gram canonicalization is one windowed exchange; the
+    kept/removed split is ONE left join + one aggregate (anti+semi pairs
+    of joins over the token frame are gone)."""
+    df = workload.QUERIES["d14_duplicate_span_removal"](spark, SF)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # token-vs-covered is a single equi-join; plus the all-ids left join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) <= 2
+
+
+def test_q03_q05_battery_keeps_star_shapes(spark):
+    """The fold must not degrade either member's physical shape: every
+    dim still broadcasts, nothing falls back to sort-merge against a
+    dim."""
+    df = workload.QUERIES["q03_q05_star_battery"](spark, SF)
+    plan = plan_str(df)
+    assert plan.count("BroadcastHashJoin") >= 5  # c (q03) + c,s,n,r (q05)
+    assert "CartesianProduct" not in plan
+
+
+def test_t01_t04_battery_single_scan_no_exchange(spark):
+    """The text battery is ONE map-only projection: a single documents
+    scan, zero exchanges."""
+    df = workload.QUERIES["t01_t04_text_battery"](spark, SF)
+    plan = plan_str(df)
+    assert plan.count("Scan parquet") == 1
+    assert count_exchanges(df) == 0
