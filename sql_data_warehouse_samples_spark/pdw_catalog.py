@@ -566,3 +566,64 @@ class PdwSysCatalog:
             "operation", "resource_type_desc", "detail", "start_time",
             "end_time", "state_desc",
         ).createOrReplaceTempView("pdw_sys_dm_operation_status")
+
+
+# ---------------------------------------------------------------------------
+# Azure Data Studio dashboard manifest (samples/sqlops/package.json) — the
+# reference's packaging of the MonitoringScripts as insight widgets.
+# ---------------------------------------------------------------------------
+
+
+def dashboard_manifest(package_json_path: str) -> list[dict]:
+    """Parse the sqlops extension manifest into insight rows:
+    ``{insight_id, widget_name, script, chart_type, grid}``.
+
+    The manifest's ``dashboard.insights`` name each widget's query file
+    (``./sql/X.sql`` → ``MonitoringScripts/X.sql``; the one name variance
+    is TableHealth → TableHealthCount) and chart form; ``dashboard.tabs``
+    carries the display name + grid placement.  Everything the widgets
+    query already runs verbatim through the engine
+    (tests/test_sys_catalog_verbatim.py) — this closes the last sqlops
+    asset by wiring manifest → script → engine."""
+    import json
+    import os
+
+    with open(package_json_path) as f:
+        pkg = json.load(f)
+    contrib = pkg.get("contributes", {})
+    names: dict[str, tuple[str, dict]] = {}
+    for tab in contrib.get("dashboard.tabs", []):
+        for w in tab.get("container", {}).get("widgets-container", []):
+            widget = w.get("widget", {})
+            for iid in widget:
+                names[iid] = (w.get("name", iid), w.get("gridItemConfig", {}))
+    aliases = {"TableHealth.sql": "TableHealthCount.sql"}
+    out = []
+    for ins in contrib.get("dashboard.insights", []):
+        qf = os.path.basename(ins["contrib"]["queryFile"])
+        script = aliases.get(qf, qf)
+        name, grid = names.get(ins["id"], (ins["id"], {}))
+        out.append(
+            {
+                "insight_id": ins["id"],
+                "widget_name": name,
+                "script": f"MonitoringScripts/{script}",
+                "chart_type": next(iter(ins["contrib"]["type"])),
+                "grid": grid,
+            }
+        )
+    return out
+
+
+def run_dashboard(engine, sqlops_dir: str) -> dict[str, "object"]:
+    """Execute every manifest widget's script verbatim through the
+    engine; returns {insight_id: DataFrame} — the data each dashboard
+    chart would render."""
+    import os
+
+    out = {}
+    for ins in dashboard_manifest(os.path.join(sqlops_dir, "package.json")):
+        path = os.path.join(sqlops_dir, ins["script"])
+        with open(path) as f:
+            out[ins["insight_id"]] = engine.tsql(f.read())
+    return out

@@ -315,3 +315,78 @@ class FleetAutoPause:
                 else:
                     self._log(name, "none", "already online")
         return self.decisions[start:]
+
+
+class FleetAutoScale:
+    """Tag-driven fleet SCALE orchestration — the scheduled Logic-App
+    workflows of arm-templates/sqlDwLogicAppAutoScale
+    (ScheduledAutoScaleDWFleet.json; the single-warehouse
+    ScheduledAutoScaleDW.json carries the identical per-item branch).
+
+    Policy lives on each warehouse's TAGS, exactly like the template:
+    ``AutoScheduleScaleUpTime`` / ``AutoScheduleScaleUpSLO`` and
+    ``AutoScheduleScaleDownTime`` / ``AutoScheduleScaleDownSLO``.  A
+    15-minute recurrence fires the scale when local time falls inside
+    the template's tolerance window around the tagged time
+    (``[T-5min, T+11min)`` — addMinutes(...,-5)/addMinutes(...,11)) and
+    the warehouse is Online (paused members are skipped, untagged
+    members never touched).  The target DWU comes from the SLO tag, not
+    a ladder step — scheduled scaling jumps straight to the tagged
+    level."""
+
+    WINDOW_BEFORE_MIN = 5
+    WINDOW_AFTER_MIN = 11
+
+    def __init__(self) -> None:
+        self.members: dict[str, dict] = {}
+        self.decisions: list[dict] = []
+
+    def register(self, name: str, ladder: ScaleLadder, tags: dict[str, str],
+                 active_queries=None) -> None:
+        self.members[name] = {
+            "ladder": ladder,
+            "tags": dict(tags),
+            "active_queries": active_queries or (lambda: 0),
+        }
+
+    def _in_window(self, now_min: int, tagged_min: int) -> bool:
+        lo = tagged_min - self.WINDOW_BEFORE_MIN
+        hi = tagged_min + self.WINDOW_AFTER_MIN
+        # window may straddle midnight on a 24h clock
+        return lo <= now_min < hi or lo <= now_min - 1440 < hi
+
+    def _log(self, name: str, action: str, detail: str | None = None) -> None:
+        self.decisions.append({"warehouse": name, "action": action, "detail": detail})
+
+    @staticmethod
+    def _dwu(slo: str) -> int:
+        return int(slo.upper().removeprefix("DW").removesuffix("C"))
+
+    def tick(self, now_min: int) -> list[dict]:
+        """One recurrence firing at ``now_min`` minutes past local
+        midnight.  Returns this tick's decision rows."""
+        start = len(self.decisions)
+        for name, m in self.members.items():
+            tags = m["tags"]
+            ladder: ScaleLadder = m["ladder"]
+            if ladder.paused:
+                self._log(name, "none", "not Online")
+                continue
+            for verb, t_tag, s_tag in (
+                ("scale_down", "AutoScheduleScaleDownTime", "AutoScheduleScaleDownSLO"),
+                ("scale_up", "AutoScheduleScaleUpTime", "AutoScheduleScaleUpSLO"),
+            ):
+                if t_tag not in tags or s_tag not in tags:
+                    continue
+                if not self._in_window(now_min, tags[t_tag]):
+                    continue
+                target = self._dwu(tags[s_tag])
+                if ladder.current == target:
+                    self._log(name, "none", f"already at DW{target}")
+                    continue
+                try:
+                    ladder.scale(target, active_queries=m["active_queries"]())
+                    self._log(name, verb, f"-> DW{target}")
+                except RuntimeError as e:  # quiesce gate — retry next tick
+                    self._log(name, "waiting", str(e))
+        return self.decisions[start:]

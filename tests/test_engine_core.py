@@ -1740,3 +1740,43 @@ def test_fleet_auto_pause_resume_tag_driven():
     assert not c.paused
     # operation-status parity rows recorded on the members
     assert [h[0] for h in a.history] == ["PAUSE DATABASE", "RESUME DATABASE"]
+
+
+def test_fleet_auto_scale_tagged_schedule_windows():
+    """ScheduledAutoScaleDWFleet.json semantics: per-warehouse tags name
+    the scale times and target SLOs; the recurrence acts only inside the
+    [T-5min, T+11min) tolerance window, skips paused members, jumps
+    straight to the tagged DWU, and retries on the quiesce gate."""
+    from sql_data_warehouse_samples_spark.wlm import FleetAutoScale, ScaleLadder
+
+    fleet = FleetAutoScale()
+    busy = [3]
+    a, b = ScaleLadder(current=500), ScaleLadder(current=500)
+    tags = {
+        "AutoScheduleScaleUpTime": 8 * 60,       # 8:00 AM (template default)
+        "AutoScheduleScaleUpSLO": "DW1000c",
+        "AutoScheduleScaleDownTime": 20 * 60,    # 8:00 PM
+        "AutoScheduleScaleDownSLO": "DW500c",
+    }
+    fleet.register("dw-a", a, tags, active_queries=lambda: busy[0])
+    fleet.register("dw-b", b, tags)
+    fleet.register("dw-untagged", ScaleLadder(current=500), {})
+
+    # 7:30 — outside every window: nothing happens
+    assert fleet.tick(now_min=7 * 60 + 30) == []
+    # 7:57 — inside [7:55, 8:11): b scales to DW1000, a hits the quiesce
+    # gate and logs waiting
+    d1 = {r["warehouse"]: r for r in fleet.tick(now_min=7 * 60 + 57)}
+    assert b.current == 1000 and d1["dw-b"]["action"] == "scale_up"
+    assert a.current == 500 and d1["dw-a"]["action"] == "waiting"
+    # queries drain before the window closes: the 15-min recurrence's
+    # next firing at 8:10 still lands inside and retries
+    busy[0] = 0
+    d2 = {r["warehouse"]: r for r in fleet.tick(now_min=8 * 60 + 10)}
+    assert a.current == 1000 and d2["dw-a"]["action"] == "scale_up"
+    assert d2["dw-b"]["detail"] == "already at DW1000"
+    # paused member is skipped ("not Online")
+    b.pause()
+    d3 = {r["warehouse"]: r for r in fleet.tick(now_min=20 * 60)}
+    assert d3["dw-b"]["action"] == "none" and b.current == 1000
+    assert a.current == 500 and d3["dw-a"]["action"] == "scale_down"

@@ -313,3 +313,27 @@ def test_sys_catalog_join_spine_consistency(sysengine):
         """
     ).collect()[0].n
     assert dangling == 0
+
+
+def test_sqlops_dashboard_manifest_runs_every_widget(sysengine):
+    """samples/sqlops/package.json (the Azure Data Studio extension
+    manifest) parsed from the reference and executed: every insight
+    widget's query renders rows through the engine — the full dashboard,
+    not just the individual scripts."""
+    from sql_data_warehouse_samples_spark.pdw_catalog import (
+        dashboard_manifest,
+        run_dashboard,
+    )
+
+    manifest = dashboard_manifest(os.path.join(REF, "sqlops/package.json"))
+    assert len(manifest) == 8
+    by_name = {m["widget_name"]: m for m in manifest}
+    assert by_name["Storage Size"]["chart_type"] == "pie"
+    assert by_name["Data Distribution"]["chart_type"] == "bar"
+    assert {m["chart_type"] for m in manifest} == {
+        "count", "pie", "bar", "table", "horizontalBar"
+    }
+    frames = run_dashboard(sysengine, os.path.join(REF, "sqlops"))
+    assert set(frames) == {m["insight_id"] for m in manifest}
+    for iid, df in frames.items():
+        assert df.count() >= 1, iid
