@@ -168,9 +168,53 @@ def run_config(cores: int) -> dict:
         spark.stop()
 
 
+def grams_ladder() -> None:
+    """Mass-duplication probe for the ExactSubstr family: plant ONE
+    boilerplate document duplicated X times on top of the corpus and run
+    ``substring_dup_pairs``.  Star-formed gram edges emit (X-1) edges per
+    shared gram — runtime and edge count must grow ~LINEARLY in X; a
+    pairwise formulation would grow with X² and this probe would show it
+    immediately.
+
+        python scripts/scale_probe.py grams           # X = 100, 400, 1600
+        python scripts/scale_probe.py grams 50 500    # explicit ladder
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    ladder = [int(a) for a in sys.argv[2:]] or [100, 400, 1600]
+    spark = build_session(app_name="scale-probe-grams")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    boiler = " ".join(f"boiler{i}" for i in range(60))  # 60 tokens, 41 20-grams
+    report = []
+    for x in ladder:
+        dup = (
+            spark.range(x)
+            .select(
+                (F.col("id") + 1_000_000).alias("doc_id"),
+                F.lit(boiler).alias("text"),
+            )
+        )
+        corpus = docs.unionByName(dup).repartition(32).localCheckpoint(eager=True)
+        pairs = substring_dup_pairs(corpus, "text", "doc_id", n=20)
+        t0 = time.perf_counter()
+        n_edges = pairs.count()
+        dt = time.perf_counter() - t0
+        report.append({"x": x, "edges": n_edges, "sec": round(dt, 3)})
+    spark.stop()
+    print(json.dumps({"sf_dir": SF_DIR, "probe": "grams", "ladder": report}))
+
+
 def main() -> None:
     if sys.argv[1:2] == ["ntile"]:
         ntile_ladder()
+        return
+    if sys.argv[1:2] == ["grams"]:
+        grams_ladder()
         return
     ladder = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
     results = {c: run_config(c) for c in ladder}

@@ -100,3 +100,61 @@ def test_scd2_apply_open_row_uniqueness_and_idempotence(spark, dim_keys, snap, a
         (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"]) for r in rs
     )
     assert norm(again) == norm(rows)
+
+
+# ---------------------------------------------------------------------------
+# dirswap crash matrix (operators/dirswap.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dirswap_crash_matrix(tmp_path):
+    """Every crash point of the staged swap leaves the data recoverable:
+    before the swap the old data is live; between the renames recover()
+    restores it; after the second rename the new data is live whether or
+    not the __old cleanup ran."""
+    import os
+    import shutil
+
+    from sql_data_warehouse_samples_spark.operators.dirswap import (
+        recover,
+        swap_in,
+    )
+
+    def mk(name, content):
+        d = tmp_path / name
+        if d.exists():
+            shutil.rmtree(d)
+        d.mkdir()
+        (d / "data.txt").write_text(content)
+        return str(d)
+
+    def readback(path):
+        return open(os.path.join(path, "data.txt")).read()
+
+    # clean swap: new data live, __old gone
+    live, stage = mk("a", "old"), mk("a__stage", "new")
+    swap_in(live, stage)
+    assert readback(live) == "new" and not os.path.exists(f"{live}__old")
+
+    # crash BETWEEN the renames: live missing, __old holds the old data
+    live, stage = mk("b", "old"), mk("b__stage", "new")
+    shutil.move(live, f"{live}__old")  # simulate the torn state
+    assert recover(live) is True
+    assert readback(live) == "old"
+    assert recover(live) is False  # idempotent once healed
+
+    # crash AFTER rename-in but before __old cleanup: new data is live,
+    # recover() must NOT clobber it with the stale copy
+    live, stage = mk("c", "old"), mk("c__stage", "new")
+    shutil.move(live, f"{live}__old")
+    shutil.move(stage, live)
+    assert recover(live) is False
+    assert readback(live) == "new"
+
+    # verify() failure aborts with the old data preserved at __old
+    live, stage = mk("d", "old"), mk("d__stage", "bad")
+    try:
+        swap_in(live, stage, verify=lambda: (_ for _ in ()).throw(IOError("corrupt")))
+    except IOError:
+        pass
+    assert readback(f"{live}__old") == "old"  # manual/auto recovery possible

@@ -107,3 +107,53 @@ def test_convert_depth_scan_roundtrip(depth, typ, inner, style):
     out, _ = rewrite_tsql(f"SELECT CONVERT({tsql_t}, {arg}) AS x FROM t")
     assert f"CAST({expr} AS {spark_t})" in out
     assert "CONVERT" not in out.upper()
+
+
+# ---------------------------------------------------------------------------
+# T-SQL UPDATE statement splitter (engine._try_tsql_dml): the quote-aware
+# SET/WHERE scanner must never split inside string literals.
+# ---------------------------------------------------------------------------
+
+_set_val = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           blacklist_characters="'"),
+    min_size=0, max_size=24,
+)
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dml_engine(spark):
+    from sql_data_warehouse_samples_spark.engine import Engine
+
+    return Engine(spark)
+
+
+@given(v1=_set_val, v2=_set_val)
+@settings(max_examples=60, deadline=None)
+def test_update_split_survives_commas_and_where_in_literals(dml_engine, v1, v2):
+    """Whatever printable junk the literals carry — commas, the word
+    WHERE, brackets, parens — the parser must find exactly the two SET
+    assignments and the real WHERE clause."""
+    eng = dml_engine
+    captured = {}
+
+    def fake_update(table, assigns, pred):
+        captured["table"], captured["assigns"], captured["pred"] = (
+            table, dict(assigns), pred,
+        )
+        return 0
+
+    eng.catalog.update_where = fake_update
+    lit1 = v1.replace("'", "''")
+    lit2 = v2.replace("'", "''")
+    eng._try_tsql_dml(
+        f"UPDATE t SET a = '{lit1}', b = '{lit2}' WHERE id = 1"
+    )
+    assert captured["table"] == "t"
+    assert set(captured["assigns"]) == {"a", "b"}
+    # the rewriter doubles backslashes (T-SQL literals are escape-free)
+    assert captured["assigns"]["a"] == "'{}'".format(lit1.replace("\\", "\\\\"))
+    assert captured["assigns"]["b"] == "'{}'".format(lit2.replace("\\", "\\\\"))
+    assert captured["pred"].strip() == "id = 1"
