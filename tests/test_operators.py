@@ -2047,3 +2047,60 @@ def test_ivfpq_full_probe_matches_pq_topk_and_prunes(spark, tmp_path):
     assert idx2.codebooks == idx.codebooks
     got2 = sorted(map(tuple, idx2.search(q, k=3, nprobe=8).collect()))
     assert got2 == want
+
+
+def test_url_blocklist_filter_and_normalization(spark):
+    """URL curation gate (operators/web.py; C4 §2.2 / RefinedWeb §3.1):
+    registered-domain blocklist matching catches subdomains and
+    multi-label public suffixes; normalization collapses tracking-param/
+    case/port/fragment variants; the corpus side never shuffles (the
+    blocklist broadcasts)."""
+    from sql_data_warehouse_samples_spark.operators.web import (
+        filter_url_blocklist,
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/path/?utm_source=x&q=1#frag"),
+            (2, "https://a.b.evil.co.uk/page"),
+            (3, "https://good.org/x/"),
+            (4, "not a url"),
+            (5, None),
+            (6, "https://sub.example.com/y?fbclid=abc"),
+            (7, "http://example.com/path?utm_source=x"),
+        ],
+        "doc_id: long, url: string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            url_host("url").alias("h"),
+            normalize_url("url").alias("n"),
+            registered_domain(url_host("url")).alias("d"),
+        ).collect()
+    }
+    assert rows[1]["h"] == "www.example.com"
+    assert rows[1]["n"] == "http://www.example.com/path/?q=1"  # ? promoted back
+    assert rows[1]["d"] == "example.com"
+    assert rows[2]["d"] == "evil.co.uk"     # multi-label public suffix
+    assert rows[6]["d"] == "example.com"    # subdomain collapses
+    assert rows[7]["n"] == "http://example.com/path"  # bare tracking param
+    assert rows[4]["h"] is None and rows[5]["n"] is None
+
+    kept = filter_url_blocklist(df, "url", ["Example.COM", "evil.co.uk"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    kept2 = filter_url_blocklist(
+        df, "url", ["example.com"], keep_unparseable=True
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 4, 5]
+    # the gate is a broadcast anti-join: the CORPUS side never exchanges
+    # (the only hash exchange allowed is the tiny blocklist's distinct)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "__bl_domain" in ln, ln
