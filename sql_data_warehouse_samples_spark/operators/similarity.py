@@ -933,10 +933,12 @@ class IvfPqIndex:
         path: str,
         centroids: list[tuple[int, list[float]]],
         codebooks: list[list[tuple[int, list[float]]]],
+        residual: bool = False,
     ) -> None:
         self.path = path
         self.centroids = centroids
         self.codebooks = codebooks
+        self.residual = residual
 
     @classmethod
     def build(
@@ -951,7 +953,15 @@ class IvfPqIndex:
         train_iters: int = 0,
         pq_iters: int = 0,
         round_to: int = 6,
+        residual: bool = False,
     ) -> "IvfPqIndex":
+        """``residual=True`` encodes ``x − centroid(x)`` instead of the
+        raw vector (the FAISS IVF-PQ default, Jégou 2011 §V.A): residuals
+        have lower variance than the vectors themselves when the coarse
+        clustering is informative, so the same m×k codebook budget
+        quantizes them more finely.  The residual is one broadcast join
+        against the nlist-row centroid frame + a zip_with — map-only,
+        nothing about the write path changes."""
         spark = corpus.sparkSession
         if train_iters > 0:
             centroids = kmeans_centroids(
@@ -959,16 +969,6 @@ class IvfPqIndex:
             )
         else:
             centroids = seed_centroids(corpus, id_col, vec_col, nlist)
-        if pq_iters > 0:
-            books = pq_train(
-                corpus, id_col, vec_col, m, k_pq, iters=pq_iters, round_to=round_to
-            )
-        else:
-            books = pq_codebooks(corpus, id_col, vec_col, m, k_pq)
-        encoded = pq_encode(corpus, books, id_col, vec_col, round_to).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
-        )
         assigned = assign_centroids(
             _spread(
                 corpus.select(
@@ -979,9 +979,36 @@ class IvfPqIndex:
             "__cvec",
             centroids,
             round_to,
-        ).select("neighbor_id", "centroid_id")
+        )
+        if residual:
+            cents_df = spark.createDataFrame(
+                list(centroids), "centroid_id long, __cent array<double>"
+            )
+            enc_src = assigned.join(F.broadcast(cents_df), "centroid_id").withColumn(
+                "__evec",
+                F.zip_with(
+                    "__cvec", "__cent", lambda a, b: a.cast("double") - b
+                ),
+            )
+        else:
+            enc_src = assigned.withColumn("__evec", F.col("__cvec"))
+        train_frame = enc_src.select(
+            F.col("neighbor_id").alias("vec_id"), F.col("__evec").alias("embedding")
+        )
+        if pq_iters > 0:
+            books = pq_train(train_frame, m=m, k=k_pq, iters=pq_iters,
+                             round_to=round_to)
+        else:
+            books = pq_codebooks(train_frame, m=m, k=k_pq)
+        encoded = pq_encode(
+            enc_src, books, id_col="neighbor_id", vec_col="__evec",
+            round_to=round_to,
+        ).select(
+            F.col("neighbor_id"),
+            F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
+        )
         (
-            encoded.join(assigned, "neighbor_id")
+            encoded.join(assigned.select("neighbor_id", "centroid_id"), "neighbor_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(f"{path}/lists")
@@ -993,7 +1020,10 @@ class IvfPqIndex:
             [(j, c, v) for j, b in enumerate(books) for c, v in b],
             "j long, code long, vec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-        return cls(path, list(centroids), books)
+        spark.createDataFrame(
+            [(bool(residual), m, k_pq)], "residual boolean, m long, k_pq long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+        return cls(path, list(centroids), books, residual=residual)
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
@@ -1006,7 +1036,13 @@ class IvfPqIndex:
         books: list[list] = [[] for _ in range(m)]
         for r in rows:
             books[r["j"]].append((int(r["code"]), [float(x) for x in r["vec"]]))
-        return cls(path, cents, [sorted(b) for b in books])
+        try:
+            residual = bool(
+                spark.read.parquet(f"{path}/params").first()["residual"]
+            )
+        except Exception:  # pre-residual layout
+            residual = False
+        return cls(path, cents, [sorted(b) for b in books], residual=residual)
 
     def search(
         self,
@@ -1019,7 +1055,12 @@ class IvfPqIndex:
     ) -> DataFrame:
         """Probe-pruned ADC search: the scan opens only the probed lists
         (static partition filter), candidates rank by the per-query
-        lookup-table fold over stored codes — no raw vector is read."""
+        lookup-table fold over stored codes — no raw vector is read.
+
+        Residual indexes compute the lookup tables per (query, probed
+        centroid) from ``q − c`` instead of per query — nprobe× more
+        table math on the broadcast side (still m×k doubles per probe
+        row, driver/broadcast-sized), identical list-side cost."""
         from pyspark.sql import Window
 
         spark = queries.sparkSession
@@ -1030,9 +1071,9 @@ class IvfPqIndex:
         )
         qvec = F.col(vec_col)
 
-        def _table(j: int) -> Column:
+        def _table(j: int, base: Column) -> Column:
             sub = F.transform(
-                F.slice(qvec, j * d_sub + 1, d_sub), lambda x: x.cast("double")
+                F.slice(base, j * d_sub + 1, d_sub), lambda x: x.cast("double")
             )
             return F.transform(
                 _cent_literal(self.codebooks[j]),
@@ -1040,18 +1081,26 @@ class IvfPqIndex:
             )
 
         q = queries.select(
-            F.col(id_col).alias("query_id"),
-            qvec.alias("__qvec"),
-            F.array(*[_table(j) for j in range(m)]).alias("__tabs"),
+            F.col(id_col).alias("query_id"), qvec.alias("__qvec")
         )
         q_d2 = F.round(l2sq(F.col("__qvec"), F.col("__cent")), round_to)
         w_q = Window.partitionBy("query_id").orderBy("__d2", "centroid_id")
-        q_probe = (
+        probe_base = (
             q.crossJoin(F.broadcast(cents))
             .withColumn("__d2", q_d2)
             .withColumn("__r", F.row_number().over(w_q))
             .filter(F.col("__r") <= nprobe)
-            .select("query_id", "__tabs", "centroid_id")
+        )
+        if self.residual:
+            tab_base = F.zip_with(
+                "__qvec", "__cent", lambda a, b: a.cast("double") - b
+            )
+        else:
+            tab_base = F.col("__qvec")
+        q_probe = probe_base.select(
+            "query_id",
+            F.array(*[_table(j, tab_base) for j in range(m)]).alias("__tabs"),
+            "centroid_id",
         )
         probed = sorted(
             r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
