@@ -1131,3 +1131,73 @@ class IvfPqIndex:
             .filter(F.col("nbr_rank") <= k)
             .select("query_id", "neighbor_id", "adc_d2", "nbr_rank")
         )
+
+    def _lists(self, spark) -> DataFrame:
+        from .dirswap import recover
+
+        recover(f"{self.path}/lists")
+        return spark.read.parquet(f"{self.path}/lists")
+
+    def add(self, batch: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding", round_to: int = 6) -> None:
+        """Incremental maintenance under the FROZEN quantizer AND frozen
+        codebooks (the IVF-PQ serving pattern): assign, residual-shift if
+        the index is residual, encode, append — cost scales with the
+        batch; existing list files untouched."""
+        spark = batch.sparkSession
+        assigned = assign_centroids(
+            _spread(
+                batch.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__cvec"),
+                )
+            ),
+            "__cvec",
+            self.centroids,
+            round_to,
+        )
+        if self.residual:
+            cents_df = spark.createDataFrame(
+                list(self.centroids), "centroid_id long, __cent array<double>"
+            )
+            enc_src = assigned.join(
+                F.broadcast(cents_df), "centroid_id"
+            ).withColumn(
+                "__evec",
+                F.zip_with("__cvec", "__cent", lambda a, b: a.cast("double") - b),
+            )
+        else:
+            enc_src = assigned.withColumn("__evec", F.col("__cvec"))
+        encoded = pq_encode(
+            enc_src, self.codebooks, id_col="neighbor_id", vec_col="__evec",
+            round_to=round_to,
+        ).select(
+            "neighbor_id",
+            F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
+        )
+        (
+            encoded.join(assigned.select("neighbor_id", "centroid_id"), "neighbor_id")
+            .write.partitionBy("centroid_id")
+            .mode("append")
+            .parquet(f"{self.path}/lists")
+        )
+
+    def compact(self, spark, files_per_list: int = 1) -> int:
+        """Rebuild accumulated add() appends into ``files_per_list``
+        files per centroid partition via the verified staged swap
+        (same crash contract as IvfIndex.compact / the ledger)."""
+        from .dirswap import swap_in
+
+        lists = self._lists(spark)
+        stage = f"{self.path}/lists__compact"
+        (
+            lists.repartition(files_per_list * max(len(self.centroids), 1),
+                              "centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        n = spark.read.parquet(stage).count()
+        live = f"{self.path}/lists"
+        swap_in(live, stage, verify=lambda: spark.read.parquet(live).first())
+        return n

@@ -2148,3 +2148,31 @@ def test_ivfpq_residual_encoding_exact_adc_and_roundtrip(spark, tmp_path):
     got2 = sorted(map(tuple, idx2.search(e.filter("vec_id < 3"), k=5, nprobe=4).collect()))
     got1 = sorted(map(tuple, idx.search(e.filter("vec_id < 3"), k=5, nprobe=4).collect()))
     assert got1 == got2
+
+
+def test_ivfpq_incremental_add_and_compact(spark, tmp_path):
+    """IvfPqIndex.add: new batches land under the frozen quantizer AND
+    frozen codebooks (residual-shifted when the index is residual);
+    compact() rebuilds the accumulated appends with results unchanged."""
+    from sql_data_warehouse_samples_spark.operators.similarity import IvfPqIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter("vec_id < 40")
+    extra = e.filter("vec_id >= 40 AND vec_id < 50")
+    path = str(tmp_path / "ivfpq_add")
+    idx = IvfPqIndex.build(base, path, nlist=4, m=8, k_pq=8, residual=True)
+    idx.add(extra)
+    # the appended vectors are searchable and rank identically to an
+    # index built over the union in one shot (same frozen artifacts:
+    # seeds come from vec_id < k, present in base)
+    q = e.filter("vec_id < 3")
+    got = sorted(map(tuple, idx.search(q, k=5, nprobe=4).collect()))
+    path2 = str(tmp_path / "ivfpq_all")
+    idx_all = IvfPqIndex.build(
+        e.filter("vec_id < 50"), path2, nlist=4, m=8, k_pq=8, residual=True
+    )
+    want = sorted(map(tuple, idx_all.search(q, k=5, nprobe=4).collect()))
+    assert got == want
+    n = idx.compact(spark)
+    assert n == 50
+    assert sorted(map(tuple, idx.search(q, k=5, nprobe=4).collect())) == want
