@@ -61,6 +61,10 @@ HEADLINE = [
     "d11_substring_dup_pairs",
     "d14_duplicate_span_removal",
     "s06_pq_codes",
+    # round-4 new operators: shuffle-shards, keep-best dedup, BM25 search
+    "p02_training_shards",
+    "d15_cluster_canonical",
+    "s07_bm25_topk",
 ]
 
 

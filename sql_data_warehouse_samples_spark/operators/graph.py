@@ -183,3 +183,46 @@ def duplicate_clusters(
     return cc.withColumn(
         "is_canonical", (F.col(id_col) == F.col("component")).cast("boolean")
     )
+
+
+def canonical_by_score(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-pick each duplicate cluster's survivor by QUALITY, not min-id.
+
+    ``duplicate_clusters`` keeps the minimum id — fine for exact dups where
+    members are byte-identical, but near-dup clusters mix a clean original
+    with mangled copies and the keeper should be the best one (the
+    keep-best convention in production dedup pipelines, e.g. quality-
+    filtered C4/RefinedWeb stages keep the highest-scoring member).
+
+    ``clusters``: (id, component) — ``duplicate_clusters`` output.
+    ``scores``:   (id, score) — e.g. operators/text.py quality_score.
+
+    Returns (id, component, score, is_canonical) where exactly one member
+    per component is canonical: max score, ties broken by min id (so the
+    choice is total-order deterministic).
+
+    Scale: one equi-join on id + one ``max_by`` aggregate keyed by
+    component and an equi-join of the winners back on component (the agg's
+    own partitioning — AQE sizes or broadcasts it) — no window over the
+    full corpus, no per-cluster materialization; a degenerate giant
+    cluster costs one combiner-friendly agg, never a row blowup.
+    """
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    # winner per component: lexicographic max of (score, -id) — max_by is
+    # a map-side-combinable aggregate, unlike a row_number window
+    winners = joined.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("__neg")),
+        ).alias("__winner")
+    )
+    return (
+        joined.join(winners, "component")
+        .withColumn("is_canonical", (F.col(id_col) == F.col("__winner")).cast("boolean"))
+        .drop("__winner")
+    )

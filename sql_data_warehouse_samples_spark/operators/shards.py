@@ -1,0 +1,103 @@
+"""Deterministic corpus shuffle + training-shard export.
+
+Training runs need the corpus in a RANDOM but REPRODUCIBLE order, cut into
+fixed-count shards that data-loader workers can claim independently.  The
+naive recipe — ``ORDER BY rand()`` — is wrong twice at 100 TB: `rand()` is
+per-partition-seeded (changes under repartitioning, irreproducible across
+engines) and a global sort is an all-data range exchange whose only purpose
+is randomness we can get for free from a hash.
+
+Recipe here (the standard keyed-hash shuffle, same family as
+``operators/sampling.py``):
+
+* ``shuffle_hash(key, seed)`` — md5 of the seed-prefixed key.  Uniform,
+  deterministic, identical hex in Spark and DuckDB, so shard membership
+  and intra-shard order are exactly reproducible in the oracle.
+* ``shard_assign`` — the first 12 hex digits (48 bits) as an integer,
+  mod ``n_shards``: map-only, no coordination, shards are iid samples of
+  the corpus (each ≈ |corpus|/n in expectation; no global count needed).
+* ``write_training_shards`` — ONE exchange (hash-repartition on the shard
+  id), files sorted by the shuffle hash, directory-partitioned by
+  ``shard=<i>`` so a loader worker opens exactly its shard's files.
+  A new ``seed`` re-shuffles the corpus for the next epoch without any
+  logic change; the write is the same single exchange.
+
+Changing ``n_shards`` reassigns rows (mod arithmetic), but membership for a
+fixed (seed, n_shards) is stable under corpus growth ONLY for existing
+keys — new docs land uniformly.  That is the property training wants:
+shards stay balanced, assignment never depends on physical layout.
+
+Reference anchor: the reference distributes on a hash column at CTAS time
+(DISTRIBUTION = HASH, SURVEY §2.9 D2) for join co-location; this operator
+is the training-export counterpart where the hash is seeded and the goal is
+reproducible randomness rather than co-location.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 12 hex digits = 48 bits — fits a signed 64-bit integer in both engines
+#: (DuckDB: ``CAST('0x' || SUBSTR(md5(x), 1, 12) AS BIGINT)``).
+_PREFIX_HEX = 12
+
+
+def shuffle_hash(key: Column | str, seed: str = "") -> Column:
+    """Full md5 hex of the seed-prefixed key: the reproducible random
+    order.  Lowercase-hex string comparison is identical across engines."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(seed), k.cast("string")))
+
+
+def shard_assign(key: Column | str, n_shards: int, seed: str = "") -> Column:
+    """Deterministic shard id in ``[0, n_shards)`` — map-only."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    prefix = F.substring(shuffle_hash(key, seed), 1, _PREFIX_HEX)
+    return F.pmod(F.conv(prefix, 16, 10).cast("long"), F.lit(n_shards))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+    shard_col: str = "shard_id",
+    order_col: str = "__shuffle",
+) -> DataFrame:
+    """Annotate ``df`` with its shard id and intra-shard shuffle key.
+
+    Pure projection — the exchange happens only at write time (or never,
+    if the caller just needs the assignment)."""
+    return df.withColumn(
+        shard_col, shard_assign(F.col(key_col), n_shards, seed)
+    ).withColumn(order_col, shuffle_hash(F.col(key_col), seed))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize shuffled training shards under ``path/shard_id=<i>/``.
+
+    ONE hash exchange on the shard id; every file is internally sorted by
+    the shuffle hash, so a loader streaming a shard's files in name order
+    reads the reproducible shuffled order without any further sort.
+    (Two shards may share an exchange task — ``partitionBy`` still splits
+    them into their own directories, and the sort is prefixed by the shard
+    id so each file stays ordered.)"""
+    z = shuffle_shards(df, key_col, n_shards, seed)
+    (
+        z.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "__shuffle")
+        .drop("__shuffle")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -1175,3 +1175,187 @@ FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
 def d14_duplicate_span_removal(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return D.remove_duplicate_spans(d, "text", "doc_id", n=20)
+
+
+# ---------------------------------------------------------------------------
+# p02 — deterministic corpus shuffle -> training shards (operators/shards.py).
+# Shard membership and intra-shard order are keyed md5 (portable hex), so the
+# oracle recomputes BOTH exactly: per-shard doc counts, char mass, and the
+# first document in shuffled order.
+# ---------------------------------------------------------------------------
+
+_P02_SEED, _P02_SHARDS = "epoch0", 8
+
+
+@query(
+    "p02_training_shards",
+    oracle=rf"""
+WITH z AS (
+  SELECT doc_id, n_chars,
+         md5('{_P02_SEED}' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || SUBSTR(md5('{_P02_SEED}' || CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) % {_P02_SHARDS} AS shard_id
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       arg_min(doc_id, h) AS first_doc,
+       MIN(h) AS first_hash
+FROM z GROUP BY shard_id ORDER BY shard_id
+""",
+)
+def p02_training_shards(spark, sf_dir):
+    """Reproducible training-shard assignment: map-only keyed-hash shuffle
+    (operators/shards.py) — the query aggregates per-shard balance stats
+    and the head of each shard's shuffled order, all oracle-exact."""
+    from ..operators.shards import shuffle_shards
+
+    d = tbl(spark, sf_dir, "documents")
+    z = shuffle_shards(d, "doc_id", _P02_SHARDS, seed=_P02_SEED)
+    return (
+        z.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min_by("doc_id", "__shuffle").alias("first_doc"),
+            F.min("__shuffle").alias("first_hash"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d15 — quality-weighted canonical selection per duplicate cluster
+# (operators/graph.py canonical_by_score): d09's connected components with
+# the survivor re-picked as the highest-quality member (t02's score,
+# rounded-6 on BOTH sides so the argmax is engine-portable).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d15_cluster_canonical",
+    oracle=rf"""
+WITH RECURSIVE
+hashed AS (
+  SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+exact_e AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+docs AS (
+  SELECT doc_id, list_distinct(string_split_regex(TRIM(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 40
+),
+jac_e AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE LEN(list_intersect(a.toks, b.toks))
+        / NULLIF(CAST(LEN(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0) >= 0.6
+),
+und AS (SELECT s, t FROM exact_e UNION SELECT s, t FROM jac_e),
+edges AS (SELECT s, t FROM und UNION SELECT t AS s, s AS t FROM und),
+reach AS (
+  SELECT s AS node, s AS comp FROM edges
+  UNION
+  SELECT e.t AS node, r.comp FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+  FROM reach GROUP BY node
+),
+q AS (
+  SELECT doc_id,
+         ROUND(0.5 * (LEN(list_distinct(toks)) / NULLIF(CAST(LEN(toks) AS DOUBLE), 0))
+             + 0.3 * LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * (1.0 - LEN(list_filter(toks, t -> list_contains([{_SW}], t)))
+                            / NULLIF(CAST(LEN(toks) AS DOUBLE), 0)), 6) AS quality
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents)
+),
+j AS (SELECT c.doc_id, c.component, q.quality FROM comp c JOIN q USING (doc_id)),
+w AS (
+  SELECT component, doc_id AS winner,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM j
+)
+SELECT j.doc_id, j.component, j.quality,
+       CAST(j.doc_id = w.winner AS BOOLEAN) AS is_canonical
+FROM j JOIN (SELECT component, winner FROM w WHERE rn = 1) w USING (component)
+ORDER BY j.doc_id
+""",
+)
+def d15_cluster_canonical(spark, sf_dir):
+    """Keep-best dedup: d09's duplicate clusters with the survivor chosen
+    by t02 quality instead of min-id (operators/graph.py
+    canonical_by_score — one max_by agg, no full-corpus window)."""
+    from ..operators.graph import canonical_by_score, duplicate_clusters, star_edges
+
+    d = tbl(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(D.normalized_text("text")).alias("h"))
+    exact_e = star_edges(hashed, "h", "doc_id")
+    toks = (
+        d.filter(F.col("doc_id") < 40)
+        .select("doc_id", F.array_distinct(T.tokens("text")).alias("toks"))
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
+    jac_e = (
+        ta.join(tb, F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .filter(inter / F.nullif(union, F.lit(0.0)) >= 0.6)
+        .select(F.col("ta.doc_id").alias("id_a"), F.col("tb.doc_id").alias("id_b"))
+    )
+    clusters = duplicate_clusters(exact_e.union(jac_e), "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    quality = d.select("doc_id", T.quality_score("text").alias("quality"))
+    return (
+        canonical_by_score(clusters, quality, id_col="doc_id", score_col="quality")
+        .select("doc_id", "component", "quality", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s07 — BM25 full-text relevance (operators/bm25.py): the lexical
+# counterpart to the embedding top-k family.  Score rounded to 6 places on
+# both sides so the (score DESC, doc_id) ordering is engine-portable.
+# ---------------------------------------------------------------------------
+
+_S07_QUERY, _S07_K = "spark hash join window", 10
+_S07_TERMS = "'" + "','".join(_S07_QUERY.split()) + "'"
+
+
+@query(
+    "s07_bm25_topk",
+    oracle=rf"""
+WITH sized AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS dl,
+         list_filter(string_split_regex(TRIM(text), '\s+'),
+                     t -> list_contains([{_S07_TERMS}], t)) AS hits
+  FROM documents
+),
+consts AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM sized),
+hit AS (SELECT doc_id, dl, unnest(hits) AS term FROM sized),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hit GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term)
+SELECT doc_id,
+       ROUND(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS bm25
+FROM tf JOIN dfreq USING (term) CROSS JOIN consts
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_S07_K}
+""",
+)
+def s07_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k over the corpus for a fixed query (k1=1.2,
+    b=0.75) — hits filtered to query terms BEFORE the explode, corpus
+    constants one broadcast scalar, top-k a TakeOrdered."""
+    from ..operators.bm25 import bm25_topk
+
+    d = tbl(spark, sf_dir, "documents")
+    return bm25_topk(d, _S07_QUERY, k=_S07_K)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SMOKE_SF_DIR
+
 
 @pytest.fixture(scope="module")
 def docs_with_dups(spark):
@@ -2176,3 +2178,226 @@ def test_ivfpq_incremental_add_and_compact(spark, tmp_path):
     n = idx.compact(spark)
     assert n == 50
     assert sorted(map(tuple, idx.search(q, k=5, nprobe=4).collect())) == want
+
+
+# ---------------------------------------------------------------------------
+# training shards (operators/shards.py)
+# ---------------------------------------------------------------------------
+
+
+def test_training_shards_partitioned_sorted_and_reshuffled(spark, tmp_path):
+    """write_training_shards: every row lands in its assigned shard
+    directory sorted by the shuffle hash; a new seed re-orders the corpus;
+    nothing is lost or duplicated."""
+    from sql_data_warehouse_samples_spark.operators.shards import (
+        shard_assign,
+        shuffle_hash,
+        write_training_shards,
+    )
+
+    d = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    path = str(tmp_path / "shards")
+    write_training_shards(d, path, "doc_id", 4, seed="ep0")
+
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    assert back.select("doc_id").distinct().count() == d.count()
+    # directory partition value == recomputed assignment, for every row
+    mism = back.withColumn(
+        "__want", shard_assign(F.col("doc_id"), 4, "ep0")
+    ).filter(F.col("shard_id") != F.col("__want"))
+    assert mism.count() == 0
+
+    # each shard file is internally sorted by the shuffle hash
+    import glob
+
+    files = sorted(glob.glob(f"{path}/shard_id=0/*.parquet"))
+    assert files
+    one = spark.read.parquet(files[0]).withColumn(
+        "h", shuffle_hash(F.col("doc_id"), "ep0")
+    )
+    hs = [r.h for r in one.collect()]
+    assert hs == sorted(hs)
+
+    # epoch reshuffle: a different seed produces a different head-of-shard
+    d2 = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    a = {r.shard_id: r.first for r in d2.select(
+        shard_assign(F.col("doc_id"), 4, "ep0").alias("shard_id"),
+        shuffle_hash(F.col("doc_id"), "ep0").alias("h"), "doc_id",
+    ).groupBy("shard_id").agg(F.min_by("doc_id", "h").alias("first")).collect()}
+    b = {r.shard_id: r.first for r in d2.select(
+        shard_assign(F.col("doc_id"), 4, "ep1").alias("shard_id"),
+        shuffle_hash(F.col("doc_id"), "ep1").alias("h"), "doc_id",
+    ).groupBy("shard_id").agg(F.min_by("doc_id", "h").alias("first")).collect()}
+    assert a != b
+
+    # balance: uniform hash keeps shards within 3x of each other at n=2000
+    sizes = [
+        r["count"]
+        for r in d2.select(shard_assign(F.col("doc_id"), 4, "ep0").alias("s"))
+        .groupBy("s").count().collect()
+    ]
+    assert len(sizes) == 4 and max(sizes) < 3 * min(sizes)
+
+
+# ---------------------------------------------------------------------------
+# HLL corpus profiles (operators/profiles.py)
+# ---------------------------------------------------------------------------
+
+
+def test_token_profile_estimate_bound_and_lossless_merge(spark):
+    from sql_data_warehouse_samples_spark.operators.profiles import (
+        estimate,
+        merge_profiles,
+        token_profile,
+    )
+    from sql_data_warehouse_samples_spark.operators.text import tokens
+
+    d = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    prof = token_profile(d, ["source"])
+    est = {r.source: r.approx_distinct_tokens for r in estimate(prof).collect()}
+    exact = {
+        r.source: r.n
+        for r in d.select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for s, n in exact.items():
+        # lg_k=12 => ~1.6% rse; allow 5% (and small-n exactness regions)
+        assert abs(est[s] - n) <= max(1, 0.05 * n), (s, est[s], n)
+
+    # union of increment sketches == single full-corpus sketch, exactly
+    parts = [
+        token_profile(d.filter(F.col("doc_id") % 3 == i), ["source"])
+        for i in range(3)
+    ]
+    merged = estimate(merge_profiles(parts, ["source"])).orderBy("source")
+    full = estimate(prof).orderBy("source")
+    assert [r.asDict() for r in merged.collect()] == [
+        r.asDict() for r in full.collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_whitening_invariants(spark):
+    """Whitened projection: identity covariance; unwhitened: variances
+    sorted descending; transform is repartition-stable."""
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators.pca import fit_pca
+
+    e = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    model = fit_pca(e, "embedding", k=4, whiten=True)
+    P = np.array(
+        model.transform(e).select("projected").toPandas()["projected"].tolist()
+    )
+    cov = np.cov(P.T)
+    assert np.abs(np.diag(cov) - 1.0).max() < 0.05
+    assert np.abs(cov - np.diag(np.diag(cov))).max() < 0.05
+
+    raw = fit_pca(e, "embedding", k=4, whiten=False)
+    R = np.array(
+        raw.transform(e).select("projected").toPandas()["projected"].tolist()
+    )
+    vars_ = R.var(axis=0)
+    assert all(vars_[i] >= vars_[i + 1] - 1e-9 for i in range(len(vars_) - 1))
+
+    # map-only transform is stable under physical repartitioning
+    again = np.array(
+        raw.transform(e.repartition(13))
+        .orderBy("vec_id")
+        .select("projected")
+        .toPandas()["projected"]
+        .tolist()
+    )
+    base = np.array(
+        raw.transform(e).orderBy("vec_id").select("projected")
+        .toPandas()["projected"].tolist()
+    )
+    assert np.allclose(again, base)
+
+
+def test_pca_truncation_error_shrinks_with_k(spark):
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators.pca import fit_pca
+
+    e = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    X = np.array(e.select("embedding").toPandas()["embedding"].tolist())
+    Xc = X - X.mean(axis=0)
+    total = (Xc**2).sum()
+    errs = []
+    for k in (2, 4, 8):
+        m = fit_pca(e, "embedding", k=k)
+        P = np.array(
+            m.transform(e).select("projected").toPandas()["projected"].tolist()
+        )
+        errs.append(total - (P**2).sum())  # Parseval: captured energy grows
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] >= -1e-6
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted canonical selection (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_by_score_argmax_and_tiebreak(spark):
+    from sql_data_warehouse_samples_spark.operators.graph import canonical_by_score
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1), (20, 0.0)],
+        "id long, score double",
+    )
+    out = {r.id: r.is_canonical for r in canonical_by_score(clusters, scores).collect()}
+    # max score wins; equal scores -> min id; singleton is its own canonical
+    assert out == {1: False, 2: True, 3: False, 10: True, 11: False, 20: True}
+
+
+# ---------------------------------------------------------------------------
+# BM25 (operators/bm25.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_exact_tiny_corpus_and_guards(spark):
+    """Hand-checkable corpus: a doc with more query-term mass outranks a
+    longer diluted one; docs without query terms never appear."""
+    import math
+
+    import pytest as _pytest
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),
+            (2, "spark and a very long document about nothing relevant here"),
+            (3, "completely unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, "spark join", k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert ids == [1, 2]  # doc 3 has no hits at all
+    # manual Okapi check for doc 1 / term 'spark': tf=2, df=2, N=3, dl=3
+    avgdl = (3 + 10 + 4) / 3.0
+    idf_spark = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    idf_join = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    norm = 1.2 * (1 - 0.75 + 0.75 * 3 / avgdl)
+    want1 = idf_spark * (2 * 2.2) / (2 + norm) + idf_join * (1 * 2.2) / (1 + norm)
+    assert abs(got[0].bm25 - round(want1, 6)) < 1e-6
+
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, "   ")
