@@ -158,3 +158,62 @@ def test_dirswap_crash_matrix(tmp_path):
     except IOError:
         pass
     assert readback(f"{live}__old") == "old"  # manual/auto recovery possible
+
+
+# ---------------------------------------------------------------------------
+# shard assignment (operators/shards.py): total, stable, in-range
+# ---------------------------------------------------------------------------
+
+_ids = st.lists(st.integers(min_value=-(10**9), max_value=10**9),
+                min_size=1, max_size=30, unique=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ids=_ids, n=st.integers(min_value=1, max_value=9),
+       seed=st.sampled_from(["", "ep0", "ep1"]))
+def test_shard_assign_total_stable_in_range(spark, ids, n, seed):
+    """Every key gets exactly one shard in [0, n); the assignment is a pure
+    function of (key, seed, n) — identical under repartitioning."""
+    from sql_data_warehouse_samples_spark.operators.shards import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    a = {r.id: r.s for r in df.select(
+        "id", shard_assign(F.col("id"), n, seed).alias("s")).collect()}
+    assert set(a) == set(ids)
+    assert all(0 <= s < n for s in a.values())
+    b = {r.id: r.s for r in df.repartition(5).select(
+        "id", shard_assign(F.col("id"), n, seed).alias("s")).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# canonical_by_score (operators/graph.py): exactly one winner per component
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_canonical_by_score_exactly_one_winner(spark, data):
+    ids = data.draw(st.lists(st.integers(0, 50), min_size=1, max_size=15,
+                             unique=True))
+    comp = {i: data.draw(st.sampled_from(ids)) for i in ids}
+    score = {i: data.draw(st.sampled_from([0.0, 0.25, 0.5, 0.5, 1.0]))
+             for i in ids}
+
+    from sql_data_warehouse_samples_spark.operators.graph import canonical_by_score
+
+    clusters = spark.createDataFrame(
+        [(i, comp[i]) for i in ids], "id long, component long")
+    scores = spark.createDataFrame(
+        [(i, score[i]) for i in ids], "id long, score double")
+    rows = canonical_by_score(clusters, scores).collect()
+    assert len(rows) == len(ids)
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for c, members in by_comp.items():
+        winners = [r.id for r in members if r.is_canonical]
+        assert len(winners) == 1, (c, members)
+        # reference model: max score, tiebreak min id
+        best = sorted(members, key=lambda r: (-r.score, r.id))[0]
+        assert winners[0] == best.id
