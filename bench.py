@@ -65,6 +65,7 @@ HEADLINE = [
     "p02_training_shards",
     "d15_cluster_canonical",
     "s07_bm25_topk",
+    "q61_waiting_suppliers",
 ]
 
 

@@ -1389,3 +1389,172 @@ def q60_scd2_dimension(spark, sf_dir):
     return scd2_apply(
         dim, snapshot, "cust_id", as_of="2024-01-01 00:00:00", close_missing=True
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — TPC-H Q21 shape (multi-EXISTS + NOT-EXISTS over a self-joined fact):
+# suppliers whose shipment was the LAST to ship inside a multi-supplier
+# order ("kept the order waiting").  EXISTS → left_semi with a residual
+# non-equi conjunct, NOT EXISTS → left_anti with a residual inequality —
+# the J10/J11 building blocks composed the way the reference's samples
+# compose them (samples/scripts/queries subquery patterns; SURVEY §2.3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q61_waiting_suppliers",
+    oracle="""
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def q61_waiting_suppliers(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = tbl(spark, sf_dir, "supplier")
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    # all three lineitem legs share the l_orderkey equi-key: one exchange
+    # feeds the semi, the anti, and the orders join (AQE reuses it)
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+        .join(o, F.col("o_orderkey") == F.col("l1.l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — TPC-H Q2 shape (correlated MIN subquery): the cheapest supplier
+# observed for each part, rewritten the Spark-idiomatic way — a groupBy-min
+# derived table joined back on (partkey, min_price) instead of a per-row
+# correlated scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_cheapest_supplier_per_part",
+    oracle="""
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, o.best_price
+FROM offer o
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE o.best_price = (SELECT MIN(best_price) FROM offer o2
+                      WHERE o2.l_partkey = o.l_partkey)
+  AND p.p_size >= 40
+ORDER BY o.best_price, p.p_partkey, s.s_name
+""",
+)
+def q62_cheapest_supplier_per_part(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = tbl(spark, sf_dir, "supplier")
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    # correlated (SELECT MIN.. WHERE partkey=o.partkey) -> one more partial
+    # agg on the SAME l_partkey key + equi-join back: no per-row rescan,
+    # and the second agg rides the first one's partitioning
+    floor_ = offer.groupBy("l_partkey").agg(
+        F.min("best_price").alias("floor_price")
+    )
+    return (
+        offer.join(
+            floor_,
+            (offer.l_partkey == floor_.l_partkey)
+            & (offer.best_price == floor_.floor_price),
+        )
+        .drop(floor_.l_partkey)
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "best_price")
+        .orderBy("best_price", "p_partkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — TPC-H Q20 shape (nested IN with an aggregate threshold): suppliers
+# who shipped more than half of a brand-filtered part's total quantity —
+# IN(parts) prunes before aggregation, the HAVING-style threshold joins an
+# agg-of-agg back on the part key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q63_dominant_suppliers",
+    oracle="""
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'BRAND#1'
+),
+shipped AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_name, sh.l_partkey AS p_partkey, sh.qty, t.total_qty
+FROM shipped sh
+JOIN tot t ON t.l_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE sh.qty > 0.5 * t.total_qty
+ORDER BY s.s_name, p_partkey
+""",
+)
+def q63_dominant_suppliers(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND#1")
+    s = tbl(spark, sf_dir, "supplier")
+    # IN-subquery -> broadcast semi-join BEFORE the aggregate, so the big
+    # fact is pruned at the scan and the shuffle carries brand parts only
+    shipped = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(dsum("qty", "total_qty"))
+    return (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", F.col("l_partkey").alias("p_partkey"), "qty", "total_qty")
+        .orderBy("s_name", "p_partkey")
+    )
