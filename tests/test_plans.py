@@ -305,3 +305,50 @@ def test_t01_t04_battery_single_scan_no_exchange(spark):
     plan = plan_str(df)
     assert plan.count("Scan parquet") == 1
     assert count_exchanges(df) == 0
+
+
+def test_p02_shard_assignment_is_map_only(spark):
+    """Shard/order assignment must be a pure projection: zero exchanges
+    before the stats aggregate, one for it."""
+    from sql_data_warehouse_samples_spark.operators.shards import shuffle_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    z = shuffle_shards(d, "doc_id", 8, seed="ep0")
+    assert count_exchanges(z) == 0
+    agg = z.groupBy("shard_id").count()
+    assert count_exchanges(agg) == 1
+
+
+def test_d15_canonical_no_window_exec(spark):
+    """Keep-best selection is a max_by aggregate + equi-join — never a
+    WindowExec (a giant cluster must not serialize into one task)."""
+    from sql_data_warehouse_samples_spark.operators.graph import canonical_by_score
+    from pyspark.sql import functions as F
+
+    clusters = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id long, component long")
+    scores = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(100)], "id long, score double")
+    df = canonical_by_score(clusters, scores)
+    plan = plan_str(df)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "max_by" in plan
+
+
+def test_s07_bm25_filters_tokens_before_explode(spark):
+    """The explode input must already be filtered to query terms (the
+    generator row count is bounded by hits, not the token stream), and the
+    per-term/corpus stats must ride broadcast joins."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import bm25_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bm25_topk(d, "spark hash join window", k=10)
+    plan = plan_str(df)
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    # explode consumes the pre-filtered __hits projection, never raw tokens
+    assert gen and all("explode(__hits" in ln for ln in gen), gen
+    assert "filter(" in plan  # the query-term filter inside the projection
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row consts attach
+    # top-k must be a TakeOrdered, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
