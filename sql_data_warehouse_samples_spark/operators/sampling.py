@@ -284,3 +284,80 @@ def mixture_sample_with_upsampling(
         )
         .drop("__n")
     )
+
+
+def temperature_shares(counts: dict[str, int], alpha: float) -> dict[str, float]:
+    """Temperature-scaled domain shares: ``share_s ∝ count_s^alpha``.
+
+    ``alpha=1`` reproduces the natural distribution, ``alpha<1`` flattens
+    it (upweights rare domains), ``alpha=0`` is uniform — the standard
+    multilingual/multi-corpus sampling recipe (exponentiated-smoothing
+    weights, e.g. the mBERT/XLM-R sampling rule and GPT-3's corpus
+    weighting).  Shares are normalized over SORTED keys so the double
+    summation order is deterministic and mirrorable in SQL."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    w = {s: float(counts[s]) ** alpha for s in sorted(counts)}
+    tot = sum(w.values())
+    if tot <= 0:
+        raise ValueError("counts must contain a positive total")
+    return {s: v / tot for s, v in w.items()}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float,
+    budget_rows: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic ~``budget_rows`` sample whose domain composition is
+    the temperature-``alpha`` flattening of the natural distribution.
+
+    Same two-stage shape as ``mixture_sample`` (one #domains-row count
+    aggregate, then a map-only keyed-hash filter): the only difference is
+    that the target shares are DERIVED from the counts instead of given."""
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    rates = mixture_rates(counts, temperature_shares(counts, alpha), budget_rows)
+    h = _bucket_hex(F.col(key_col), seed)
+    keep = None
+    for s, rate in sorted(rates.items()):
+        cond = (F.col(source_col) == s) & (h < _threshold(rate))
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep if keep is not None else F.lit(False))
+
+
+def temperature_mixture_sql(
+    table: str,
+    key_expr: str,
+    source_col: str,
+    alpha: float,
+    budget_rows: int,
+    seed: str = "",
+) -> str:
+    """DuckDB mirror of ``temperature_mixture_sample``: recomputes counts,
+    pow-``alpha`` weights, the normalizing sum (in sorted-key order via an
+    ORDER-BY'd window frame, matching Python's sorted() summation), rates
+    and 8-hex thresholds with the same double arithmetic."""
+    h = f"substr(md5('{seed}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+    return f"""
+WITH cnt AS (
+  SELECT {source_col} AS s, COUNT(*) AS c FROM {table} GROUP BY 1
+),
+w AS (SELECT s, c, pow(CAST(c AS DOUBLE), {alpha!r}) AS wgt FROM cnt),
+tot AS (
+  SELECT s, c, wgt,
+         SUM(wgt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS tw
+  FROM w
+),
+rates AS (
+  SELECT s, printf('%08x', LEAST(CAST(FLOOR(
+           LEAST(wgt / tw * {budget_rows} / CAST(c AS DOUBLE), 1.0)
+           * 4294967296) AS BIGINT), 4294967295)) AS thr
+  FROM tot
+)
+SELECT d.* FROM {table} d JOIN rates r ON d.{source_col} = r.s
+WHERE {h} < r.thr
+"""

@@ -1359,3 +1359,34 @@ def s07_bm25_topk(spark, sf_dir):
 
     d = tbl(spark, sf_dir, "documents")
     return bm25_topk(d, _S07_QUERY, k=_S07_K)
+
+
+# ---------------------------------------------------------------------------
+# d16 — temperature-scaled domain mixture (operators/sampling.py
+# temperature_mixture_sample): shares derived from counts as count^alpha
+# (the multilingual exponentiated-smoothing recipe), rates/thresholds
+# recomputed in SQL with the same double arithmetic as d10.
+# ---------------------------------------------------------------------------
+
+_D16_ALPHA, _D16_BUDGET, _D16_SEED = 0.5, 200, "mix-t1"
+
+
+@query(
+    "d16_temperature_mixture",
+    oracle=S_ops.temperature_mixture_sql(
+        "documents", "doc_id", "source", _D16_ALPHA, _D16_BUDGET, _D16_SEED
+    ).replace("SELECT d.*", "SELECT d.doc_id, d.source")
+    + " ORDER BY d.doc_id",
+)
+def d16_temperature_mixture(spark, sf_dir):
+    """~200-row sample with sqrt-flattened (alpha=0.5) domain composition —
+    upweights rare sources without any explicit share vector; map-only
+    keyed-hash filter after one #domains-row count aggregate."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        S_ops.temperature_mixture_sample(
+            d, "doc_id", "source", _D16_ALPHA, _D16_BUDGET, seed=_D16_SEED
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -2401,3 +2401,31 @@ def test_bm25_exact_tiny_corpus_and_guards(spark):
 
     with _pytest.raises(ValueError):
         bm25_topk(docs, "   ")
+
+
+def test_temperature_shares_flatten_toward_uniform(spark):
+    """alpha=1 -> natural shares; alpha=0 -> uniform; alpha=0.5 sits
+    between; sampled composition tracks the derived shares."""
+    from sql_data_warehouse_samples_spark.operators.sampling import (
+        temperature_mixture_sample,
+        temperature_shares,
+    )
+
+    counts = {"big": 900, "mid": 90, "tiny": 10}
+    nat = temperature_shares(counts, 1.0)
+    uni = temperature_shares(counts, 0.0)
+    mid = temperature_shares(counts, 0.5)
+    assert abs(nat["big"] - 0.9) < 1e-12
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+    assert uni["tiny"] < mid["tiny"] < 1 / 3 or mid["tiny"] > nat["tiny"]
+    assert nat["tiny"] < mid["tiny"] < uni["tiny"]
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "tiny"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = temperature_mixture_sample(df, "doc_id", "source", 0.5, 300, seed="t")
+    comp = {r.source: r.n for r in got.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # tiny domain kept whole (quota >= population), big domain subsampled
+    assert comp["tiny"] == 10
+    assert comp["big"] < 900
