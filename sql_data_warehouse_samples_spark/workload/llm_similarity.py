@@ -306,3 +306,54 @@ def s06_pq_codes(spark, sf_dir):
         F.col("s.code").alias("code"),
         F.col("s.d2").alias("sub_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s08 — label centroids (grouped mean-pool): the class-centroid primitive
+# under SemDeDup / IVF training / prototype classification, as an exact-
+# oracle query.  Per-coordinate rows (label, pos, m) keep the schema scalar
+# for hash comparison; the order-independent DECIMAL(18,6) sum makes the
+# mean identical across engines regardless of aggregation order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s08_label_centroids",
+    oracle="""
+WITH ex AS (
+  SELECT label, CAST(u.i AS INT) AS pos,
+         CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(0, LEN(embedding))) AS u(i)
+)
+SELECT label,
+       CAST(pos AS INT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS m
+FROM ex GROUP BY label, pos ORDER BY label, pos
+""",
+)
+def s08_label_centroids(spark, sf_dir):
+    """Mean-pooled embedding per label: ONE posexplode + one (label, pos)
+    aggregate — n·d skinny rows with uniform keys, map-side combined; no
+    collect, no UDF.  Downstream re-packs with array_sort(collect_list)
+    when a vector shape is needed (same rounding, so bit-identical)."""
+    e = tbl(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("m"),
+        )
+        .orderBy("label", "pos")
+    )
