@@ -746,3 +746,42 @@ def remove_duplicate_spans(
             F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
         )
     )
+
+
+def edit_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_ratio: float = 0.2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Verify candidate near-dup pairs by NORMALIZED EDIT DISTANCE:
+    keep pairs with ``levenshtein(a, b) / max(len(a), len(b)) <= max_ratio``.
+
+    The character-level complement to the token-set Jaccard verifier
+    (``ngram_jaccard_pairs`` semantics): Jaccard is blind to token ORDER
+    and to heavy in-token edits; edit distance catches both, at
+    O(len_a·len_b) per pair — which is exactly why it belongs HERE, after
+    banding has cut candidates to near-linear, never on the full corpus.
+
+    Shape: two hash joins to attach both texts to the (already small)
+    candidate frame, then a pure-JVM ``levenshtein`` filter — the corpus
+    is never self-joined.
+
+    Returns (id_a, id_b, edit_dist, edit_ratio) for surviving pairs.
+    """
+    t = docs.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias(id_a), F.col(text_col).alias("__ta"))
+    b = t.select(F.col(id_col).alias(id_b), F.col(text_col).alias("__tb"))
+    joined = pairs.join(a, id_a).join(b, id_b)
+    dist = F.levenshtein("__ta", "__tb")
+    longest = F.greatest(F.length("__ta"), F.length("__tb"))
+    ratio = dist / F.nullif(longest.cast("double"), F.lit(0.0))
+    return (
+        joined.withColumn("edit_dist", dist.cast("long"))
+        .withColumn("edit_ratio", F.round(F.coalesce(ratio, F.lit(0.0)), 6))
+        .filter(F.coalesce(ratio, F.lit(0.0)) <= max_ratio)
+        .select(id_a, id_b, "edit_dist", "edit_ratio")
+    )

@@ -1390,3 +1390,40 @@ def d16_temperature_mixture(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d17 — edit-distance near-dup verification (operators/dedup.py
+# edit_verify): the character-level complement to d02's token-set Jaccard.
+# Oracle mode pairs the bounded doc_id<40 slice all-ways (same O(n²)
+# convention as d02/d09); production input is a banded candidate frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d17_edit_distance_pairs",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       ROUND(levenshtein(a.text, b.text)
+             / NULLIF(CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS DOUBLE), 0),
+             6) AS edit_ratio
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE COALESCE(levenshtein(a.text, b.text)
+      / NULLIF(CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS DOUBLE), 0), 0) <= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def d17_edit_distance_pairs(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = d.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    return D.edit_verify(cand, d, "text", "doc_id", max_ratio=0.4).orderBy(
+        "id_a", "id_b"
+    )

@@ -2429,3 +2429,24 @@ def test_temperature_shares_flatten_toward_uniform(spark):
     # tiny domain kept whole (quota >= population), big domain subsampled
     assert comp["tiny"] == 10
     assert comp["big"] < 900
+
+
+def test_edit_verify_catches_reordered_tokens(spark):
+    """Edit distance flags what Jaccard can't distinguish: a token-level
+    REORDER (identical token set, jaccard=1.0) scores far from a true
+    near-identical edit; planted near-dups survive the gate."""
+    from sql_data_warehouse_samples_spark.operators.dedup import edit_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zetas"),  # 1-char edit
+            (3, "zeta epsilon delta gamma beta alpha"),   # same tokens, reversed
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.edit_ratio
+           for r in edit_verify(pairs, docs, "text", "doc_id", 0.2).collect()}
+    assert (1, 2) in out and out[(1, 2)] < 0.05
+    assert (1, 3) not in out  # reorder is NOT a verbatim near-dup
