@@ -1427,3 +1427,69 @@ def d17_edit_distance_pairs(spark, sf_dir):
     return D.edit_verify(cand, d, "text", "doc_id", max_ratio=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — fused curation pipeline (RefinedWeb/C4-style stage order): quality
+# gate -> exact dedup -> deterministic split -> per-(split, source) corpus
+# stats.  Every stage is individually oracled elsewhere (t02, d01, d06);
+# this query proves the COMPOSITION end-to-end with one exact oracle —
+# and the fused plan stays at two exchanges (dedup hash + final agg): the
+# gate is a scan-time filter, the split a pure projection.
+# ---------------------------------------------------------------------------
+
+_T14_QMIN = 0.5
+
+
+@query(
+    "t14_curation_pipeline",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         ROUND(0.5 * (LEN(list_distinct(toks)) / NULLIF(CAST(LEN(toks) AS DOUBLE), 0))
+             + 0.3 * LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * (1.0 - LEN(list_filter(toks, t -> list_contains([{_SW}], t)))
+                            / NULLIF(CAST(LEN(toks) AS DOUBLE), 0)), 6) AS q
+  FROM (SELECT doc_id, source, text,
+               string_split_regex(TRIM(text), '\s+') AS toks FROM documents)
+),
+gated AS (SELECT * FROM scored WHERE q >= {_T14_QMIN}),
+hashed AS (
+  SELECT *, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+  FROM gated
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS rep FROM hashed
+  ) WHERE doc_id = rep
+),
+split AS (
+  SELECT *, {_split_sql('doc_id', _D06_WEIGHTS, seed='corpus-v1')} AS split
+  FROM kept
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(q), 6) AS avg_quality,
+       CAST(SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+FROM split GROUP BY split, source ORDER BY split, source
+""",
+)
+def t14_curation_pipeline(spark, sf_dir):
+    """Gate -> dedup -> split -> stats, fused: filter and split are
+    map-only, so the whole pipeline pays exactly the dedup-hash exchange
+    plus the final aggregate."""
+    d = tbl(spark, sf_dir, "documents")
+    gated = d.withColumn("q", T.quality_score("text")).filter(
+        F.col("q") >= _T14_QMIN
+    )
+    deduped = D.exact_dedup(gated, "text", "doc_id").filter(~F.col("is_duplicate"))
+    split = S_ops.train_test_split(deduped, "doc_id", _D06_WEIGHTS, seed="corpus-v1")
+    return (
+        split.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.sum(T.token_count("text").cast("long")).alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )

@@ -352,3 +352,12 @@ def test_s07_bm25_filters_tokens_before_explode(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row consts attach
     # top-k must be a TakeOrdered, not a global Sort+Limit
     assert "TakeOrderedAndProject" in plan
+
+
+def test_t14_pipeline_fused_exchange_budget(spark):
+    """Gate and split are map-only: the fused pipeline pays only the dedup
+    window hash, the final aggregate, and the presentation sort."""
+    df = workload.QUERIES["t14_curation_pipeline"](spark, SF)
+    assert count_exchanges(df) <= 3
+    plan = plan_str(df)
+    assert plan.count("Window") == 1  # the dedup min-over-hash, nothing else
