@@ -102,3 +102,74 @@ def calibrate_threshold(
     return df.select(
         F.percentile_approx(score_col, q, accuracy).alias("t")
     ).first()["t"]
+
+
+def select_within_budget(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    key_col: str,
+    seed: str = "",
+    bucket_dp: int = 3,
+) -> DataFrame:
+    """Greedy best-first subset under a weight budget: keep the
+    highest-``score_col`` rows whose cumulative ``weight_col`` stays
+    ≤ ``budget`` ("fill a 10B-token budget with the best documents").
+
+    Semantics are the PREFIX of the global order
+    ``(round(score, bucket_dp) DESC, md5(seed||key) ASC, key ASC)`` whose
+    running weight (inclusive) stays within budget — deterministic,
+    engine-portable, and exactly mirrorable by one SQL cumulative window.
+
+    Scale shape — the obvious single cumulative window is a one-partition
+    sort of the corpus; instead:
+
+    1. bucket scores at ``bucket_dp`` decimals → weight histogram, ONE
+       tiny aggregate (≤ 10^bucket_dp · score-range buckets) collected
+       driver-side;
+    2. buckets strictly above the cutoff are selected by a map-only
+       filter — no ordering cost at all;
+    3. ONLY the single boundary bucket (≈ 1/#buckets of the corpus) pays
+       a rank-and-running-sum window, keyed by the uniform hash.
+
+    A pathological distribution (all mass in one bucket) degrades to the
+    windowed form on that bucket; raise ``bucket_dp`` to split it.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    s = df.withColumn("__b", F.round(F.col(score_col), bucket_dp)).withColumn(
+        "__h", h
+    )
+    hist = (
+        s.groupBy("__b")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+        .collect()
+    )
+    # integer weights (token counts) keep every sum exact — the cutoff is
+    # bit-identical to the SQL cumulative-window mirror, no float drift
+    remaining = int(budget)
+    full, boundary = [], None
+    for r in sorted(hist, key=lambda r: -r["__b"]):
+        if r["__w"] <= remaining:
+            full.append(r["__b"])
+            remaining -= r["__w"]
+        else:
+            boundary = r["__b"]
+            break
+    picked = s.filter(F.col("__b").isin(full)) if full else s.limit(0)
+    if boundary is not None and remaining > 0:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(F.lit(1))
+            .orderBy(F.asc("__h"), F.asc(key_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        edge = (
+            s.filter(F.col("__b") == boundary)
+            .withColumn("__cum", F.sum(F.col(weight_col).cast("long")).over(w))
+            .filter(F.col("__cum") <= remaining)
+            .drop("__cum")
+        )
+        picked = picked.unionByName(edge)
+    return picked.drop("__b", "__h")

@@ -785,3 +785,39 @@ def edit_verify(
         .filter(F.coalesce(ratio, F.lit(0.0)) <= max_ratio)
         .select(id_a, id_b, "edit_dist", "edit_ratio")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots: per document id, is it
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both, text
+    hash differs) or ``unchanged``.
+
+    The corpus-iteration primitive: between two curation runs you want the
+    delta, not the snapshots.  Works on the normalized content hash (same
+    normalization as ``exact_dedup``), so whitespace-only churn is
+    ``unchanged``.
+
+    Shape: each side reduces to (id, hash) — text never shuffles — then
+    ONE full-outer equi-join on the id.  Cost is two hash projections +
+    one co-partitioned join at any corpus size.
+    """
+    oh = old.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("__h_old")
+    )
+    nh = new.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("__h_new")
+    )
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return oh.join(nh, id_col, "full_outer").select(
+        id_col, status.alias("status")
+    )

@@ -1493,3 +1493,106 @@ def t14_curation_pipeline(spark, sf_dir):
         )
         .orderBy("split", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# d18 — corpus snapshot diff (operators/dedup.py corpus_diff): the delta
+# between two curation runs.  The "new" snapshot is a deterministic
+# mutation of documents (drop ids %17==0, rewrite text of %13==0, add
+# shifted ids) built IDENTICALLY on both sides.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d18_corpus_diff",
+    oracle=r"""
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'fresh doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 29 = 0
+),
+oh AS (SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS ho FROM old),
+nh AS (SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS hn FROM new)
+SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+       CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM oh FULL OUTER JOIN nh USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def d18_corpus_diff(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    kept = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    fresh = d.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = kept.unionByName(fresh)
+    return D.corpus_diff(old, new, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t15 — token-budget best-first selection (operators/curate.py
+# select_within_budget): fill a fixed token budget with the
+# highest-quality documents.  The oracle is the single cumulative window
+# over (bucket DESC, hash, id) — the Spark side computes the SAME prefix
+# via histogram cutoff + boundary-bucket-only window (no global sort).
+# ---------------------------------------------------------------------------
+
+_T15_BUDGET, _T15_SEED = 20000, "budget-v1"
+
+
+@query(
+    "t15_token_budget_selection",
+    oracle=rf"""
+WITH s AS (
+  SELECT doc_id, source,
+         ROUND(0.5 * (LEN(list_distinct(toks)) / NULLIF(CAST(LEN(toks) AS DOUBLE), 0))
+             + 0.3 * LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * (1.0 - LEN(list_filter(toks, t -> list_contains([{_SW}], t)))
+                            / NULLIF(CAST(LEN(toks) AS DOUBLE), 0)), 6) AS q,
+         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         md5('{_T15_SEED}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM (SELECT doc_id, source,
+               string_split_regex(TRIM(text), '\s+') AS toks FROM documents)
+),
+ranked AS (
+  SELECT *, SUM(n_tokens) OVER (ORDER BY ROUND(q, 3) DESC, h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, source, q AS quality, n_tokens
+FROM ranked WHERE cum <= {_T15_BUDGET} ORDER BY doc_id
+""",
+)
+def t15_token_budget_selection(spark, sf_dir):
+    """~20k-token best-first corpus subset; histogram cutoff + boundary
+    window only — the full corpus never sorts globally."""
+    from ..operators.curate import select_within_budget
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("q"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return (
+        select_within_budget(
+            scored, "q", "n_tokens", _T15_BUDGET, "doc_id", seed=_T15_SEED
+        )
+        .select("doc_id", "source", F.col("q").alias("quality"), "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -2450,3 +2450,47 @@ def test_edit_verify_catches_reordered_tokens(spark):
            for r in edit_verify(pairs, docs, "text", "doc_id", 0.2).collect()}
     assert (1, 2) in out and out[(1, 2)] < 0.05
     assert (1, 3) not in out  # reorder is NOT a verbatim near-dup
+
+
+def test_select_within_budget_tight_and_best_first(spark):
+    from sql_data_warehouse_samples_spark.operators.curate import (
+        select_within_budget,
+    )
+
+    rows = [(i, round(0.1 + (i % 10) * 0.1, 1), 100 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, w long")
+    out = select_within_budget(df, "q", "w", 5000, "doc_id", seed="b")
+    got = out.collect()
+    total = sum(r.w for r in got)
+    assert total <= 5000
+    # tight: no unselected row could still fit (prefix semantics — the
+    # next row in the global order overflows; all heavier-scored space
+    # is exhausted before any lighter-scored row is taken)
+    sel = {r.doc_id for r in got}
+    min_sel_q = min(r.q for r in got)
+    for r in rows:
+        if r[0] not in sel and r[1] > min_sel_q:
+            raise AssertionError(f"skipped higher-quality doc {r}")
+    # determinism across physical layouts
+    again = {r.doc_id for r in
+             select_within_budget(df.repartition(7), "q", "w", 5000,
+                                  "doc_id", seed="b").collect()}
+    assert again == sel
+
+
+def test_select_within_budget_windows_only_boundary_bucket(spark):
+    """The global-sort-free claim: any Window in the plan must sit above a
+    filter on the boundary bucket, never over the full input."""
+    from sql_data_warehouse_samples_spark.operators.curate import (
+        select_within_budget,
+    )
+
+    rows = [(i, round((i % 10) * 0.1, 1), 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, w long")
+    out = select_within_budget(df, "q", "w", 500, "doc_id", seed="b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Window" in plan:
+        # the windowed branch filters to ONE bucket value before the sort
+        # (the __b alias constant-folds into `round(q, 3) = <boundary>`)
+        assert "Filter (round(" in plan, plan
+    assert sum(r.w for r in out.collect()) <= 500
