@@ -309,6 +309,10 @@ def shards_probe() -> None:
             "doc_id",
             F.col("doc_id") * INFLATE + F.col("__copy"),
         ).drop("__copy")
+    # materialize the inflated frame so BOTH writes pay identical input
+    # cost — otherwise the plain baseline fuses the (nearly free) explode
+    # and the overhead ratio overstates the shard layout's price
+    d = d.localCheckpoint(eager=True)
     n_rows = d.count()
     workdir = tempfile.mkdtemp(prefix="shardprobe_")
     try:

@@ -69,10 +69,21 @@ def shuffle_shards(
     """Annotate ``df`` with its shard id and intra-shard shuffle key.
 
     Pure projection — the exchange happens only at write time (or never,
-    if the caller just needs the assignment)."""
-    return df.withColumn(
-        shard_col, shard_assign(F.col(key_col), n_shards, seed)
-    ).withColumn(order_col, shuffle_hash(F.col(key_col), seed))
+    if the caller just needs the assignment).  The md5 is computed ONCE:
+    the shard id derives from the order hash's prefix, bit-identical to
+    calling ``shard_assign`` directly."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    out = df.withColumn(order_col, shuffle_hash(F.col(key_col), seed))
+    return out.withColumn(
+        shard_col,
+        F.pmod(
+            F.conv(F.substring(F.col(order_col), 1, _PREFIX_HEX), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_shards),
+        ),
+    )
 
 
 def write_training_shards(
