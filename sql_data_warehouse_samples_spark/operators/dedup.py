@@ -821,3 +821,58 @@ def corpus_diff(
     return oh.join(nh, id_col, "full_outer").select(
         id_col, status.alias("status")
     )
+
+
+def contamination_ratios(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_ratio: float = 0.0,
+) -> DataFrame:
+    """FUZZY decontamination: per training doc, the fraction of its
+    distinct word n-grams that appear anywhere in the benchmark set.
+
+    ``contaminated_ids`` flags ANY shared n-gram (the conservative exact
+    gate); real pipelines often gate on an overlap THRESHOLD instead
+    (GPT-3's 13-gram collision rule, Gopher's 8-gram overlap fraction) so
+    one boilerplate phrase doesn't nuke a long document.
+
+    Scale shape: identical to the exact gate — benchmark grams distinct +
+    broadcast; the train side explodes its distinct grams once, an INNER
+    broadcast join keeps hits only, one (id)-keyed count aggregate, and
+    the per-doc gram total rides along from the same projection (no
+    second tokenization pass).  Returns
+    ``(id_col, n_grams, n_hits, overlap_ratio)`` for docs with
+    ``overlap_ratio >= min_ratio`` (docs with zero hits only appear when
+    ``min_ratio == 0``).
+    """
+    grams = train.select(
+        F.col(id_col),
+        F.array_distinct(ngram_strings(text_col, n)).alias("__gs"),
+    )
+    b = benchmark.select(
+        F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
+    ).distinct()
+    hits = (
+        grams.select(F.col(id_col), F.size("__gs").alias("n_grams"),
+                     F.explode("__gs").alias("g"))
+        .join(F.broadcast(b), "g")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = grams.select(
+        F.col(id_col), F.size("__gs").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    out = (
+        base.join(hits.select(id_col, "n_hits"), id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
+        .withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_hits") / F.col("n_grams").cast("double"), 6),
+        )
+        .select(id_col, F.col("n_grams").cast("long").alias("n_grams"),
+                "n_hits", "overlap_ratio")
+    )
+    return out.filter(F.col("overlap_ratio") >= min_ratio)

@@ -1596,3 +1596,126 @@ def t15_token_budget_selection(spark, sf_dir):
         .select("doc_id", "source", F.col("q").alias("quality"), "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d19 — fuzzy decontamination (operators/dedup.py contamination_ratios):
+# per-doc n-gram overlap FRACTION against the benchmark set (the GPT-3 /
+# Gopher thresholded rule), complementing d07's any-shared-gram gate.
+# Trigrams (n=3) so the synthetic corpus actually overlaps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d19_fuzzy_decontamination",
+    oracle=r"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN LEN(w) >= 3
+                THEN list_transform(range(1, LEN(w) - 1),
+                                    i -> array_to_string(w[i:i + 2], ' '))
+                ELSE [] END) AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, gs FROM grams WHERE doc_id % 97 <> 0 AND LEN(gs) > 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, unnest(gs) AS g FROM train) t
+  JOIN bench b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(LEN(t.gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(LEN(t.gs) AS DOUBLE), 6) AS overlap_ratio
+FROM train t LEFT JOIN hits h USING (doc_id)
+WHERE COALESCE(h.n_hits, 0) / CAST(LEN(t.gs) AS DOUBLE) >= 0.2
+ORDER BY doc_id
+""",
+)
+def d19_fuzzy_decontamination(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_ratios(
+        train, bench, "text", "doc_id", n=3, min_ratio=0.2
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w01 — URL/domain curation gate (operators/web.py): the C4/RefinedWeb
+# first-stage blocklist filter as a driver-gate query.  The corpus has no
+# URL column, so a deterministic URL is planted per doc_id IDENTICALLY on
+# both sides (t07's planted-PII convention); the Spark side runs the real
+# operators (try_parse_url host, registered-domain slicing, broadcast
+# blocklist anti-join), the oracle mirrors the host/domain math in SQL.
+# ---------------------------------------------------------------------------
+
+_W01_URL_SQL = """'https://' || CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'spam.badsite.com'
+  WHEN 1 THEN 'sub.shop.co.uk'
+  WHEN 2 THEN 'news.goodsite.org'
+  ELSE 'tracker.adnet.net' END || '/p/' || CAST(doc_id AS VARCHAR)"""
+
+_W01_BLOCKED = ["badsite.com", "adnet.net"]
+
+
+@query(
+    "w01_url_blocklist_gate",
+    oracle=rf"""
+WITH u AS (
+  SELECT doc_id, {_W01_URL_SQL} AS url FROM documents
+),
+parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+  FROM u
+),
+dom AS (
+  SELECT doc_id, url, host,
+         CASE WHEN LEN(p) <= 2 THEN host
+              WHEN array_to_string(p[GREATEST(LEN(p)-1, 1):LEN(p)], '.')
+                   IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                       'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                       'com.mx','co.in','co.kr','co.za')
+              THEN array_to_string(p[GREATEST(LEN(p)-2, 1):LEN(p)], '.')
+              ELSE array_to_string(p[GREATEST(LEN(p)-1, 1):LEN(p)], '.') END
+           AS reg_domain
+  FROM (SELECT *, string_split(host, '.') AS p FROM parsed)
+)
+SELECT doc_id, host, reg_domain
+FROM dom
+WHERE reg_domain NOT IN ({", ".join(f"'{d}'" for d in _W01_BLOCKED)})
+ORDER BY doc_id
+""",
+)
+def w01_url_blocklist_gate(spark, sf_dir):
+    from ..operators.web import filter_url_blocklist, registered_domain, url_host
+
+    d = tbl(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(
+                    F.lit("spam.badsite.com"),
+                    F.lit("sub.shop.co.uk"),
+                    F.lit("news.goodsite.org"),
+                    F.lit("tracker.adnet.net"),
+                ),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    kept = filter_url_blocklist(with_url, "url", _W01_BLOCKED)
+    return kept.select(
+        "doc_id",
+        url_host("url").alias("host"),
+        registered_domain(url_host("url")).alias("reg_domain"),
+    ).orderBy("doc_id")
