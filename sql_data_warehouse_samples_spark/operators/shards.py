@@ -115,3 +115,79 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+#: Manifest sidecar directory (parquet), written next to the shard dirs.
+MANIFEST_DIR = "_shard_manifest"
+
+
+def shard_manifest(df: DataFrame, key_col: str, n_shards: int, seed: str = "") -> DataFrame:
+    """Per-shard integrity summary computed FROM THE DATA: row count and an
+    order-insensitive content checksum (sum of the 48-bit key-hash
+    prefixes — commutative, so any physical layout yields the same value;
+    a missing, duplicated or swapped row changes it).
+
+    One #shards-row aggregate; reused both at write time (to persist the
+    manifest) and at audit time (to recompute and compare)."""
+    z = shuffle_shards(df, key_col, n_shards, seed)
+    return z.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.conv(F.substring(F.col("__shuffle"), 1, _PREFIX_HEX), 16, 10).cast(
+                "long"
+            )
+        ).alias("content_checksum"),
+        F.min("__shuffle").alias("first_hash"),
+        F.max("__shuffle").alias("last_hash"),
+    )
+
+
+def write_shard_manifest(
+    df: DataFrame, path: str, key_col: str, n_shards: int, seed: str = ""
+) -> None:
+    """Persist the manifest beside the shards (one tiny parquet)."""
+    (
+        shard_manifest(df, key_col, n_shards, seed)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{MANIFEST_DIR}")
+    )
+
+
+def verify_shards(
+    spark, path: str, key_col: str, seed: str = ""
+) -> DataFrame:
+    """Audit a shard export against its manifest: recompute every shard's
+    count/checksum from the files on disk and diff.
+
+    Returns (shard_id, ok, n_rows, n_rows_expected, checksum, checksum
+    _expected) — a missing file, truncated shard, duplicated row or
+    cross-shard mixup flags exactly the shards it touched.  Cost: one
+    scan of the export (key column only — column pruning keeps the audit
+    IO at key width, not payload width) + the tiny manifest."""
+    manifest = spark.read.parquet(f"{path}/{MANIFEST_DIR}").select(
+        "shard_id",
+        F.col("n_rows").alias("n_rows_expected"),
+        F.col("content_checksum").alias("checksum_expected"),
+    )
+    data = spark.read.parquet(path).select("shard_id", key_col)
+    h = shuffle_hash(F.col(key_col), seed)
+    actual = (
+        data.withColumn(
+            "__p", F.conv(F.substring(h, 1, _PREFIX_HEX), 16, 10).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__p").alias("checksum"),
+        )
+    )
+    joined = manifest.join(actual, "shard_id", "full_outer")
+    ok = (
+        F.col("n_rows").eqNullSafe(F.col("n_rows_expected"))
+        & F.col("checksum").eqNullSafe(F.col("checksum_expected"))
+    )
+    return joined.select(
+        "shard_id", ok.alias("ok"), "n_rows", "n_rows_expected",
+        "checksum", "checksum_expected",
+    )

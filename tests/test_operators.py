@@ -2494,3 +2494,36 @@ def test_select_within_budget_windows_only_boundary_bucket(spark):
         # (the __b alias constant-folds into `round(q, 3) = <boundary>`)
         assert "Filter (round(" in plan, plan
     assert sum(r.w for r in out.collect()) <= 500
+
+
+def test_shard_manifest_verify_flags_tampered_shard(spark, tmp_path):
+    """verify_shards: green on an intact export; deleting one shard's file
+    flags exactly that shard (count+checksum mismatch), everything else
+    stays ok.  The `_shard_manifest` sidecar must be invisible to the data
+    read (underscore-prefixed)."""
+    import glob
+    import os
+
+    from sql_data_warehouse_samples_spark.operators.shards import (
+        verify_shards,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    d = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    path = str(tmp_path / "export")
+    write_training_shards(d, path, "doc_id", 4, seed="ep0")
+    write_shard_manifest(d, path, "doc_id", 4, seed="ep0")
+
+    # sidecar not picked up as data
+    assert "shard_id" in spark.read.parquet(path).columns
+    assert spark.read.parquet(path).count() == d.count()
+
+    res = {r.shard_id: r.ok for r in verify_shards(spark, path, "doc_id", "ep0").collect()}
+    assert res and all(res.values())
+
+    victim = sorted(glob.glob(f"{path}/shard_id=2/*.parquet"))[0]
+    os.remove(victim)
+    res2 = {r.shard_id: r.ok for r in verify_shards(spark, path, "doc_id", "ep0").collect()}
+    assert res2[2] is False
+    assert all(ok for s, ok in res2.items() if s != 2)
