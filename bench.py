@@ -66,6 +66,8 @@ HEADLINE = [
     "d15_cluster_canonical",
     "s07_bm25_topk",
     "q61_waiting_suppliers",
+    "t14_curation_pipeline",
+    "t15_token_budget_selection",
 ]
 
 
