@@ -361,3 +361,30 @@ def test_t14_pipeline_fused_exchange_budget(spark):
     assert count_exchanges(df) <= 3
     plan = plan_str(df)
     assert plan.count("Window") == 1  # the dedup min-over-hash, nothing else
+
+
+def test_q61_exists_not_exists_stay_semi_anti(spark):
+    """TPC-H Q21 shape: EXISTS compiles to LeftSemi, NOT EXISTS to
+    LeftAnti with the residual inequality — never a correlated re-scan or
+    cartesian."""
+    df = workload.QUERIES["q61_waiting_suppliers"](spark, SF)
+    plan = plan_str(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q63_in_subquery_prunes_before_aggregate(spark):
+    """TPC-H Q20 shape: the brand-part IN-list must broadcast-semi-join
+    the fact BEFORE the quantity aggregate (a post-agg filter would
+    shuffle every part's rows)."""
+    df = workload.QUERIES["q63_dominant_suppliers"](spark, SF)
+    plan = plan_str(df)
+    semi = plan.find("LeftSemi")
+    agg = plan.find("HashAggregate")
+    assert semi != -1 and "BroadcastHashJoin" in plan
+    # in toString order, the semi-join appears BELOW (after) the first
+    # aggregate line — children print after parents — so assert the
+    # aggregate's input subtree contains the semi-join
+    sub = plan[agg:]
+    assert "LeftSemi" in sub
