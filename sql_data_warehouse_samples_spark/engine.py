@@ -1200,3 +1200,55 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)
+
+    def export_training_shards(
+        self,
+        source: str | DataFrame,
+        path: str,
+        key_col: str,
+        n_shards: int,
+        seed: str = "",
+    ) -> dict:
+        """Export a table (or frame) as verified training shards: the
+        deterministic shuffle-shard write (operators/shards.py), its
+        integrity manifest, and an immediate audit — logged like any other
+        request, so ``sys.dm_pdw_exec_requests`` shows the export.
+
+        Returns ``{"path", "n_shards", "n_rows", "verified"}``; raises if
+        the post-write audit finds any shard inconsistent (a failed write
+        must not masquerade as a usable export).
+        """
+        from .operators.shards import (
+            verify_shards,
+            write_shard_manifest,
+            write_training_shards,
+        )
+
+        df = self.catalog.table(source) if isinstance(source, str) else source
+        label = f"export_training_shards({path})"
+        rec = self._new_request(label, label, "largerc")
+        rec.start_time = time.time()
+        try:
+            write_training_shards(df, path, key_col, n_shards, seed)
+            write_shard_manifest(df, path, key_col, n_shards, seed)
+            audit = verify_shards(self.spark, path, key_col, seed)
+            bad = [r.shard_id for r in audit.collect() if not r.ok]
+            if bad:
+                raise RuntimeError(f"shard audit failed for shards {bad}")
+            n_rows = int(
+                self.spark.read.parquet(path).count()
+            )
+        except Exception as e:  # noqa: BLE001
+            rec.status = "Failed"
+            rec.error_message = str(e)[:1000]
+            rec.end_time = time.time()
+            raise
+        rec.status = "Completed"
+        rec.end_time = time.time()
+        rec.total_elapsed_ms = int((rec.end_time - rec.start_time) * 1000)
+        return {
+            "path": path,
+            "n_shards": n_shards,
+            "n_rows": n_rows,
+            "verified": True,
+        }

