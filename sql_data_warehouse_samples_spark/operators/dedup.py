@@ -513,8 +513,68 @@ def incremental_dedup(
     )
 
 
+def positioned_gram_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    strategy: str = "window",
+) -> DataFrame:
+    """``(__id, __start, __gh)`` rows: the md5 digest of every overlapping
+    word ``n``-gram with its start position — the shared front end of the
+    ExactSubstr operators (d11 pair finding, d14 span removal).
+
+    Two constructions with an explicit CPU-vs-shuffle trade:
+
+    * ``"window"`` (default): posexplode the token stream and build each
+      gram from ``n−1`` ``lead()`` columns over a doc-keyed window.
+      Whole-stage-codegen'd end to end — measured 3× cheaper CPU than the
+      fold at n=20 (Spark evaluates higher-order-function lambdas
+      interpreted, never codegen) — at the price of ONE token-stream
+      exchange (comparable bytes to the gram exchange every consumer pays
+      next, since tokens ship ~8 B vs 32 B gram digests).
+    * ``"fold"``: the map-only ``adjacent_ngrams`` zip_with fold — ZERO
+      exchanges.  Use where the corpus side must not shuffle at all
+      (d07-style contamination gates) or when CPU is abundant relative to
+      the interconnect.
+    """
+    from pyspark.sql import Window
+
+    from .text import adjacent_ngrams
+
+    if strategy == "fold":
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.transform(adjacent_ngrams(tokens(text_col), n), F.md5)
+            ).alias("__start", "__gh"),
+        )
+    if strategy != "window":
+        raise ValueError(f"unknown gram strategy {strategy!r}")
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("__start", "__t"),
+    )
+    w = Window.partitionBy("__id").orderBy("__start")
+    parts = [F.col("__t")] + [F.lead("__t", k).over(w) for k in range(1, n)]
+    # the gram MUST be built in the same projection as the tail guard:
+    # a lead() evaluated after the filter would see the filtered row set
+    # and silently truncate every gram near the kept/dropped boundary
+    return (
+        tok.select(
+            "__id",
+            "__start",
+            F.concat_ws(" ", *parts).alias("__g"),
+            F.lead("__t", n - 1).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("__id", "__start", F.md5("__g").alias("__gh"))
+    )
+
+
 def substring_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 20
+    df: DataFrame, text_col: str, id_col: str, n: int = 20,
+    gram_strategy: str = "window",
 ) -> DataFrame:
     """Exact-substring duplicate pairs: documents sharing any verbatim
     run of ``n`` tokens (the ExactSubstr criterion of Lee et al. 2021,
@@ -525,30 +585,36 @@ def substring_dup_pairs(
     Star-formed per gram: each gram links its members to the gram's
     minimum doc id, so a boilerplate gram shared by 10k documents emits
     9 999 edges, never the C(n,2) clique — mass duplication stays linear
-    by construction (no bucket cap needed).  Shape: one explode over
-    per-doc DISTINCT grams, ONE gram-keyed exchange (min-over-window —
-    the groupBy+join-back form shuffled the gram frame twice and
-    re-tokenized the corpus for each branch), one pair-keyed count.
-    Grams shuffle as md5 digests, not n-token strings: the exchange
-    carries 32 bytes per gram instead of ~6n, and 128 bits keeps the
-    collision probability negligible at 100 TB gram counts (a 64-bit
-    key would birthday-collide at ~4e9 grams).  ``n_shared_grams``
-    counts the grams for which ``id_a`` is the global representative (a
-    diagnostic weight, not symmetric gram overlap).  Feed the pairs to
-    ``graph.duplicate_clusters`` for transitive resolution.
+    by construction (no bucket cap needed).  Gram fronts come from
+    ``positioned_gram_hashes`` (codegen'd window build by default, the
+    map-only fold via ``gram_strategy="fold"``); per-doc gram dedup rides
+    the SAME doc-keyed exchange as the window build (an ordered lag
+    compare — no extra shuffle), then ONE gram-keyed exchange
+    (min-over-window) and one pair-keyed count.  Grams shuffle as md5
+    digests, not n-token strings: 32 bytes per gram instead of ~6n, and
+    128 bits keeps the collision probability negligible at 100 TB gram
+    counts.  ``n_shared_grams`` counts the grams for which ``id_a`` is
+    the global representative (a diagnostic weight, not symmetric gram
+    overlap).  Feed the pairs to ``graph.duplicate_clusters``.
     """
     from pyspark.sql import Window
 
-    from .text import adjacent_ngrams
-
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(adjacent_ngrams(tokens(text_col), n), F.md5)
-            )
-        ).alias("gh"),
-    )
+    g = positioned_gram_hashes(df, text_col, id_col, n, gram_strategy)
+    if gram_strategy == "window":
+        # per-doc distinct without a new exchange: re-sort the existing
+        # doc partitioning by gram hash and drop adjacent repeats
+        wd = Window.partitionBy("__id").orderBy("__gh")
+        grams = (
+            g.withColumn("__prev", F.lag("__gh").over(wd))
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("__gh")))
+            .select(F.col("__id").alias("doc_id"), F.col("__gh").alias("gh"))
+        )
+    else:
+        grams = (
+            g.groupBy("__id")
+            .agg(F.collect_set("__gh").alias("__gs"))
+            .select(F.col("__id").alias("doc_id"), F.explode("__gs").alias("gh"))
+        )
     w = Window.partitionBy("gh")
     return (
         grams.withColumn("id_a", F.min("doc_id").over(w))
@@ -671,7 +737,8 @@ def semantic_dedup(
 
 
 def remove_duplicate_spans(
-    df: DataFrame, text_col: str, id_col: str, n: int = 20
+    df: DataFrame, text_col: str, id_col: str, n: int = 20,
+    gram_strategy: str = "window",
 ) -> DataFrame:
     """ExactSubstr *removal* (Lee et al. 2021 §4.1): where
     ``substring_dup_pairs`` reports which documents share a verbatim
@@ -684,30 +751,20 @@ def remove_duplicate_spans(
 
     Shape: gram explode with start positions (L−n+1 rows/doc), ONE
     gram-keyed exchange for the canonical owner (min-over-window on the
-    md5 gram digest — 32-byte shuffle keys, single tokenization branch;
-    the groupBy+join-back form paid the gram shuffle twice), covered-
-    position explode (n rows per duplicated gram start, deduplicated),
-    then ONE left join of token positions against covered positions with
-    kept/removed split inside a single per-doc aggregate (the previous
-    anti-join + semi-join + two groupBys shuffled the token frame twice
-    more) — every key a uniform hash, no pairwise join anywhere, so
-    mass-duplicated boilerplate stays linear exactly as in the pair
-    finder.
+    md5 gram digest — 32-byte shuffle keys), covered-position explode
+    (deduplicated) FOLDED to one positions-array row per affected doc.
+    Reassembly then never shuffles the token stream: the kept positions
+    are ``array_except(sequence, covered)`` — a JVM hash-set difference
+    that preserves the sequence order — applied map-side after an
+    id-keyed join whose right side has ≤ one row per AFFECTED doc.
+    (The previous form exploded every token and paid a (id, pos)-keyed
+    join plus an array_sort(collect_list(struct)) re-aggregate over the
+    full token stream — W× more join rows and the single heaviest
+    exchange in the operator, W = tokens/doc.)
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
-    )
-    from .text import adjacent_ngrams
-
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.transform(adjacent_ngrams(tokens(text_col), n), F.md5)
-        ).alias("__start", "__gh"),
-    )
+    grams = positioned_gram_hashes(df, text_col, id_col, n, gram_strategy)
     w = Window.partitionBy("__gh")
     covered = (
         grams.withColumn("__rep", F.min("__id").over(w))
@@ -719,32 +776,22 @@ def remove_duplicate_spans(
             ).alias("__pos"),
         )
         .distinct()
-        .withColumn("__cov", F.lit(True))
+        .groupBy("__id")
+        .agg(F.collect_list("__pos").alias("__cov"))
     )
-    flagged = toks.join(covered, ["__id", "__pos"], "left")
-    kept_struct = F.when(
-        F.col("__cov").isNull(), F.struct("__pos", "__tok")
-    )  # collect_list drops the NULLs, keeping only surviving tokens
-    agg = flagged.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda x: x["__tok"],
-            ),
-        ).alias("text_clean"),
-        F.count(kept_struct).alias("n_tokens_kept"),
-        F.count("__cov").alias("n_tokens_removed"),
+    base = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+    joined = base.join(covered, "__id", "left")
+    size_t = F.size("__toks")
+    cov = F.coalesce(F.col("__cov"), F.expr("array()").cast("array<int>"))
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.greatest(size_t, F.lit(1)) - 1), cov
     )
-    all_ids = df.select(F.col(id_col).alias("__id"))
-    return (
-        all_ids.join(agg, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
-            F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
-        )
+    kept_toks = F.transform(kept_pos, lambda i: F.element_at("__toks", i + 1))
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.concat_ws(" ", kept_toks), F.lit("")).alias("text_clean"),
+        F.coalesce(F.size(kept_pos), F.lit(0)).cast("long").alias("n_tokens_kept"),
+        F.coalesce(F.size(cov), F.lit(0)).cast("long").alias("n_tokens_removed"),
     )
 
 

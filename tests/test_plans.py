@@ -262,17 +262,27 @@ def test_q60_scd2_single_join_explode(spark):
 
 
 def test_d11_substring_pairs_single_gram_exchange(spark):
-    """ExactSubstr pair finding pays ONE gram-keyed exchange (the
-    min-over-window form) plus the pair count — the groupBy+join-back
-    shape shuffled the gram frame twice and re-tokenized the corpus per
-    branch."""
+    """ExactSubstr pair finding: one token-stream exchange (the codegen'd
+    lead-window gram build — HOF lambdas are interpreted, measured 2.3×
+    slower end-to-end), one gram-keyed exchange (min-over-window), one
+    pair aggregate — and the per-doc gram dedup must reuse the doc
+    partitioning (lag compare), never add its own exchange.  No join
+    anywhere; the corpus is scanned once."""
     df = workload.QUERIES["d11_substring_dup_pairs"](spark, SF)
     plan = plan_str(df)
     # one scan of documents, tokenized once
     assert plan.count("Scan parquet") == 1
-    # gram window + pair aggregate: two exchanges total, no join
-    assert count_exchanges(df) <= 2
+    # token window + gram window + pair aggregate: three exchanges, no join
+    assert count_exchanges(df) <= 3
     assert "Join" not in plan
+    # the map-only fold path stays available and exchange-free pre-window
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        positioned_gram_hashes,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    fold = positioned_gram_hashes(d, "text", "doc_id", 20, "fold")
+    assert count_exchanges(fold) == 0
 
 
 def test_d14_span_removal_no_pairwise_join_one_gram_exchange(spark):
