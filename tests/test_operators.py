@@ -2527,3 +2527,30 @@ def test_shard_manifest_verify_flags_tampered_shard(spark, tmp_path):
     res2 = {r.shard_id: r.ok for r in verify_shards(spark, path, "doc_id", "ep0").collect()}
     assert res2[2] is False
     assert all(ok for s, ok in res2.items() if s != 2)
+
+
+def test_results_independent_of_aqe(spark):
+    """Adaptive query execution changes physical plans (broadcast
+    conversion, skew splits, partition coalescing) — results must not.
+    Run a join-heavy, a window-heavy and a dedup query both ways."""
+    from sql_data_warehouse_samples_spark import workload
+
+    workload.load_all()
+    names = ["q03_q05_star_battery", "q26_latest_orders_per_customer",
+             "d01_dedup_exact"]
+    conf = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        outs = {}
+        for mode in ("true", "false"):
+            spark.conf.set(conf, mode)
+            for n in names:
+                df = workload.QUERIES[n](spark, SMOKE_SF_DIR)
+                rows = sorted(
+                    tuple(r) for r in df.collect()
+                )
+                outs.setdefault(n, []).append(rows)
+        for n, (a, b) in outs.items():
+            assert a == b, f"{n} differs under AQE toggle"
+    finally:
+        spark.conf.set(conf, prev)
