@@ -361,3 +361,36 @@ rates AS (
 SELECT d.* FROM {table} d JOIN rates r ON d.{source_col} = r.s
 WHERE {h} < r.thr
 """
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "",
+    component_col: str = "component",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split is keyed by the duplicate-cluster REPRESENTATIVE,
+    so every member of a cluster lands in the same split (the standard
+    eval-hygiene fix — a doc-keyed split puts a train doc's near-copy in
+    test, quietly inflating eval scores).
+
+    ``clusters``: (key_col, component) from ``graph.duplicate_clusters``
+    — docs absent from it (singletons) split by their own key, which is
+    exactly the component they'd carry as isolated nodes.
+
+    Shape: one left join onto the cluster map + the same map-only keyed
+    md5 threshold as ``split_assign``.  Deterministic, engine-portable,
+    repartition-stable.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    j = df.join(
+        clusters.select(key_col, component_col), key_col, "left"
+    ).withColumn(
+        "__split_key", F.coalesce(F.col(component_col), F.col(key_col))
+    )
+    return j.withColumn(
+        "split", split_assign(F.col("__split_key"), weights, seed)
+    ).drop("__split_key", component_col)

@@ -1719,3 +1719,66 @@ def w01_url_blocklist_gate(spark, sf_dir):
         url_host("url").alias("host"),
         registered_domain(url_host("url")).alias("reg_domain"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d20 — leakage-safe split (operators/sampling.py cluster_safe_split):
+# split assignment keyed by the d09 duplicate-cluster representative, so
+# near-copies can never straddle train/test.  Oracle: the same recursive
+# closure + the identical md5 threshold CASE on COALESCE(component, doc_id).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d20_leakage_safe_split",
+    oracle=rf"""
+WITH RECURSIVE
+hashed AS (
+  SELECT doc_id, md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+exact_e AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+edges AS (SELECT s, t FROM exact_e UNION SELECT t, s FROM exact_e),
+reach AS (
+  SELECT s AS node, s AS comp FROM edges
+  UNION
+  SELECT e.t AS node, r.comp FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, c.component,
+         {_split_sql("COALESCE(c.component, d.doc_id)",
+                     dict(train=0.8, val=0.1, test=0.1), seed="lsplit-v1")} AS split
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(component) AS BIGINT) AS n_clustered
+FROM assigned GROUP BY split ORDER BY split
+""",
+)
+def d20_leakage_safe_split(spark, sf_dir):
+    """Exact-dup clusters (star edges + CC) -> representative-keyed split;
+    the aggregate proves composition (per-split doc and clustered-doc
+    counts), and a pytest invariant asserts no cluster straddles splits."""
+    from ..operators.graph import duplicate_clusters, star_edges
+
+    d = tbl(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(D.normalized_text("text")).alias("h"))
+    clusters = duplicate_clusters(star_edges(hashed, "h", "doc_id"),
+                                  "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    out = S_ops.cluster_safe_split(d, clusters, "doc_id", seed="lsplit-v1")
+    joined = out.join(clusters, "doc_id", "left")
+    return (
+        joined.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("component").alias("n_clustered"),
+        )
+        .orderBy("split")
+    )

@@ -2554,3 +2554,40 @@ def test_results_independent_of_aqe(spark):
             assert a == b, f"{n} differs under AQE toggle"
     finally:
         spark.conf.set(conf, prev)
+
+
+def test_cluster_safe_split_no_cluster_straddles_splits(spark):
+    """The leakage invariant itself: every duplicate cluster's members
+    carry ONE split; singletons split like a plain keyed split."""
+    from sql_data_warehouse_samples_spark.operators.graph import (
+        duplicate_clusters,
+        star_edges,
+    )
+    from sql_data_warehouse_samples_spark.operators.sampling import (
+        cluster_safe_split,
+        train_test_split,
+    )
+
+    d = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    # plant exact dups: copy text of docs 0-4 onto ids 1000-1004
+    src = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang", "source",
+        "n_chars")
+    corpus = d.unionByName(src)
+    hashed = corpus.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+    clusters = duplicate_clusters(star_edges(hashed, "h", "doc_id"),
+                                  "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component")
+    out = cluster_safe_split(corpus, clusters, "doc_id", seed="s")
+    per_cluster = (
+        out.join(clusters, "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # singleton behavior == plain split
+    plain = train_test_split(d, "doc_id", seed="s").select("doc_id", "split")
+    solo = out.join(clusters, "doc_id", "left_anti").select("doc_id", "split")
+    diff = solo.join(plain.withColumnRenamed("split", "p"), "doc_id").filter(
+        F.col("split") != F.col("p"))
+    assert diff.count() == 0
