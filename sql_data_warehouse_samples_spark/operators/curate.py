@@ -112,6 +112,7 @@ def select_within_budget(
     key_col: str,
     seed: str = "",
     bucket_dp: int = 3,
+    max_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Greedy best-first subset under a weight budget: keep the
     highest-``score_col`` rows whose cumulative ``weight_col`` stays
@@ -135,16 +136,36 @@ def select_within_budget(
 
     A pathological distribution (all mass in one bucket) degrades to the
     windowed form on that bucket; raise ``bucket_dp`` to split it.
+
+    Rows with a NULL score or NULL weight are EXCLUDED up front (a null
+    score has no rank and a null weight has no budget cost — silently
+    propagating either would corrupt the cutoff arithmetic).  The
+    driver-side histogram is guarded by ``max_buckets``: if the bucketed
+    score range produces more rows than that, the collect would stop
+    being a "tiny aggregate", so the call fails loudly with guidance
+    (lower ``bucket_dp``) instead of quietly materializing it.
     """
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
-    s = df.withColumn("__b", F.round(F.col(score_col), bucket_dp)).withColumn(
-        "__h", h
+    s = (
+        df.filter(F.col(score_col).isNotNull() & F.col(weight_col).isNotNull())
+        .withColumn("__b", F.round(F.col(score_col), bucket_dp))
+        .withColumn("__h", h)
     )
+    # single pass: collect at most max_buckets+1 rows — the sentinel row
+    # proves the ceiling was crossed without materializing the overage
     hist = (
         s.groupBy("__b")
         .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+        .limit(max_buckets + 1)
         .collect()
     )
+    if len(hist) > max_buckets:
+        raise ValueError(
+            f"select_within_budget: score histogram exceeds {max_buckets} "
+            f"buckets at bucket_dp={bucket_dp} — the driver-side cutoff "
+            "scan is only safe for a small histogram; lower bucket_dp "
+            "(coarser buckets) or raise max_buckets deliberately"
+        )
     # integer weights (token counts) keep every sum exact — the cutoff is
     # bit-identical to the SQL cumulative-window mirror, no float drift
     remaining = int(budget)

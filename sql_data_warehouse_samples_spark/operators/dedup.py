@@ -351,15 +351,74 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text_col: str) -> Column:
+def simhash64(text_col: str, impl: str = "arrow") -> Column:
     """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
 
     bit_j(doc) = sign( Σ_tokens (token_hash has bit j ? +1 : -1) ).
-    One pass over the token array with SQL higher-order functions
-    (the Python `F.shiftright` builder only takes literal shift amounts,
-    so the variable-shift inner loop is expressed in SQL, where shift
-    amounts are full expressions).
+
+    ``impl="arrow"`` (default): the token HASHES stay JVM-side
+    (``xxhash64`` — numpy cannot reproduce it bit-exactly), and only the
+    64-bit sign-sum moves to an Arrow-batched numpy kernel: per batch,
+    one flat uint64 hash array + 64 vectorized bit-extract/segment-sum
+    passes (``np.add.reduceat`` over doc offsets).  That arithmetic is
+    exact integer popcount math on already-computed hashes, so the
+    signature is bit-identical to the fold — only the execution engine
+    differs.  The JVM fold evaluates its lambdas interpreted (Spark
+    codegens no higher-order function): 64 zip_with/transform closures
+    PER TOKEN made it the slowest headline op; the kernel replaces
+    ~64·tokens interpreted closures per doc with dense numpy.  Map-only
+    either way — no exchange, no collect.
+
+    ``impl="fold"``: the original pure-JVM HOF fold (kept selectable for
+    pure-JVM clusters; auto-fallback when pyarrow is unavailable).  The
+    Python ``F.shiftright`` builder only takes literal shift amounts, so
+    the variable-shift inner loop is expressed in SQL, where shift
+    amounts are full expressions.
     """
+    if impl == "arrow":
+        try:
+            import numpy as np
+            import pandas as pd
+            import pyarrow  # noqa: F401 - probe only
+        except ImportError:
+            impl = "fold"
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        def _sig_fn(col):
+            vals = col.tolist()
+            lens = np.array(
+                [0 if v is None else len(v) for v in vals], dtype=np.int64
+            )
+            nz = lens > 0
+            out = np.zeros(len(vals), dtype=np.int64)
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in vals if v is not None and len(v)]
+                ).view(np.uint64)
+                seg_lens = lens[nz]
+                starts = np.zeros(len(seg_lens), dtype=np.int64)
+                np.cumsum(seg_lens[:-1], out=starts[1:])
+                sig = np.zeros(len(seg_lens), dtype=np.uint64)
+                one = np.uint64(1)
+                for j in range(64):
+                    ones = np.add.reduceat((flat >> np.uint64(j)) & one, starts)
+                    # sign(Σ ±1) > 0  <=>  2·(count of set bits) > n_tokens
+                    bit = (2 * ones.astype(np.int64)) > seg_lens
+                    sig |= bit.astype(np.uint64) << np.uint64(j)
+                out[nz] = sig.view(np.int64)
+            ser = pd.Series(out, dtype="Int64")
+            null_rows = pd.Series([v is None for v in vals])
+            return ser.where(~null_rows)
+
+        _sig = pandas_udf(_sig_fn, LongType())
+        hashes = F.expr(
+            rf"transform(split(trim(`{text_col}`), '\\s+'), t -> xxhash64(t))"
+        )
+        return _sig(hashes)
+    if impl != "fold":
+        raise ValueError(f"unknown simhash64 impl {impl!r}")
     toks = rf"split(trim(`{text_col}`), '\\s+')"
     bit_sums = (
         f"aggregate(transform({toks}, t -> xxhash64(t)),"
@@ -388,6 +447,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     bands: int = 8,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    sig_impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + Hamming verification.
 
@@ -407,7 +467,10 @@ def simhash_dedup_pairs(
     # hashing itself parallelizes beyond the source file count
     sig = (
         _spread(df)
-        .select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+        .select(
+            F.col(id_col).alias("__id"),
+            simhash64(text_col, impl=sig_impl).alias("__sim"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sig.select(
@@ -783,9 +846,13 @@ def remove_duplicate_spans(
     joined = base.join(covered, "__id", "left")
     size_t = F.size("__toks")
     cov = F.coalesce(F.col("__cov"), F.expr("array()").cast("array<int>"))
-    kept_pos = F.array_except(
-        F.sequence(F.lit(0), F.greatest(size_t, F.lit(1)) - 1), cov
-    )
+    # null/empty text → empty position list (size_t is null or 0), so
+    # n_tokens_kept reports 0 consistently with the "" text_clean — the
+    # greatest(size,1)-1 form used to hand a null-text doc kept_pos=[0]
+    kept_pos = F.when(
+        size_t > 0,
+        F.array_except(F.sequence(F.lit(0), size_t - 1), cov),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     kept_toks = F.transform(kept_pos, lambda i: F.element_at("__toks", i + 1))
     return joined.select(
         F.col("__id").alias(id_col),

@@ -6,15 +6,18 @@ directory and swapping it into place.  A directory swap is two renames —
 directory.  The recovery contract here keeps the live path always
 restorable:
 
-* ``swap_in`` verifies the staged directory (caller-supplied check)
-  BEFORE touching the live path, and deletes the displaced ``__old`` copy
-  only after the new live directory passes the same check — a failure at
-  any point leaves either the old data live or the old data at
-  ``<live>__old``.
+* ``swap_in`` verifies the STAGED directory (caller-supplied check,
+  called with the directory to check) BEFORE touching the live path —
+  a bad stage aborts with the previous data still live and untouched.
+* After the swap the same check runs against the new live directory
+  (catches rename-level corruption); a failure there triggers an
+  AUTOMATIC ROLLBACK — the bad tree is moved aside to ``<live>__bad``
+  and the displaced ``__old`` copy is restored as live — so the caller
+  never observes a live path holding unverified data.
 * ``recover`` heals the one non-atomic window (crash between the two
   renames): live missing + ``__old`` present → move it back.  Readers
-  call it before opening the path, so a crashed compact self-heals on the
-  next read instead of erroring until manual surgery.
+  call it before opening the path, so a crashed compact self-heals on
+  the next read instead of erroring until manual surgery.
 
 Object stores at production scale do this with a manifest/pointer object
 instead of renames; the directory form keeps the local/simple-FS layout
@@ -39,18 +42,32 @@ def recover(live: str) -> bool:
     return False
 
 
-def swap_in(live: str, stage: str, verify: Callable[[], None] | None = None) -> None:
+def swap_in(live: str, stage: str, verify: Callable[[str], None] | None = None) -> None:
     """Replace directory ``live`` with ``stage``.
 
-    ``verify`` (e.g. a 1-row read of the target) runs against the staged
-    data before the swap and against the new live directory before the
-    displaced copy is deleted; an exception aborts with the previous data
-    still live (before the swap) or preserved at ``<live>__old`` (after).
+    ``verify`` (e.g. a 1-row read of the given directory) is called with
+    ``stage`` before any rename — an exception there aborts with the
+    previous data still live — and with ``live`` after the swap; a
+    post-swap failure rolls back automatically (bad tree parked at
+    ``<live>__bad``, previous data restored as live) and re-raises.
+    Either way the caller never sees unverified data at the live path,
+    and the last good copy is never deleted on a failure path.
     """
     old = f"{live}__old"
+    bad = f"{live}__bad"
+    if verify is not None:
+        verify(stage)  # raises -> live path untouched
     shutil.rmtree(old, ignore_errors=True)
     shutil.move(live, old)
     shutil.move(stage, live)
     if verify is not None:
-        verify()  # raises -> old copy kept on disk at <live>__old
+        try:
+            verify(live)
+        except Exception:
+            # roll back: park the bad tree for post-mortem, restore the
+            # displaced good copy as live, then surface the failure
+            shutil.rmtree(bad, ignore_errors=True)
+            shutil.move(live, bad)
+            shutil.move(old, live)
+            raise
     shutil.rmtree(old, ignore_errors=True)

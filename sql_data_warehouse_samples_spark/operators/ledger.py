@@ -101,8 +101,8 @@ class ContentHashLedger:
         swap_in(
             self.path,
             stage,
-            verify=lambda: self.spark.read.schema(LEDGER_SCHEMA)
-            .parquet(self.path)
+            verify=lambda p: self.spark.read.schema(LEDGER_SCHEMA)
+            .parquet(p)
             .first(),
         )
         return n

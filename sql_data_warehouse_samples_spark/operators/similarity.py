@@ -23,6 +23,47 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+try:  # the Arrow fast paths need the full numpy/pandas/pyarrow stack;
+    import numpy as _np  # noqa: F401 - probe only
+    import pandas as _pd  # noqa: F401
+    import pyarrow as _pa  # noqa: F401
+
+    _HAS_ARROW = True
+except ImportError:  # pure-JVM cluster — impl="arrow" falls back to the fold
+    _HAS_ARROW = False
+
+
+def _clean_matrix(vals, dim):
+    """(X, ok) for a batch of embedding lists: X is the (n_ok, dim)
+    float64 matrix of the USABLE rows, ok the per-row validity mask.
+    A row is usable iff non-null, exactly ``dim`` long, and all-finite —
+    anything else (null vector, ragged length, null/NaN element) is
+    masked out instead of collapsing np.array to object dtype or raising
+    mid-batch, and the caller emits NULL for it."""
+    import numpy as np
+
+    try:  # fast path: the overwhelmingly common all-clean batch
+        X = np.array(vals, dtype=np.float64)
+        if X.ndim == 2 and X.shape[1] == dim and np.isfinite(X).all():
+            return X, np.ones(len(vals), dtype=bool)
+    except (TypeError, ValueError):
+        pass
+    ok = np.zeros(len(vals), dtype=bool)
+    rows = []
+    for i, v in enumerate(vals):
+        if v is None or len(v) != dim:
+            continue
+        try:
+            row = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if not np.isfinite(row).all():
+            continue
+        ok[i] = True
+        rows.append(row)
+    X = np.vstack(rows) if rows else np.empty((0, dim), dtype=np.float64)
+    return X, ok
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ONLY if the scan is under-partitioned (e.g. a single local
@@ -186,6 +227,8 @@ def assign_centroids(
     cutoff = CENT_LITERAL_MAX_ELEMS if max_literal_elems is None else max_literal_elems
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n_elems = sum(len(v) for _, v in cent_list)
+    if impl == "arrow" and not _HAS_ARROW:
+        impl = "fold"  # pure-JVM environment — same semantics, slower
     if impl == "arrow":
         # Arrow-batched numpy argmin: one gemm for the full distance
         # matrix per batch — the SQL fold below runs interpreted per
@@ -194,7 +237,10 @@ def assign_centroids(
         # round to ``round_to`` before a first-minimum argmin over the
         # cid-sorted codebook (ties → lowest cid).  Map-only (no
         # exchange), and the centroids ride the udf closure, so the
-        # plan-literal ceiling never applies.
+        # plan-literal ceiling never applies.  Null / wrong-length /
+        # non-finite vectors assign NULL (the fold path's degenerate
+        # folds surface the same rows as unusable; here the contract is
+        # explicit instead of a crash in np.array).
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -207,10 +253,15 @@ def assign_centroids(
         c2 = (mat * mat).sum(axis=1)[None, :]
 
         def _assign_fn(col):
-            X = np.array(col.tolist(), dtype=np.float64)
+            X, ok = _clean_matrix(col.tolist(), mat.shape[1])
+            if len(X) == 0:
+                return pd.Series([None] * len(ok), dtype="Int64")
             d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ mat.T) + c2
             d2 = np.round(np.maximum(d2, 0.0), round_to)
-            return pd.Series(cid_arr[np.argmin(d2, axis=1)])
+            assigned = cid_arr[np.argmin(d2, axis=1)]
+            out = np.full(len(ok), -1, dtype=np.int64)
+            out[ok] = assigned
+            return pd.Series(out, dtype="Int64").where(pd.Series(ok))
 
         _assign = pandas_udf(_assign_fn, LongType())
         return df.withColumn(out_col, _assign(vec.cast("array<double>")))
@@ -637,6 +688,11 @@ def pq_encode(
         )
     if impl != "arrow":
         raise ValueError(f"unknown pq_encode impl {impl!r}")
+    if not _HAS_ARROW:
+        return pq_encode(
+            df, codebooks, id_col=id_col, vec_col=vec_col,
+            round_to=round_to, out=out, impl="fold",
+        )
 
     import numpy as np
     import pandas as pd
@@ -665,8 +721,9 @@ def pq_encode(
     # no type annotations: the module uses `from __future__ import
     # annotations`, so the hint inspector would see unresolvable strings
     def _encode_fn(col):
-        X = np.array(col.tolist(), dtype=np.float64)
-        outs = []
+        # null / ragged / non-finite vectors encode as NULL (see
+        # _clean_matrix) instead of crashing the whole Arrow batch
+        X, ok = _clean_matrix(col.tolist(), m * d_sub)
         per_sub = []
         for j in range(m):
             Xj = X[:, j * d_sub : (j + 1) * d_sub]
@@ -681,13 +738,16 @@ def pq_encode(
             per_sub.append(
                 (cids[j][idx], d2[np.arange(len(idx)), idx])
             )
-        for r in range(len(X)):
-            outs.append(
-                [
-                    {"code": int(per_sub[j][0][r]), "d2": float(per_sub[j][1][r])}
-                    for j in range(m)
-                ]
-            )
+        outs = [None] * len(ok)
+        r = 0
+        for i in range(len(ok)):
+            if not ok[i]:
+                continue
+            outs[i] = [
+                {"code": int(per_sub[j][0][r]), "d2": float(per_sub[j][1][r])}
+                for j in range(m)
+            ]
+            r += 1
         return pd.Series(outs)
 
     _encode = pandas_udf(_encode_fn, ret)
@@ -968,7 +1028,7 @@ class IvfIndex:
         assigned = assign_centroids(corpus, "__cvec", new_cents, round_to)
         assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
         live = f"{self.path}/lists"
-        swap_in(live, stage, verify=lambda: spark.read.parquet(live).first())
+        swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
         spark.createDataFrame(
             list(new_cents), "centroid_id long, __cent array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
@@ -997,7 +1057,7 @@ class IvfIndex:
         n = spark.read.parquet(stage).count()
         live = f"{self.path}/lists"
         swap_in(
-            live, stage, verify=lambda: spark.read.parquet(live).first()
+            live, stage, verify=lambda p: spark.read.parquet(p).first()
         )
         return n
 
@@ -1297,5 +1357,5 @@ class IvfPqIndex:
         )
         n = spark.read.parquet(stage).count()
         live = f"{self.path}/lists"
-        swap_in(live, stage, verify=lambda: spark.read.parquet(live).first())
+        swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
         return n

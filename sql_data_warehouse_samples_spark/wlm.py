@@ -378,9 +378,12 @@ class FleetAutoScale:
             ):
                 if t_tag not in tags or s_tag not in tags:
                     continue
-                if not self._in_window(now_min, tags[t_tag]):
+                # Azure tag values are strings ("480" = minutes past
+                # midnight) — coerce, so string-tagged members match the
+                # template's actual tag form as well as int-tagged tests
+                if not self._in_window(now_min, int(tags[t_tag])):
                     continue
-                target = self._dwu(tags[s_tag])
+                target = self._dwu(str(tags[s_tag]))
                 if ladder.current == target:
                     self._log(name, "none", f"already at DW{target}")
                     continue

@@ -1,0 +1,368 @@
+"""Round-5 hardening: the advisor's five findings, each pinned by a test.
+
+1. dirswap.swap_in verifies the STAGE before any rename and rolls back
+   automatically on a post-swap verify failure (the old contract could
+   leave unverified data live and then rmtree the last good copy).
+2. assign_centroids / pq_encode Arrow paths tolerate null / ragged /
+   non-finite embedding vectors (NULL out) instead of crashing the batch.
+3. remove_duplicate_spans reports n_tokens_kept=0 for null-text docs
+   (greatest(size,1)-1 used to produce kept_pos=[0] → kept=1 with "" text).
+4. select_within_budget filters null score/weight rows and fails loudly
+   when the driver-side histogram would exceed max_buckets.
+5. FleetAutoScale coerces string tag values (the actual Azure tag form).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# 1. dirswap contract
+# ---------------------------------------------------------------------------
+
+
+def _mkdir_with(path, name, content):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write(content)
+
+
+def test_dirswap_bad_stage_leaves_live_untouched(tmp_path):
+    from sql_data_warehouse_samples_spark.operators.dirswap import swap_in
+
+    live = str(tmp_path / "live")
+    stage = str(tmp_path / "stage")
+    _mkdir_with(live, "data", "good")
+    _mkdir_with(stage, "data", "corrupt")
+
+    def verify(p):
+        with open(os.path.join(p, "data")) as f:
+            if f.read() != "good":
+                raise IOError("corrupt")
+
+    with pytest.raises(IOError):
+        swap_in(live, stage, verify=verify)
+    # live untouched, stage still there for post-mortem, no __old litter
+    with open(os.path.join(live, "data")) as f:
+        assert f.read() == "good"
+    assert os.path.exists(stage)
+    assert not os.path.exists(f"{live}__old")
+
+
+def test_dirswap_postswap_failure_rolls_back(tmp_path):
+    """If the stage passes its own check but the post-swap live check
+    fails (rename-level corruption), the old copy must come back as live
+    and the bad tree must be parked — never deleted, never left live."""
+    from sql_data_warehouse_samples_spark.operators.dirswap import swap_in
+
+    live = str(tmp_path / "live")
+    stage = str(tmp_path / "stage")
+    _mkdir_with(live, "data", "good")
+    _mkdir_with(stage, "data", "staged")
+
+    calls = {"n": 0}
+
+    def verify(p):
+        calls["n"] += 1
+        if calls["n"] == 2:  # stage check passes, live re-check fails
+            raise IOError("post-swap corruption")
+
+    with pytest.raises(IOError):
+        swap_in(live, stage, verify=verify)
+    with open(os.path.join(live, "data")) as f:
+        assert f.read() == "good"  # rolled back
+    assert not os.path.exists(f"{live}__old")
+    with open(os.path.join(f"{live}__bad", "data")) as f:
+        assert f.read() == "staged"  # parked for post-mortem
+
+
+def test_dirswap_success_path_still_swaps(tmp_path):
+    from sql_data_warehouse_samples_spark.operators.dirswap import swap_in
+
+    live = str(tmp_path / "live")
+    stage = str(tmp_path / "stage")
+    _mkdir_with(live, "data", "old")
+    _mkdir_with(stage, "data", "new")
+    seen = []
+    swap_in(live, stage, verify=lambda p: seen.append(os.path.basename(p)))
+    with open(os.path.join(live, "data")) as f:
+        assert f.read() == "new"
+    assert not os.path.exists(f"{live}__old")
+    # stage verified BEFORE the swap, live after
+    assert seen == ["stage", "live"]
+
+
+def test_ivf_retrain_bad_stage_never_replaces_live(spark, tmp_path):
+    """End-to-end: corrupt what retrain stages (simulated by a verify
+    shim is not possible here, so corrupt the staged dir via a monkey-
+    patched writer is overkill) — instead prove the ledger compact path:
+    a compact whose staged write is corrupted must leave the live ledger
+    readable and intact."""
+    from sql_data_warehouse_samples_spark.operators import dirswap
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    path = str(tmp_path / "ledger")
+    led = ContentHashLedger(spark, path)
+    led.ingest(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id: long, text: string"
+        )
+    )
+    orig = dirswap.swap_in
+
+    def corrupting_swap(live, stage, verify=None):
+        # simulate a staged write that produced garbage
+        shutil.rmtree(stage)
+        _mkdir_with(stage, "part-00000.parquet", "NOT PARQUET")
+        orig(live, stage, verify=verify)
+
+    # patch at the dirswap module (ledger imports swap_in inside compact)
+    dirswap.swap_in = corrupting_swap
+    try:
+        with pytest.raises(Exception):
+            led.compact(n_files=1)
+    finally:
+        dirswap.swap_in = orig
+    assert led.hashes().count() == 2  # live ledger survived the bad stage
+
+
+# ---------------------------------------------------------------------------
+# 2. Arrow null/ragged guards
+# ---------------------------------------------------------------------------
+
+
+def test_assign_centroids_nulls_and_ragged_null_out(spark):
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        assign_centroids,
+    )
+
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 0.5]),
+            (2, None),
+            (3, [1.0]),  # ragged
+            (4, [9.0, 9.0]),
+            (5, [float("nan"), 1.0]),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_centroids(df, "embedding", cents).collect()
+    }
+    assert got == {1: 0, 2: None, 3: None, 4: 1, 5: None}
+
+
+def test_pq_encode_nulls_and_ragged_null_out(spark):
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    books = [
+        [(0, [0.0]), (1, [10.0])],
+        [(0, [0.0]), (1, [10.0])],
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.1, 9.8]), (2, None), (3, [1.0, 2.0, 3.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {r["vec_id"]: r["pq"] for r in pq_encode(df, books).collect()}
+    assert [c["code"] for c in got[1]] == [0, 1]
+    assert got[2] is None
+    assert got[3] is None
+
+
+def test_assign_centroids_all_null_batch(spark):
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        assign_centroids,
+    )
+
+    cents = [(0, [0.0, 0.0])]
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id: long, embedding: array<double>"
+    )
+    got = assign_centroids(df, "embedding", cents).collect()
+    assert all(r["centroid_id"] is None for r in got)
+
+
+# ---------------------------------------------------------------------------
+# 2b. SimHash Arrow escape — bit-identical to the JVM fold
+# ---------------------------------------------------------------------------
+
+
+def test_simhash64_arrow_bit_identical_to_fold(spark):
+    """The Arrow kernel only moves the sign-sum (exact int64 popcount
+    arithmetic) off the interpreted-HOF path; xxhash64 stays JVM-side.
+    Signatures must match the fold bit-for-bit, including null text."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+        + "/documents.parquet"
+    ).limit(2000)
+    extra = spark.createDataFrame(
+        [(90_001, None), (90_002, ""), (90_003, "a"), (90_004, "a b a b")],
+        "doc_id: long, text: string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    a = d.select("doc_id", simhash64("text", impl="arrow").alias("sa"))
+    f = d.select("doc_id", simhash64("text", impl="fold").alias("sf"))
+    assert (
+        a.join(f, "doc_id").filter("sa IS DISTINCT FROM sf").count() == 0
+    )
+    # null text → null signature on both paths
+    row = a.filter(F.col("doc_id") == 90_001).first()
+    assert row["sa"] is None
+
+
+def test_simhash_dedup_pairs_impl_parity(spark):
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about spark shuffle plans"),
+        ],
+        "doc_id: long, text: string",
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(
+            df, "text", "doc_id", max_hamming=16, sig_impl="fold"
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(
+            df, "text", "doc_id", max_hamming=16, sig_impl="arrow"
+        ).collect()
+    }
+    assert got == want and (1, 2, want and min(h for _, _, h in want)) is not None
+
+
+# ---------------------------------------------------------------------------
+# 3. remove_duplicate_spans null text
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_null_and_empty_text(spark):
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    run = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"{run} tail"),
+            (2, f"head {run}"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, "text", "doc_id", n=5).collect()
+    }
+    assert got[3]["n_tokens_kept"] == 0
+    assert got[3]["text_clean"] == ""
+    # empty string is ONE empty token under the codebase-wide tokens()
+    # convention (token_count("") == 1) — kept count matches it
+    assert got[4]["n_tokens_kept"] == 1
+    assert got[4]["text_clean"] == ""
+    # the real dedup still works around the degenerate rows
+    assert got[1]["n_tokens_kept"] == 6  # keeps the run (min id) + tail
+    assert got[2]["text_clean"] == "head"
+
+
+# ---------------------------------------------------------------------------
+# 4. select_within_budget guards
+# ---------------------------------------------------------------------------
+
+
+def test_select_within_budget_null_rows_excluded(spark):
+    from sql_data_warehouse_samples_spark.operators.curate import (
+        select_within_budget,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.9, 100),
+            (2, None, 100),  # null score: no rank — excluded
+            (3, 0.8, None),  # null weight: no cost — excluded
+            (4, 0.7, 100),
+        ],
+        "doc_id: long, q: double, w: long",
+    )
+    got = {r["doc_id"] for r in select_within_budget(df, "q", "w", 250, "doc_id").collect()}
+    assert got == {1, 4}
+
+
+def test_select_within_budget_histogram_ceiling_raises(spark):
+    from sql_data_warehouse_samples_spark.operators.curate import (
+        select_within_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i / 1000.0, 10) for i in range(50)],
+        "doc_id: long, q: double, w: long",
+    )
+    with pytest.raises(ValueError, match="histogram exceeds"):
+        select_within_budget(df, "q", "w", 100, "doc_id", max_buckets=10)
+    # generous ceiling passes
+    out = select_within_budget(df, "q", "w", 100, "doc_id", max_buckets=100)
+    assert out.count() == 10
+
+
+def test_select_within_budget_single_bucket_degenerate(spark):
+    """All mass in ONE bucket — the documented degradation path: the
+    boundary window handles the whole corpus and still returns a
+    deterministic within-budget prefix."""
+    from sql_data_warehouse_samples_spark.operators.curate import (
+        select_within_budget,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 0.5, 10) for i in range(100)], "doc_id: long, q: double, w: long"
+    )
+    out = select_within_budget(df, "q", "w", 200, "doc_id", seed="z")
+    assert out.count() == 20
+    assert out.agg(F.sum("w")).first()[0] == 200
+
+
+# ---------------------------------------------------------------------------
+# 5. FleetAutoScale string tags
+# ---------------------------------------------------------------------------
+
+
+def test_fleet_autoscale_string_tag_values():
+    from sql_data_warehouse_samples_spark.wlm import FleetAutoScale, ScaleLadder
+
+    fleet = FleetAutoScale()
+    ladder = ScaleLadder(current=100)
+    fleet.register(
+        "dw-strs",
+        ladder,
+        # the actual Azure tag form: every value a string
+        {
+            "AutoScheduleScaleUpTime": "480",
+            "AutoScheduleScaleUpSLO": "DW400c",
+            "AutoScheduleScaleDownTime": "1200",
+            "AutoScheduleScaleDownSLO": "DW100c",
+        },
+    )
+    decisions = fleet.tick(now_min=482)
+    assert any(d["action"] == "scale_up" for d in decisions)
+    assert ladder.current == 400
