@@ -1210,17 +1210,22 @@ class Engine:
         seed: str = "",
     ) -> dict:
         """Export a table (or frame) as verified training shards: the
-        deterministic shuffle-shard write (operators/shards.py), its
-        integrity manifest, and an immediate audit — logged like any other
-        request, so ``sys.dm_pdw_exec_requests`` shows the export.
+        deterministic shuffle-shard write (operators/shards.py) plus its
+        integrity manifest — logged like any other request, so
+        ``sys.dm_pdw_exec_requests`` shows the export.
 
-        Returns ``{"path", "n_shards", "n_rows", "verified"}``; raises if
-        the post-write audit finds any shard inconsistent (a failed write
-        must not masquerade as a usable export).
+        Exactly ONE pass over the source (the write itself, row-counted
+        in-flight via ``Observation``) and ONE narrow scan of the written
+        output (shard_id + key column) that derives the manifest from the
+        bytes on disk.  Raises if the on-disk total disagrees with the
+        write-observed row count (a torn write must not masquerade as a
+        usable export); later tamper/bitrot audits run ``verify_shards``
+        against the persisted manifest.
+
+        Returns ``{"path", "n_shards", "n_rows", "verified"}``.
         """
         from .operators.shards import (
-            verify_shards,
-            write_shard_manifest,
+            write_manifest_from_export,
             write_training_shards,
         )
 
@@ -1229,15 +1234,14 @@ class Engine:
         rec = self._new_request(label, label, "largerc")
         rec.start_time = time.time()
         try:
-            write_training_shards(df, path, key_col, n_shards, seed)
-            write_shard_manifest(df, path, key_col, n_shards, seed)
-            audit = verify_shards(self.spark, path, key_col, seed)
-            bad = [r.shard_id for r in audit.collect() if not r.ok]
-            if bad:
-                raise RuntimeError(f"shard audit failed for shards {bad}")
-            n_rows = int(
-                self.spark.read.parquet(path).count()
-            )
+            n_written = write_training_shards(df, path, key_col, n_shards, seed)
+            man_rows = write_manifest_from_export(self.spark, path, key_col, seed)
+            n_rows = int(sum(r.n_rows for r in man_rows))
+            if n_rows != n_written:
+                raise RuntimeError(
+                    f"shard export torn: write processed {n_written} rows "
+                    f"but {n_rows} landed on disk"
+                )
         except Exception as e:  # noqa: BLE001
             rec.status = "Failed"
             rec.error_message = str(e)[:1000]

@@ -44,13 +44,14 @@ class ContentHashLedger:
     def hashes(self) -> DataFrame:
         """The ledger as a one-column frame (empty if nothing ingested).
         Self-heals a compact() interrupted mid-swap first (dirswap)."""
+        import os
+
         from .dirswap import recover
 
         recover(self.path)
-        try:
-            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:  # path does not exist yet
+        if not os.path.exists(self.path):  # nothing ingested yet
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
     def ingest(
         self,
@@ -102,6 +103,267 @@ class ContentHashLedger:
             self.path,
             stage,
             verify=lambda p: self.spark.read.schema(LEDGER_SCHEMA)
+            .parquet(p)
+            .first(),
+        )
+        return n
+
+
+class MinHashSignatureLedger:
+    """Persistent MinHash SIGNATURE ledger — incremental NEAR-dup dedup.
+
+    The ContentHashLedger above answers "has this EXACT content been
+    admitted?"; a daily-ingest pipeline equally needs "is this a NEAR
+    duplicate of anything admitted?" without re-reading (or re-signing)
+    the accumulated corpus text.  Standard practice for web-scale corpora
+    (Lee et al. 2021 §4; RefinedWeb/Penedo et al. 2023 §3.2 dedupe
+    incrementally against prior CommonCrawl dumps): persist the MinHash
+    signatures once, at admission, and band-join each new batch against
+    the stored signatures.
+
+    Stored row: ``(doc_id, sig array<long>)`` — ``num_hashes`` 64-bit
+    minhashes ≈ 8·k bytes/doc (256 B at k=32) versus the ~KB-scale raw
+    text: the steady-state ingest reads 100-1000× less than re-signing.
+    Band keys are DERIVED from the stored signature at join time (a
+    map-only slice-and-concat over the 8·k-byte rows) rather than stored
+    exploded, keeping the ledger narrow and its compaction identical to
+    any parquet rewrite (same dirswap crash contract as ContentHashLedger).
+
+    Cross-batch verification uses the signature-agreement ESTIMATE of
+    Jaccard (fraction of matching minhash positions — the textbook
+    unbiased estimator): exact shingle-set Jaccard would need the corpus
+    TEXT, which is exactly what the ledger exists to avoid re-reading.
+    Within reported pairs, ``est_jaccard`` has standard error
+    ~1/sqrt(k); raise ``num_hashes`` to tighten.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+    ) -> None:
+        if num_hashes % bands:
+            raise ValueError("bands must divide num_hashes")
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+
+    # -- storage ----------------------------------------------------------
+
+    def _sig_schema(self):
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("sig", ArrayType(LongType(), False), False),
+            ]
+        )
+
+    def signatures(self) -> DataFrame:
+        """The ledger as a (doc_id, sig) frame (empty before first ingest).
+        Self-heals a compact() interrupted mid-swap (dirswap.recover)."""
+        import os
+
+        from .dirswap import recover
+
+        recover(self.path)
+        if not os.path.exists(self.path):  # nothing ingested yet
+            return self.spark.createDataFrame([], self._sig_schema())
+        return self.spark.read.schema(self._sig_schema()).parquet(self.path)
+
+    def _signed(self, batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        from .dedup import minhash_signature, shingles
+
+        return batch.select(
+            F.col(id_col).alias("doc_id"),
+            minhash_signature(
+                shingles(text_col, self.shingle_n), self.num_hashes
+            ).alias("sig"),
+        )
+
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        """(doc_id, band, bh) from stored/derived signatures — map-only."""
+        r = self.num_hashes // self.bands
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * r + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(r)
+                                ],
+                            ).alias("bh"),
+                        )
+                        for b in range(self.bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    @staticmethod
+    def _est_jaccard(sig_a, sig_b) -> "F.Column":
+        """Fraction of agreeing minhash positions — unbiased Jaccard
+        estimator; runs on CANDIDATE pairs only."""
+        agree = F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(agree / F.size(sig_a), 6)
+
+    # -- queries ----------------------------------------------------------
+
+    def near_dups(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.7,
+        max_bucket: int = 128,
+    ) -> DataFrame:
+        """Near-duplicates of ``batch`` docs AGAINST THE LEDGER — the
+        corpus text is never touched, only the batch is signed.
+
+        Returns ``(batch_id, corpus_id, est_jaccard)``.  Shape: sign the
+        batch (batch-sized), band-explode both sides, equi-join on
+        (band, bh) — the ledger side's shuffle moves 8·k-byte signature
+        rows, not text — then verify by signature agreement.  Degenerate
+        ledger buckets (e.g. boilerplate/empty-doc signatures shared by
+        millions of docs) are capped at ``max_bucket`` lowest-id members
+        per (band, bh): candidates stay linear; the cap only affects
+        WHICH of an over-full bucket's mutually-similar members is
+        reported as the match, not whether a match is found (same trade
+        as the in-batch _candidate_pairs star fallback).
+        """
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+
+        bsig = self._signed(batch, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        lsig = self.signatures()
+        lband = self._banded(lsig)
+        w = Window.partitionBy("band", "bh").orderBy("doc_id")
+        lband = (
+            lband.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
+        cand = (
+            self._banded(bsig)
+            .withColumnRenamed("doc_id", "batch_id")
+            .join(lband.withColumnRenamed("doc_id", "corpus_id"), ["band", "bh"])
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        return (
+            cand.join(
+                bsig.select(
+                    F.col("doc_id").alias("batch_id"), F.col("sig").alias("__sa")
+                ),
+                "batch_id",
+            )
+            .join(
+                lsig.select(
+                    F.col("doc_id").alias("corpus_id"), F.col("sig").alias("__sb")
+                ),
+                "corpus_id",
+            )
+            .withColumn("est_jaccard", self._est_jaccard(F.col("__sa"), F.col("__sb")))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("batch_id", "corpus_id", "est_jaccard")
+        )
+
+    def ingest(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.7,
+        max_bucket: int = 128,
+    ) -> DataFrame:
+        """Admit a batch: drop docs that are near-dups of the LEDGER or of
+        a lower-id doc in the SAME batch, append the survivors'
+        signatures, return the surviving documents.
+
+        Cost scales with the batch: the ledger side contributes one
+        signature scan + band join, never a text read.
+        """
+        from pyspark.sql import Window
+
+        from .dedup import _candidate_pairs
+
+        signed = self._signed(batch, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        # cross near-dups vs ledger
+        cross = self.near_dups(
+            batch, text_col, id_col, threshold, max_bucket
+        ).select(F.col("batch_id").alias("doc_id")).distinct()
+        # within-batch near-dups: banded self-join + agreement verify,
+        # drop the higher id of each verified pair
+        cands = _candidate_pairs(
+            self._banded(signed).withColumnRenamed("doc_id", "__id"), max_bucket
+        )
+        within = (
+            cands.join(
+                signed.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__sa")),
+                "id_a",
+            )
+            .join(
+                signed.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sb")),
+                "id_b",
+            )
+            .filter(self._est_jaccard(F.col("__sa"), F.col("__sb")) >= threshold)
+            .select(F.col("id_b").alias("doc_id"))  # id_a < id_b: keep min
+            .distinct()
+        )
+        dropped = cross.unionByName(within).distinct()
+        survivors = batch.join(
+            dropped, batch[id_col] == dropped["doc_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        self._signed(survivors, text_col, id_col).write.mode("append").parquet(
+            self.path
+        )
+        return survivors
+
+    def compact(self, n_files: int | None = None) -> int:
+        """Rewrite accumulated per-batch appends (dedup on doc_id, keep
+        any one signature row — they are identical for a given doc) into
+        ``n_files`` parquet files via the verified staged swap.  Returns
+        the distinct-doc count."""
+        from .dirswap import swap_in
+
+        distinct = self.signatures().groupBy("doc_id").agg(
+            F.max("sig").alias("sig")
+        )
+        if n_files:
+            distinct = distinct.repartition(n_files)
+        stage = f"{self.path}__compact"
+        distinct.write.mode("overwrite").parquet(stage)
+        n = self.spark.read.parquet(stage).count()
+        swap_in(
+            self.path,
+            stage,
+            verify=lambda p: self.spark.read.schema(self._sig_schema())
             .parquet(p)
             .first(),
         )

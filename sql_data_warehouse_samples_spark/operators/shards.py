@@ -93,8 +93,10 @@ def write_training_shards(
     n_shards: int,
     seed: str = "",
     fmt: str = "parquet",
-) -> None:
+) -> int:
     """Materialize shuffled training shards under ``path/shard_id=<i>/``.
+    Returns the number of rows the write job actually processed (counted
+    in-flight via ``Observation`` — zero extra passes).
 
     ONE range exchange on (shard id, shuffle hash); every file is
     internally sorted by the shuffle hash, so a loader streaming a shard's
@@ -105,16 +107,24 @@ def write_training_shards(
     boundaries give ~one shard per task; a boundary that splits a shard
     mid-hash just yields two files whose name order continues the hash
     order, so per-shard read order is unaffected."""
+    from pyspark.sql import Observation
+
     z = shuffle_shards(df, key_col, n_shards, seed)
+    obs = Observation()
     (
+        # observe DOWNSTREAM of the range exchange: the range partitioner's
+        # boundary-sampling pass re-evaluates the exchange's child, so an
+        # upstream observation would double-count every row
         z.repartitionByRange(n_shards, "shard_id", "__shuffle")
         .sortWithinPartitions("shard_id", "__shuffle")
         .drop("__shuffle")
+        .observe(obs, F.count(F.lit(1)).alias("n_rows"))
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .format(fmt)
         .save(path)
     )
+    return int(obs.get["n_rows"])
 
 
 #: Manifest sidecar directory (parquet), written next to the shard dirs.
@@ -145,13 +155,53 @@ def shard_manifest(df: DataFrame, key_col: str, n_shards: int, seed: str = "") -
 def write_shard_manifest(
     df: DataFrame, path: str, key_col: str, n_shards: int, seed: str = ""
 ) -> None:
-    """Persist the manifest beside the shards (one tiny parquet)."""
+    """Persist the manifest beside the shards (one tiny parquet).
+
+    Source-derived variant — recomputes assignment from ``df``, costing a
+    second source pass.  Exports should use ``write_manifest_from_export``
+    (one narrow OUTPUT scan) instead; this form remains for callers that
+    want a manifest without (or before) a physical export."""
     (
         shard_manifest(df, key_col, n_shards, seed)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/{MANIFEST_DIR}")
     )
+
+
+def manifest_from_export(spark, path: str, key_col: str, seed: str = "") -> DataFrame:
+    """Manifest computed FROM THE WRITTEN SHARDS — one narrow output scan
+    (``shard_id`` + the key column only; parquet column pruning keeps the
+    IO at key width, not payload width).  At 100 TB a source-derived
+    manifest is a full extra corpus pass per export; this certifies the
+    bytes that actually landed on disk — exactly what a later
+    ``verify_shards`` audit re-reads and diffs against."""
+    data = spark.read.parquet(path).select("shard_id", key_col)
+    z = data.withColumn("__shuffle", shuffle_hash(F.col(key_col), seed))
+    return z.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.conv(F.substring(F.col("__shuffle"), 1, _PREFIX_HEX), 16, 10).cast(
+                "long"
+            )
+        ).alias("content_checksum"),
+        F.min("__shuffle").alias("first_hash"),
+        F.max("__shuffle").alias("last_hash"),
+    )
+
+
+def write_manifest_from_export(
+    spark, path: str, key_col: str, seed: str = ""
+) -> list:
+    """Compute the manifest from the written export, persist it beside the
+    shards, and return its (collected, #shards-sized) rows so the caller
+    can cross-check totals without another scan."""
+    man = manifest_from_export(spark, path, key_col, seed)
+    rows = man.collect()
+    spark.createDataFrame(rows, man.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{MANIFEST_DIR}")
+    return rows
 
 
 def verify_shards(

@@ -62,14 +62,20 @@ def query(name: str, oracle: str | None = None):
 #: (both J1/J13 broadcast stars → q03_q05_star_battery) and t01+t04 (both
 #: map-only text projections → t01_t04_text_battery, ONE shared scan) —
 #: freeing two slots for the round-3 flagships d12 (SemDeDup) and q60
-#: (SCD2 merge), both exact-oracle.
+#: (SCD2 merge), both exact-oracle.  Round-5 rotation: t02+t03 fold into
+#: one shared-scan battery, d07+d19 fold into one decontamination battery
+#: (seating the d19 fuzzy-ratio family in-window), ROW_NUMBER (W1) rides
+#: q28's rownum_in_month so q26 moves post-window, and q06/q19 move
+#: post-window (simple filter-agg amply covered by q01/q22; pivot-by-CASE
+#: by q41 local) — freeing four slots for the round-4 flagships s06
+#: (PQ codes), s07 (BM25), q58 (as-of join) and t14 (fused curation
+#: pipeline), all exact-oracle.
 DRIVER_PRIORITY: list[str] = [
     # relational core (every join/filter/agg/set-op family)
     "q01_pricing_summary",
     "q02_topk_orders",
     "q03_q05_star_battery",  # J1 + J13 stars (folds q03 + q05)
     "q04_order_priority_semi",
-    "q06_forecast_revenue",
     "q07_distinct_pairs",
     "q55_union_battery",  # U1 + U4 (folds q08 + q43)
     "q11_customers_without_orders",
@@ -77,14 +83,12 @@ DRIVER_PRIORITY: list[str] = [
     "q15_self_join_pairs",
     "q17_brands_of_hot_parts",
     "q18_distribution_skew",
-    "q19_status_pivot",
     "q21_count_distinct",
     "q22_nested_aggregation",
     "q44_composite_key_join",
     "q47_like_patterns",
     "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
     # window functions (q28 carries W2 RANK + W3 lag/moving + W4 frames)
-    "q26_latest_orders_per_customer",
     "q28_moving_revenue",
     # scalar families (q52 = combined battery; stat aggs ride in q01)
     "q52_scalar_battery",
@@ -95,8 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "q48_grouped_map_summary",
     # LLM text pipeline — every mandate op in-window
     "t01_t04_text_battery",  # map-only text ops (folds t01 + t04)
-    "t02_quality_score",
-    "t03_language_id",
+    "t02_t03_quality_langid_battery",  # folds t02 + t03, ONE scan
     "t05_repetition_filters",
     "t07_pii_redaction",
     "d01_dedup_exact",
@@ -105,7 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "d04_simhash_pairs",
     "d05_embedding_neardup",
     "d06_t06_split_quantiles",  # d06 + t06 in one slot
-    "d07_benchmark_contamination",
+    "d07_d19_decontamination_battery",  # folds d07 + d19
     "d08_incremental_dedup",
     "d09_duplicate_clusters",
     "d10_mixture_sample",
@@ -122,6 +125,13 @@ DRIVER_PRIORITY: list[str] = [
     # folds go to the round-3 flagships that only had local oracles
     "d12_semantic_dedup",
     "q60_scd2_dimension",
+    # round-5 rotation: the four slots freed by the t02+t03 fold, the
+    # q28-rownum W1 fold and the q06/q19 post-window moves go to the
+    # round-4 flagships that only had local oracles
+    "s06_pq_codes",
+    "s07_bm25_topk",
+    "q58_asof_attribution",
+    "t14_curation_pipeline",
 ]
 
 

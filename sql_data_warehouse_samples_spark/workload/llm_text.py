@@ -134,6 +134,72 @@ def t03_language_id(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# t02+t03 — combined quality+language battery (one driver slot): quality
+# scoring and language-ID are both pure-Column projections over the SAME
+# documents scan, so the fold is ONE projection — no union, no extra pass
+# (same shape as t01_t04_text_battery).  Frees a driver-window slot for a
+# round-4 flagship; t02/t03 stay individually registered and locally
+# oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t02_t03_quality_langid_battery",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, lang, text, string_split_regex(TRIM(text), '\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT
+    doc_id, lang,
+    ROUND(LEN(list_distinct(toks)) / NULLIF(CAST(LEN(toks) AS DOUBLE), 0), 6) AS distinct_ratio,
+    ROUND(LEN(list_filter(toks, t -> list_contains([{_SW}], t)))
+          / NULLIF(CAST(LEN(toks) AS DOUBLE), 0), 6) AS sw_ratio,
+    ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9_\s]', '', 'g')))
+          / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0), 6) AS punct_ratio,
+    ROUND(0.5 * (LEN(list_distinct(toks)) / NULLIF(CAST(LEN(toks) AS DOUBLE), 0))
+        + 0.3 * LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0)
+        + 0.2 * (1.0 - LEN(list_filter(toks, t -> list_contains([{_SW}], t)))
+                       / NULLIF(CAST(LEN(toks) AS DOUBLE), 0)), 6) AS quality_score,
+    {_marker_sql('en')} AS h_en,
+    {_marker_sql('fr')} AS h_fr,
+    {_marker_sql('de')} AS h_de,
+    {_marker_sql('es')} AS h_es,
+    {_marker_sql('zh')} AS h_zh
+  FROM tok
+)
+SELECT doc_id, lang, distinct_ratio, sw_ratio, punct_ratio, quality_score,
+       CASE WHEN GREATEST(h_en, h_fr, h_de, h_es, h_zh) <= 0 THEN 'und'
+            WHEN h_en = GREATEST(h_en, h_fr, h_de, h_es, h_zh) THEN 'en'
+            WHEN h_fr = GREATEST(h_en, h_fr, h_de, h_es, h_zh) THEN 'fr'
+            WHEN h_de = GREATEST(h_en, h_fr, h_de, h_es, h_zh) THEN 'de'
+            WHEN h_es = GREATEST(h_en, h_fr, h_de, h_es, h_zh) THEN 'es'
+            ELSE 'zh' END AS predicted_lang
+FROM scored
+""",
+)
+def t02_t03_quality_langid_battery(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    n = T.token_count("text").cast("double")
+    distinct_ratio = T.distinct_token_count("text") / F.nullif(n, F.lit(0.0))
+    sw_ratio = T.stopword_count("text") / F.nullif(n, F.lit(0.0))
+    c = F.col("text")
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9_\s]", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(sw_ratio, 6).alias("sw_ratio"),
+        F.round(n_punct / F.nullif(F.length(c).cast("double"), F.lit(0.0)), 6).alias(
+            "punct_ratio"
+        ),
+        T.quality_score("text").alias("quality_score"),
+        T.language_id("text").alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t04 — document fingerprinting (normalized-content + token-bag md5).
 # ---------------------------------------------------------------------------
 
@@ -454,6 +520,85 @@ def d07_benchmark_contamination(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# d07+d19 — combined decontamination battery (one driver slot): the
+# any-shared-8-gram exact gate (d07, GPT-2/3 style) and the trigram
+# overlap-RATIO rule (d19, GPT-3 appendix / Gopher) are siblings — both
+# broadcast the tiny benchmark gram set and semi-join the train side — so
+# one tagged union covers both mandate rows in a single driver slot.
+# d07/d19 stay individually registered and locally oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d07_d19_decontamination_battery",
+    oracle=r"""
+WITH g8 AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN LEN(w) >= 8
+                THEN list_transform(range(1, LEN(w) - 6),
+                                    i -> array_to_string(w[i:i + 7], ' '))
+                ELSE [] END) AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+bench8 AS (SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0),
+train8 AS (SELECT doc_id, unnest(gs) AS g FROM g8 WHERE doc_id % 97 <> 0),
+g3 AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN LEN(w) >= 3
+                THEN list_transform(range(1, LEN(w) - 1),
+                                    i -> array_to_string(w[i:i + 2], ' '))
+                ELSE [] END) AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+bench3 AS (SELECT DISTINCT unnest(gs) AS g FROM g3 WHERE doc_id % 97 = 0),
+train3 AS (SELECT doc_id, gs FROM g3 WHERE doc_id % 97 <> 0 AND LEN(gs) > 0),
+hits3 AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, unnest(gs) AS g FROM train3) t
+  JOIN bench3 b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT 'exact_gram' AS rule, doc_id,
+       CAST(NULL AS BIGINT) AS n_grams, CAST(NULL AS BIGINT) AS n_hits,
+       CAST(NULL AS DOUBLE) AS overlap_ratio
+FROM (SELECT DISTINCT t.doc_id FROM train8 t JOIN bench8 b ON t.g = b.g)
+UNION ALL
+SELECT 'fuzzy_ratio' AS rule, t.doc_id,
+       CAST(LEN(t.gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(LEN(t.gs) AS DOUBLE), 6) AS overlap_ratio
+FROM train3 t LEFT JOIN hits3 h USING (doc_id)
+WHERE COALESCE(h.n_hits, 0) / CAST(LEN(t.gs) AS DOUBLE) >= 0.2
+""",
+)
+def d07_d19_decontamination_battery(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    exact = D.contaminated_ids(train, bench, "text", "doc_id", n=8).select(
+        F.lit("exact_gram").alias("rule"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_hits"),
+        F.lit(None).cast("double").alias("overlap_ratio"),
+    )
+    fuzzy = D.contamination_ratios(
+        train, bench, "text", "doc_id", n=3, min_ratio=0.2
+    ).select(
+        F.lit("fuzzy_ratio").alias("rule"),
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        "overlap_ratio",
+    )
+    return exact.unionByName(fuzzy)
+
+
+# ---------------------------------------------------------------------------
 # d08 — incremental ingest dedup: the "new batch" (doc_id >= 400) anti-joins
 # the existing corpus (doc_id < 400) on the content hash, then dedups
 # within itself.  Daily-ingest pattern: cost scales with the batch.
@@ -488,6 +633,42 @@ def d08_incremental_dedup(spark, sf_dir):
     return D.incremental_dedup(batch, corpus, "text", "doc_id").select(
         "doc_id", "content_hash"
     )
+
+
+# ---------------------------------------------------------------------------
+# d21 — incremental NEAR-dup via the persisted MinHash signature ledger
+# (operators/ledger.py MinHashSignatureLedger): the corpus half (doc_id <
+# 400) is signed ONCE into the ledger; the new batch (doc_id >= 400) then
+# finds its near-dups by band-joining the stored 8·k-byte signatures —
+# the corpus TEXT is never re-read (Lee et al. 2021 §4 / RefinedWeb-style
+# incremental dedup against prior dumps).  MinHash depends on xxhash64,
+# which DuckDB cannot reproduce → rows-only driver check; correctness is
+# pytest-proven (stored-vs-fresh signature parity, planted cross-batch
+# near-dup recall, bucket-cap linearity, compact crash-heal) in
+# tests/test_round5_hardening.py.
+# ---------------------------------------------------------------------------
+
+
+@query("d21_incremental_neardup_ledger")
+def d21_incremental_neardup_ledger(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..operators.ledger import MinHashSignatureLedger
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="d21_sigledger_")
+    try:
+        led = MinHashSignatureLedger(spark, f"{work}/sigs")
+        led.ingest(d.filter(F.col("doc_id") < 400))
+        pairs = (
+            led.near_dups(d.filter(F.col("doc_id") >= 400), threshold=0.7)
+            .orderBy("batch_id", "corpus_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -125,10 +125,13 @@ def q27_order_gaps(spark, sf_dir):
 # q28 — moving average + running sum with explicit frames (W3/W4:
 # MovingAvg → `avg(#0) over (... rows 6 preceding)` and RunningSum,
 # white-papers/...md:578-588).  Also carries a month-partitioned
-# RANK-over-aggregate column (W2, white-papers/...md:571-575) so that family
-# keeps an exemplar inside the driver window; q25's nation-grain RANK stays
-# registered for depth.  day_rev is an exact DECIMAL sum, so the rank order
-# is bit-identical across engines.
+# RANK-over-aggregate column (W2, white-papers/...md:571-575) and a
+# ROW_NUMBER column over the same partition (W1, vw_table_sizes.sql:14) so
+# both families keep an exemplar inside the driver window; q25's
+# nation-grain RANK and q26's top-N-per-group ROW_NUMBER stay registered
+# for depth.  day_rev is an exact DECIMAL sum and the orderings carry a
+# unique tiebreaker (order_day), so rank/row_number are bit-identical
+# across engines.
 # ---------------------------------------------------------------------------
 
 
@@ -149,7 +152,9 @@ SELECT order_day,
        CAST(SUM(day_rev) OVER (ORDER BY order_day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
        RANK() OVER (PARTITION BY DATE_TRUNC('month', order_day)
-            ORDER BY day_rev DESC, order_day) AS rank_in_month
+            ORDER BY day_rev DESC, order_day) AS rank_in_month,
+       ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('month', order_day)
+            ORDER BY day_rev DESC, order_day) AS rownum_in_month
 FROM daily
 """,
 )
@@ -174,6 +179,13 @@ def q28_moving_revenue(spark, sf_dir):
             )
         )
         .alias("rank_in_month"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.trunc("order_day", "month")).orderBy(
+                F.desc("day_rev"), F.asc("order_day")
+            )
+        )
+        .alias("rownum_in_month"),
     )
 
 

@@ -343,6 +343,143 @@ def test_select_within_budget_single_bucket_degenerate(spark):
 
 
 # ---------------------------------------------------------------------------
+# MinHash signature ledger — incremental NEAR-dup (round-5 flagship)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_ledger_cross_batch_near_dup(spark, tmp_path):
+    """Batch 2 finds its near-dups against batch 1 from the LEDGER —
+    batch 1's text is never re-read or re-signed."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "sigled"))
+    base = (
+        "spark structured streaming processes unbounded data with windowed "
+        "aggregations and watermarks for late arriving events"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated content about gardening tips")],
+        "doc_id: long, text: string",
+    )
+    assert led.ingest(b1).count() == 2
+    # batch 2: one near-dup of doc 1 (one word changed), one fresh doc
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("events", "records")),
+            (11, "another fresh document on bucketed join strategies"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = led.near_dups(b2, threshold=0.5).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in pairs} == {(10, 1)}
+    assert all(0.5 <= r["est_jaccard"] <= 1.0 for r in pairs)
+    # ingest drops the near-dup, admits the fresh doc
+    survivors = {r["doc_id"] for r in led.ingest(b2, threshold=0.5).collect()}
+    assert survivors == {11}
+    assert led.signatures().count() == 3  # 1, 2, 11
+
+
+def test_minhash_ledger_within_batch_near_dup(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "sigled"))
+    t = (
+        "the training corpus needs deduplication before tokenization "
+        "because repeated passages bias the language model badly"
+    )
+    b = spark.createDataFrame(
+        [(5, t), (6, t), (7, "short unrelated note")],
+        "doc_id: long, text: string",
+    )
+    survivors = {r["doc_id"] for r in led.ingest(b).collect()}
+    assert survivors == {5, 7}  # 6 is an exact (hence near) dup of 5
+
+
+def test_minhash_ledger_exact_vs_recompute_parity(spark, tmp_path):
+    """est_jaccard from the ledger equals est_jaccard recomputed from
+    raw text — proving the STORED signatures are the same as fresh ones
+    (no drift between admission-time and query-time signing)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+    )
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    led = MinHashSignatureLedger(spark, str(tmp_path / "sigled"))
+    led.ingest(docs)
+    stored = led.signatures()
+    fresh = docs.select(
+        "doc_id",
+        minhash_signature(shingles("text", led.shingle_n), led.num_hashes).alias(
+            "fsig"
+        ),
+    )
+    mismatches = (
+        stored.join(fresh, "doc_id")
+        .filter(F.col("sig") != F.col("fsig"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_minhash_ledger_bucket_cap_stays_linear(spark, tmp_path):
+    """A degenerate ledger bucket (many identical docs) must not go
+    quadratic: candidates against a ledger holding one 50-copy cluster
+    are capped per (band, bh) — and the match is still FOUND."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "sigled"))
+    boiler = "identical boilerplate footer text repeated across the mirror sites"
+    b1 = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], "doc_id: long, text: string"
+    )
+    # append all 50 signatures directly (bypassing ingest's dedup) to
+    # simulate a ledger that accumulated a duplicate-heavy corpus
+    led._signed(b1, "text", "doc_id").write.mode("append").parquet(led.path)
+    probe = spark.createDataFrame([(99, boiler)], "doc_id: long, text: string")
+    got = led.near_dups(probe, threshold=0.9, max_bucket=4)
+    rows = got.collect()
+    assert 1 <= len(rows) <= 4 * led.bands  # capped, not 50
+    assert all(r["batch_id"] == 99 for r in rows)
+
+
+def test_minhash_ledger_compact_and_crash_heal(spark, tmp_path):
+    import shutil as sh
+
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "sigled"))
+    for i in range(3):
+        led.ingest(
+            spark.createDataFrame(
+                [(i * 10, f"unique document number {i} with distinct content words {i}")],
+                "doc_id: long, text: string",
+            )
+        )
+    assert led.compact(n_files=1) == 3
+    # crash window: live moved aside, stage never moved in → self-heals
+    sh.move(led.path, f"{led.path}__old")
+    assert led.signatures().count() == 3
+
+
+# ---------------------------------------------------------------------------
 # 5. FleetAutoScale string tags
 # ---------------------------------------------------------------------------
 
@@ -366,3 +503,54 @@ def test_fleet_autoscale_string_tag_values():
     decisions = fleet.tick(now_min=482)
     assert any(d["action"] == "scale_up" for d in decisions)
     assert ladder.current == 400
+
+
+# ---------------------------------------------------------------------------
+# Single-pass shard export (round-5: manifest derived from the WRITTEN
+# shards — one source pass + one narrow output scan, never a source rescan)
+# ---------------------------------------------------------------------------
+
+
+def test_export_training_shards_single_source_pass(spark, tmp_path, monkeypatch):
+    """The export must never recompute the manifest from the source frame
+    (a full extra corpus pass at 100 TB): the source-derived manifest
+    helpers are booby-trapped, and the written manifest must still satisfy
+    a later verify_shards audit — including tamper detection."""
+    import glob
+    import os
+
+    import sql_data_warehouse_samples_spark.operators.shards as S
+    from sql_data_warehouse_samples_spark.engine import Engine
+    from sql_data_warehouse_samples_spark.operators.shards import verify_shards
+
+    def _boom(*a, **k):
+        raise AssertionError("export re-scanned the SOURCE for its manifest")
+
+    monkeypatch.setattr(S, "shard_manifest", _boom)
+    monkeypatch.setattr(S, "write_shard_manifest", _boom)
+
+    eng = Engine(spark)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    out = eng.export_training_shards(d, path, "doc_id", 4, seed="ep1")
+    assert out["verified"] and out["n_rows"] == d.count()
+
+    # the output-derived manifest satisfies an independent audit...
+    res = {r.shard_id: r.ok for r in verify_shards(spark, path, "doc_id", "ep1").collect()}
+    assert res and all(res.values())
+    # ...and still flags tampering
+    victim = sorted(glob.glob(f"{path}/shard_id=1/*.parquet"))[0]
+    os.remove(victim)
+    res2 = {r.shard_id: r.ok for r in verify_shards(spark, path, "doc_id", "ep1").collect()}
+    assert res2[1] is False
+    assert all(ok for s, ok in res2.items() if s != 1)
+
+
+def test_write_training_shards_returns_observed_count(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators.shards import (
+        write_training_shards,
+    )
+
+    d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    n = write_training_shards(d, str(tmp_path / "s"), "doc_id", 3, seed="x")
+    assert n == 1000

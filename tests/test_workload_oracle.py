@@ -45,13 +45,16 @@ def test_driver_priority_window_pinned():
     # events + pandas-UDF + EVERY LLM-mandate op must be inside
     for must in [
         "q37_tumbling_hourly", "q48_grouped_map_summary",
-        "t01_t04_text_battery", "t05_repetition_filters", "t07_pii_redaction",
+        "t01_t04_text_battery", "t02_t03_quality_langid_battery",
+        "t05_repetition_filters", "t07_pii_redaction",
         "d01_dedup_exact", "d03_minhash_lsh_pairs", "d05_embedding_neardup",
-        "d06_t06_split_quantiles", "d07_benchmark_contamination",
+        "d06_t06_split_quantiles", "d07_d19_decontamination_battery",
         "d08_incremental_dedup", "d09_duplicate_clusters",
         "p01_sequence_packing", "s01_cosine_topk", "s04_ivf_topk",
         "m01_media_meta", "q52_scalar_battery",
         "d12_semantic_dedup", "q60_scd2_dimension",
+        "s06_pq_codes", "s07_bm25_topk", "q58_asof_attribution",
+        "t14_curation_pipeline",
     ]:
         assert must in window, must
     # everything in the window has either an oracle or a rows-only design
