@@ -75,6 +75,99 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# Secondary sf1 point: at sf0.1 the ~0.3 s per-entry fixed cost (session,
+# plan, task dispatch) floors half the headline entries, so plan wins are
+# invisible; a 10x corpus makes the multi-second LLM ops measurable and
+# gives the ~linear-scaling claim a second data point.  The driver ships no
+# sf1 parquet, so it is SYNTHESIZED once (cached in /tmp) from sf0.1:
+# 10 copies of documents/embeddings where every copy is made mutually
+# DISTINCT — each document token gets a per-copy suffix (so no shingle,
+# gram or hash collides across copies) and each embedding gets a per-copy
+# deterministic noise vector (cosine across copies ~0.7, below every
+# near-dup threshold).  sf1 is therefore 10 independent sf0.1 corpora:
+# outputs scale 10x, no cross-copy terms, which is exactly the shape a
+# scaling measurement wants.  Disable with SPARK_GRAFT_SF1=0.
+# ---------------------------------------------------------------------------
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF1_COPIES = 10
+SF1_OFFSET = 1_000_000  # > any sf0.1 id
+
+#: document/embedding-only multi-second subset (the TPC-H tables are not
+#: replicated — re-keying the orders->lineitem FK chain adds nothing to the
+#: scaling question the LLM ops answer).
+SF1_SUBSET = [
+    "d03_minhash_lsh_pairs",
+    "d04_simhash_pairs",
+    "d09_duplicate_clusters",
+    "d11_substring_dup_pairs",
+    "d12_semantic_dedup",
+    "d14_duplicate_span_removal",
+    "d15_cluster_canonical",
+    "s04_ivf_topk",
+    "s06_pq_codes",
+    "t12_bigram_lm_nll",
+    "t14_curation_pipeline",
+    "t15_token_budget_selection",
+]
+
+
+def ensure_sf1(spark, base_dir: str) -> str:
+    """Synthesize the cached sf1 corpus from ``base_dir`` if absent."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SF1_DIR, "_SUCCESS_SF1")
+    if os.path.exists(marker):
+        return SF1_DIR
+    os.makedirs(SF1_DIR, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    doc_copies = []
+    emb_copies = []
+    for i in range(SF1_COPIES):
+        if i == 0:
+            doc_copies.append(docs)
+            emb_copies.append(embs)
+            continue
+        doc_copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * SF1_OFFSET))
+            # suffix EVERY token: no word n-gram / shingle / content hash
+            # survives across copies
+            .withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1c{i}")
+            )
+            .withColumn("n_chars", F.length("text"))
+        )
+        emb_copies.append(
+            embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * SF1_OFFSET))
+            # deterministic per-copy noise, amplitude >> element scale of a
+            # unit vector: copies decorrelate (cos ~0.7), stay non-degenerate
+            .withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> "
+                    f"cast(x + 0.5 * sin((j + 1) * {i} * 2.3999 + {i}) as float))"
+                ),
+            )
+        )
+    out_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        out_docs = out_docs.unionByName(c)
+    out_embs = emb_copies[0]
+    for c in emb_copies[1:]:
+        out_embs = out_embs.unionByName(c)
+    out_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "documents.parquet")
+    )
+    out_embs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return SF1_DIR
+
+
 def main() -> None:
     workload.load_all()
     spark = build_session(app_name="sdw-bench")
@@ -102,17 +195,40 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+
+    # secondary sf1 point (never allowed to break the primary line)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            sf1_dir = ensure_sf1(spark, SF_DIR)
+            sf1_timings: dict[str, float] = {}
+            sf1_errors: dict[str, str] = {}
+            for name in SF1_SUBSET:
+                fn = workload.QUERIES[name]
+                t0 = time.perf_counter()
+                try:
+                    materialize(fn(spark, sf1_dir))
+                    sf1_timings[name] = round(time.perf_counter() - t0, 3)
+                except Exception as qe:  # noqa: BLE001
+                    sf1_errors[name] = str(qe)[:200]
+            payload["sf1"] = {
+                "queries": sf1_timings,
+                "total_sec": round(sum(sf1_timings.values()), 3),
+                "note": "10x synthesized corpus (mutually-distinct copies); "
+                "documents/embeddings ops only",
             }
-        )
-    )
+            if sf1_errors:
+                payload["sf1"]["errors"] = sf1_errors
+        except Exception as e:  # noqa: BLE001
+            payload["sf1"] = {"error": str(e)[:300]}
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

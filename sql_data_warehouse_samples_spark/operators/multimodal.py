@@ -6,14 +6,16 @@ binary payloads is the VARBINARY(MAX) employee Photo column,
 dimension.employee.sql:8).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the codec step itself is stubbed because
-image/audio libraries are not in this container:
+signatures — is real and tested.  The codec layer is split by format:
 
-* ``decode_image_meta`` parses width/height from PNG/GIF/JPEG headers in
-  pure Python (deterministic, no external libs).
-* ``decode_image_pixels`` raises NotImplementedError unless a decoder
-  callback is injected (`set_decoder`), which is where Pillow/soundfile
-  would plug in on a real cluster.
+* ``decode_image_meta`` parses width/height from PNG/GIF/JPEG/BMP/PPM
+  headers in pure Python (deterministic, no external libs).
+* ``decode_image_pixels`` decodes UNCOMPRESSED formats (24-bit BI_RGB
+  BMP, binary P6 PPM) with the built-in pure-Python ``default_decoder``
+  — a real, tested pixel path with no codec library.  Compressed formats
+  (PNG/JPEG/GIF) still require an injected decoder (``set_decoder``,
+  e.g. Pillow on a real cluster) and raise ``NotImplementedError`` at
+  execution time otherwise.
 
 Scale notes: media rows are large and variable — the operators use
 mapInPandas (arrow-batched iterator) so one task never materializes more
@@ -58,8 +60,8 @@ def media_table(df: DataFrame, payload_col: str, kind: str, mime: str) -> DataFr
 
 
 def _parse_image_header(b: bytes) -> tuple[str, int, int] | None:
-    """Pure-python header sniffing for PNG / GIF / JPEG (deterministic fake
-    of the decode step — format + dimensions without a codec library)."""
+    """Pure-python header sniffing for PNG / GIF / JPEG / BMP / PPM —
+    format + dimensions without a codec library."""
     if b is None or len(b) < 10:
         return None
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
@@ -68,6 +70,15 @@ def _parse_image_header(b: bytes) -> tuple[str, int, int] | None:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))
+    if b[:2] == b"P6":
+        try:
+            w, h, _, _ = _ppm_header(b)
+            return ("ppm", w, h)
+        except ValueError:
+            return None
     if b[:2] == b"\xff\xd8":  # JPEG: walk segments to SOF0/SOF2
         i = 2
         while i + 9 < len(b):
@@ -80,6 +91,112 @@ def _parse_image_header(b: bytes) -> tuple[str, int, int] | None:
                 return ("jpeg", w, h)
             i += 2 + seg_len
     return None
+
+
+# -- pure-Python uncompressed codecs (the default pixel path) ---------------
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-P6 PPM header: (width, height, maxval, data_offset).
+    Handles arbitrary whitespace and ``#`` comments per the netpbm spec."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(b[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # single whitespace after maxval
+
+
+def _decode_ppm(b: bytes):
+    """Binary P6 PPM → (h, w, 3) uint8 RGB ndarray."""
+    import numpy as np
+
+    w, h, maxval, off = _ppm_header(b)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs an injected codec")
+    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=off).reshape(
+        h, w, 3
+    ).copy()
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB ndarray.
+    Rows are 4-byte aligned and stored bottom-up (top-down when the header
+    height is negative); pixel order on disk is BGR."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", b[10:14])
+    w, h = struct.unpack("<ii", b[18:26])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    (comp,) = struct.unpack("<I", b[30:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decoded built-in (got bpp={bpp}, "
+            f"compression={comp}); inject set_decoder(...) for the rest"
+        )
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, np.uint8, count=stride * h, offset=off).reshape(
+        h, stride
+    )
+    px = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 ndarray → binary P6 PPM bytes (test/export helper)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB ndarray → 24-bit BI_RGB BMP bytes (bottom-up)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
+
+
+def default_decoder(b: bytes):
+    """Built-in pure-Python pixel decoder: 24-bit BI_RGB BMP and binary P6
+    PPM.  Compressed formats raise NotImplementedError — inject a codec
+    (``set_decoder``) for PNG/JPEG/GIF on clusters that carry one."""
+    if b is None:
+        raise ValueError("null payload")
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    raise NotImplementedError(
+        f"no built-in codec for payload magic {b[:2]!r}; call "
+        "set_decoder(...) with a codec-backed callable (e.g. Pillow)"
+    )
 
 
 def decode_image_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -111,17 +228,15 @@ def decode_image_meta(media: DataFrame, payload_col: str = "payload") -> DataFra
 
 
 def decode_image_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Full pixel decode — requires an injected decoder (set_decoder).
+    """Full pixel decode via mapInPandas → (media_id, pixels, shape).
 
-    STUB: the container has no image codec; on a real cluster inject
-    ``set_decoder(lambda b: np.asarray(PIL.Image.open(io.BytesIO(b))))``.
+    Uncompressed formats (24-bit BMP, binary P6 PPM) decode with the
+    built-in pure-Python ``default_decoder`` — no codec library needed.
+    Compressed formats need an injected decoder, e.g.
+    ``set_decoder(lambda b: np.asarray(PIL.Image.open(io.BytesIO(b))))``;
+    without one they raise NotImplementedError at execution time.
     """
-    if _DECODER is None:
-        raise NotImplementedError(
-            "no media decoder installed in this environment; call "
-            "set_decoder(...) with a codec-backed callable first"
-        )
-    decoder = _DECODER
+    decoder = _DECODER or default_decoder
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -199,25 +314,35 @@ def resize_images(
 ) -> DataFrame:
     """Resize every image payload to (width, height) via mapInPandas.
 
-    STUB CODEC: with no image library in this container the transform is a
-    deterministic fake — output payload is the first ``width*height`` bytes
-    of the input, zero-padded (real shape/row-count/partitioning, fake
-    pixels).  On a real cluster inject a codec with ``set_decoder`` and the
-    decoder output feeds an actual resample here.  The Spark plumbing under
-    test: Arrow batch iteration, per-row binary output sizing, schema.
+    Payloads the decoder understands (built-in BMP/PPM, or anything an
+    injected ``set_decoder`` codec handles) get a REAL nearest-neighbor
+    resample — output payload is the resampled RGB buffer
+    (``width*height*3`` bytes for 3-channel input).  Undecodable payloads
+    fall back to the deterministic byte-truncate/pad fake (first
+    ``width*height`` bytes) so the plumbing — Arrow batch iteration,
+    per-row binary sizing, schema — still exercises end-to-end on
+    arbitrary bytes.
     """
     n_out = width * height
+
+    def _nearest(arr):
+        import numpy as np
+
+        h, w = arr.shape[:2]
+        yi = np.arange(height) * h // height
+        xi = np.arange(width) * w // width
+        return np.ascontiguousarray(arr[yi][:, xi])
 
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        decoder = _DECODER or default_decoder
         for pdf in batches:
             outs = []
             for p in pdf[payload_col]:
-                if _DECODER is not None:
-                    arr = _DECODER(p)
-                    outs.append(bytes(arr)[:n_out].ljust(n_out, b"\0"))
-                else:
+                try:
+                    outs.append(_nearest(decoder(p)).tobytes())
+                except Exception:  # undecodable → deterministic byte fake
                     outs.append((p or b"")[:n_out].ljust(n_out, b"\0"))
             yield pd.DataFrame(
                 {

@@ -55,9 +55,26 @@ class ResultCache:
     def _normalize(sql: str) -> str:
         return re.sub(r"\s+", " ", sql).strip().lower()
 
+    #: bytes of each input file's tail folded into the key — covers the
+    #: parquet footer (schema, row counts, column min/max stats), so a
+    #: rewrite that lands with identical (path, size, mtime) still misses.
+    _TAIL_BYTES = 65536
+
+    @classmethod
+    def _tail_hash(cls, path: str, size: int) -> str:
+        with open(path, "rb") as f:
+            if size > cls._TAIL_BYTES:
+                f.seek(size - cls._TAIL_BYTES)
+            return hashlib.blake2b(f.read(cls._TAIL_BYTES), digest_size=8).hexdigest()
+
     def _input_signature(self, df: DataFrame) -> str | None:
-        """(path, size, mtime) for every file the plan would scan; None when
-        any input is not a fingerprintable file (→ bypass, never stale)."""
+        """(path, size, mtime, footer-tail hash) for every file the plan
+        would scan; None when any input is not a fingerprintable file
+        (→ bypass, never stale).  size+mtime alone can false-hit: moves
+        preserve mtimes (the staged-swap writers), and some filesystems
+        round timestamps — the tail hash pins the actual parquet footer
+        content (row counts + column stats) at ~one 64 KB read per file,
+        control-plane cost only."""
         files = df.inputFiles()
         if not files:
             return None
@@ -66,9 +83,10 @@ class ResultCache:
             path = uri.removeprefix("file:")
             try:
                 st = os.stat(path)
+                tail = self._tail_hash(path, st.st_size)
             except OSError:
                 return None
-            parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+            parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}:{tail}")
         return "|".join(parts)
 
     def cacheable(self, sql: str) -> bool:

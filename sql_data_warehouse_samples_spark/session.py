@@ -47,6 +47,13 @@ def build_session(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local[N] runs every executor thread inside the driver JVM, whose
+        # default 1 GB heap OOMs well before the harness's memory is used;
+        # on a real cluster this maps to executor memory sizing instead.
+        # (Applies only when this builder launches the JVM.)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         # --- optimizer / runtime ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
