@@ -103,6 +103,58 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def minhash_signatures(
+    sh_frame: DataFrame,
+    num_hashes: int = 32,
+    strategy: str = "fold",
+) -> DataFrame:
+    """(__id, __sig) from a (__id, __sh array<string>) shingle frame.
+
+    Two bit-identical strategies (same trade family as
+    ``positioned_gram_hashes``'s gram_strategy):
+
+    * ``fold`` — the map-only ``aggregate``/``zip_with`` fold
+      (``minhash_signature``): ZERO exchange, but Spark evaluates HOF
+      lambdas interpreted, so per-shingle cost is k interpreter trips.
+    * ``explode`` — ``explode_outer`` the shingles and take k codegen'd
+      ``min(xxhash64(i, s))`` aggregate columns: every hash runs inside
+      whole-stage codegen with map-side partial mins, at the price of ONE
+      doc-keyed exchange of partial aggregates (signature-sized rows —
+      the same frame the banding stage ships anyway).  Empty/null shingle
+      arrays keep the all-MAX sentinel via explode_outer + coalesce.
+
+    Both produce byte-identical signatures (``xxhash64`` stays JVM-side;
+    only the min-reduction moves) — asserted by
+    tests/test_round5_hardening.py::test_minhash_strategy_parity.
+    """
+    if strategy == "fold":
+        return sh_frame.select(
+            "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+        )
+    if strategy != "explode":
+        raise ValueError(f"unknown minhash strategy {strategy!r}")
+    e = sh_frame.select("__id", F.explode_outer("__sh").alias("__s"))
+    aggs = [
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("__s").isNotNull(), F.xxhash64(F.lit(i), F.col("__s"))
+                )
+            ),
+            F.lit(_MAX_LONG).cast("long"),
+        ).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        e.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id",
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
+    )
+
+
 #: Default per-(band, bucket) population cap.  A bucket of n members yields
 #: n·(n−1)/2 pairwise candidates — a dup-heavy corpus (or the all-MAX
 #: empty-doc sentinel bucket) would otherwise make one bucket quadratic.
@@ -220,6 +272,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    sig_strategy: str = "fold",
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
 
@@ -244,9 +297,7 @@ def minhash_dedup_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    with_sig = sh.select(
-        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
-    )
+    with_sig = minhash_signatures(sh, num_hashes, sig_strategy)
     cands = _banded_candidates(with_sig, num_hashes, bands, max_bucket)
     return (
         cands.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")

@@ -246,10 +246,17 @@ WHERE NOT EXISTS (
 """,
 )
 def d12_semantic_dedup(spark, sf_dir):
+    """SemDeDup's scale rule (Abbas et al. 2023 §3): CLUSTER COUNT grows
+    with the corpus so cluster SIZE (the quadratic term) stays constant —
+    nlist = n/500, floored at 16 so every driver/oracle scale (sf0.01 has
+    ≤2k vectors) keeps the exact nlist=16 the SQL oracle hardcodes.  The
+    10x bench corpus measured 11.4x scaling with nlist pinned vs ~linear
+    with this rule (PERFORMANCE.md)."""
     from ..operators.dedup import semantic_dedup
 
     e = tbl(spark, sf_dir, "embeddings")
-    cents = S.seed_centroids(e, nlist=16)
+    nlist = max(16, e.count() // 500)
+    cents = S.seed_centroids(e, nlist=nlist)
     return semantic_dedup(e, cents, threshold=0.35)
 
 
