@@ -182,6 +182,26 @@ def main() -> None:
     for name in HEADLINE:
         materialize(workload.QUERIES[name](spark, "/root/testdata/sf0.001"))
 
+    # The sf0.001 warmup runs few tasks, so it forks only a handful of
+    # Python/Arrow UDF workers; the first sf0.1 Arrow query would then pay
+    # the one-time fork+import of the remaining ~32-worker pool inside ITS
+    # measured time.  Spin the full pool up here — per-session fixed cost,
+    # same category as JVM warmup above (workers are reused for the whole
+    # session; at cluster scale they live for the executor lifetime).
+    try:
+        import pandas as _pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        @_pudf("long")
+        def _warm(s):
+            return s
+
+        materialize(
+            spark.range(0, 6400, 1, 64).select(_warm("id").alias("v"))
+        )
+    except ImportError:
+        pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = workload.QUERIES[name]

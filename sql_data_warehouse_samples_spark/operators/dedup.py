@@ -161,7 +161,11 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET = 128
 
 
-def _candidate_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+def _candidate_pairs(
+    banded: DataFrame,
+    max_bucket: int | None,
+    payload: tuple[str, ...] = (),
+) -> DataFrame:
     """(id_a, id_b) candidate pairs from banded buckets, bounded per bucket.
 
     Buckets with ≤ ``max_bucket`` members do the full pairwise self-join.
@@ -171,6 +175,13 @@ def _candidate_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     flags all its members as duplicates of the representative.  The count
     window shuffles on the same (band, bh) key the self-join needs, so no
     extra exchange is introduced on the big side.
+
+    ``payload`` names columns of ``banded`` carried through to the output as
+    ``<name>_a`` / ``<name>_b`` — for small per-doc values (a SimHash
+    signature is ONE long) this lets the verify stage read them off the
+    candidate rows instead of join-ing back to the signature table twice.
+    Payload must be functionally dependent on ``__id`` (the trailing
+    distinct assumes it).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -184,17 +195,25 @@ def _candidate_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
         # re-shuffle the full corpus for its own copy of the window.
         annotated = (
             banded.withColumn("__n", F.count(F.lit(1)).over(w))
-            .withColumn("__rep", F.min("__id").over(w))
+            # min over the (__id, *payload) struct = the min-id row, so the
+            # star branch sees the representative's payload too
+            .withColumn("__rep", F.min(F.struct("__id", *payload)).over(w))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         star = (
             annotated.filter(
-                (F.col("__n") > max_bucket) & (F.col("__id") != F.col("__rep"))
+                (F.col("__n") > max_bucket)
+                & (F.col("__id") != F.col("__rep.__id"))
             )
-            .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+            .select(
+                F.col("__rep.__id").alias("id_a"),
+                F.col("__id").alias("id_b"),
+                *[F.col(f"__rep.{p}").alias(f"{p}_a") for p in payload],
+                *[F.col(p).alias(f"{p}_b") for p in payload],
+            )
         )
         banded = annotated.filter(F.col("__n") <= max_bucket).select(
-            "__id", "band", "bh"
+            "__id", "band", "bh", *payload
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -203,7 +222,12 @@ def _candidate_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a.__id") < F.col("b.__id")),
-    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        *[F.col(f"a.{p}").alias(f"{p}_a") for p in payload],
+        *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload],
+    )
     if star is not None:
         pairs = pairs.unionByName(star)
     return pairs.distinct()
@@ -508,24 +532,22 @@ def simhash_dedup_pairs(
     signatures re-join from the persisted signature table for the Hamming
     verify, so the corpus is hashed exactly once.
     """
-    from pyspark import StorageLevel
-
     from .similarity import _spread
 
     chunk = 64 // bands
-    # persist the signature table: both self-join sides read it instead of
-    # re-hashing every token of the corpus twice; spread first so the
-    # hashing itself parallelizes beyond the source file count
-    sig = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            simhash64(text_col, impl=sig_impl).alias("__sim"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the 8-byte signature rides the banding explode as a payload column
+    # (_candidate_pairs payload) — the Hamming verify reads sim_a/sim_b off
+    # the candidate rows, so there is NO join back to a signature table,
+    # no second read of the corpus, and nothing to persist: one signature
+    # pass, one (band, bh) exchange, done.  (MinHash keeps the join-back:
+    # its signature is 32 longs and its verify needs the SHINGLE sets.)
+    sig = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        simhash64(text_col, impl=sig_impl).alias("__sim"),
     )
     banded = sig.select(
         "__id",
+        "__sim",
         F.explode(
             F.array(
                 *[
@@ -539,12 +561,12 @@ def simhash_dedup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    cands = _candidate_pairs(banded, max_bucket)
+    ).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"), "__sim"
+    )
     return (
-        cands.join(sig.withColumnsRenamed({"__id": "id_a", "__sim": "sim_a"}), "id_a")
-        .join(sig.withColumnsRenamed({"__id": "id_b", "__sim": "sim_b"}), "id_b")
-        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        _candidate_pairs(banded, max_bucket, payload=("__sim",))
+        .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

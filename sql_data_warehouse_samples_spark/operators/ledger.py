@@ -172,7 +172,12 @@ class MinHashSignatureLedger:
 
     def signatures(self) -> DataFrame:
         """The ledger as a (doc_id, sig) frame (empty before first ingest).
-        Self-heals a compact() interrupted mid-swap (dirswap.recover)."""
+        Self-heals a compact() interrupted mid-swap (dirswap.recover).
+
+        ``recursiveFileLookup`` lets plain appends (files at the root) and
+        idempotent keyed appends (one ``batch-<key>/`` subdirectory per
+        micro-batch — see ``ingest(idempotency_key=...)``) coexist in one
+        scan without parquet partition discovery getting involved."""
         import os
 
         from .dirswap import recover
@@ -180,7 +185,11 @@ class MinHashSignatureLedger:
         recover(self.path)
         if not os.path.exists(self.path):  # nothing ingested yet
             return self.spark.createDataFrame([], self._sig_schema())
-        return self.spark.read.schema(self._sig_schema()).parquet(self.path)
+        return (
+            self.spark.read.schema(self._sig_schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(self.path)
+        )
 
     def _signed(self, batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
         from .dedup import minhash_signature, shingles
@@ -253,13 +262,23 @@ class MinHashSignatureLedger:
         reported as the match, not whether a match is found (same trade
         as the in-batch _candidate_pairs star fallback).
         """
+        bsig = self._signed(batch, text_col, id_col)
+        return self._near_dups_signed(bsig, self.signatures(), threshold, max_bucket)
+
+    def _near_dups_signed(
+        self,
+        bsig: DataFrame,
+        lsig: DataFrame,
+        threshold: float,
+        max_bucket: int,
+    ) -> DataFrame:
+        """``near_dups`` core over an already-signed batch and an explicit
+        ledger-signature frame (lets ``ingest`` exclude the batch's own
+        previously-appended rows for replay idempotency)."""
         from pyspark import StorageLevel
         from pyspark.sql import Window
 
-        bsig = self._signed(batch, text_col, id_col).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        lsig = self.signatures()
+        bsig = bsig.persist(StorageLevel.MEMORY_AND_DISK)
         lband = self._banded(lsig)
         w = Window.partitionBy("band", "bh").orderBy("doc_id")
         lband = (
@@ -299,6 +318,7 @@ class MinHashSignatureLedger:
         id_col: str = "doc_id",
         threshold: float = 0.7,
         max_bucket: int = 128,
+        idempotency_key: str | None = None,
     ) -> DataFrame:
         """Admit a batch: drop docs that are near-dups of the LEDGER or of
         a lower-id doc in the SAME batch, append the survivors'
@@ -306,6 +326,16 @@ class MinHashSignatureLedger:
 
         Cost scales with the batch: the ledger side contributes one
         signature scan + band join, never a text read.
+
+        ``idempotency_key`` makes the admission REPLAYABLE (the streaming
+        ``neardup_admission_sink`` passes the micro-batch id): the
+        ledger side excludes this batch's own doc ids before the
+        near-dup check (so a crash between the signature append and the
+        downstream corpus write cannot turn the replay into "everything
+        is a dup of itself"), and the signature append overwrites a
+        per-key ``batch-<key>/`` subdirectory instead of accumulating —
+        re-running the same key converges to the same ledger state and
+        the same survivor set.
         """
         from pyspark.sql import Window
 
@@ -314,10 +344,17 @@ class MinHashSignatureLedger:
         signed = self._signed(batch, text_col, id_col).localCheckpoint(
             eager=True
         )
+        lsig = self.signatures()
+        if idempotency_key is not None:
+            lsig = lsig.join(
+                signed.select("doc_id"), "doc_id", "left_anti"
+            )
         # cross near-dups vs ledger
-        cross = self.near_dups(
-            batch, text_col, id_col, threshold, max_bucket
-        ).select(F.col("batch_id").alias("doc_id")).distinct()
+        cross = (
+            self._near_dups_signed(signed, lsig, threshold, max_bucket)
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
         # within-batch near-dups: banded self-join + agreement verify,
         # drop the higher id of each verified pair
         cands = _candidate_pairs(
@@ -340,9 +377,13 @@ class MinHashSignatureLedger:
         survivors = batch.join(
             dropped, batch[id_col] == dropped["doc_id"], "left_anti"
         ).localCheckpoint(eager=True)
-        self._signed(survivors, text_col, id_col).write.mode("append").parquet(
-            self.path
-        )
+        sig_out = self._signed(survivors, text_col, id_col)
+        if idempotency_key is None:
+            sig_out.write.mode("append").parquet(self.path)
+        else:
+            sig_out.write.mode("overwrite").parquet(
+                f"{self.path}/batch-{idempotency_key}"
+            )
         return survivors
 
     def compact(self, n_files: int | None = None) -> int:

@@ -633,21 +633,17 @@ def test_pixel_stats_without_injected_codec(spark):
         "media_id long, payload binary",
     )
     px = M.decode_image_pixels(media)
-    stats = {
+    rows = {
         r.media_id: r
         for r in px.select(
-            "media_id",
-            F.aggregate(
-                F.transform(F.col("pixels"), lambda b: b.cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + F.when(v < 0, v + 256).otherwise(v),
-            ).alias("pix_sum"),
-            F.length("pixels").alias("n_bytes"),
+            "media_id", "pixels", "shape", F.length("pixels").alias("n_bytes")
         ).collect()
     }
     for i, a in imgs.items():
-        assert stats[i].n_bytes == a.size
-        assert stats[i].pix_sum == int(a.astype(np.int64).sum())
+        assert rows[i].n_bytes == a.size
+        assert rows[i].shape == list(a.shape)
+        got = np.frombuffer(rows[i].pixels, np.uint8).reshape(a.shape)
+        assert (got == a).all()
 
 
 def test_resize_images_real_resample(spark):

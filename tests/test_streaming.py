@@ -469,3 +469,129 @@ def test_stream_stream_interval_join_matches_batch(spark, event_source):
     }
     assert want, "fixture must produce at least one conversion pair"
     assert got == want
+
+
+def _write_doc_batches(spark, src, batches, schema):
+    """One parquet FILE per batch (maxFilesPerTrigger=1 -> one micro-batch
+    per file), same staging convention as the ingest tests above."""
+    import glob
+    import shutil
+
+    for i, part in enumerate(batches):
+        staged = os.path.join(src, f"_stage{i}")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        shutil.move(
+            glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+            os.path.join(src, f"b{i}.parquet"),
+        )
+        shutil.rmtree(staged)
+
+
+def _doc_row(doc_id, text):
+    import datetime
+
+    return (
+        doc_id,
+        text,
+        "en",
+        "web",
+        len(text),
+        datetime.datetime(2024, 1, 1, 0, 0, int(doc_id) % 60),
+    )
+
+
+def test_streaming_neardup_admission_sink(spark, tmp_path):
+    """Cross-BATCH near-dups are dropped at admission: a later micro-batch's
+    lightly-edited copy of an earlier batch's document never reaches the
+    corpus sink, without the stream ever re-reading admitted text (the
+    check runs against the persisted signature ledger)."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.rsplit(" ", 1)[0] + " tokX"  # ~0.9 shingle Jaccard
+    other = " ".join(f"alpha{i}" for i in range(60))
+    third = " ".join(f"beta{i}" for i in range(60))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark,
+        src,
+        [
+            [_doc_row(1, base), _doc_row(2, other)],
+            [_doc_row(10, near), _doc_row(11, third)],
+        ],
+        SI.DOC_SCHEMA,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "sigledger"))
+    out_dir = str(tmp_path / "corpus")
+    q = SI.neardup_admission_sink(
+        SI.read_document_stream(spark, src),
+        led,
+        out_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    assert got == {1, 2, 11}  # 10 dropped as near-dup of 1, across batches
+    # ledger holds signatures for exactly the admitted docs
+    led_ids = {r.doc_id for r in led.signatures().select("doc_id").collect()}
+    assert led_ids == {1, 2, 11}
+    # corpus rows carry their admitting micro-batch partition
+    parts = {
+        r["__ingest_batch"]
+        for r in spark.read.parquet(out_dir).select("__ingest_batch").collect()
+    }
+    assert parts == {0, 1}
+    # restart with the same checkpoint and no new files: nothing changes
+    q2 = SI.neardup_admission_sink(
+        SI.read_document_stream(spark, src),
+        led,
+        out_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+    q2.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()} == {1, 2, 11}
+
+
+def test_neardup_ledger_keyed_ingest_replay_idempotent(spark, tmp_path):
+    """The crash-replay contract behind the admission sink: re-running
+    ingest with the SAME idempotency key — including after the signature
+    append already happened (crash between append and corpus write) —
+    returns the same survivors and converges to the same ledger state."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.rsplit(" ", 1)[0] + " tokX"
+    other = " ".join(f"alpha{i}" for i in range(60))
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"))
+    b0 = spark.createDataFrame([(1, base)], "doc_id: long, text: string")
+    led.ingest(b0)  # plain (un-keyed) append: flat files at the root
+
+    b1 = spark.createDataFrame(
+        [(10, near), (11, other)], "doc_id: long, text: string"
+    )
+    s1 = {r.doc_id for r in led.ingest(b1, idempotency_key="7").collect()}
+    assert s1 == {11}  # 10 is a near-dup of admitted doc 1
+    # replay AFTER the append (the dangerous half of the crash window):
+    # without the own-id exclusion, 11 would now look like a dup of itself
+    s2 = {r.doc_id for r in led.ingest(b1, idempotency_key="7").collect()}
+    assert s2 == {11}
+    # ledger state converged: one signature row per admitted doc
+    sigs = led.signatures().groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in sigs} == {1: 1, 11: 1}
+    # mixed flat + keyed layout survives compaction (subdirs fold away)
+    assert led.compact() == 2
+    assert {r.doc_id for r in led.signatures().collect()} == {1, 11}
