@@ -68,6 +68,9 @@ HEADLINE = [
     "q61_waiting_suppliers",
     "t14_curation_pipeline",
     "t15_token_budget_selection",
+    # round-5 new operators
+    "s09_knn_join",
+    "d21_incremental_neardup_ledger",
 ]
 
 

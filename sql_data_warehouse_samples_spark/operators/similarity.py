@@ -418,6 +418,228 @@ def ivf_topk(
     )
 
 
+def _knn_block_kernel(k: int, round_to: int, exclude_self: bool):
+    """cogroup kernel for knn_join: one (left-block, right-block) cell →
+    the cell-local top-k per query, via a single float64 gemm.  Local
+    top-k is safe: each cell contributes at most k candidates per query
+    and the global window re-ranks the union with identical ordering
+    (rounded sim desc, neighbor id asc), so global top-k ⊆ union of
+    cell top-k."""
+    import numpy as np
+    import pandas as pd
+
+    def _fn(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        lv = lpdf["__lv"].tolist()
+        rv = rpdf["__rv"].tolist()
+        dim = next(
+            (len(v) for v in lv if v is not None),
+            next((len(v) for v in rv if v is not None), 0),
+        )
+        if not dim:
+            return empty
+        X, okx = _clean_matrix(lv, dim)
+        Y, oky = _clean_matrix(rv, dim)
+        if len(X) == 0 or len(Y) == 0:
+            return empty
+        qid = lpdf["query_id"].to_numpy()[okx]
+        nid = rpdf["neighbor_id"].to_numpy()[oky]
+        nx = np.sqrt((X * X).sum(axis=1))
+        ny = np.sqrt((Y * Y).sum(axis=1))
+        denom = np.outer(nx, ny)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((X @ Y.T) / denom, round_to)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(X)):
+            row = sims[i]
+            mask = np.isfinite(row)
+            if exclude_self:
+                mask &= nid != qid[i]
+            cand = np.flatnonzero(mask)
+            if len(cand) == 0:
+                continue
+            # (sim desc, neighbor_id asc) — lexsort: last key is primary
+            order = cand[np.lexsort((nid[cand], -row[cand]))][:k]
+            out_q.append(np.full(len(order), qid[i]))
+            out_n.append(nid[order])
+            out_s.append(row[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q).astype("int64"),
+                "neighbor_id": np.concatenate(out_n).astype("int64"),
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    return _fn
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "block",
+    left_blocks: int = 8,
+    right_blocks: int = 8,
+    round_to: int = 6,
+    exclude_self: bool = True,
+    nlist: int = 16,
+    nprobe: int = 1,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Corpus-vs-corpus k-nearest-neighbor JOIN — both sides large, neither
+    broadcastable (``cosine_topk`` covers the small-query-set case).
+
+    Output: (query_id, neighbor_id, cosine_sim, nbr_rank) — for every LEFT
+    row its k nearest RIGHT rows by cosine, deterministic tiebreak on
+    neighbor id after rounding to ``round_to``.
+
+    ``mode="block"`` — EXACT block-nested gemm join: left rows hash into
+    ``left_blocks`` groups and replicate across ``right_blocks`` (and vice
+    versa), the (lb, rb) grid cells pair up via ``cogroup``, and each cell
+    runs ONE float64 gemm emitting its cell-local top-k; a final window
+    re-ranks the ≤ right_blocks·k candidates per query.  Shuffle volume is
+    right_blocks·|left| + left_blocks·|right| rows — choose block counts
+    ~√(replication budget); the all-pairs CPU is irreducible for exact
+    semantics (that is what ``mode="ivf"`` is for), but it runs as dense
+    BLAS instead of an interpreted per-pair fold, and no executor ever
+    holds more than one (|left|/L × |right|/R) tile.
+
+    ``mode="ivf"`` — approximate: both sides assign to a shared coarse
+    quantizer (``assign_centroids`` — map-only Arrow argmin) and only
+    same-list pairs are compared (queries probe their ``nprobe`` nearest
+    lists).  One equi-join-shaped cogroup on list id; recall vs the exact
+    mode is the recall-tested trade.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__lv"),
+    )
+    r = right.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__rv"),
+    )
+    if mode == "block":
+        # key types must match EXACTLY on both cogroup sides: pmod(xxhash64)
+        # is long, so the replication literals are cast long too — a
+        # (long,int)-vs-(int,long) key pair silently mis-aligns the groups
+        l = l.withColumn(
+            "__lb", F.pmod(F.xxhash64("query_id"), F.lit(left_blocks))
+        ).withColumn(
+            "__rb",
+            F.explode(
+                F.array(*[F.lit(j).cast("long") for j in range(right_blocks)])
+            ),
+        )
+        r = r.withColumn(
+            "__rb", F.pmod(F.xxhash64("neighbor_id"), F.lit(right_blocks))
+        ).withColumn(
+            "__lb",
+            F.explode(
+                F.array(*[F.lit(j).cast("long") for j in range(left_blocks)])
+            ),
+        )
+    elif mode == "ivf":
+        if centroids is None:
+            centroids = seed_centroids(right, id_col, vec_col, nlist)
+        if nprobe <= 1:
+            l = assign_centroids(l, "__lv", centroids, round_to, out_col="__lb")
+        else:
+            l = _assign_nearest_lists(l, "__lv", centroids, round_to, nprobe, "__lb")
+        r = assign_centroids(r, "__rv", centroids, round_to, out_col="__lb")
+        l = l.withColumn("__lb", F.col("__lb").cast("long")).withColumn(
+            "__rb", F.lit(0).cast("long")
+        )
+        r = r.withColumn("__lb", F.col("__lb").cast("long")).withColumn(
+            "__rb", F.lit(0).cast("long")
+        )
+    else:
+        raise ValueError(f"unknown knn_join mode {mode!r}")
+
+    cells = (
+        l.groupBy("__lb", "__rb")
+        .cogroup(r.groupBy("__lb", "__rb"))
+        .applyInPandas(
+            _knn_block_kernel(k, round_to, exclude_self),
+            "query_id long, neighbor_id long, cosine_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    out = cells
+    if mode == "ivf" and nprobe > 1:
+        out = out.dropDuplicates(["query_id", "neighbor_id"])
+    return (
+        out.withColumn("nbr_rank", F.row_number().over(w))
+        .filter(F.col("nbr_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nbr_rank")
+    )
+
+
+def _assign_nearest_lists(
+    df: DataFrame,
+    vec_col: str,
+    cent_list: list[tuple[int, list[float]]],
+    round_to: int,
+    nprobe: int,
+    out_col: str,
+) -> DataFrame:
+    """Explode ``df`` to its ``nprobe`` nearest centroid ids — the
+    multi-probe front of knn_join's IVF mode.  Arrow top-n argpartition
+    per batch (map-only, nprobe× amplification, NO window/shuffle — a
+    crossJoin×nlist + row_number would shuffle nlist× the frame);
+    falls back to single-probe assignment without the numpy stack."""
+    if not _HAS_ARROW:
+        return assign_centroids(df, vec_col, cent_list, round_to, out_col=out_col)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    mat = np.array([v for _, v in sorted(cent_list)], dtype=np.float64)
+    cid_arr = np.array([c for c, _ in sorted(cent_list)], dtype=np.int64)
+    c2 = (mat * mat).sum(axis=1)[None, :]
+    n = min(nprobe, len(cid_arr))
+
+    def _topn_fn(col):
+        X, ok = _clean_matrix(col.tolist(), mat.shape[1])
+        res: list = [None] * len(ok)
+        if len(X):
+            d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ mat.T) + c2
+            d2 = np.round(np.maximum(d2, 0.0), round_to)
+            # (d2 asc, cid asc) deterministic: the codebook is cid-sorted,
+            # so a STABLE argsort breaks distance ties by lowest cid —
+            # the same first-minimum rule as assign_centroids
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            lists = cid_arr[idx]
+            j = 0
+            for i, good in enumerate(ok):
+                if good:
+                    res[i] = lists[j].tolist()
+                    j += 1
+        return pd.Series(res)
+
+    _topn = pandas_udf(_topn_fn, ArrayType(LongType()))
+    return df.withColumn(
+        out_col, F.explode(_topn(F.col(vec_col).cast("array<double>")))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure python, no numpy
     state leakage): xorshift-seeded gaussian via Box-Muller."""

@@ -364,3 +364,41 @@ def s08_label_centroids(spark, sf_dir):
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# s09 — corpus-vs-corpus KNN JOIN (both sides large): block-nested Arrow
+# gemm, exact semantics — every corpus vector gets its k nearest others.
+# The IVF-pruned approximate mode of the same operator is recall-tested in
+# tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s09_knn_join",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6) AS cosine_sim
+  FROM q, c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, nbr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS nbr_rank
+  FROM sims
+)
+WHERE nbr_rank <= 3
+""",
+)
+def s09_knn_join(spark, sf_dir):
+    """All-pairs KNN join of the embeddings table against itself, k=3 —
+    the self-similarity graph every SemDeDup/graph-dedup pipeline starts
+    from.  Exact block mode: an 8×8 grid of cogrouped gemm tiles, shuffle
+    = 8×|corpus| skinny rows per side, no executor ever materializes more
+    than one tile; ranking re-ranks ≤ 8·k local winners per query."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return S.knn_join(e, e, k=3)

