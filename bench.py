@@ -71,6 +71,7 @@ HEADLINE = [
     # round-5 new operators
     "s09_knn_join",
     "d21_incremental_neardup_ledger",
+    "t16_bpe_pair_counts",
 ]
 
 
@@ -113,6 +114,11 @@ SF1_SUBSET = [
     "t12_bigram_lm_nll",
     "t14_curation_pipeline",
     "t15_token_budget_selection",
+    # r5: exact KNN join is quadratic in rows BY DEFINITION (that is what
+    # mode="ivf" is for) — tracked here so the quadratic term stays visible
+    # and deliberate; t16 is the one-corpus-shuffle BPE primitive.
+    "s09_knn_join",
+    "t16_bpe_pair_counts",
 ]
 
 

@@ -1963,3 +1963,64 @@ def d20_leakage_safe_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# t16/t17 — distributed BPE tokenizer training (operators/bpe.py).
+# t16 is the trainer's inner primitive — character-pair counts weighted by
+# word frequency (ONE corpus shuffle + one dict-sized aggregate) — with an
+# exact DuckDB oracle.  t17 is the full iterative trainer (driver loop,
+# one argmax row collected per round) — not ANSI-SQL-expressible, so it is
+# rows-only here and pinned instead by the pure-Python reference-trainer
+# parity test (tests/test_operators.py::test_bpe_train_matches_reference).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t16_bpe_pair_counts",
+    oracle=r"""
+WITH words AS (
+  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS w FROM documents
+),
+wc AS (
+  SELECT w, COUNT(*) AS wcount FROM words WHERE w <> '' GROUP BY w
+),
+syms AS (
+  SELECT wcount, list_append(string_split(w, ''), '</w>') AS s FROM wc
+),
+pairs AS (
+  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, wcount
+  FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+)
+SELECT left_sym, right_sym, CAST(SUM(wcount) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 20
+""",
+)
+def t16_bpe_pair_counts(spark, sf_dir):
+    from ..operators import bpe as B
+
+    d = tbl(spark, sf_dir, "documents")
+    w = B.word_frequencies(d).withColumn("symbols", B.char_symbols("word"))
+    return (
+        B.pair_counts(w)
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(20)
+    )
+
+
+@query("t17_bpe_merges")
+def t17_bpe_merges(spark, sf_dir):
+    """First 10 learned merge rules as (merge_rank, left_sym, right_sym,
+    pair_count) — deterministic: argmax tie-break pinned to (count DESC,
+    left ASC, right ASC).  The returned frame is driver-sized by
+    construction (a tokenizer's merge table, not data)."""
+    from ..operators import bpe as B
+
+    merges, _ = B.bpe_train(tbl(spark, sf_dir, "documents"), n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )

@@ -2663,3 +2663,87 @@ def test_knn_join_ivf_recall_vs_exact(spark):
     assert r1 >= 0.25, r1
     assert r3 >= r1, (r1, r3)
     assert r8 == 1.0, r8
+
+
+def _reference_bpe(word_counts, n_merges, min_count=2, end="</w>"):
+    """Textbook BPE trainer (Sennrich et al. 2016, figure 1 style) over a
+    word-frequency dict — the independent reference bpe_train must match."""
+    vocab = {tuple(list(w) + [end]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < min_count:
+            break
+        merges.append((l, r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer's merge SEQUENCE equals the textbook
+    single-machine algorithm run on the collected word dict — same
+    pairs, same order, same counts — and the trained dict segmentation
+    equals apply_bpe's replay."""
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = {
+        r.word: r.wcount
+        for r in B.word_frequencies(d).collect()
+    }
+    expected = _reference_bpe(wc, 15)
+    got, words = B.bpe_train(d, 15)
+    assert got == expected
+
+    # replaying the learned merges over raw words reproduces the trained
+    # symbol arrays (so apply_bpe segments unseen text consistently)
+    wdf = spark.createDataFrame(
+        [(w,) for w in list(wc)[:20]], "text string"
+    )
+    seg = {
+        r.text: list(r.bpe_tokens)
+        for r in B.apply_bpe(wdf, got).collect()
+    }
+    trained = {
+        r.word: list(r.symbols)
+        for r in words.filter(words.word.isin(list(seg))).collect()
+    }
+    assert seg == trained
+
+
+def test_bpe_null_and_empty_text(spark):
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab ab ab cd")], "doc_id long, text string"
+    )
+    merges, words = B.bpe_train(d, 5, min_count=2)
+    # 'ab</w>' assembles in two merges; 'cd' is hapax -> early stop
+    assert [(m[0], m[1]) for m in merges][:2] in (
+        [("a", "b"), ("ab", "</w>")],
+        [("b", "</w>"), ("a", "b</w>")],
+    )
+    seg = B.apply_bpe(d, merges)
+    rows = {r.doc_id: r.bpe_tokens for r in seg.collect()}
+    assert rows[1] is None
+    assert rows[2] == []

@@ -398,3 +398,46 @@ def test_q63_in_subquery_prunes_before_aggregate(spark):
     # aggregate's input subtree contains the semi-join
     sub = plan[agg:]
     assert "LeftSemi" in sub
+
+
+def test_d04_simhash_no_signature_joinback(spark):
+    """r5 shape: the 8-byte signature rides the banding explode as a
+    payload column, so the Hamming verify has NO join back to a signature
+    table — the only join left is the (band, bh) candidate self-join, the
+    corpus is scanned once, and nothing NL/cartesian appears."""
+    df = workload.QUERIES["d04_simhash_pairs"](spark, SF)
+    plan = plan_str(df)
+    # every parquet-scan mention sits under the ONE cached banded frame
+    # (InMemoryRelation prints its child plan once per consuming branch;
+    # the scan executes once and the three branches read the cache)
+    assert plan.count("InMemoryTableScan") == plan.count("Scan parquet"), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan
+
+
+def test_s09_knn_join_is_cogroup_grid_no_cartesian(spark):
+    """Exact KNN join: the all-pairs math happens INSIDE the cogrouped
+    Arrow kernel (FlatMapCoGroupsInPandas), never as a Spark cartesian —
+    a crossJoin would shuffle |left|x|right| rows; the grid ships
+    R*|left| + L*|right| skinny rows instead."""
+    df = workload.QUERIES["s09_knn_join"](spark, SF)
+    plan = plan_str(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" not in plan  # no relational join at all
+
+
+def test_t16_bpe_pair_counts_two_aggregates_no_join(spark):
+    """BPE pair counting: corpus -> word dict (one exchange, map-side
+    combine) -> pair aggregate (dict-sized) -> top-k.  No join, no window,
+    one corpus scan."""
+    df = workload.QUERIES["t16_bpe_pair_counts"](spark, SF)
+    plan = plan_str(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert count_exchanges(df) <= 3  # word agg + pair agg + top-k
