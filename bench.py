@@ -72,6 +72,7 @@ HEADLINE = [
     "s09_knn_join",
     "d21_incremental_neardup_ledger",
     "t16_bpe_pair_counts",
+    "m02_pixel_stats",
 ]
 
 

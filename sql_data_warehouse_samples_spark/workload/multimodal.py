@@ -72,3 +72,76 @@ def m01_media_meta(spark, sf_dir):
         F.sum("width").cast("long").alias("total_width"),
         F.sum("height").cast("long").alias("total_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m02 — REAL pixel decode through the built-in P6 PPM codec (L-m2), with an
+# exact analytic oracle: the payload is a valid PPM whose pixel byte i is
+# (doc_id + i) % 256, so DuckDB can recompute every statistic in closed
+# form without any codec.  The Spark side decodes the ACTUAL binary through
+# operators.multimodal.default_decoder — header parse, stride, the lot —
+# and reduces pixels to scalars inside the same mapInPandas pass.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_media_from_documents(d):
+    w = (F.col("doc_id") % 5 + 2).cast("int")
+    h = (F.col("doc_id") % 4 + 2).cast("int")
+    n = (w * h * 3).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    ).cast("binary")
+    # pixel byte i = (doc_id + i) % 256, assembled as hex JVM-side (≤ 132
+    # bytes per doc at these sizes — synthesis cost, not operator cost)
+    pix_hex = F.expr(
+        "concat_ws('', transform(sequence(0, cast(((doc_id % 5 + 2) * "
+        "(doc_id % 4 + 2) * 3 - 1) as int)), "
+        "i -> lpad(hex((doc_id + i) % 256), 2, '0')))"
+    )
+    payload = F.concat(header, F.to_binary(pix_hex, F.lit("hex")))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(None).cast("string").alias("source_uri"),
+    )
+
+
+@query(
+    "m02_pixel_stats",
+    oracle="""
+WITH px AS (
+  SELECT doc_id,
+         (doc_id % 5 + 2) AS w,
+         (doc_id % 4 + 2) AS h,
+         list_sum(list_transform(
+           generate_series(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3 - 1),
+           i -> (doc_id + i) % 256)) AS pix_sum,
+         list_min(list_transform(
+           generate_series(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3 - 1),
+           i -> (doc_id + i) % 256)) AS pix_min,
+         list_max(list_transform(
+           generate_series(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3 - 1),
+           i -> (doc_id + i) % 256)) AS pix_max
+  FROM documents)
+SELECT CAST(w AS INT) AS width,
+       COUNT(*) AS n_images,
+       CAST(SUM(h) AS BIGINT) AS total_height,
+       CAST(SUM(pix_sum) AS BIGINT) AS total_pix,
+       CAST(MIN(pix_min) AS INT) AS min_pix,
+       CAST(MAX(pix_max) AS INT) AS max_pix
+FROM px GROUP BY w
+""",
+)
+def m02_pixel_stats(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    st = M.decode_image_stats(_ppm_media_from_documents(d))
+    return st.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("height").cast("long").alias("total_height"),
+        F.sum("pix_sum").cast("long").alias("total_pix"),
+        F.min("pix_min").alias("min_pix"),
+        F.max("pix_max").alias("max_pix"),
+    )

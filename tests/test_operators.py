@@ -2541,7 +2541,7 @@ def test_results_independent_of_aqe(spark):
 
     workload.load_all()
     names = ["q03_q05_star_battery", "q26_latest_orders_per_customer",
-             "d01_dedup_exact"]
+             "d01_dedup_exact", "s09_knn_join", "t16_bpe_pair_counts"]
     conf = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(conf)
     try:

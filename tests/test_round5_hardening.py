@@ -697,3 +697,26 @@ def test_minhash_strategy_parity(spark):
     assert joined.count() == d.count() + 3
     mism = joined.filter(~F.col("__sig").eqNullSafe(F.col("__sig2"))).count()
     assert mism == 0
+
+
+def test_decode_image_stats_real_codec_and_garbage(spark):
+    """decode_image_stats: real PPM pixels reduce to exact scalars inside
+    the decode pass; an undecodable payload yields NULL stats, not a
+    failed batch."""
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators import multimodal as M
+
+    a = _gradient(5, 3)
+    media = spark.createDataFrame(
+        [(1, M.encode_ppm(a)), (2, M.encode_bmp(a)), (3, b"\x00garbage")],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    for mid in (1, 2):
+        # _gradient(5, 3) is 5 rows x 3 cols -> width 3, height 5
+        assert (rows[mid].width, rows[mid].height) == (3, 5)
+        assert rows[mid].pix_sum == int(a.astype(np.int64).sum())
+        assert rows[mid].pix_min == int(a.min())
+        assert rows[mid].pix_max == int(a.max())
+    assert rows[3].pix_sum is None and rows[3].width is None
