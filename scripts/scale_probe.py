@@ -340,9 +340,75 @@ def shards_probe() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def knn_ladder() -> None:
+    """Exact block-gemm KNN join vs IVF-pruned mode as the corpus grows.
+
+    Exact corpus-vs-corpus KNN is quadratic BY DEFINITION; the question a
+    100 TB user needs answered is WHERE the IVF mode (linear-ish: each
+    vector compared within ~corpus/nlist-sized lists) takes over and what
+    recall the pruning costs.  Vectors are inflated with DISTINCT noisy
+    copies (re-keyed ids, deterministic per-copy perturbation) so the
+    neighbor structure stays non-degenerate.
+
+        python scripts/scale_probe.py knn     # X = 1, 4, 8 copies
+    """
+    spark = build_session(app_name="knn-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_data_warehouse_samples_spark.operators import similarity as S
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    report = []
+    for x in (1, 4, 8):
+        copies = [base]
+        for i in range(1, x):
+            copies.append(
+                base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+                .withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (v, j) -> cast(v + 0.4 * "
+                        f"sin((j + 1) * {i} * 1.7 + {i}) as float))"
+                    ),
+                )
+            )
+        e = copies[0]
+        for c in copies[1:]:
+            e = e.unionByName(c)
+        e = e.repartition(32).localCheckpoint(eager=True)
+        n = e.count()
+        nlist = max(16, n // 250)
+        timings = {}
+        outs = {}
+        for mode, kw in (
+            ("exact", {}),
+            ("ivf_p1", {"mode": "ivf", "nlist": nlist, "nprobe": 1}),
+            ("ivf_p4", {"mode": "ivf", "nlist": nlist, "nprobe": 4}),
+        ):
+            t0 = time.time()
+            rows = S.knn_join(e, e, k=3, **kw).collect()
+            timings[mode] = round(time.time() - t0, 2)
+            outs[mode] = {(r.query_id, r.neighbor_id) for r in rows}
+        exact = outs["exact"]
+        report.append(
+            {
+                "n_vectors": n,
+                "nlist": nlist,
+                "sec": timings,
+                "recall_vs_exact": {
+                    m: round(len(outs[m] & exact) / len(exact), 3)
+                    for m in ("ivf_p1", "ivf_p4")
+                },
+            }
+        )
+    print(json.dumps({"sf_dir": SF_DIR, "knn_ladder": report}))
+
+
 def main() -> None:
     if sys.argv[1:2] == ["ntile"]:
         ntile_ladder()
+        return
+    if sys.argv[1:2] == ["knn"]:
+        knn_ladder()
         return
     if sys.argv[1:2] == ["grams"]:
         grams_ladder()

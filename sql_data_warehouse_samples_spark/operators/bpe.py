@@ -154,6 +154,24 @@ def bpe_train(
     return merges, words
 
 
+def save_merges(
+    spark, merges: list[tuple[str, str, int]], path: str
+) -> None:
+    """Persist a learned merge table as one-file parquet —
+    ``(merge_rank, left_sym, right_sym, pair_count)``.  Rank IS the replay
+    order; the table is tokenizer-sized (a few 10k rows), so one file."""
+    spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a persisted merge table back into replay order."""
+    rows = spark.read.parquet(path).orderBy("merge_rank").collect()
+    return [(r.left_sym, r.right_sym, r.pair_count) for r in rows]
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
@@ -171,7 +189,42 @@ def apply_bpe(
 
     rules = [(m[0], m[1]) for m in merges]
 
+    def _segment(w: str) -> list[str]:
+        # sequential replay in learned order — the trainer's EXACT
+        # semantics.  (A lowest-rank-first greedy, GPT-2-encoder style, is
+        # NOT equivalent when different merge paths form the same symbol
+        # string — "ab"+"c" vs "a"+"bc" — and the parity test pins replay
+        # == trained dict segmentation.)  The O(1) symbol-set guard skips
+        # the per-rule scan for the overwhelming majority of rules that
+        # cannot apply to this word.
+        syms = list(w) + [end_token]
+        symset = set(syms)
+        for left, right in rules:
+            if left not in symset or right not in symset:
+                continue
+            merged = left + right
+            res, i = [], 0
+            n = len(syms)
+            changed = False
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    changed = True
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            if changed:
+                syms = res
+                symset = set(syms)
+        return syms
+
     def _fn(col):
+        # per-worker memo: corpora repeat words heavily (Zipf), so each
+        # distinct word segments once per executor process, not per
+        # occurrence; the cache lives on the function object and survives
+        # across Arrow batches in the reused worker
+        memo = _fn.__dict__.setdefault("memo", {})
         out = []
         for toks in col:
             if toks is None:
@@ -181,25 +234,11 @@ def apply_bpe(
             for w in toks:
                 if not w:
                     continue
-                syms = list(w) + [end_token]
-                for left, right in rules:
-                    merged = left + right
-                    i = 0
-                    res = []
-                    n = len(syms)
-                    while i < n:
-                        if (
-                            i + 1 < n
-                            and syms[i] == left
-                            and syms[i + 1] == right
-                        ):
-                            res.append(merged)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
-                doc_syms.extend(syms)
+                seg = memo.get(w)
+                if seg is None:
+                    seg = _segment(w)
+                    memo[w] = seg
+                doc_syms.extend(seg)
             out.append(doc_syms)
         return pd.Series(out)
 

@@ -377,7 +377,10 @@ class MinHashSignatureLedger:
         survivors = batch.join(
             dropped, batch[id_col] == dropped["doc_id"], "left_anti"
         ).localCheckpoint(eager=True)
-        sig_out = self._signed(survivors, text_col, id_col)
+        # reuse the checkpointed signatures — never re-shingle the text
+        sig_out = signed.join(
+            survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
+        )
         if idempotency_key is None:
             sig_out.write.mode("append").parquet(self.path)
         else:

@@ -448,3 +448,50 @@ def line_dedup(
             F.count(F.when(~keep, F.lit(1))).alias("n_lines_dropped"),
         )
     )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    min_share: float = 0.01,
+    support: float | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (tokens with share ≥ ``min_share`` of all token
+    occurrences) via the two-pass sketch pattern — the 100 TB alternative
+    to a full-vocabulary aggregate:
+
+    1. candidate pass: Spark's single-pass ``freqItems`` (Karp/
+       Misra-Gries family) at ``support < min_share`` — guaranteed to
+       return a SUPERSET of every token whose true share exceeds
+       ``support``, in one scan with a bounded (≤ 1/support) driver-side
+       result; no (token)-keyed shuffle of the full vocabulary ever runs.
+    2. verify pass: exact counts for the candidate set only (a broadcast
+       isin filter, then one tiny aggregate) and the exact threshold cut.
+
+    The superset guarantee + exact recount makes the OUTPUT exact and
+    deterministic even though the sketch's extra candidates are not —
+    false candidates die in the recount, true heavy hitters cannot be
+    missed.  Output: (token, n_occurrences), share ≥ min_share.
+    """
+    if support is None:
+        support = min_share / 10
+    if support >= min_share:
+        raise ValueError("support must be < min_share for the guarantee")
+    toks = df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cand = toks.stat.freqItems(["token"], support).collect()[0][0]
+    total = toks.count()
+    import math
+
+    threshold = math.ceil(min_share * total)
+    if not cand:
+        return toks.limit(0).groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
+    return (
+        toks.filter(F.col("token").isin(list(cand)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(threshold))
+    )

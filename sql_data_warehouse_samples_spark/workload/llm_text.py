@@ -2024,3 +2024,31 @@ def t17_bpe_merges(spark, sf_dir):
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string, pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — exact heavy-hitter tokens via the two-pass sketch pattern
+# (freqItems candidate superset -> exact recount).  The sketch pass is
+# engine-internal; the OUTPUT is exact, so the oracle is plain SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t18_heavy_hitter_tokens",
+    oracle=r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+  FROM documents
+),
+nz AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM nz)
+SELECT token, COUNT(*) AS n_occurrences
+FROM nz, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) >= CEIL(0.01 * tot.n)
+""",
+)
+def t18_heavy_hitter_tokens(spark, sf_dir):
+    from ..operators.text import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(tbl(spark, sf_dir, "documents"), min_share=0.01)

@@ -151,13 +151,21 @@ def test_dirswap_crash_matrix(tmp_path):
     assert recover(live) is False
     assert readback(live) == "new"
 
-    # verify() failure aborts with the old data preserved at __old
+    # verify() failure: r5 contract — the STAGE is verified BEFORE any
+    # rename, so a bad stage leaves live untouched, stage parked for
+    # post-mortem, and no __old litter at all
     live, stage = mk("d", "old"), mk("d__stage", "bad")
     try:
-        swap_in(live, stage, verify=lambda: (_ for _ in ()).throw(IOError("corrupt")))
+        swap_in(
+            live,
+            stage,
+            verify=lambda p: (_ for _ in ()).throw(IOError("corrupt")),
+        )
     except IOError:
         pass
-    assert readback(f"{live}__old") == "old"  # manual/auto recovery possible
+    assert readback(live) == "old"  # live never touched
+    assert os.path.exists(stage)  # bad stage kept for inspection
+    assert not os.path.exists(f"{live}__old")
 
 
 # ---------------------------------------------------------------------------

@@ -2747,3 +2747,51 @@ def test_bpe_null_and_empty_text(spark):
     rows = {r.doc_id: r.bpe_tokens for r in seg.collect()}
     assert rows[1] is None
     assert rows[2] == []
+
+
+def test_bpe_merge_table_roundtrip(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    d = spark.createDataFrame(
+        [(1, "ab ab abc abc abc")], "doc_id long, text string"
+    )
+    merges, _ = B.bpe_train(d, 4, min_count=2)
+    assert merges
+    p = str(tmp_path / "merges")
+    B.save_merges(spark, merges, p)
+    assert B.load_merges(spark, p) == merges
+
+
+def test_heavy_hitters_exact_vs_full_aggregate(spark):
+    """The two-pass sketch output equals the full-vocabulary aggregate
+    exactly (superset guarantee + exact recount), at two thresholds, and
+    the support >= min_share misuse raises."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.text import (
+        heavy_hitter_tokens,
+        tokens,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    total = toks.count()
+    full = {
+        (r.token, r.n)
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    for share in (0.01, 0.05):
+        thr = math.ceil(share * total)
+        want = {(t, n) for t, n in full if n >= thr}
+        got = {
+            (r.token, r.n_occurrences)
+            for r in heavy_hitter_tokens(d, min_share=share).collect()
+        }
+        assert got == want, share
+    with _pytest.raises(ValueError):
+        heavy_hitter_tokens(d, min_share=0.01, support=0.02)
