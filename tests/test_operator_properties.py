@@ -225,3 +225,65 @@ def test_canonical_by_score_exactly_one_winner(spark, data):
         # reference model: max score, tiebreak min id
         best = sorted(members, key=lambda r: (-r.score, r.id))[0]
         assert winners[0] == best.id
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (operators/bpe.py): distributed == textbook, on random corpora
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=5),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(wordlists=st.lists(_words, min_size=1, max_size=4),
+       n_merges=st.integers(min_value=1, max_value=6))
+def test_bpe_property_matches_reference(spark, wordlists, n_merges):
+    """For ANY corpus, the distributed trainer's merge sequence equals the
+    textbook single-machine algorithm on the collected word dict —
+    including tie-heavy degenerate corpora hypothesis loves to build."""
+    from collections import Counter
+
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+    from tests.test_operators import _reference_bpe
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(wordlists)],
+        "doc_id long, text string",
+    )
+    wc = Counter(w for ws in wordlists for w in ws)
+    expected = _reference_bpe(dict(wc), n_merges)
+    got, _ = B.bpe_train(docs, n_merges)
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (operators/text.py): two-pass sketch == full aggregate
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(tokens_=st.lists(st.sampled_from("aa bb cc dd ee ff".split()),
+                        min_size=1, max_size=60),
+       share=st.sampled_from([0.05, 0.2, 0.5]))
+def test_heavy_hitters_property_exact(spark, tokens_, share):
+    import math
+    from collections import Counter
+
+    from sql_data_warehouse_samples_spark.operators.text import (
+        heavy_hitter_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(tokens_))], "doc_id long, text string"
+    )
+    counts = Counter(tokens_)
+    thr = math.ceil(share * len(tokens_))
+    want = {(t, n) for t, n in counts.items() if n >= thr}
+    got = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitter_tokens(docs, min_share=share).collect()
+    }
+    assert got == want
