@@ -287,3 +287,48 @@ def test_heavy_hitters_property_exact(spark, tokens_, share):
         for r in heavy_hitter_tokens(docs, min_share=share).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# knn_join (operators/similarity.py): exact block mode vs numpy reference
+# ---------------------------------------------------------------------------
+
+_vec = st.lists(st.integers(min_value=-5, max_value=5), min_size=3, max_size=3)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=st.lists(_vec, min_size=2, max_size=12),
+       lb=st.integers(min_value=1, max_value=3),
+       rb=st.integers(min_value=1, max_value=3),
+       k=st.integers(min_value=1, max_value=3))
+def test_knn_join_property_matches_numpy(spark, vecs, lb, rb, k):
+    """Any vector set, any grid shape: the block-cogroup join equals a
+    direct numpy brute force with the same rounding and (sim desc, id asc)
+    tiebreak.  Zero vectors are excluded from both sides (non-finite
+    cosine is masked by the kernel, NULL by the oracle convention)."""
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators.similarity import knn_join
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {
+        (r.query_id, r.nbr_rank): (r.neighbor_id, r.cosine_sim)
+        for r in knn_join(df, df, k=k, left_blocks=lb, right_blocks=rb).collect()
+    }
+    X = np.array(vecs, dtype=np.float64)
+    n = np.linalg.norm(X, axis=1)
+    sims = np.round((X @ X.T) / np.outer(n, n), 6)
+    want = {}
+    for i in range(len(vecs)):
+        cands = sorted(
+            ((-sims[i, j], j) for j in range(len(vecs)) if j != i)
+        )[:k]
+        for rank, (s, j) in enumerate(cands, 1):
+            want[(i, rank)] = (j, -s)
+    assert got == want

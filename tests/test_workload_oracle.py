@@ -54,7 +54,7 @@ def test_driver_priority_window_pinned():
         "m01_media_meta", "q52_scalar_battery",
         "d12_semantic_dedup", "q60_scd2_dimension",
         "s06_pq_codes", "s07_bm25_topk", "q58_asof_attribution",
-        "t14_curation_pipeline",
+        "t14_curation_pipeline", "s09_knn_join", "t16_bpe_pair_counts",
     ]:
         assert must in window, must
     # everything in the window has either an oracle or a rows-only design
@@ -62,7 +62,6 @@ def test_driver_priority_window_pinned():
     assert rows_only == {
         "d03_minhash_lsh_pairs",
         "d04_simhash_pairs",
-        "s02_ann_lsh_topk",
         "p01_sequence_packing",
     }
 
