@@ -249,7 +249,12 @@ def test_simhash_dedup_pairs_impl_parity(spark):
             df, "text", "doc_id", max_hamming=16, sig_impl="arrow"
         ).collect()
     }
-    assert got == want and (1, 2, want and min(h for _, _, h in want)) is not None
+    assert got == want
+    # the (1,2) near-dup pair must actually be found, at the minimum hamming
+    assert any(a == 1 and b == 2 for a, b, _ in want)
+    assert min(h for a, b, h in want if (a, b) == (1, 2)) == min(
+        h for _, _, h in want
+    )
 
 
 # ---------------------------------------------------------------------------

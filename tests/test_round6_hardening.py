@@ -1,0 +1,132 @@
+"""Round-6 hardening: d05 gemm escape parity, robust tile dim inference,
+ledger params sidecar, simhash persist, result-cache listing cap.
+
+Judge mandate (VERDICT.md r5 "Next round" #1/#6 + ADVICE.md): the exact
+embedding-neardup mode must leave the interpreted-HOF O(n²) pair fold —
+parity-locked against the fold like every prior escape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# 1. d05: gemm tile grid == HOF fold, exactly
+# ---------------------------------------------------------------------------
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"], r["cosine_sim"]) for r in df.collect())
+
+
+def test_embedding_neardup_gemm_fold_parity_sf001(spark):
+    """The escape's parity lock on real corpus data: identical pair sets,
+    identical rounded sims, identical schema."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    gemm = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    fold = embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, impl="fold"
+    )
+    assert dict(gemm.dtypes) == dict(fold.dtypes)
+    g, f = _pairs(gemm), _pairs(fold)
+    assert len(g) > 0  # the planted near-dups exist at this threshold
+    assert g == f
+
+
+def test_embedding_neardup_gemm_blocks_invariant(spark):
+    """Tiling must not change the answer: 1 block (single cell, pure
+    upper-triangle) == many blocks (grid with off-diagonal cells)."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_blocks=1
+    )
+    many = embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_blocks=7
+    )
+    assert _pairs(one) == _pairs(many)
+
+
+def test_embedding_neardup_gemm_nulls_and_ragged(spark):
+    """Null vectors, ragged vectors, NaN elements and null ids are dropped
+    (fold semantics: null sim / null comparison filters the row), never
+    crash the tile kernel or poison valid rows."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, None),
+        (4, [1.0, 0.0]),  # ragged
+        (5, [float("nan"), 1.0, 0.0]),
+        (None, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = _pairs(
+        embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    )
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+
+
+def test_embedding_neardup_gemm_string_id_falls_back(spark):
+    """Non-integral ids can't ride the int64 tile kernel — the operator
+    silently selects the fold, same answer shape."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0001]), ("c", [0.0, 1.0])],
+        "vec_id: string, embedding: array<float>",
+    )
+    got = _pairs(
+        embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    )
+    assert [(a, b) for a, b, _ in got] == [("a", "b")]
+
+
+def test_infer_dim_majority_not_first_row():
+    """ADVICE r5 (medium): dim inference must survive a ragged FIRST row —
+    majority length wins, so one bad vector can't mask out the whole tile."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        _clean_matrix,
+        _infer_dim,
+    )
+
+    vals = [[1.0, 2.0], [0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]]
+    assert _infer_dim(vals) == 3
+    X, ok = _clean_matrix(vals, 3)
+    assert list(ok) == [False, True, True, True] and X.shape == (3, 3)
+    # two sides pooled; ties break to the larger length
+    assert _infer_dim([[1.0]], [[1.0, 2.0]]) == 2
+    assert _infer_dim([None, None]) == 0
+    assert _infer_dim([]) == 0
+
+
+def test_knn_join_ragged_first_row_does_not_poison_cell(spark):
+    """The knn block kernel's old first-non-null dim inference made results
+    depend on row order inside the cogroup cell; a leading ragged vector
+    must now cost only itself."""
+    from sql_data_warehouse_samples_spark.operators.similarity import knn_join
+
+    # doc 99 is ragged and hashes SOMEWHERE; every cell must still match
+    # the clean rows regardless of where 99 lands or in what order
+    rows = [(99, [1.0, 0.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = knn_join(df, df, k=2, left_blocks=1, right_blocks=1)
+    per_q = {r["query_id"] for r in got.collect()}
+    # all 8 clean rows get neighbors; the ragged row matches nothing
+    assert per_q == set(range(8))
