@@ -23,6 +23,15 @@ from sql_data_warehouse_samples_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Reps per query (min-of-N recorded).  This box shows 2-7x rep-to-rep
+#: swings under host steal (PERFORMANCE.md "measurement protocol"); a
+#: single-rep record is noise, and the r5 record was polluted by exactly
+#: that — a 1.46x "regression" across untouched queries that min-of-reps
+#: shows as 1.02x.  The emitted JSON carries per-query min plus the
+#: max/min spread so a reader can tell a real regression (stable across
+#:  reps) from steal (huge spread).
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
 # Headline set: one per operator family (join-heavy, agg-heavy, window,
 # sessionization, dedup, similarity, text) — the queries a warehouse user
 # actually runs, not the cheap scalar batteries.
@@ -212,12 +221,21 @@ def main() -> None:
     except ImportError:
         pass
 
+    # rep r runs EVERY query once, then rep r+1 — interleaved rounds, not
+    # back-to-back reps of one query, so a host-steal burst inflates one
+    # ROUND (visible as spread) instead of one query's whole record
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = workload.QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    spread: dict[str, float] = {}
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(max(1, N_REPS)):
+        for name in HEADLINE:
+            fn = workload.QUERIES[name]
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            reps[name].append(time.perf_counter() - t0)
+    for name, ts in reps.items():
+        timings[name] = round(min(ts), 3)
+        spread[name] = round(max(ts) / max(min(ts), 1e-9), 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -231,6 +249,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "reps": max(1, N_REPS),
+        "rep_protocol": "interleaved rounds; per-query MIN recorded; "
+        "spread = max/min per query (>2 = host steal, not plan)",
+        "spread": spread,
     }
 
     # secondary sf1 point (never allowed to break the primary line)
@@ -238,20 +260,30 @@ def main() -> None:
         try:
             sf1_dir = ensure_sf1(spark, SF_DIR)
             sf1_timings: dict[str, float] = {}
+            sf1_spread: dict[str, float] = {}
             sf1_errors: dict[str, str] = {}
-            for name in SF1_SUBSET:
-                fn = workload.QUERIES[name]
-                t0 = time.perf_counter()
-                try:
-                    materialize(fn(spark, sf1_dir))
-                    sf1_timings[name] = round(time.perf_counter() - t0, 3)
-                except Exception as qe:  # noqa: BLE001
-                    sf1_errors[name] = str(qe)[:200]
+            sf1_reps: dict[str, list[float]] = {n: [] for n in SF1_SUBSET}
+            for _ in range(max(1, N_REPS)):
+                for name in SF1_SUBSET:
+                    if name in sf1_errors:
+                        continue
+                    fn = workload.QUERIES[name]
+                    t0 = time.perf_counter()
+                    try:
+                        materialize(fn(spark, sf1_dir))
+                        sf1_reps[name].append(time.perf_counter() - t0)
+                    except Exception as qe:  # noqa: BLE001
+                        sf1_errors[name] = str(qe)[:200]
+            for name, ts in sf1_reps.items():
+                if ts:
+                    sf1_timings[name] = round(min(ts), 3)
+                    sf1_spread[name] = round(max(ts) / max(min(ts), 1e-9), 2)
             payload["sf1"] = {
                 "queries": sf1_timings,
+                "spread": sf1_spread,
                 "total_sec": round(sum(sf1_timings.values()), 3),
                 "note": "10x synthesized corpus (mutually-distinct copies); "
-                "documents/embeddings ops only",
+                "documents/embeddings ops only; min-of-reps like the primary",
             }
             if sf1_errors:
                 payload["sf1"]["errors"] = sf1_errors

@@ -325,6 +325,7 @@ def kmeans_centroids(
     nlist: int = 16,
     iters: int = 2,
     round_to: int = 6,
+    max_train: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd refinement of the seed quantizer (FAISS IVF training step).
 
@@ -335,12 +336,35 @@ def kmeans_centroids(
     size.  Centroids stay driver-sized throughout (nlist×dim floats).
     Lists that go empty keep their previous centroid (standard k-means
     empty-cluster handling).
+
+    ``max_train`` bounds the TRAINING SAMPLE, FAISS practice (its IVF
+    trainer subsamples to ~max(10k, 50·nlist) points): quantizer quality
+    depends on sample density around the cluster structure, not corpus
+    size, so training on the full corpus buys nothing but iters extra
+    full scans — at 100 TB, the difference between a minutes-long
+    driver-side step and re-reading the corpus per Lloyd iteration.  The
+    sample is deterministic (lowest-xxhash64 ids — a seeded pseudo-random
+    draw, stable across partitioning); callers then assign the FULL
+    corpus map-only as before.  Default ``None`` → max(10_000, 50·nlist);
+    pass ``0`` to train on the full corpus (the pre-r6 behavior).
     """
+    if max_train is None:
+        max_train = max(10_000, 50 * nlist)
     cents = seed_centroids(corpus, id_col, vec_col, nlist)
+    train = corpus.select(id_col, vec_col)
+    if max_train:
+        # TakeOrderedAndProject: each partition ships only its k best
+        # hash-ranked rows; the materialized sample (~max_train × dim
+        # doubles, a few MB) is reused across all iters
+        train = train.orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        ).limit(max_train)
+        if iters > 1:
+            train = train.localCheckpoint(eager=True)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iters):
         assigned = assign_centroids(
-            corpus, vec_col, cents, round_to, out_col="__kc"
+            train, vec_col, cents, round_to, out_col="__kc"
         ).select(F.col("__kc").alias("cid"), F.posexplode(dbl).alias("pos", "val"))
         means = (
             assigned.groupBy("cid", "pos")
@@ -941,6 +965,7 @@ def pq_train(
     k: int = 16,
     iters: int = 2,
     round_to: int = 6,
+    max_train: int | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Lloyd-refined PQ codebooks (the FAISS PQ training step): seed with
     ``pq_codebooks``, then per iteration assign every (subspace,
@@ -952,11 +977,24 @@ def pq_train(
     the fold picks the j-th codebook out of one nested literal, and the
     mean shuffle carries ~m × k × dim/m = k × dim rows regardless of
     corpus size (map-side combine) — same scale shape as
-    ``kmeans_centroids``.  Codebooks stay driver-sized throughout."""
+    ``kmeans_centroids``.  Codebooks stay driver-sized throughout.
+
+    ``max_train`` bounds the training sample like ``kmeans_centroids``
+    (FAISS practice; default max(10_000, 50·k) rows, deterministic
+    lowest-xxhash64 draw; 0 = full corpus)."""
+    if max_train is None:
+        max_train = max(10_000, 50 * k)
     books = pq_codebooks(corpus, id_col, vec_col, m, k)
     d_sub = len(books[0][0][1])
     vec = F.col(vec_col)
-    subs = corpus.select(
+    train = corpus
+    if max_train:
+        train = corpus.orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        ).limit(max_train)
+        if iters > 1:
+            train = train.select(id_col, vec_col).localCheckpoint(eager=True)
+    subs = train.select(
         F.posexplode(
             F.array(
                 *[

@@ -130,3 +130,58 @@ def test_knn_join_ragged_first_row_does_not_poison_cell(spark):
     per_q = {r["query_id"] for r in got.collect()}
     # all 8 clean rows get neighbors; the ragged row matches nothing
     assert per_q == set(range(8))
+
+
+# ---------------------------------------------------------------------------
+# 2. bounded-sample quantizer training (FAISS practice)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_sampled_training_bounded_and_deterministic(spark):
+    """max_train caps the per-iteration scan; the hash-ranked sample is
+    stable under repartitioning, so the trained quantizer is too."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = kmeans_centroids(e, nlist=8, iters=2, max_train=100)
+    b = kmeans_centroids(e.repartition(13), nlist=8, iters=2, max_train=100)
+    assert len(a) == 8 and [cid for cid, _ in a] == list(range(8))
+    for (ca, va), (cb, vb) in zip(a, b):
+        assert ca == cb
+        assert va == pytest.approx(vb, abs=1e-9)
+
+
+def test_kmeans_sampled_equals_full_when_sample_covers_corpus(spark):
+    """Corpus smaller than max_train -> the sample IS the corpus: training
+    must agree with the full-corpus path (so the default changes nothing
+    at oracle scales)."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = kmeans_centroids(e, nlist=4, iters=2, max_train=0)
+    samp = kmeans_centroids(e, nlist=4, iters=2)  # default cap >> corpus
+    assert [c for c, _ in full] == [c for c, _ in samp]
+    for (_, vf), (_, vs) in zip(full, samp):
+        assert vf == pytest.approx(vs, abs=1e-9)
+
+
+def test_ivf_topk_trained_on_sample_recall(spark):
+    """Sampled training must not collapse IVF recall vs brute force."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = kmeans_centroids(e, nlist=8, iters=2, max_train=200)
+    approx = ivf_topk(e, q, k=5, nlist=8, nprobe=4, centroids=cents)
+    exact = cosine_topk(e, q, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    x = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & x) / len(x) >= 0.5  # nprobe=4/8 lists
