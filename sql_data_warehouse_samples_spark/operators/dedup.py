@@ -215,6 +215,11 @@ def _candidate_pairs(
         banded = annotated.filter(F.col("__n") <= max_bucket).select(
             "__id", "band", "bh", *payload
         )
+    else:
+        # uncapped path: BOTH self-join sides consume the banded frame —
+        # persist it so the upstream signature pass runs once, mirroring
+        # the capped branch's cache (else the corpus is hashed twice)
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(

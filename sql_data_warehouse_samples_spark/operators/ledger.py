@@ -34,12 +34,41 @@ from pyspark.sql.types import StringType, StructField, StructType
 LEDGER_SCHEMA = StructType([StructField("content_hash", StringType(), False)])
 
 
+def _require_local(path: str) -> str:
+    """The ledgers' existence checks and crash-heal (dirswap) run on the
+    LOCAL filesystem: an ``s3://``/``hdfs://`` path would silently read as
+    empty (os.path.exists is always False for URIs) and quietly disable
+    dedup.  Fail loudly instead; remote stores need a Hadoop-FS port of
+    dirswap first."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"ledger path must be on the local filesystem, got scheme "
+            f"{scheme!r} ({path}); the dirswap crash-heal machinery is "
+            "local-FS-only"
+        )
+    return path[len("file://"):] if scheme == "file" else path
+
+
+def _safe_key(key: str) -> str:
+    """Idempotency keys become directory names (``batch-<key>/``) — reject
+    anything that could escape or collide (path separators, dots-only)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", key):
+        raise ValueError(
+            f"idempotency_key {key!r} must be 1-128 chars of "
+            "[A-Za-z0-9._-] starting alphanumeric"
+        )
+    return key
+
+
 class ContentHashLedger:
     """Append-only parquet ledger of every content hash ever admitted."""
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
-        self.path = path
+        self.path = _require_local(path)
 
     def hashes(self) -> DataFrame:
         """The ledger as a one-column frame (empty if nothing ingested).
@@ -51,13 +80,18 @@ class ContentHashLedger:
         recover(self.path)
         if not os.path.exists(self.path):  # nothing ingested yet
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
-        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        return (
+            self.spark.read.schema(LEDGER_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.path)
+        )
 
     def ingest(
         self,
         batch: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        idempotency_key: str | None = None,
     ) -> DataFrame:
         """Admit a batch: dedup against the ledger + within the batch,
         append the survivors' hashes, return the surviving documents
@@ -66,17 +100,35 @@ class ContentHashLedger:
         The corpus side of the anti-join is the LEDGER — no document text
         outside the batch is ever read, so ingest cost scales with the
         batch, not the corpus.
+
+        ``idempotency_key`` makes the admission REPLAYABLE (same contract
+        as the signature ledger): the corpus side excludes this batch's
+        own previously-appended ``batch-<key>/`` files (else a crash
+        between the append and the downstream corpus write turns the
+        replay into "everything is a dup of itself"), and the append
+        overwrites the keyed subdirectory instead of accumulating.
         """
         from .dedup import incremental_dedup
 
+        corpus_hashes = self.hashes()
+        if idempotency_key is not None:
+            key = _safe_key(idempotency_key)
+            corpus_hashes = corpus_hashes.filter(
+                ~F.input_file_name().contains(f"/batch-{key}/")
+            )
         fresh = incremental_dedup(
             batch, corpus=None, text_col=text_col, id_col=id_col,
-            corpus_hashes=self.hashes(),
+            corpus_hashes=corpus_hashes,
         )
         # materialize before the append so the returned frame does not
         # re-read a ledger that now contains this batch's own hashes
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.select("content_hash").write.mode("append").parquet(self.path)
+        if idempotency_key is None:
+            fresh.select("content_hash").write.mode("append").parquet(self.path)
+        else:
+            fresh.select("content_hash").write.mode("overwrite").parquet(
+                f"{self.path}/batch-{_safe_key(idempotency_key)}"
+            )
         return fresh
 
     def compact(self, n_files: int | None = None) -> int:
@@ -148,12 +200,54 @@ class MinHashSignatureLedger:
         if num_hashes % bands:
             raise ValueError("bands must divide num_hashes")
         self.spark = spark
-        self.path = path
+        self.path = _require_local(path)
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        self._check_params(write=False)
 
     # -- storage ----------------------------------------------------------
+
+    def _params(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+        }
+
+    def _params_file(self) -> str:
+        # "_"-prefixed: Spark/Hadoop file listings treat it as hidden, so
+        # it never collides with the parquet scan (same convention as
+        # _SUCCESS markers)
+        import os
+
+        return os.path.join(self.path, "_LEDGER_PARAMS.json")
+
+    def _check_params(self, write: bool) -> None:
+        """Stored signatures are only interpretable under the EXACT
+        (num_hashes, bands, shingle_n) that produced them — reopening with
+        different params would silently derive wrong band keys and wrong
+        est_jaccard denominators.  The sidecar pins them: first ingest
+        writes it, every open/ingest validates it."""
+        import json
+        import os
+
+        pf = self._params_file()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = json.load(f)
+            mine = self._params()
+            if stored != mine:
+                raise ValueError(
+                    f"ledger at {self.path} was created with params "
+                    f"{stored}, reopened with {mine}; signatures are not "
+                    "comparable across params — use the original params or "
+                    "a new ledger path"
+                )
+        elif write:
+            os.makedirs(self.path, exist_ok=True)
+            with open(pf, "w") as f:
+                json.dump(self._params(), f)
 
     def _sig_schema(self):
         from pyspark.sql.types import (
@@ -381,11 +475,12 @@ class MinHashSignatureLedger:
         sig_out = signed.join(
             survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
         )
+        self._check_params(write=True)
         if idempotency_key is None:
             sig_out.write.mode("append").parquet(self.path)
         else:
             sig_out.write.mode("overwrite").parquet(
-                f"{self.path}/batch-{idempotency_key}"
+                f"{self.path}/batch-{_safe_key(idempotency_key)}"
             )
         return survivors
 
@@ -411,4 +506,83 @@ class MinHashSignatureLedger:
             .parquet(p)
             .first(),
         )
+        # the swap replaced the directory — re-pin the params sidecar
+        self._check_params(write=True)
         return n
+
+
+class AdmissionPipeline:
+    """One-call daily-ingest admission: EXACT dedup (ContentHashLedger)
+    then NEAR dedup (MinHashSignatureLedger), presenting the two ledgers
+    as the single pipeline a recurring-ingest user actually runs.
+
+    ``admit(batch)`` reads the batch text ONCE end-to-end: the exact stage
+    hashes it and localCheckpoints its survivors; the near stage signs that
+    checkpointed frame — neither stage ever reads corpus text (the whole
+    point of the ledgers: steady-state ingest IO = batch text + stored
+    keys/signatures, 100-1000x less than re-reading a 100 TB corpus).
+
+    Exact-stage hashes are recorded for exact survivors even when the near
+    stage later rejects them — consistent: an exact replay of a near-dup
+    reject is dropped by the exact ledger directly, the same verdict the
+    near stage would have reached (its near-dup source is in the signature
+    ledger with est_jaccard 1.0 on identical text).
+
+    ``idempotency_key`` (pass the micro-batch id from a streaming
+    foreachBatch) makes the whole admission replayable: both ledgers
+    exclude this key's own prior appends from their corpus side and
+    overwrite their ``batch-<key>/`` subdirectory, so a crashed-then-
+    replayed batch converges to the same ledger state and survivor set.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+        threshold: float = 0.7,
+        max_bucket: int = 128,
+    ) -> None:
+        import os
+
+        root = _require_local(path)
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.exact = ContentHashLedger(spark, os.path.join(root, "exact"))
+        self.near = MinHashSignatureLedger(
+            spark,
+            os.path.join(root, "near"),
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+
+    def admit(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        idempotency_key: str | None = None,
+    ) -> DataFrame:
+        """Drop exact dups (vs ledger + within batch), then near dups
+        (vs ledger + within batch); record survivors in both ledgers;
+        return the surviving documents (with their ``content_hash``)."""
+        fresh = self.exact.ingest(
+            batch, text_col=text_col, id_col=id_col,
+            idempotency_key=idempotency_key,
+        )
+        return self.near.ingest(
+            fresh,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+            idempotency_key=idempotency_key,
+        )
+
+    def compact(self, n_files: int | None = None) -> tuple[int, int]:
+        """Compact both ledgers (verified staged dirswap each); returns
+        (distinct exact hashes, distinct signed docs)."""
+        return self.exact.compact(n_files), self.near.compact(n_files)

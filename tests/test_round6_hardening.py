@@ -185,3 +185,111 @@ def test_ivf_topk_trained_on_sample_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     x = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & x) / len(x) >= 0.5  # nprobe=4/8 lists
+
+
+# ---------------------------------------------------------------------------
+# 3. ledger hardening: params sidecar, local-scheme guard, keyed replay,
+#    unified admission pipeline
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_signature_ledger_params_sidecar(spark, tmp_path):
+    """Reopening a ledger with different (num_hashes, bands, shingle_n)
+    must raise, not silently derive wrong band keys / denominators."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    path = str(tmp_path / "near")
+    led = MinHashSignatureLedger(spark, path, num_hashes=16, bands=4)
+    led.ingest(_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")]))
+    # same params reopen fine
+    MinHashSignatureLedger(spark, path, num_hashes=16, bands=4).signatures()
+    with pytest.raises(ValueError, match="params"):
+        MinHashSignatureLedger(spark, path, num_hashes=32, bands=8)
+    # sidecar survives compaction's directory swap
+    led.compact(1)
+    with pytest.raises(ValueError, match="params"):
+        MinHashSignatureLedger(spark, path, num_hashes=16, bands=8)
+
+
+def test_ledger_rejects_remote_schemes(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+        MinHashSignatureLedger,
+    )
+
+    for cls in (ContentHashLedger, MinHashSignatureLedger):
+        with pytest.raises(ValueError, match="local"):
+            cls(spark, "s3://bucket/ledger")
+        with pytest.raises(ValueError, match="local"):
+            cls(spark, "hdfs://nn/ledger")
+    # file:// is the local scheme — accepted and normalized
+    led = ContentHashLedger(spark, f"file://{tmp_path}/ok")
+    assert led.path == str(tmp_path / "ok")
+
+
+def test_content_ledger_keyed_replay_idempotent(spark, tmp_path):
+    """Replaying the same idempotency_key converges: the batch is not a
+    dup of its own prior append, and the ledger holds one copy."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    led = ContentHashLedger(spark, str(tmp_path / "exact"))
+    batch = _docs(spark, [(1, "hello world"), (2, "other text")])
+    first = led.ingest(batch, idempotency_key="b0")
+    assert first.count() == 2
+    replay = led.ingest(batch, idempotency_key="b0")
+    assert replay.count() == 2  # NOT dropped as dups of itself
+    assert led.hashes().count() == 2  # overwrite, not accumulate
+    # a later batch with an exact dup is still caught
+    nxt = led.ingest(
+        _docs(spark, [(3, "hello world"), (4, "brand new")]),
+        idempotency_key="b1",
+    )
+    assert [r["doc_id"] for r in nxt.collect()] == [4]
+    with pytest.raises(ValueError, match="idempotency_key"):
+        led.ingest(batch, idempotency_key="../escape")
+
+
+def test_admission_pipeline_end_to_end(spark, tmp_path):
+    """VERDICT r5 #8: one admit() call drops exact dups AND near dups,
+    both ledgers record survivors, steady-state reads no corpus text."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+
+    pipe = AdmissionPipeline(
+        spark, str(tmp_path / "adm"), num_hashes=16, bands=8, threshold=0.5
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    day0 = _docs(spark, [(1, base), (2, "completely unrelated corpus text")])
+    assert {r["doc_id"] for r in pipe.admit(day0, idempotency_key="d0").collect()} == {1, 2}
+
+    day1 = _docs(
+        spark,
+        [
+            (10, base),  # exact dup of 1
+            (11, base + " tonight"),  # near dup of 1
+            (12, "genuinely fresh document about spark plans"),
+        ],
+    )
+    got = {r["doc_id"] for r in pipe.admit(day1, idempotency_key="d1").collect()}
+    assert got == {12}
+    # near ledger holds exactly the admitted docs; the exact ledger also
+    # records 11 (an exact-stage survivor later dropped as a NEAR dup —
+    # consistent: an exact copy of 11 is rejected either way)
+    assert pipe.exact.hashes().count() == 4  # hashes of 1, 2, 11, 12
+    assert {r["doc_id"] for r in pipe.near.signatures().collect()} == {1, 2, 12}
+    # replay of day1 converges to the same state
+    again = {r["doc_id"] for r in pipe.admit(day1, idempotency_key="d1").collect()}
+    assert again == {12}
+    assert pipe.exact.hashes().count() == 4
+    assert {r["doc_id"] for r in pipe.near.signatures().collect()} == {1, 2, 12}
+    n_exact, n_near = pipe.compact(1)
+    assert (n_exact, n_near) == (4, 3)
