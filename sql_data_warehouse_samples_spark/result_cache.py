@@ -60,6 +60,15 @@ class ResultCache:
     #: rewrite that lands with identical (path, size, mtime) still misses.
     _TAIL_BYTES = 65536
 
+    #: above this many input files, per-file tail reads stop: at 100 TB a
+    #: scan spans 1e5-1e6 files and 64 KB tails would be tens of GB of
+    #: control-plane reads PER CACHEABLE SUBMIT.  The signature falls back
+    #: to (path, size, mtime_ns) for every file — still content-derived
+    #: (any rewrite changes the file listing or sizes) — plus tails for a
+    #: deterministic sample, so the footer-content guard is kept on a
+    #: bounded budget.
+    _MAX_TAIL_FILES = 256
+
     @classmethod
     def _tail_hash(cls, path: str, size: int) -> str:
         with open(path, "rb") as f:
@@ -74,16 +83,23 @@ class ResultCache:
         preserve mtimes (the staged-swap writers), and some filesystems
         round timestamps — the tail hash pins the actual parquet footer
         content (row counts + column stats) at ~one 64 KB read per file,
-        control-plane cost only."""
+        control-plane cost only.  Beyond ``_MAX_TAIL_FILES`` inputs, tails
+        are read for a deterministic every-k-th sample only (see
+        ``_MAX_TAIL_FILES``) — the listing+size+mtime part still covers
+        every file."""
         files = df.inputFiles()
         if not files:
             return None
+        ordered = sorted(files)
+        stride = max(1, len(ordered) // self._MAX_TAIL_FILES)
         parts = []
-        for uri in sorted(files):
+        for i, uri in enumerate(ordered):
             path = uri.removeprefix("file:")
             try:
                 st = os.stat(path)
-                tail = self._tail_hash(path, st.st_size)
+                tail = (
+                    self._tail_hash(path, st.st_size) if i % stride == 0 else ""
+                )
             except OSError:
                 return None
             parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}:{tail}")

@@ -293,3 +293,48 @@ def test_admission_pipeline_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in pipe.near.signatures().collect()} == {1, 2, 12}
     n_exact, n_near = pipe.compact(1)
     assert (n_exact, n_near) == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# 4. result-cache signature cost cap (VERDICT r5 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_result_cache_tail_sampling_above_file_cap(spark, tmp_path, monkeypatch):
+    """Beyond _MAX_TAIL_FILES inputs only a strided sample of footer tails
+    is read, but the signature still covers every file's path+size+mtime:
+    rewriting ANY file (even an unsampled one) changes the key."""
+    from sql_data_warehouse_samples_spark.result_cache import ResultCache
+
+    data = str(tmp_path / "many")
+    spark.range(0, 64).repartition(8).write.parquet(data)
+    df = spark.read.parquet(data)
+    rc = ResultCache(spark, str(tmp_path / "cache"))
+    monkeypatch.setattr(ResultCache, "_MAX_TAIL_FILES", 2)
+
+    reads = []
+    orig = ResultCache._tail_hash.__func__
+
+    def counting(cls, path, size):
+        reads.append(path)
+        return orig(cls, path, size)
+
+    monkeypatch.setattr(
+        ResultCache, "_tail_hash", classmethod(counting)
+    )
+    k1 = rc.key_for("select count(*) from t", df)
+    assert k1 is not None
+    n_files = len(df.inputFiles())
+    assert n_files > 2  # the cap is actually exceeded
+    assert 0 < len(reads) < n_files  # strided sample, not every tail
+
+    # touching any ONE file still invalidates (size+mtime covers all)
+    import os
+
+    victims = sorted(
+        os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
+    )
+    with open(victims[-1], "ab") as f:
+        f.write(b"x")
+    k2 = rc.key_for("select count(*) from t", spark.read.parquet(data))
+    assert k2 != k1
