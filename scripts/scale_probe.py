@@ -403,12 +403,63 @@ def knn_ladder() -> None:
     print(json.dumps({"sf_dir": SF_DIR, "knn_ladder": report}))
 
 
+def bpe_ladder() -> None:
+    """BPE merge-loop wall-clock vs n_merges and batch_size — measures the
+    sequential-round scheduler cost the r5 verdict flagged: a 32k-vocab
+    trainer at batch_size=1 is ~32k Spark jobs of fixed cost.
+
+        python scripts/scale_probe.py bpe           # n_merges = 100, 400, 1000
+        SCALE_PROBE_MERGES="100 1000" python ...    # explicit ladder
+
+    Reports sec + effective rounds for batch_size 1 vs the default (16),
+    asserting identical merge lists (the _select_batch exactness rule).
+    The per-merge marginal cost extrapolates linearly to the 32k-vocab
+    production run (rounds are the unit of fixed cost, so the speedup is
+    rounds_seq / rounds_batched up to the dict-rewrite floor).
+    """
+    spark = build_session(app_name="bpe-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    ladder = [
+        int(x)
+        for x in os.environ.get("SCALE_PROBE_MERGES", "100 400 1000").split()
+    ]
+    report = []
+    for n_merges in ladder:
+        row = {"n_merges": n_merges}
+        merges_by_bs = {}
+        for bs in (1, 16):
+            t0 = time.time()
+            merges, _ = B.bpe_train(docs, n_merges, batch_size=bs, min_count=2)
+            sec = round(time.time() - t0, 2)
+            merges_by_bs[bs] = merges
+            row[f"bs{bs}_sec"] = sec
+            row[f"bs{bs}_merges_learned"] = len(merges)
+        row["identical"] = merges_by_bs[1] == merges_by_bs[16]
+        row["speedup"] = (
+            round(row["bs1_sec"] / row["bs16_sec"], 2) if row["bs16_sec"] else 0
+        )
+        report.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"sf_dir": SF_DIR, "bpe_ladder": report}))
+
+
 def main() -> None:
     if sys.argv[1:2] == ["ntile"]:
         ntile_ladder()
         return
     if sys.argv[1:2] == ["knn"]:
         knn_ladder()
+        return
+    if sys.argv[1:2] == ["bpe"]:
+        bpe_ladder()
         return
     if sys.argv[1:2] == ["grams"]:
         grams_ladder()

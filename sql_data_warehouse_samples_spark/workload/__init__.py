@@ -74,18 +74,16 @@ DRIVER_PRIORITY: list[str] = [
     # relational core (every join/filter/agg/set-op family)
     "q01_pricing_summary",
     "q03_q05_star_battery",  # J1 + J13 stars (folds q03 + q05)
-    "q04_order_priority_semi",
+    "q04_q17_semi_battery",  # J10 EXISTS + J12 IN semi (folds q04 + q17)
     "q07_distinct_pairs",
     "q55_union_battery",  # U1 + U4 (folds q08 + q43)
     "q11_customers_without_orders",
     "q54_outer_join_battery",  # J5 + J6 (folds q12 + q13)
     "q15_self_join_pairs",
-    "q17_brands_of_hot_parts",
     "q18_distribution_skew",
     "q21_count_distinct",
     "q22_nested_aggregation",
     "q44_composite_key_join",
-    "q47_like_patterns",
     "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
     # window functions (q28 carries W2 RANK + W3 lag/moving + W4 frames)
     "q28_moving_revenue",
@@ -102,7 +100,6 @@ DRIVER_PRIORITY: list[str] = [
     "t05_repetition_filters",
     "t07_pii_redaction",
     "d01_dedup_exact",
-    "d02_ngram_jaccard_pairs",
     "d03_minhash_lsh_pairs",
     "d04_simhash_pairs",
     "d05_embedding_neardup",
@@ -138,6 +135,22 @@ DRIVER_PRIORITY: list[str] = [
     # oracle density rises 46 -> 48 of 50
     "s09_knn_join",
     "t16_bpe_pair_counts",
+    # round-6 rotation: q04+q17 fold into one semi-join battery (J10+J12,
+    # one slot, exact oracle); q47 (P6 LIKE — a simple scan predicate,
+    # family amply covered by the in-window filter queries + q52 local)
+    # and d02 (exact n-gram-Jaccard verify — the shingle-set family stays
+    # in-window via d07_d19 and d21's shingle-set oracle) move post-window
+    # with their local oracles.  The three freed slots seat the r5
+    # flagships with NEW exact analytic oracles (threshold=1.0 near-dup =
+    # shingle-set equality, closed-form in DuckDB): d21 (signature-ledger
+    # near-dup — was rows-only), t18 (heavy hitters, exact oracle), d22
+    # (unified AdmissionPipeline — the L-st4 streaming admission sink's
+    # batch twin).  Window oracle density stays 47 of 50 (d03/d04/p01
+    # remain rows-only by design) while the operator surface widens by
+    # three flagship rows.
+    "d21_incremental_neardup_ledger",
+    "t18_heavy_hitter_tokens",
+    "d22_admission_pipeline",
 ]
 
 

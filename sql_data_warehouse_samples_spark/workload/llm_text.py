@@ -637,19 +637,65 @@ def d08_incremental_dedup(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # d21 — incremental NEAR-dup via the persisted MinHash signature ledger
-# (operators/ledger.py MinHashSignatureLedger): the corpus half (doc_id <
-# 400) is signed ONCE into the ledger; the new batch (doc_id >= 400) then
-# finds its near-dups by band-joining the stored 8·k-byte signatures —
-# the corpus TEXT is never re-read (Lee et al. 2021 §4 / RefinedWeb-style
-# incremental dedup against prior dumps).  MinHash depends on xxhash64,
-# which DuckDB cannot reproduce → rows-only driver check; correctness is
-# pytest-proven (stored-vs-fresh signature parity, planted cross-batch
-# near-dup recall, bucket-cap linearity, compact crash-heal) in
-# tests/test_round5_hardening.py.
+# (operators/ledger.py MinHashSignatureLedger): the corpus (doc_id < 400)
+# is signed ONCE into the ledger; a PLANTED batch then finds its near-dups
+# by band-joining the stored 8·k-byte signatures — the corpus TEXT is
+# never re-read (Lee et al. 2021 §4 / RefinedWeb-style incremental dedup
+# against prior dumps).
+#
+# Analytic oracle (the m02 pattern): at threshold=1.0 a pair is reported
+# iff ALL minhash positions agree, which is IMPLIED by equal shingle SETS
+# (identical sets → identical signatures) and, on this corpus, implied
+# ONLY by them (unequal sets would need a 64-bit xxhash collision or a
+# J^32 full-signature coincidence; the corpus has no high-J pairs — all
+# 500 sf0.01 docs are pairwise distinct even normalized).  DuckDB can
+# compute 3-shingle SETS exactly, so the expected pairs are closed-form.
+# The batch plants three behaviors:
+#   * re-keyed IDENTICAL copies  (+100000, doc_id<50)      → must match
+#   * WHITESPACE-perturbed copies (+200000, 50≤doc_id<100) → must match
+#     (tokenization normalizes: same token stream, same shingles)
+#   * token-MUTATED copies        (+300000, 100≤doc_id<150) → must NOT
+#     match (every token suffixed → disjoint shingle sets)
+# The threshold<1 recall behavior stays pytest-proven
+# (tests/test_round5_hardening.py: stored-vs-fresh signature parity,
+# planted cross-batch recall, bucket-cap linearity, compact crash-heal).
 # ---------------------------------------------------------------------------
 
+_D21_SHINGLESET = r"""
+         list_sort(CASE WHEN len(t) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END)
+"""
 
-@query("d21_incremental_neardup_ledger")
+
+@query(
+    "d21_incremental_neardup_ledger",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 400
+),
+batch AS (
+  SELECT doc_id + 100000 AS batch_id, text FROM base WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000, '  ' || text || '   '
+  FROM base WHERE doc_id >= 50 AND doc_id < 100
+  UNION ALL
+  SELECT doc_id + 300000, regexp_replace(text, '(\S+)', '\1zq', 'g')
+  FROM base WHERE doc_id >= 100 AND doc_id < 150
+),
+csh AS (
+  SELECT doc_id, {_D21_SHINGLESET} AS s
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM base)
+),
+bsh AS (
+  SELECT batch_id, {_D21_SHINGLESET} AS s
+  FROM (SELECT batch_id, string_split_regex(TRIM(text), '\s+') AS t FROM batch)
+)
+SELECT b.batch_id, c.doc_id AS corpus_id, CAST(1.0 AS DOUBLE) AS est_jaccard
+FROM bsh b JOIN csh c ON b.s = c.s
+""",
+)
 def d21_incremental_neardup_ledger(spark, sf_dir):
     import shutil
     import tempfile
@@ -657,18 +703,118 @@ def d21_incremental_neardup_ledger(spark, sf_dir):
     from ..operators.ledger import MinHashSignatureLedger
 
     d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    batch = (
+        corpus.filter(did < 50)
+        .select((did + 100000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter((did >= 50) & (did < 100)).select(
+                (did + 200000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+            )
+        )
+        .unionByName(
+            corpus.filter((did >= 100) & (did < 150)).select(
+                (did + 300000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", r"$1zq").alias("text"),
+            )
+        )
+    )
     work = tempfile.mkdtemp(prefix="d21_sigledger_")
     try:
         led = MinHashSignatureLedger(spark, f"{work}/sigs")
-        led.ingest(d.filter(F.col("doc_id") < 400))
+        led.ingest(corpus)
         pairs = (
-            led.near_dups(d.filter(F.col("doc_id") >= 400), threshold=0.7)
+            led.near_dups(batch, threshold=1.0)
             .orderBy("batch_id", "corpus_id")
             .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# d22 — unified admission pipeline (operators/ledger.AdmissionPipeline):
+# ONE admit() call runs the exact ContentHashLedger then the MinHash
+# SignatureLedger — the batch-twin of the streaming near-dup admission
+# sink (L-st4, streaming/ingest.py) and how a daily-ingest user actually
+# calls the two ledgers.  Day-0 seeds both ledgers with the corpus (plus
+# one planted periodic doc); the day-1 batch plants four behaviors, one
+# per pipeline path:
+#   * +100000: IDENTICAL copies           → dropped by the EXACT stage
+#   * +200000: whitespace-perturbed copies → dropped by the EXACT stage
+#     (its hash normalizes \s+ runs)
+#   * 500000:  a SHORTER PERIOD of the planted periodic doc — "(a b)^k a"
+#     has 3-shingle set {a b a, b a b} for EVERY k ≥ 2, but a different
+#     token stream, hence a different content hash: it PASSES the exact
+#     stage and is dropped by the NEAR stage (identical signatures at
+#     threshold=1.0) — the deterministic near-stage-only drop
+#   * +300000: token-suffixed mutations    → disjoint shingles, ADMITTED
+# Survivors are closed-form (the d21 analytic-oracle argument); output =
+# admitted doc_ids, which DuckDB derives from the same construction.
+# ---------------------------------------------------------------------------
+
+_D22_PERIOD_TOKS = ("zqxalpha", "zqxbeta")  # tokens that exist nowhere else
+
+
+@query(
+    "d22_admission_pipeline",
+    oracle="""
+SELECT doc_id + 300000 AS doc_id
+FROM documents WHERE doc_id >= 200 AND doc_id < 250
+""",
+)
+def d22_admission_pipeline(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..operators.ledger import AdmissionPipeline
+
+    a, b = _D22_PERIOD_TOKS
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    periodic = lambda k: " ".join(([a, b] * k) + [a])  # noqa: E731
+    corpus = d.filter(did < 400).unionByName(
+        d.sparkSession.createDataFrame(
+            [(9000, periodic(3))], "doc_id: long, text: string"
+        )
+    )
+    batch = (
+        corpus.filter(did < 50)
+        .select((did + 100000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter((did >= 100) & (did < 150)).select(
+                (did + 200000).alias("doc_id"),
+                F.concat(F.lit(" "), F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.sparkSession.createDataFrame(
+                [(500000, periodic(2))], "doc_id: long, text: string"
+            )
+        )
+        .unionByName(
+            corpus.filter((did >= 200) & (did < 250)).select(
+                (did + 300000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", r"$1xj").alias("text"),
+            )
+        )
+    )
+    work = tempfile.mkdtemp(prefix="d22_admission_")
+    try:
+        pipe = AdmissionPipeline(spark, f"{work}/adm", threshold=1.0)
+        pipe.admit(corpus, idempotency_key="day0")
+        survivors = pipe.admit(batch, idempotency_key="day1")
+        out = (
+            survivors.select("doc_id")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

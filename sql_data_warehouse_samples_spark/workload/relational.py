@@ -643,6 +643,67 @@ def q17_brands_of_hot_parts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q04+q17 battery — the two semi-join families in ONE driver slot (round-6
+# rotation): J10 EXISTS semi (q04) + J12 IN-subquery semi (q17), both
+# planned as LeftSemi.  Results align on a (family, k, n) shape; the
+# standalone exemplars stay registered post-window with their own oracles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_q17_semi_battery",
+    oracle="""
+SELECT 'q04_exists_semi' AS family, o_orderpriority AS k, COUNT(*) AS n
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+  )
+GROUP BY 2
+UNION ALL
+SELECT 'q17_in_semi' AS family, p.p_brand AS k, COUNT(*) AS n
+FROM part p
+WHERE p.p_partkey IN (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+)
+GROUP BY 2
+""",
+)
+def q04_q17_semi_battery(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    exists_semi = (
+        o.filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+        )
+        .join(
+            li.filter(F.col("l_discount") > 0.05),
+            o.o_orderkey == li.l_orderkey,
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("q04_exists_semi").alias("family"), "k", "n")
+    )
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    in_semi = (
+        p.join(hot, p.p_partkey == hot.l_partkey, "left_semi")
+        .groupBy(F.col("p_brand").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("q17_in_semi").alias("family"), "k", "n")
+    )
+    return exists_semi.unionByName(in_semi)
+
+
+# ---------------------------------------------------------------------------
 # q18 — two-level aggregation + HAVING ratio: the skew% formula (A9, A11:
 # ImpactedTables cmp_details/cmp_summary CTEs; vw_tables_with_skew.sql:19
 # `HAVING MIN(row_count*1.000)/MAX(row_count*1.000) > .10`).

@@ -338,3 +338,35 @@ def test_result_cache_tail_sampling_above_file_cap(spark, tmp_path, monkeypatch)
         f.write(b"x")
     k2 = rc.key_for("select count(*) from t", spark.read.parquet(data))
     assert k2 != k1
+
+
+# ---------------------------------------------------------------------------
+# 5. batched BPE merges == sequential (VERDICT r5 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """The prefix-disjoint + strict-count batch rule must reproduce the
+    sequential trainer EXACTLY — including on tie-heavy corpora where the
+    (l, r) string tie-break decides, and at every batch size."""
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    corpora = [
+        # tie-heavy: many equal pair counts
+        [(0, "ab ab ab cd cd cd ef ef ef"), (1, "abab cdcd efef abcdef")],
+        # chain interactions: (a,b) then (ab,c) etc.
+        [(0, "abc abc abcd abcde abcdef xyz xyz")],
+        # repeated chars: overlapping self-pairs (a,a)
+        [(0, "aaaa aaa aa aaaaa bbbb bbb")],
+        # real-ish text
+        [(0, "the quick brown fox the quick red fox the slow brown dog")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        seq, seq_words = B.bpe_train(docs, 12, batch_size=1, min_count=2)
+        for bs in (2, 4, 16):
+            bat, bat_words = B.bpe_train(docs, 12, batch_size=bs, min_count=2)
+            assert bat == seq, f"batch_size={bs} diverged on {rows}"
+            sw = {r.word: list(r.symbols) for r in seq_words.collect()}
+            bw = {r.word: list(r.symbols) for r in bat_words.collect()}
+            assert bw == sw

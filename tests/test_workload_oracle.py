@@ -55,6 +55,8 @@ def test_driver_priority_window_pinned():
         "d12_semantic_dedup", "q60_scd2_dimension",
         "s06_pq_codes", "s07_bm25_topk", "q58_asof_attribution",
         "t14_curation_pipeline", "s09_knn_join", "t16_bpe_pair_counts",
+        "d21_incremental_neardup_ledger", "t18_heavy_hitter_tokens",
+        "d22_admission_pipeline", "q04_q17_semi_battery",
     ]:
         assert must in window, must
     # everything in the window has either an oracle or a rows-only design
