@@ -442,12 +442,28 @@ def bpe_ladder() -> None:
             merges_by_bs[bs] = merges
             row[f"bs{bs}_sec"] = sec
             row[f"bs{bs}_merges_learned"] = len(merges)
+        t0 = time.time()
+        coll = B.bpe_train_collected(docs, n_merges, min_count=2)
+        row["collected_sec"] = round(time.time() - t0, 2)
         row["identical"] = merges_by_bs[1] == merges_by_bs[16]
+        row["collected_identical"] = coll == merges_by_bs[1]
         row["speedup"] = (
             round(row["bs1_sec"] / row["bs16_sec"], 2) if row["bs16_sec"] else 0
         )
         report.append(row)
         print(json.dumps(row), flush=True)
+    # the production-vocab rung: ONLY the collected trainer is viable at
+    # 32k merges (per-round Spark fixed cost is hours); min_count=1 keeps
+    # the small corpus from exhausting merges early, purely a timing rung
+    t0 = time.time()
+    big = B.bpe_train_collected(docs, 32_000, min_count=1)
+    big_row = {
+        "n_merges": 32_000,
+        "collected_sec": round(time.time() - t0, 2),
+        "collected_merges_learned": len(big),
+    }
+    report.append(big_row)
+    print(json.dumps(big_row), flush=True)
     print(json.dumps({"sf_dir": SF_DIR, "bpe_ladder": report}))
 
 

@@ -370,3 +370,35 @@ def test_bpe_batched_equals_sequential(spark):
             sw = {r.word: list(r.symbols) for r in seq_words.collect()}
             bw = {r.word: list(r.symbols) for r in bat_words.collect()}
             assert bw == sw
+
+
+def test_bpe_collected_trainer_equals_distributed(spark):
+    """The driver-dict production trainer (one corpus pass, heap-based
+    in-driver merge loop) must learn the IDENTICAL merge sequence as the
+    distributed per-round trainer."""
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    corpora = [
+        [(0, "ab ab ab cd cd cd ef ef ef"), (1, "abab cdcd efef abcdef")],
+        [(0, "abc abc abcd abcde abcdef xyz xyz")],
+        [(0, "aaaa aaa aa aaaaa bbbb bbb")],
+        [(0, "the quick brown fox the quick red fox the slow brown dog")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        dist, _ = B.bpe_train(docs, 15, batch_size=1, min_count=2)
+        coll = B.bpe_train_collected(docs, 15, min_count=2)
+        assert coll == dist, f"diverged on {rows}"
+
+
+def test_bpe_collected_trainer_on_corpus(spark):
+    """Real-corpus check at 100 merges + the max_words cap only prunes
+    the rare tail's influence."""
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    dist, _ = B.bpe_train(docs, 60, batch_size=1, min_count=2)
+    coll = B.bpe_train_collected(docs, 60, min_count=2)
+    assert coll == dist
