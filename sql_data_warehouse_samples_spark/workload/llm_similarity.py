@@ -57,12 +57,81 @@ def s01_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# s02 — LSH-bucketed approximate neighbors (rows-only: bucket assignment is
-# engine-internal; recall vs s01 is asserted in tests/test_operators.py).
+# s02 — LSH-bucketed approximate neighbors.  EXACT oracle (round-6, the r5
+# verdict's stretch #10): the hyperplanes are deterministic Python floats
+# (_hyperplanes(64, 6, seed=42)), so the oracle SQL inlines them as
+# literal arrays and reproduces the full pipeline — sign-bit bucket ids,
+# radius-1 multi-probe (bucket XOR each single bit), candidate equi-join,
+# pair dedup, rounded cosine, top-5 — closed-form in DuckDB.  Both engines
+# compare float64 dots against 0 for the sign bits; a flip would need a
+# |dot| at the last-ulp scale, absent on this corpus (hash-matched at
+# sf0.01 by the local oracle gate).
 # ---------------------------------------------------------------------------
 
 
-@query("s02_ann_lsh_topk")
+def _s02_oracle() -> str:
+    planes = S._hyperplanes(64, 6, 42)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bucket(t):
+        bits = [
+            f"(CASE WHEN list_sum(list_transform(list_zip({t}.embedding, "
+            f"{arr(p)}), z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    probes = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, embedding, xor(bucket, {1 << i}) AS bucket FROM q0"
+        for i in range(len(planes))
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(s.qv, s.cv), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(s.{v}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""
+WITH c AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding, {bucket('e')} AS bucket
+  FROM embeddings e
+),
+q0 AS (
+  SELECT e.vec_id AS query_id, e.embedding, {bucket('e')} AS bucket
+  FROM embeddings e WHERE e.vec_id < 10
+),
+qp AS (
+  SELECT query_id, embedding, bucket FROM q0
+  UNION ALL
+{probes}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id,
+         q.embedding AS qv, c.embedding AS cv
+  FROM qp q JOIN c USING (bucket)
+  WHERE q.query_id <> c.neighbor_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         ROUND({dot} / NULLIF({nrm.format(v='qv')} * {nrm.format(v='cv')}, 0),
+               6) AS cosine_sim
+  FROM cand s
+)
+SELECT query_id, neighbor_id, cosine_sim, nbr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS nbr_rank
+  FROM sims)
+WHERE nbr_rank <= 5
+"""
+
+
+@query("s02_ann_lsh_topk", oracle=_s02_oracle())
 def s02_ann_lsh_topk(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
