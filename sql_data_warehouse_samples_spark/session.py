@@ -50,9 +50,14 @@ def build_session(
         # local[N] runs every executor thread inside the driver JVM, whose
         # default 1 GB heap OOMs well before the harness's memory is used;
         # on a real cluster this maps to executor memory sizing instead.
-        # (Applies only when this builder launches the JVM.)
+        # (Applies only when this builder launches the JVM.)  8g chosen by
+        # measurement (scripts/heap_probe.py, r6): 8g == 16g within noise
+        # on the heavy-query subset (10.72 vs 10.84 s min-of-3), 4g ~6%
+        # slower (GC pressure on d09/d12/s04); the r5 suspicion that 16g
+        # made interpreter-heavy reps slower disappeared with the d05
+        # gemm escape — smallest winning heap kept.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
         # --- optimizer / runtime ---
         .config("spark.sql.adaptive.enabled", "true")
