@@ -82,6 +82,11 @@ HEADLINE = [
     "d21_incremental_neardup_ledger",
     "t16_bpe_pair_counts",
     "m02_pixel_stats",
+    # round-6: heavy hitters (exact freqItems+recount, now a driver row).
+    # d22 admission-pipeline is deliberately NOT benched: its end-to-end
+    # cost story (two ledger ingest cycles) is already tracked by d21,
+    # and its driver row is a correctness gate, not a throughput claim.
+    "t18_heavy_hitter_tokens",
 ]
 
 
