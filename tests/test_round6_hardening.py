@@ -402,3 +402,34 @@ def test_bpe_collected_trainer_on_corpus(spark):
     dist, _ = B.bpe_train(docs, 60, batch_size=1, min_count=2)
     coll = B.bpe_train_collected(docs, 60, min_count=2)
     assert coll == dist
+
+
+def test_simhash_uncapped_bucket_path(spark):
+    """ADVICE r5: max_bucket=None must produce the same pairs as the
+    capped path on small buckets (and the banded frame is persisted so
+    the corpus is hashed once — the uncapped self-join's both sides read
+    the cache)."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about spark shuffle plans"),
+            (4, "another unrelated document mentioning parquet files"),
+        ],
+        "doc_id: long, text: string",
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup_pairs(df, "text", "doc_id", max_hamming=16).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup_pairs(
+            df, "text", "doc_id", max_hamming=16, max_bucket=None
+        ).collect()
+    }
+    assert uncapped == capped and (1, 2) in uncapped
