@@ -648,6 +648,104 @@ def contaminated_ids(
     return t.join(b, "g", "left_semi").select(id_col).distinct()
 
 
+def _bloom_bits(
+    h1: "object", h2: "object", n_items: int, bits_per_item: int
+) -> tuple["object", int, int]:
+    """Packed Bloom bit array from (h1, h2) 64-bit hash pairs.
+
+    Double hashing (Kirsch–Mitzenmacher): probe_i = h1 + i·h2 (mod m)
+    simulates k independent hashes from two.  k = round(ln2 · m/n), the
+    textbook false-positive-optimal count for the chosen bits/item."""
+    import numpy as np
+
+    m = max(64, n_items * bits_per_item)
+    k = max(1, int(round(0.6931 * bits_per_item)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    a = np.asarray(h1, dtype=np.int64).view(np.uint64)
+    b = np.asarray(h2, dtype=np.int64).view(np.uint64)
+    for i in range(k):
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bits, m, k
+
+
+def bloom_contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bits_per_gram: int = 16,
+    verify: bool = True,
+) -> DataFrame:
+    """``contaminated_ids`` behind a broadcast BLOOM prefilter — the 100 TB
+    decontamination shape when the benchmark gram set is too large to
+    broadcast as strings.
+
+    A 16-bits/gram Bloom (~0.04% FP rate) packs 10⁸ benchmark grams into
+    ~200 MB of executor memory where a broadcast string set would need
+    many GB (≥50 B/gram + hash-set overhead) — past Spark's broadcast
+    ceiling.  The corpus side stays map-only: JVM-computed (xxhash64,
+    xxhash64-salted) gram hash pairs feed a vectorized Arrow membership
+    kernel; only the ~FP-rate fraction of grams that MIGHT match reaches
+    the exact string semi-join, so the verify join's probe side shrinks
+    from every-gram-in-the-corpus to (true hits + m-tunable noise).
+
+    ``verify=True`` (default) re-checks maybe-hits against the benchmark
+    gram strings — output EXACTLY equals ``contaminated_ids`` (the Bloom
+    is one-sided: no false negatives by construction).  ``verify=False``
+    returns the unverified superset: zero joins on the corpus side at
+    all, the one-pass mode for a first 100 TB sweep.
+
+    Driver collect is the benchmark HASH PAIRS only (16 B/gram, eval-set
+    bounded) — the same control-plane class as broadcast centroids.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    grams_b = benchmark.select(
+        F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
+    ).distinct()
+    pairs = grams_b.select(
+        F.xxhash64("g").alias("h1"), F.xxhash64(F.lit("bloom2"), F.col("g")).alias("h2")
+    ).toPandas()
+    bits, m, k = _bloom_bits(
+        pairs["h1"].to_numpy(), pairs["h2"].to_numpy(), max(1, len(pairs)),
+        bits_per_gram,
+    )
+    sc = train.sparkSession.sparkContext
+    bc = sc.broadcast(bytes(bits.tobytes()))
+
+    def _might_contain_fn(h1, h2):
+        import numpy as np
+
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            idx = (a + np.uint64(i) * b) % np.uint64(m)
+            byte = arr[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(hit)
+
+    might_contain = pandas_udf(_might_contain_fn, BooleanType())
+
+    t = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g"),
+    ).withColumn(
+        "__maybe",
+        might_contain(F.xxhash64("g"), F.xxhash64(F.lit("bloom2"), F.col("g"))),
+    )
+    maybe = t.filter(F.col("__maybe")).drop("__maybe")
+    if not verify:
+        return maybe.select(id_col).distinct()
+    return maybe.join(grams_b, "g", "left_semi").select(id_col).distinct()
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame | None = None,

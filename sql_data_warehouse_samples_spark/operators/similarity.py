@@ -1156,6 +1156,7 @@ def pq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int = 6,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes.
 
@@ -1188,15 +1189,33 @@ def pq_topk(
         F.col(id_col).alias("query_id"), tables.alias("__tabs")
     )
     idx = F.sequence(F.lit(0), F.lit(m - 1))
-    adc = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("__tabs"), j + 1),
-            F.element_at(F.col("pq"), j + 1)["code"].cast("int") + 1,
-        ),
-    )
+    if exact_decimal:
+        # order-independent ADC: the per-subspace table entries (already
+        # rounded to round_to) accumulate as DECIMAL, so the m-term sum is
+        # bit-identical across engines/plans — the convention an exact
+        # oracle needs when the sum lands on a round() boundary
+        adc = F.aggregate(
+            idx,
+            F.lit(0).cast("decimal(28,10)"),
+            lambda acc, j: (
+                acc
+                + F.element_at(
+                    F.element_at(F.col("__tabs"), j + 1),
+                    F.element_at(F.col("pq"), j + 1)["code"].cast("int") + 1,
+                ).cast("decimal(28,10)")
+            ).cast("decimal(28,10)"),
+            lambda acc: acc.cast("double"),
+        )
+    else:
+        adc = F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("__tabs"), j + 1),
+                F.element_at(F.col("pq"), j + 1)["code"].cast("int") + 1,
+            ),
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
     return (
         _spread(codes.select(F.col(id_col).alias("neighbor_id"), "pq"))
@@ -1207,6 +1226,111 @@ def pq_topk(
         .filter(F.col("nbr_rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "nbr_rank")
     )
+
+
+def pq_refine_topk(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    candidates: int | None = None,
+    round_to: int = 6,
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Two-stage retrieval (FAISS ``IndexRefineFlat`` pattern): ADC over
+    the stored m-byte PQ codes selects ``candidates`` ≥ k per query, then
+    ONLY those rows re-rank by exact cosine against the full-precision
+    vectors.
+
+    Scale shape: stage 1 is ``pq_topk`` — broadcast query tables, map-only
+    scan of the code table (the 4·dim-byte vectors never leave storage).
+    Stage 2 broadcasts the |Q|·candidates skinny candidate frame against
+    the vector table: a broadcast-hash semi-fetch, map-only on the corpus,
+    touching full vectors for candidates ONLY (~|Q|·c of N rows).  At
+    dim-768 float32 / m=16 that is the ~190× IO cut of PQ with the exact
+    final ordering PQ alone cannot give.  The re-rank window runs over
+    |Q|·c rows — driver-bounded, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    c = candidates if candidates is not None else max(4 * k, 32)
+    if c < k:
+        raise ValueError(f"candidates={c} < k={k}")
+    cand = pq_topk(
+        codes, queries, codebooks, id_col, vec_col,
+        k=c, round_to=round_to, exact_decimal=exact_decimal,
+    ).select("query_id", "neighbor_id", "adc_d2")
+    nbr = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__nv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        nbr.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__nv")), round_to))
+        .withColumn("nbr_rank", F.row_number().over(w))
+        .filter(F.col("nbr_rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "cos", "nbr_rank")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k0: int = 60,
+    k: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009) of ranked retrieval lists:
+    score(d) = Σ_lists 1/(k0 + rank_d) over the lists that returned d.
+
+    The hybrid-search combiner for lexical (BM25) + vector (ANN) top-k:
+    each input is an already-bounded (query, id, rank) frame — |Q|·k rows,
+    the corpus never reappears — so fusion is one union + one tiny
+    aggregate; at 100 TB the cost lives entirely in the upstream
+    retrievers.  Per-document addition order cannot perturb the score:
+    each list contributes at most one term per (query, doc), terms are
+    summed as DECIMAL of the 10-dp-rounded reciprocal, so the result is
+    engine/plan independent (the SQL-oracle convention).  Ties break on
+    ascending id.  ``k`` bounds the fused output per query (None = all).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    from pyspark.sql import Window
+
+    parts = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.round(
+                F.lit(1.0) / (F.lit(k0) + F.col(rank_col).cast("double")), 10
+            )
+            .cast("decimal(28,10)")
+            .alias("__r"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("__r").cast("double").alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    fused = fused.withColumn("fused_rank", F.row_number().over(w))
+    if k is not None:
+        fused = fused.filter(F.col("fused_rank") <= k)
+    return fused.select("query_id", "doc_id", "rrf", "n_lists", "fused_rank")
 
 
 class IvfIndex:

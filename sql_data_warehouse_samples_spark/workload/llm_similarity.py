@@ -471,3 +471,179 @@ def s09_knn_join(spark, sf_dir):
     than one tile; ranking re-ranks ≤ 8·k local winners per query."""
     e = tbl(spark, sf_dir, "embeddings")
     return S.knn_join(e, e, k=3)
+
+
+# ---------------------------------------------------------------------------
+# s10 — PQ + exact refine (FAISS IndexRefineFlat pattern): ADC over the
+# stored codes selects 20 candidates/query, then ONLY those 20 rows read
+# the full-precision vector for an exact-cosine re-rank.  Seed codebooks
+# (= the s06 exact-encode convention) keep the whole pipeline, candidate
+# cut included, closed-form in DuckDB; exact_decimal=True accumulates the
+# ADC sum as DECIMAL on both sides so candidate ranks can't flip on a
+# float ulp.
+# ---------------------------------------------------------------------------
+
+_S10_QD2 = (
+    "ROUND(list_sum(list_transform(list_zip(q.qv, cb.c),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+)
+
+
+@query(
+    "s10_pq_refine_topk",
+    oracle=f"""
+WITH js AS (SELECT unnest(range(8)) AS j),
+sub AS (
+  SELECT e.vec_id, js.j, list_slice(e.embedding, js.j*8+1, js.j*8+8) AS v
+  FROM embeddings e, js
+),
+cb AS (
+  SELECT s.vec_id AS code, js.j, list_slice(s.embedding, js.j*8+1, js.j*8+8) AS c
+  FROM embeddings s, js
+  WHERE s.vec_id < 16
+),
+d AS (
+  SELECT sub.vec_id, sub.j, cb.code,
+         ROUND(list_sum(list_transform(list_zip(sub.v, cb.c),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2
+  FROM sub JOIN cb ON sub.j = cb.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+    FROM d)
+  WHERE r = 1
+),
+q AS (
+  SELECT e.vec_id AS query_id, js.j, list_slice(e.embedding, js.j*8+1, js.j*8+8) AS qv
+  FROM embeddings e, js WHERE e.vec_id < 5
+),
+qtab AS (
+  SELECT q.query_id, q.j, cb.code, {_S10_QD2} AS qd2
+  FROM q JOIN cb ON q.j = cb.j
+),
+adc AS (
+  SELECT qt.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(CAST(qt.qd2 AS DECIMAL(28,10))) AS DOUBLE) AS adc_d2
+  FROM codes cd JOIN qtab qt ON cd.j = qt.j AND cd.code = qt.code
+  WHERE cd.vec_id <> qt.query_id
+  GROUP BY qt.query_id, cd.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, adc_d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, neighbor_id) AS cr
+    FROM adc)
+  WHERE cr <= 20
+),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.adc_d2,
+         ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2, cos, nbr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS nbr_rank
+  FROM rer)
+WHERE nbr_rank <= 5
+""",
+)
+def s10_pq_refine_topk(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(e, m=8, k=16)
+    codes = S.pq_encode(e, books).select("vec_id", "pq")
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.pq_refine_topk(
+        codes, e, queries, books, k=5, candidates=20, exact_decimal=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# s11 — hybrid lexical+vector retrieval via reciprocal-rank fusion
+# (Cormack 2009): the BM25 top-10 for a term query and the cosine top-10
+# for an embedding query fuse as score = Σ 1/(60 + rank).  Both input
+# rank lists already carry exact oracles (s07 / s01 conventions); the
+# fusion adds one |lists|·k-row union + aggregate — corpus-free, so the
+# 100 TB cost lives entirely in the upstream retrievers.  Reciprocals are
+# rounded to 10 dp and summed as DECIMAL on both sides.
+# ---------------------------------------------------------------------------
+
+_S11_QUERY, _S11_K = "spark hash join window", 10
+_S11_TERMS = "'" + "','".join(_S11_QUERY.split()) + "'"
+
+
+@query(
+    "s11_hybrid_rrf",
+    oracle=rf"""
+WITH sized AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS dl,
+         list_filter(string_split_regex(TRIM(text), '\s+'),
+                     t -> list_contains([{_S11_TERMS}], t)) AS hits
+  FROM documents
+),
+consts AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM sized),
+hit AS (SELECT doc_id, dl, unnest(hits) AS term FROM sized),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hit GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         ROUND(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN consts
+  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_S11_K}
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm
+),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6) AS cosine_sim
+  FROM q, c
+  WHERE q.vec_id <> c.vec_id
+),
+vec AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank
+    FROM sims)
+  WHERE rank <= {_S11_K}
+),
+uni AS (
+  SELECT doc_id, CAST(ROUND(1.0 / (60 + rank), 10) AS DECIMAL(28,10)) AS r FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(ROUND(1.0 / (60 + rank), 10) AS DECIMAL(28,10)) AS r FROM vec
+)
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+       CAST(SUM(r) AS DOUBLE) AS rrf,
+       COUNT(*) AS n_lists,
+       ROW_NUMBER() OVER (ORDER BY SUM(r) DESC, doc_id) AS fused_rank
+FROM uni GROUP BY doc_id
+""",
+)
+def s11_hybrid_rrf(spark, sf_dir):
+    from ..operators.bm25 import bm25_topk
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    e = tbl(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, _S11_QUERY, k=_S11_K).select(
+        F.lit(0).cast("long").alias("query_id"),
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    vec = S.cosine_topk(e, e.filter(F.col("vec_id") == 0), k=_S11_K).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("nbr_rank").alias("rank"),
+    )
+    return S.rrf_fuse([lex, vec], k0=60)

@@ -520,6 +520,44 @@ def d07_benchmark_contamination(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# d23 — Bloom-prefiltered decontamination (dedup.bloom_contaminated_ids):
+# the 100 TB shape of d07 when the benchmark gram set outgrows a string
+# broadcast.  verify=True makes the output EXACTLY contaminated_ids (the
+# Bloom is one-sided), so the oracle is d07's exact-join SQL verbatim.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d23_bloom_decontamination",
+    oracle=r"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN LEN(w) >= 8
+                THEN list_transform(range(1, LEN(w) - 6),
+                                    i -> array_to_string(w[i:i + 7], ' '))
+                ELSE [] END) AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT DISTINCT t.doc_id
+FROM train t JOIN bench b ON t.g = b.g
+""",
+)
+def d23_bloom_decontamination(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.bloom_contaminated_ids(train, bench, "text", "doc_id", n=8)
+
+
+# ---------------------------------------------------------------------------
 # d07+d19 — combined decontamination battery (one driver slot): the
 # any-shared-8-gram exact gate (d07, GPT-2/3 style) and the trigram
 # overlap-RATIO rule (d19, GPT-3 appendix / Gopher) are siblings — both

@@ -433,3 +433,119 @@ def test_simhash_uncapped_bucket_path(spark):
         ).collect()
     }
     assert uncapped == capped and (1, 2) in uncapped
+
+
+def test_bloom_decontamination_one_sided_and_superset(spark):
+    """Bloom prefilter has NO false negatives: verify=True output equals
+    the exact join at every bits/gram setting (even absurdly lossy ones),
+    and verify=False returns a superset of the exact answer."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        bloom_contaminated_ids,
+        contaminated_ids,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta different tail"),
+        (4, "totally unrelated words in this document body here now ok"),
+    ]
+    bench_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = spark.createDataFrame(bench_rows, "doc_id: long, text: string")
+    exact = {
+        r["doc_id"] for r in contaminated_ids(train, bench, "text", "doc_id").collect()
+    }
+    assert exact == {1, 3}
+    for bpg in (2, 16):
+        got = {
+            r["doc_id"]
+            for r in bloom_contaminated_ids(
+                train, bench, "text", "doc_id", bits_per_gram=bpg
+            ).collect()
+        }
+        assert got == exact, f"bits_per_gram={bpg}"
+    superset = {
+        r["doc_id"]
+        for r in bloom_contaminated_ids(
+            train, bench, "text", "doc_id", verify=False
+        ).collect()
+    }
+    assert superset >= exact
+
+
+def test_pq_refine_full_candidates_equals_exact_topk(spark):
+    """With candidates >= corpus size the ADC stage prunes nothing, so the
+    refine stage's (query, neighbor, rank) must equal exact cosine_topk —
+    the two-stage pipeline degrades gracefully to brute force."""
+    from sql_data_warehouse_samples_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    books = S.pq_codebooks(e, m=8, k=16)
+    codes = S.pq_encode(e, books).select("vec_id", "pq")
+    queries = e.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["nbr_rank"], r["cos"])
+        for r in S.pq_refine_topk(
+            codes, e, queries, books, k=4, candidates=60
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["nbr_rank"], r["cosine_sim"])
+        for r in S.cosine_topk(e, queries, k=4).collect()
+    }
+    assert got == want
+
+
+def test_pq_refine_rerank_beats_adc_order(spark):
+    """The refine stage must rank by EXACT cosine, not ADC: every returned
+    row's rank ordering agrees with descending cos within each query, and
+    output is bounded to k rows per query drawn from the candidate pool."""
+    from collections import Counter
+
+    from sql_data_warehouse_samples_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    books = S.pq_codebooks(e, m=8, k=16)
+    codes = S.pq_encode(e, books).select("vec_id", "pq")
+    queries = e.filter(F.col("vec_id") < 4)
+    rows = S.pq_refine_topk(codes, e, queries, books, k=3, candidates=12).collect()
+    per_q = Counter(r["query_id"] for r in rows)
+    assert set(per_q) == {0, 1, 2, 3} and all(v == 3 for v in per_q.values())
+    for qid in per_q:
+        mine = sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["nbr_rank"]
+        )
+        coses = [r["cos"] for r in mine]
+        assert coses == sorted(coses, reverse=True)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand-built lists matches the closed-form score; a doc in
+    both lists carries n_lists=2 and the summed reciprocal."""
+    from sql_data_warehouse_samples_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id: long, doc_id: long, rank: int",
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id: long, doc_id: long, rank: int",
+    )
+    got = {
+        r["doc_id"]: (r["rrf"], r["n_lists"], r["fused_rank"])
+        for r in rrf_fuse([lex, vec], k0=60).collect()
+    }
+    r = lambda x: round(1.0 / (60 + x), 10)
+    assert got[11] == (r(2) + r(1), 2, 1)          # in both lists -> top
+    assert got[10] == (r(1), 1, 2)
+    assert got[13] == (r(2), 1, 3)
+    assert got[12] == (r(3), 1, 4)
+    top2 = {
+        r_["doc_id"]
+        for r_ in rrf_fuse([lex, vec], k0=60, k=2).collect()
+    }
+    assert top2 == {11, 10}
