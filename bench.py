@@ -87,6 +87,12 @@ HEADLINE = [
     # cost story (two ledger ingest cycles) is already tracked by d21,
     # and its driver row is a correctness gate, not a throughput claim.
     "t18_heavy_hitter_tokens",
+    # round-6 new operators: PQ+exact-refine retrieval, hybrid RRF (the
+    # BM25+ANN fusion end-to-end incl. both retrievers), Bloom-prefiltered
+    # decontamination (d07's exact answer behind a broadcast Bloom).
+    "s10_pq_refine_topk",
+    "s11_hybrid_rrf",
+    "d23_bloom_decontamination",
 ]
 
 
@@ -134,6 +140,11 @@ SF1_SUBSET = [
     # and deliberate; t16 is the one-corpus-shuffle BPE primitive.
     "s09_knn_join",
     "t16_bpe_pair_counts",
+    # r6: s10's code-sized ADC scan + candidate-only refine should scale
+    # ~linear in corpus rows; d23's Bloom prefilter is map-only over grams
+    # (the benchmark side is fixed), so ~linear in document bytes.
+    "s10_pq_refine_topk",
+    "d23_bloom_decontamination",
 ]
 
 

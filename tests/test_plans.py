@@ -441,3 +441,58 @@ def test_t16_bpe_pair_counts_two_aggregates_no_join(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
     assert count_exchanges(df) <= 3  # word agg + pair agg + top-k
+
+
+def test_s10_pq_refine_corpus_scans_map_only_behind_broadcasts(spark):
+    """Two-stage PQ refine: every join the corpus participates in is
+    broadcast-built (candidate fetch is a broadcast semi-fetch, query
+    tables a broadcast), the final top-k uses rank-limit pushdown, and no
+    shuffle ever carries corpus-sized full-precision vectors."""
+    df = workload.QUERIES["s10_pq_refine_topk"](spark, SF)
+    plan = plan_str(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # top-k never sorts whole partitions
+    # the only hash exchanges are the |Q|-keyed window repartitions
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("query_id"), plan
+
+
+def test_s11_rrf_fusion_is_corpus_free(spark):
+    """RRF fusion adds ONE aggregate + window over |lists|*k rows; the
+    corpus appears only inside the upstream retrievers (their scans), and
+    the fused frame's exchanges are keyed on query, never doc text."""
+    df = workload.QUERIES["s11_hybrid_rrf"](spark, SF)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    # fusion layer: exactly one HashAggregate pair over the union output
+    tail = plan.split("Union", 1)[0]  # operators ABOVE the union = fusion
+    assert tail.count("HashAggregate") == 2  # partial + final
+    assert "SortMergeJoin" not in tail and "parquet" not in tail.lower()
+
+
+def test_d23_bloom_corpus_side_no_prefilter_join(spark):
+    """Bloom decontamination: the train-corpus side reaches the membership
+    kernel with NO join at all (the Bloom rides a broadcast variable, not
+    a join); only post-filter maybe-hits join benchmark grams, and that
+    join is broadcast."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        bloom_contaminated_ids,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    plan = plan_str(bloom_contaminated_ids(train, bench, "text", "doc_id"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # the verify semi-join only
+    assert "LeftSemi" in plan
+    # unverified sweep mode: literally zero joins anywhere
+    sweep = plan_str(
+        bloom_contaminated_ids(train, bench, "text", "doc_id", verify=False)
+    )
+    assert "Join" not in sweep
