@@ -93,6 +93,7 @@ HEADLINE = [
     "s10_pq_refine_topk",
     "s11_hybrid_rrf",
     "d23_bloom_decontamination",
+    "m03_image_dhash_pairs",
 ]
 
 

@@ -552,36 +552,31 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
+def hamming_neardup_pairs(
+    sig: DataFrame,
+    id_col: str = "__id",
+    sig_col: str = "__sim",
     max_hamming: int = 3,
     bands: int = 8,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
-    sig_impl: str = "arrow",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding + Hamming verification.
+    """Near-dup pairs from PRECOMPUTED 64-bit signatures by banding +
+    Hamming verification — the signature-agnostic core shared by text
+    SimHash and image dHash (any 64-bit locality-preserving fingerprint).
 
     Splitting 64 bits into `bands` chunks guarantees recall for pairs with
     < bands differing bits (pigeonhole): any such pair collides on ≥1 chunk.
-    Per-bucket pairing is bounded by ``max_bucket`` (see _candidate_pairs);
-    signatures re-join from the persisted signature table for the Hamming
-    verify, so the corpus is hashed exactly once.
+    Per-bucket pairing is bounded by ``max_bucket`` (see _candidate_pairs).
+    The 8-byte signature rides the banding explode as a payload column, so
+    the verify reads sim_a/sim_b off the candidate rows — no join back to a
+    signature table, ONE (band, bh) exchange total.
     """
-    from .similarity import _spread
-
     chunk = 64 // bands
-    # the 8-byte signature rides the banding explode as a payload column
-    # (_candidate_pairs payload) — the Hamming verify reads sim_a/sim_b off
-    # the candidate rows, so there is NO join back to a signature table,
-    # no second read of the corpus, and nothing to persist: one signature
-    # pass, one (band, bh) exchange, done.  (MinHash keeps the join-back:
-    # its signature is 32 longs and its verify needs the SHINGLE sets.)
-    sig = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        simhash64(text_col, impl=sig_impl).alias("__sim"),
-    )
+    # null signatures (e.g. undecodable images) can never verify — drop
+    # them before the explode instead of shipping null-keyed buckets
+    sig = sig.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sim")
+    ).filter(F.col("__sim").isNotNull())
     banded = sig.select(
         "__id",
         "__sim",
@@ -606,6 +601,31 @@ def simhash_dedup_pairs(
         .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    sig_impl: str = "arrow",
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + Hamming verification: one
+    signature pass over the corpus, then ``hamming_neardup_pairs``.
+    (MinHash keeps its join-back instead: its signature is 32 longs and
+    its verify needs the SHINGLE sets.)
+    """
+    from .similarity import _spread
+
+    sig = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        simhash64(text_col, impl=sig_impl).alias("__sim"),
+    )
+    return hamming_neardup_pairs(
+        sig, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
     )
 
 

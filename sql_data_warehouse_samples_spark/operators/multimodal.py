@@ -403,6 +403,67 @@ def resize_images(
     )
 
 
+def image_dhash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """64-bit difference hash (dHash) per image from REAL decoded pixels —
+    the standard perceptual fingerprint for image near-dup detection
+    (resize-/recompress-invariant where cryptographic hashes are not).
+
+    Decode and hash run in the SAME mapInPandas pass (pixel buffers never
+    leave the task — only an 8-byte signature per image does): grayscale =
+    integer mean of the channels, nearest-neighbor resample to
+    (hash_w+1) × hash_h using ``resize_images``'s index convention
+    (``arange(dst) * src // dst``), bit (r, c) = gray[r, c] > gray[r, c+1]
+    packed little-endian at position r·hash_w + c.  Every step is exact
+    integer math, so the signature is closed-form reproducible by a SQL
+    oracle for synthetic payloads (the m02 pattern).  Undecodable payloads
+    yield NULL.  Output: (media_id, dhash long, width, height).
+
+    Feed the result to ``dedup.hamming_neardup_pairs`` for banded near-dup
+    pairing — the same machinery text SimHash uses.
+    """
+    if hash_w * hash_h != 64:
+        raise ValueError("hash_w*hash_h must be 64 (one BIGINT signature)")
+
+    decoder = _DECODER or default_decoder
+
+    def dhash(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    a = decoder(p)
+                    h, w = a.shape[:2]
+                    g = (
+                        a.astype(np.int64).sum(axis=2) // a.shape[2]
+                        if a.ndim == 3
+                        else a.astype(np.int64)
+                    )
+                    yi = np.arange(hash_h) * h // hash_h
+                    xi = np.arange(hash_w + 1) * w // (hash_w + 1)
+                    gg = g[yi][:, xi]
+                    bits = (gg[:, :-1] > gg[:, 1:]).astype(np.uint64)
+                    pos = np.arange(64, dtype=np.uint64).reshape(hash_h, hash_w)
+                    sig = int((bits << pos).sum(dtype=np.uint64).view(np.int64))
+                    rows.append((mid, sig, int(w), int(h)))
+                except (NotImplementedError, ValueError, IndexError):
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash", "width", "height"]
+            )
+
+    return media.mapInPandas(
+        dhash, "media_id long, dhash long, width int, height int"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index.
 

@@ -145,3 +145,91 @@ def m02_pixel_stats(spark, sf_dir):
         F.min("pix_min").alias("min_pix"),
         F.max("pix_max").alias("max_pix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m03 — image near-dup by perceptual hash (L-m3): REAL PPM decode →
+# 64-bit dHash (grayscale, nearest resample to 9×8, adjacent-pixel
+# comparisons) inside ONE mapInPandas pass, then the SAME banded Hamming
+# machinery text SimHash uses (dedup.hamming_neardup_pairs).  The payload
+# pixel byte i is ((doc_id%7)·16 + i) % 256 at w = doc_id%5+9,
+# h = doc_id%4+8, so the whole pipeline — integer grayscale, the
+# arange(dst)·src//dst resample indices, bit packing, two's-complement
+# wrap, pairwise Hamming — is closed-form in DuckDB (the m02 pattern):
+# docs sharing (doc_id mod 140) have identical images (hamming 0); docs
+# sharing (w, h) differ only where the mod-256 gradient wrap relocates.
+# ---------------------------------------------------------------------------
+
+
+def _dhash_media_from_documents(d):
+    w = (F.col("doc_id") % 5 + 9).cast("int")
+    h = (F.col("doc_id") % 4 + 8).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    ).cast("binary")
+    pix_hex = F.expr(
+        "concat_ws('', transform(sequence(0, cast(((doc_id % 5 + 9) * "
+        "(doc_id % 4 + 8) * 3 - 1) as int)), "
+        "i -> lpad(hex(((doc_id % 7) * 16 + i) % 256), 2, '0')))"
+    )
+    payload = F.concat(header, F.to_binary(pix_hex, F.lit("hex")))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(None).cast("string").alias("source_uri"),
+    )
+
+
+# gray list gl: 8 rows × 9 cols of the resampled grayscale, 1-indexed at
+# r*9+c+1; pixel k = yi(r)*w + xi(c) with yi/xi the arange(dst)*src//dst
+# nearest-neighbor indices; gray = integer mean of the 3 channel bytes.
+_M03_GRAYS = (
+    "list_transform(generate_series(0, 71), q -> "
+    "((base + 3*(((q//9) * h // 8) * w + ((q%9) * w // 9))) % 256"
+    " + (base + 3*(((q//9) * h // 8) * w + ((q%9) * w // 9)) + 1) % 256"
+    " + (base + 3*(((q//9) * h // 8) * w + ((q%9) * w // 9)) + 2) % 256) // 3)"
+)
+
+
+@query(
+    "m03_image_dhash_pairs",
+    oracle=f"""
+WITH img AS (
+  SELECT doc_id, doc_id % 5 + 9 AS w, doc_id % 4 + 8 AS h,
+         (doc_id % 7) * 16 AS base
+  FROM documents
+),
+grays AS (SELECT doc_id, {_M03_GRAYS} AS gl FROM img),
+sig AS (
+  SELECT doc_id,
+         CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                   THEN s - CAST(18446744073709551616 AS HUGEINT)
+                   ELSE s END AS BIGINT) AS dhash
+  FROM (
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, 63), p ->
+             CASE WHEN gl[(p//8)*9 + (p%8) + 1] > gl[(p//8)*9 + (p%8) + 2]
+                  THEN CAST(1 AS HUGEINT) << p
+                  ELSE CAST(0 AS HUGEINT) END)) AS s
+    FROM grays)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+""",
+)
+def m03_image_dhash_pairs(spark, sf_dir):
+    from ..operators import dedup as D
+
+    d = tbl(spark, sf_dir, "documents")
+    sig = M.image_dhash(_dhash_media_from_documents(d))
+    # uncapped buckets: the oracle is ALL qualifying pairs (banding at
+    # bands=8 > max_hamming=3 is lossless by pigeonhole, so the outputs
+    # match exactly); production corpora keep the default star cap
+    return D.hamming_neardup_pairs(
+        sig, "media_id", "dhash", max_hamming=3, bands=8, max_bucket=None
+    )

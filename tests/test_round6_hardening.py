@@ -549,3 +549,84 @@ def test_rrf_fuse_hand_computed(spark):
         for r_ in rrf_fuse([lex, vec], k0=60, k=2).collect()
     }
     assert top2 == {11, 10}
+
+
+def test_image_dhash_known_values_and_neardup_pairs(spark):
+    """dHash from REAL encoded PPM bytes: identical images pair at
+    hamming 0, a slightly-brightened copy pairs near 0, an unrelated
+    pattern doesn't pair, and an undecodable payload yields NULL and is
+    excluded from banding (never crashes the batch)."""
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from sql_data_warehouse_samples_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_ppm(base)),
+        (2, encode_ppm(base)),      # exact duplicate
+        (3, encode_ppm(bright)),    # near duplicate (uniform brightness)
+        (4, encode_ppm(other)),     # unrelated
+        (5, b"not an image"),       # undecodable
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    sig = image_dhash(media)
+    got = {r["media_id"]: r["dhash"] for r in sig.collect()}
+    assert got[5] is None
+    assert got[1] == got[2] is not None
+    # uniform brightening preserves all strict comparisons except ties
+    # created/broken by clipping — identical here by construction
+    assert bin((got[1] ^ got[3]) & (2**64 - 1)).count("1") <= 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            sig, "media_id", "dhash", max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_image_dhash_matches_pure_python_reference(spark):
+    """The mapInPandas dHash equals an independent per-image reference
+    (explicit loops, no numpy vectorization) on random images of varied
+    sizes — locks the resample convention and the bit packing."""
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+
+    def ref_dhash(a):
+        h, w = a.shape[:2]
+        g = [[sum(int(x) for x in a[r, c]) // 3 for c in range(w)] for r in range(h)]
+        sig = 0
+        for r in range(8):
+            for c in range(8):
+                yr = r * h // 8
+                xa, xb = c * w // 9, (c + 1) * w // 9
+                if g[yr][xa] > g[yr][xb]:
+                    sig |= 1 << (r * 8 + c)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rng = np.random.default_rng(11)
+    imgs = {
+        i: rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        for i, (hh, ww) in enumerate([(8, 9), (16, 20), (31, 7), (5, 40)])
+    }
+    media = spark.createDataFrame(
+        [(i, encode_ppm(a)) for i, a in imgs.items()],
+        "media_id: long, payload: binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    for i, a in imgs.items():
+        assert got[i] == ref_dhash(a), i
