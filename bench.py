@@ -94,6 +94,7 @@ HEADLINE = [
     "s11_hybrid_rrf",
     "d23_bloom_decontamination",
     "m03_image_dhash_pairs",
+    "t19_c4_line_clean",
 ]
 
 

@@ -495,3 +495,55 @@ def heavy_hitter_tokens(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= F.lit(threshold))
     )
+
+
+def c4_line_clean(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    terminal_re: str = '[.!?"]$',
+    blocklist: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie"),
+    brace_filter: bool = True,
+    min_kept_lines: int = 1,
+    sep: str = "\n",
+):
+    """C4-style line-rule page cleaning (Raffel 2020 §2.2): keep only
+    lines that (a) end in terminal punctuation, (b) have at least
+    ``min_line_words`` words, (c) contain no blocklisted phrase
+    (case-insensitive); drop whole pages containing ``{`` (the C4 code
+    gate, ``brace_filter``) or retaining fewer than ``min_kept_lines``
+    lines.  Reassembles surviving lines in original order.
+
+    Returns ``(id_col, clean_text, n_lines, n_kept)``.
+
+    Scale shape: entirely JVM-side array functions on the page string —
+    map-only, whole-stage-codegen'd, zero exchanges, no explode (the
+    line array never leaves the row) — the cheapest possible first gate
+    ahead of the shuffle-bearing passes (line_dedup, MinHash).
+    """
+    lines = F.split(F.col(text_col), sep)
+
+    def _keep(line):
+        t = F.trim(line)
+        cond = (F.size(F.split(t, r"\s+")) >= min_line_words) & t.rlike(
+            terminal_re
+        )
+        low = F.lower(line)
+        for phrase in blocklist:
+            cond = cond & ~low.contains(phrase)
+        return cond
+
+    kept = F.filter(lines, _keep)
+    out = df
+    if brace_filter:
+        out = out.filter(~F.col(text_col).contains("{"))
+    return (
+        out.select(
+            F.col(id_col),
+            F.array_join(kept, sep).alias("clean_text"),
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+        )
+        .filter(F.col("n_kept") >= min_kept_lines)
+    )

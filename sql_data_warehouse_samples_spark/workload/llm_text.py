@@ -2236,3 +2236,87 @@ def t18_heavy_hitter_tokens(spark, sf_dir):
     from ..operators.text import heavy_hitter_tokens
 
     return heavy_hitter_tokens(tbl(spark, sf_dir, "documents"), min_share=0.01)
+
+
+# ---------------------------------------------------------------------------
+# t19 — C4-style line-rule page cleaning (text.c4_line_clean, Raffel 2020
+# §2.2): terminal-punctuation + min-words + phrase-blocklist line gates,
+# whole-page brace/code gate, reassembly in order.  The documents table is
+# single-line token soup, so the query synthesizes page structure closed-
+# form (the m02 pattern): 7-token lines; line i of doc d ends in '.' iff
+# (d+i)%3=0, gains a ' javascript' marker iff (d+i)%11=0; page gains a
+# brace iff d%13=0 — every rule fires on a known subset, and DuckDB
+# rebuilds the pages exactly.  The operator itself is map-only JVM array
+# functions: zero exchanges, no explode.
+# ---------------------------------------------------------------------------
+
+
+def _t19_pages(d):
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(7)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 7 + 1, 7), " "),
+            F.when((F.col("doc_id") + i) % 11 == 0, F.lit(" javascript"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    page = F.concat_ws("\n", lines)
+    page = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(page, F.lit(" {"))
+    ).otherwise(page)
+    return d.select("doc_id", page.alias("text"))
+
+
+@query(
+    "t19_c4_line_clean",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS tk
+  FROM documents
+),
+pg0 AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             generate_series(0, CAST(ceil(LEN(tk) / 7.0) - 1 AS INT)),
+             i -> array_to_string(list_slice(tk, i*7 + 1, i*7 + 7), ' ')
+                  || CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript' ELSE '' END
+                  || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END),
+           chr(10)) AS page
+  FROM toks
+),
+pg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN page || ' {' ELSE page END AS page
+  FROM pg0
+),
+lines AS (
+  SELECT doc_id, string_split(page, chr(10)) AS ls
+  FROM pg WHERE NOT contains(page, '{')
+),
+cleaned AS (
+  SELECT doc_id,
+         array_to_string(kept, chr(10)) AS clean_text,
+         LEN(ls) AS n_lines, LEN(kept) AS n_kept
+  FROM (
+    SELECT doc_id, ls,
+           list_filter(ls, l ->
+             LEN(string_split_regex(TRIM(l), '\s+')) >= 3
+             AND regexp_matches(TRIM(l), '[.!?"]$')
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'lorem ipsum')
+             AND NOT contains(lower(l), 'cookie')) AS kept
+    FROM lines)
+)
+SELECT doc_id, clean_text,
+       CAST(n_lines AS INT) AS n_lines, CAST(n_kept AS INT) AS n_kept
+FROM cleaned WHERE n_kept >= 1
+""",
+)
+def t19_c4_line_clean(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return T.c4_line_clean(_t19_pages(d), "text", "doc_id")

@@ -496,3 +496,13 @@ def test_d23_bloom_corpus_side_no_prefilter_join(spark):
         bloom_contaminated_ids(train, bench, "text", "doc_id", verify=False)
     )
     assert "Join" not in sweep
+
+
+def test_t19_c4_clean_is_map_only(spark):
+    """C4 line cleaning never shuffles: the line array stays inside the
+    row (no explode), every rule is a codegen'd array lambda."""
+    df = workload.QUERIES["t19_c4_line_clean"](spark, SF)
+    plan = plan_str(df)
+    assert count_exchanges(df) == 0
+    assert "Generate" not in plan  # no explode
+    assert plan.count("Scan parquet") == 1

@@ -630,3 +630,26 @@ def test_image_dhash_matches_pure_python_reference(spark):
     got = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
     for i, a in imgs.items():
         assert got[i] == ref_dhash(a), i
+
+
+def test_c4_line_clean_rules(spark):
+    """Each C4 gate verified on a hand-built page: short lines, missing
+    terminal punctuation, blocklist phrases, the whole-page brace gate,
+    and the min-kept-lines doc drop."""
+    from sql_data_warehouse_samples_spark.operators.text import c4_line_clean
+
+    good = "this line is perfectly fine."
+    rows = [
+        (1, "\n".join([good, "too short.", "no terminal punctuation here",
+                       "Enable JavaScript to continue.",
+                       "we use cookie banners here.", good])),
+        (2, "some page with code { inside it. fine line though."),
+        (3, "every single line here lacks punctuation\nso does this one"),
+        (4, 'a quoted ending also counts as terminal."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in c4_line_clean(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 4}          # 2: brace gate, 3: zero kept lines
+    assert got[1]["clean_text"] == good + "\n" + good
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (6, 2)
+    assert got[4]["n_kept"] == 1
