@@ -690,6 +690,143 @@ def _bloom_bits(
     return bits, m, k
 
 
+class BloomGramFilter:
+    """Broadcast Bloom over a benchmark's word n-gram hashes, built ONCE
+    and reusable across queries/micro-batches (the streaming contamination
+    gate rebuilds NOTHING per batch — the benchmark side is static).
+
+    A 16-bits/gram Bloom (~0.04% FP rate) packs 10⁸ benchmark grams into
+    ~200 MB of executor memory where a broadcast string set would need
+    many GB (≥50 B/gram + hash-set overhead) — past Spark's broadcast
+    ceiling.  The corpus side stays map-only: JVM-computed (xxhash64,
+    xxhash64-salted) gram hash pairs feed a vectorized Arrow membership
+    kernel.  Driver collect is the benchmark HASH PAIRS only (16 B/gram,
+    eval-set bounded) — the same control-plane class as broadcast
+    centroids.
+    """
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        text_col: str = "text",
+        n: int = 8,
+        bits_per_gram: int = 16,
+    ) -> None:
+        self.n = n
+        self.grams = benchmark.select(
+            F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
+        ).distinct()
+        pairs = self.grams.select(
+            F.xxhash64("g").alias("h1"),
+            F.xxhash64(F.lit("bloom2"), F.col("g")).alias("h2"),
+        ).toPandas()
+        bits, self.m, self.k = _bloom_bits(
+            pairs["h1"].to_numpy(), pairs["h2"].to_numpy(), max(1, len(pairs)),
+            bits_per_gram,
+        )
+        sc = benchmark.sparkSession.sparkContext
+        self._bc = sc.broadcast(bytes(bits.tobytes()))
+
+    def _kernel(self):
+        """(uint64 a, uint64 b) ndarray pair -> bool hit ndarray, closed
+        over the broadcast bits (NOT self — keep the filter object out of
+        the serialized UDF closure)."""
+        bc, m, k = self._bc, self.m, self.k
+
+        def probe(a, b):
+            import numpy as np
+
+            arr = np.frombuffer(bc.value, dtype=np.uint8)
+            hit = np.ones(len(a), dtype=bool)
+            for i in range(k):
+                idx = (a + np.uint64(i) * b) % np.uint64(m)
+                byte = arr[(idx >> np.uint64(3)).astype(np.int64)]
+                hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+            return hit
+
+        return probe
+
+    def might_contain(self) -> "Column":
+        """Scalar pandas UDF (h1, h2) -> maybe-member, for exploded grams."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        probe = self._kernel()
+
+        def _fn(h1, h2):
+            import numpy as np
+
+            a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+            b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+            return pd.Series(probe(a, b))
+
+        return pandas_udf(_fn, BooleanType())
+
+    def any_gram_maybe(self, text_col: "Column | str") -> "Column":
+        """Per-DOCUMENT maybe-contaminated boolean — no explode, no join,
+        no row-count change: the append-mode-safe streaming shape.  Gram
+        hash pairs ride as arrays (one transform-lambda xxhash64 per gram,
+        the same per-gram hash work the batch explode pays) into ONE
+        Arrow kernel call that flattens the batch and OR-reduces per doc.
+        """
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        probe = self._kernel()
+
+        def _fn(h1s, h2s):
+            import numpy as np
+
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in h1s), dtype=np.int64,
+                count=len(h1s),
+            )
+            out = np.zeros(len(h1s), dtype=bool)
+            if lens.sum():
+                a = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in h1s if x is not None and len(x)]
+                ).view(np.uint64)
+                b = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in h2s if x is not None and len(x)]
+                ).view(np.uint64)
+                hit = probe(a, b)
+                nz = lens > 0
+                starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                out[nz] = np.logical_or.reduceat(hit, starts)
+            return pd.Series(out)
+
+        grams = F.array_distinct(ngram_strings(text_col, self.n))
+        return pandas_udf(_fn, BooleanType())(
+            F.transform(grams, lambda g: F.xxhash64(g)),
+            F.transform(grams, lambda g: F.xxhash64(F.lit("bloom2"), g)),
+        )
+
+    def contaminated_ids(
+        self,
+        train: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        verify: bool = True,
+    ) -> DataFrame:
+        """Training docs sharing ANY n-gram with the benchmark — see
+        ``bloom_contaminated_ids`` for semantics and the verify contract."""
+        t = train.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngram_strings(text_col, self.n))).alias("g"),
+        ).withColumn(
+            "__maybe",
+            self.might_contain()(
+                F.xxhash64("g"), F.xxhash64(F.lit("bloom2"), F.col("g"))
+            ),
+        )
+        maybe = t.filter(F.col("__maybe")).drop("__maybe")
+        if not verify:
+            return maybe.select(id_col).distinct()
+        return maybe.join(self.grams, "g", "left_semi").select(id_col).distinct()
+
+
 def bloom_contaminated_ids(
     train: DataFrame,
     benchmark: DataFrame,
@@ -701,69 +838,23 @@ def bloom_contaminated_ids(
 ) -> DataFrame:
     """``contaminated_ids`` behind a broadcast BLOOM prefilter — the 100 TB
     decontamination shape when the benchmark gram set is too large to
-    broadcast as strings.
+    broadcast as strings (see ``BloomGramFilter`` for the memory math).
 
-    A 16-bits/gram Bloom (~0.04% FP rate) packs 10⁸ benchmark grams into
-    ~200 MB of executor memory where a broadcast string set would need
-    many GB (≥50 B/gram + hash-set overhead) — past Spark's broadcast
-    ceiling.  The corpus side stays map-only: JVM-computed (xxhash64,
-    xxhash64-salted) gram hash pairs feed a vectorized Arrow membership
-    kernel; only the ~FP-rate fraction of grams that MIGHT match reaches
-    the exact string semi-join, so the verify join's probe side shrinks
-    from every-gram-in-the-corpus to (true hits + m-tunable noise).
+    The corpus side is a map-only explode feeding the vectorized Arrow
+    membership kernel; only the ~FP-rate fraction of grams that MIGHT
+    match reaches the exact string semi-join, so the verify join's probe
+    side shrinks from every-gram-in-the-corpus to (true hits + m-tunable
+    noise).
 
     ``verify=True`` (default) re-checks maybe-hits against the benchmark
     gram strings — output EXACTLY equals ``contaminated_ids`` (the Bloom
     is one-sided: no false negatives by construction).  ``verify=False``
     returns the unverified superset: zero joins on the corpus side at
     all, the one-pass mode for a first 100 TB sweep.
-
-    Driver collect is the benchmark HASH PAIRS only (16 B/gram, eval-set
-    bounded) — the same control-plane class as broadcast centroids.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
-
-    grams_b = benchmark.select(
-        F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
-    ).distinct()
-    pairs = grams_b.select(
-        F.xxhash64("g").alias("h1"), F.xxhash64(F.lit("bloom2"), F.col("g")).alias("h2")
-    ).toPandas()
-    bits, m, k = _bloom_bits(
-        pairs["h1"].to_numpy(), pairs["h2"].to_numpy(), max(1, len(pairs)),
-        bits_per_gram,
+    return BloomGramFilter(benchmark, text_col, n, bits_per_gram).contaminated_ids(
+        train, text_col=text_col, id_col=id_col, verify=verify
     )
-    sc = train.sparkSession.sparkContext
-    bc = sc.broadcast(bytes(bits.tobytes()))
-
-    def _might_contain_fn(h1, h2):
-        import numpy as np
-
-        arr = np.frombuffer(bc.value, dtype=np.uint8)
-        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
-        hit = np.ones(len(a), dtype=bool)
-        for i in range(k):
-            idx = (a + np.uint64(i) * b) % np.uint64(m)
-            byte = arr[(idx >> np.uint64(3)).astype(np.int64)]
-            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
-        return pd.Series(hit)
-
-    might_contain = pandas_udf(_might_contain_fn, BooleanType())
-
-    t = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g"),
-    ).withColumn(
-        "__maybe",
-        might_contain(F.xxhash64("g"), F.xxhash64(F.lit("bloom2"), F.col("g"))),
-    )
-    maybe = t.filter(F.col("__maybe")).drop("__maybe")
-    if not verify:
-        return maybe.select(id_col).distinct()
-    return maybe.join(grams_b, "g", "left_semi").select(id_col).distinct()
 
 
 def incremental_dedup(

@@ -187,6 +187,118 @@ def neardup_admission_sink(
     )
 
 
+def contamination_gate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    bloom=None,
+    text_col: str = "text",
+    n: int = 8,
+    bits_per_gram: int = 16,
+) -> DataFrame:
+    """Drop documents that (maybe) share a word n-gram with a benchmark/
+    eval set — the streaming face of d23's Bloom decontamination.
+
+    Append-mode safe by construction: the verdict is ONE map-only boolean
+    per document (``BloomGramFilter.any_gram_maybe`` — gram hash arrays
+    into a single Arrow kernel), no explode, no join, no aggregation
+    state.  The gate is ONE-SIDED: a truly contaminated document is never
+    admitted (Bloom has no false negatives); a ~FP-rate fraction of clean
+    documents (~0.04% of docs-with-a-colliding-gram at 16 bits/gram) is
+    over-dropped.  That asymmetry is the right default for training-data
+    admission — losing 1-in-2500 clean docs is noise, leaking one eval
+    doc poisons the benchmark.  Exact adjudication of the dropped
+    residue, when wanted, is the batch d23 query (verify=True) over the
+    quarantine — the same lambda split the dedup gate documents.
+
+    Pass a prebuilt ``BloomGramFilter`` (``bloom=``) to share one
+    broadcast across gates; otherwise one is built from ``benchmark``
+    at stream-construction time (static side, built exactly once).
+    """
+    from ..operators.dedup import BloomGramFilter
+
+    if (benchmark is None) == (bloom is None):
+        raise ValueError("pass exactly one of benchmark / bloom")
+    if bloom is None:
+        bloom = BloomGramFilter(benchmark, text_col=text_col, n=n,
+                                bits_per_gram=bits_per_gram)
+    return docs.filter(~bloom.any_gram_maybe(text_col))
+
+
+def admission_sink(
+    stream: DataFrame,
+    pipeline,
+    out_dir: str,
+    checkpoint: str,
+    benchmark: DataFrame | None = None,
+    n: int = 8,
+    bits_per_gram: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The FULL training-corpus admission sink: each micro-batch is
+    (1) exactly decontaminated against the benchmark (Bloom prefilter +
+    string-verify semi-join — batch-side, so the verify join is legal and
+    the output EXACTLY equals d07/d23, no over-drop), then (2) admitted
+    through ``operators.ledger.AdmissionPipeline`` — exact content-hash
+    dedup and MinHash near-dedup against everything previously admitted,
+    one batch-text read, corpus text never re-read — and survivors land
+    in ``out_dir``.
+
+    This composes the round's pieces into the one call a production
+    ingest actually runs: quality/model gates upstream (``ingest_pipeline``
+    transforms), contamination + dedup + ledger append + corpus write
+    here.  Exactly-once EFFECT under foreachBatch replay, with no
+    transaction log, by the same two mechanisms as
+    ``neardup_admission_sink``: ledger appends keyed by micro-batch id
+    (replays overwrite ``batch-<id>/`` and exclude their own prior
+    appends from the corpus side), and the corpus write in an
+    ``__ingest_batch=<id>`` dynamic-overwrite partition.
+
+    The Bloom is built ONCE here (static benchmark side) and broadcast;
+    per-batch contamination cost is batch grams × one Arrow membership
+    kernel + a semi-join probing only maybe-hits.
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+    from ..operators.dedup import BloomGramFilter
+
+    bloom = (
+        BloomGramFilter(benchmark, text_col=text_col, n=n,
+                        bits_per_gram=bits_per_gram)
+        if benchmark is not None else None
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean = batch_df
+        if bloom is not None:
+            bad = bloom.contaminated_ids(
+                batch_df, text_col=text_col, id_col=id_col, verify=True
+            )
+            clean = batch_df.join(bad, id_col, "left_anti")
+        survivors = pipeline.admit(
+            clean,
+            text_col=text_col,
+            id_col=id_col,
+            idempotency_key=str(batch_id),
+        )
+        (
+            survivors.withColumn("__ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ingest_batch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def merge_sink(
     stream: DataFrame,
     catalog,

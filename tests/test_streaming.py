@@ -595,3 +595,140 @@ def test_neardup_ledger_keyed_ingest_replay_idempotent(spark, tmp_path):
     # mixed flat + keyed layout survives compaction (subdirs fold away)
     assert led.compact() == 2
     assert {r.doc_id for r in led.signatures().collect()} == {1, 11}
+
+
+def test_streaming_contamination_gate_matches_batch_exact(spark, tmp_path):
+    """The map-only streaming contamination gate admits exactly the docs
+    the batch exact check admits (on this corpus the Bloom has no false
+    positives — deterministic, so the equality is a hard assertion), and
+    its one-sided contract holds: no contaminated doc is ever admitted."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        BloomGramFilter,
+        contaminated_ids,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    clean1 = " ".join(f"tok{i}" for i in range(40))
+    clean2 = " ".join(f"word{i}" for i in range(40))
+    contaminated = f"prefix text {bench_gram} suffix text here"
+    short = "too short"  # < n tokens: zero grams, must be admitted
+    rows = [
+        _doc_row(1, clean1),
+        _doc_row(2, contaminated),
+        _doc_row(3, clean2),
+        _doc_row(4, short),
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(spark, src, [rows[:2], rows[2:]], SI.DOC_SCHEMA)
+
+    bloom = BloomGramFilter(bench)
+    gated = SI.contamination_gate(
+        SI.read_document_stream(spark, src), bloom=bloom
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("decon_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id for r in spark.sql("select doc_id from decon_gate").collect()
+    }
+
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id: long, text: string"
+    )
+    bad = {r.doc_id for r in contaminated_ids(docs, bench).collect()}
+    assert bad == {2}
+    assert got == {1, 3, 4}
+    # one-sided: contaminated never admitted (independent of FP luck)
+    assert not (got & bad)
+    # exactly one of benchmark/bloom must be passed
+    with pytest.raises(ValueError):
+        SI.contamination_gate(docs, benchmark=bench, bloom=bloom)
+    with pytest.raises(ValueError):
+        SI.contamination_gate(docs)
+
+
+def test_streaming_full_admission_sink(spark, tmp_path):
+    """End-to-end production admission: decontamination + exact dedup +
+    near dedup compose in ONE foreachBatch sink — a contaminated doc, an
+    exact dup and a cross-batch near-dup are all rejected; survivors land
+    in the corpus with batch partitions; replaying the checkpoint changes
+    nothing (exactly-once effect)."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.rsplit(" ", 1)[0] + " tokX"  # ~0.9 shingle Jaccard vs base
+    other = " ".join(f"word{i}" for i in range(60))
+    fresh = " ".join(f"new{i}" for i in range(60))
+    poisoned = f"prefix text {bench_gram} suffix text here"
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark,
+        src,
+        [
+            [_doc_row(1, base), _doc_row(2, other), _doc_row(3, poisoned)],
+            [_doc_row(10, near), _doc_row(11, other), _doc_row(12, fresh)],
+        ],
+        SI.DOC_SCHEMA,
+    )
+
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    out_dir = str(tmp_path / "corpus")
+
+    def run():
+        q = SI.admission_sink(
+            SI.read_document_stream(spark, src),
+            pipe,
+            out_dir,
+            checkpoint=str(tmp_path / "ckpt"),
+            benchmark=bench,
+        )
+        q.awaitTermination()
+
+    run()
+    got = spark.read.parquet(out_dir)
+    # 3 contaminated; 10 near-dup of 1 (cross-batch); 11 exact dup of 2
+    assert {r.doc_id for r in got.select("doc_id").collect()} == {1, 2, 12}
+    assert {
+        r["__ingest_batch"] for r in got.select("__ingest_batch").collect()
+    } == {0, 1}
+    # exact ledger: admitted docs PLUS the near-stage reject (doc 10) —
+    # the AdmissionPipeline's documented contract (an exact replay of a
+    # near-dup reject is dropped by the exact ledger directly)
+    exact_hashes = {r.content_hash for r in pipe.exact.hashes().collect()}
+    assert exact_hashes >= {
+        r.content_hash for r in got.select("content_hash").collect()
+    }
+    assert len(exact_hashes) == 4
+    assert {
+        r.doc_id for r in pipe.near.signatures().select("doc_id").collect()
+    } == {1, 2, 12}
+    # checkpoint replay with no new files: corpus and ledgers unchanged
+    run()
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    } == {1, 2, 12}
+    assert {
+        r.doc_id for r in pipe.near.signatures().select("doc_id").collect()
+    } == {1, 2, 12}
