@@ -50,11 +50,16 @@ def run_one() -> None:
     workload.load_all()
     spark = build_session(app_name="heap-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup (codegen + Arrow worker pool), excluded from timing
+    # warmup (codegen + Arrow worker pool), excluded from timing — a
+    # sibling sf0.001 of the measured dir when present (cheapest possible
+    # warm pass), else the measured dir itself
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
     for name in SUBSET:
-        workload.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        workload.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
     reps: dict[str, list[float]] = {n: [] for n in SUBSET}
     for _ in range(N_REPS):
         for name in SUBSET:

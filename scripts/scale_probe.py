@@ -447,6 +447,9 @@ def bpe_ladder() -> None:
         row["collected_sec"] = round(time.time() - t0, 2)
         row["identical"] = merges_by_bs[1] == merges_by_bs[16]
         row["collected_identical"] = coll == merges_by_bs[1]
+        # ENFORCE the exactness the docstring (and PERFORMANCE.md) claim —
+        # a silent divergence buried in JSON is not an exactness proof
+        assert row["identical"] and row["collected_identical"], row
         row["speedup"] = (
             round(row["bs1_sec"] / row["bs16_sec"], 2) if row["bs16_sec"] else 0
         )

@@ -367,7 +367,9 @@ def embedding_neardup_pairs(
       ``zip_with``+``aggregate`` lambda per candidate pair — Spark never
       codegens HOF lambdas, so all ~n²/2 dot products were interpreter
       CPU: 11.3 s vs <2 s for the gemm on the same sf0.1 corpus.  Both
-      produce identical rounded output (float64 dot, round-then-filter).
+      produce identical rounded output (float64 dot, round-then-filter;
+      non-finite rows — null vector or any null/NaN/±Inf element — are
+      dropped by every impl before pairing).
     * ``blocking="lsh"`` — scale path: ``bands`` independent random-
       hyperplane signatures; only pairs colliding in ≥1 band are compared
       (equi-join on (band, bucket) — hash-keyed shuffle, skew-free).  High
@@ -399,6 +401,22 @@ def embedding_neardup_pairs(
             "cosine_sim",
         )
 
+    # Non-finite rows (null vector, any null/NaN/±Inf element) can never
+    # be near-duplicates — and WITHOUT this filter a NaN element would
+    # pass the threshold filter (a NaN dot product makes round(sim) NaN,
+    # and Spark's NaN-is-largest ordering makes NaN >= threshold TRUE),
+    # emitting every pair involving the bad vector.  The gemm path masks
+    # non-finite rows inside the tile kernel (np.isfinite); this keeps
+    # the fold and lsh paths output-identical to it.
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(
+            F.col(vec_col),
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+    )
     # norms and float→double casts are per-ROW, so hoist both out of the
     # pair join — the per-pair work is then a single multiply-add fold.
     # Numerically identical to cosine(a, b): float→double is exact and the

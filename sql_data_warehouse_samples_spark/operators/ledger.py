@@ -31,7 +31,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-LEDGER_SCHEMA = StructType([StructField("content_hash", StringType(), False)])
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType(), False),
+        # the admitting idempotency key (NULL for un-keyed appends) — a
+        # DATA column, not a file path, so the keyed-replay exclusion
+        # survives compact() folding the batch-<key>/ subdirs into flat
+        # files (path-based exclusion would silently stop matching and a
+        # post-compaction crash replay would dedup a batch against its
+        # own hashes, admitting nothing)
+        StructField("batch_key", StringType(), True),
+    ]
+)
 
 
 def _require_local(path: str) -> str:
@@ -111,10 +122,13 @@ class ContentHashLedger:
         from .dedup import incremental_dedup
 
         corpus_hashes = self.hashes()
+        key = None
         if idempotency_key is not None:
             key = _safe_key(idempotency_key)
+            # exclude by the STORED batch_key column (compact-safe; the
+            # batch-<key>/ path would stop matching after compact())
             corpus_hashes = corpus_hashes.filter(
-                ~F.input_file_name().contains(f"/batch-{key}/")
+                F.col("batch_key").isNull() | (F.col("batch_key") != key)
             )
         fresh = incremental_dedup(
             batch, corpus=None, text_col=text_col, id_col=id_col,
@@ -123,12 +137,13 @@ class ContentHashLedger:
         # materialize before the append so the returned frame does not
         # re-read a ledger that now contains this batch's own hashes
         fresh = fresh.localCheckpoint(eager=True)
-        if idempotency_key is None:
-            fresh.select("content_hash").write.mode("append").parquet(self.path)
+        out = fresh.select(
+            "content_hash", F.lit(key).cast("string").alias("batch_key")
+        )
+        if key is None:
+            out.write.mode("append").parquet(self.path)
         else:
-            fresh.select("content_hash").write.mode("overwrite").parquet(
-                f"{self.path}/batch-{_safe_key(idempotency_key)}"
-            )
+            out.write.mode("overwrite").parquet(f"{self.path}/batch-{key}")
         return fresh
 
     def compact(self, n_files: int | None = None) -> int:
@@ -499,6 +514,15 @@ class MinHashSignatureLedger:
         stage = f"{self.path}__compact"
         distinct.write.mode("overwrite").parquet(stage)
         n = self.spark.read.parquet(stage).count()
+        # the sidecar travels WITH the staged directory, so there is no
+        # window after the swap in which the ledger exists unpinned (a
+        # crash there would let a later reopen with wrong params re-pin
+        # them silently — the exact failure the sidecar prevents)
+        import json
+        import os
+
+        with open(os.path.join(stage, "_LEDGER_PARAMS.json"), "w") as f:
+            json.dump(self._params(), f)
         swap_in(
             self.path,
             stage,
@@ -506,7 +530,7 @@ class MinHashSignatureLedger:
             .parquet(p)
             .first(),
         )
-        # the swap replaced the directory — re-pin the params sidecar
+        # post-swap: validates the pinned sidecar (no-op write)
         self._check_params(write=True)
         return n
 

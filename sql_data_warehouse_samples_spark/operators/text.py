@@ -522,7 +522,13 @@ def c4_line_clean(
     line array never leaves the row) — the cheapest possible first gate
     ahead of the shuffle-bearing passes (line_dedup, MinHash).
     """
-    lines = F.split(F.col(text_col), sep)
+    # ``sep`` is a LITERAL separator: it feeds both F.split (which takes a
+    # Java regex) and F.array_join (which takes a literal) — \Q...\E-quote
+    # the split side so a metacharacter separator ("||", ".") splits the
+    # same way it rejoins instead of exploding the page per-character.
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain the regex-quote end '\E'")
+    lines = F.split(F.col(text_col), f"\\Q{sep}\\E")
 
     def _keep(line):
         t = F.trim(line)

@@ -91,7 +91,9 @@ class ResultCache:
         if not files:
             return None
         ordered = sorted(files)
-        stride = max(1, len(ordered) // self._MAX_TAIL_FILES)
+        # ceil division: floor would leave stride=1 (every tail read) up
+        # to 2x the cap and overshoot the sample budget in general
+        stride = max(1, -(-len(ordered) // self._MAX_TAIL_FILES))
         parts = []
         for i, uri in enumerate(ordered):
             path = uri.removeprefix("file:")

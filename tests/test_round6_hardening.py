@@ -58,8 +58,10 @@ def test_embedding_neardup_gemm_blocks_invariant(spark):
 
 def test_embedding_neardup_gemm_nulls_and_ragged(spark):
     """Null vectors, ragged vectors, NaN elements and null ids are dropped
-    (fold semantics: null sim / null comparison filters the row), never
-    crash the tile kernel or poison valid rows."""
+    by EVERY impl — in particular the fold, where an unfiltered NaN dot
+    would pass the threshold (Spark's NaN-is-largest ordering makes
+    NaN >= threshold true) and emit every pair involving the bad vector.
+    gemm and fold must agree on this corpus, not just on clean ones."""
     from sql_data_warehouse_samples_spark.operators.dedup import (
         embedding_neardup_pairs,
     )
@@ -70,13 +72,24 @@ def test_embedding_neardup_gemm_nulls_and_ragged(spark):
         (3, None),
         (4, [1.0, 0.0]),  # ragged
         (5, [float("nan"), 1.0, 0.0]),
+        (6, [float("inf"), 0.0, 0.0]),
         (None, [1.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    for impl in ("gemm", "fold"):
+        got = _pairs(
+            embedding_neardup_pairs(
+                df, "vec_id", "embedding", threshold=0.9, impl=impl
+            )
+        )
+        assert [(a, b) for a, b, _ in got] == [(1, 2)], impl
+    # the lsh scale path shares the fold's pairing: same drop semantics
     got = _pairs(
-        embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, blocking="lsh"
+        )
     )
-    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+    assert all(5 not in (a, b) and 6 not in (a, b) for a, b, _ in got)
 
 
 def test_embedding_neardup_gemm_string_id_falls_back(spark):
@@ -327,6 +340,9 @@ def test_result_cache_tail_sampling_above_file_cap(spark, tmp_path, monkeypatch)
     n_files = len(df.inputFiles())
     assert n_files > 2  # the cap is actually exceeded
     assert 0 < len(reads) < n_files  # strided sample, not every tail
+    # the cap is a real bound: ceil-division stride (floor left stride=1
+    # — every tail read — up to 2x the cap)
+    assert len(reads) <= ResultCache._MAX_TAIL_FILES
 
     # touching any ONE file still invalidates (size+mtime covers all)
     import os
@@ -653,3 +669,83 @@ def test_c4_line_clean_rules(spark):
     assert got[1]["clean_text"] == good + "\n" + good
     assert (got[1]["n_lines"], got[1]["n_kept"]) == (6, 2)
     assert got[4]["n_kept"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_content_ledger_replay_survives_compaction(spark, tmp_path):
+    """The exact ledger's keyed-replay exclusion is a stored batch_key
+    COLUMN, not a file path: a crash replay arriving AFTER compact()
+    folded the batch-<key>/ subdirs into flat files still excludes the
+    batch's own hashes (path-based exclusion would silently dedup the
+    batch against itself and admit nothing)."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    led = ContentHashLedger(spark, str(tmp_path / "led"))
+    batch = spark.createDataFrame(
+        [(1, "alpha text one"), (2, "beta text two")],
+        "doc_id: long, text: string",
+    )
+    s1 = {r.doc_id for r in led.ingest(batch, idempotency_key="b0").collect()}
+    assert s1 == {1, 2}
+    assert led.compact(1) == 2
+    # crash replay after compaction: same survivors, not zero
+    s2 = {r.doc_id for r in led.ingest(batch, idempotency_key="b0").collect()}
+    assert s2 == {1, 2}
+    # a DIFFERENT batch with the same content is still deduped
+    other = spark.createDataFrame(
+        [(10, "alpha text one"), (11, "fresh text")],
+        "doc_id: long, text: string",
+    )
+    s3 = {r.doc_id for r in led.ingest(other, idempotency_key="b1").collect()}
+    assert s3 == {11}
+
+
+def test_minhash_ledger_compact_sidecar_atomic(spark, tmp_path):
+    """compact() stages the params sidecar INSIDE the swapped-in directory
+    — at no point after the swap does the ledger exist unpinned (a crash
+    there would let a wrong-params reopen re-pin silently)."""
+    import os
+
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"), num_hashes=16,
+                                 bands=4)
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(30)))],
+        "doc_id: long, text: string",
+    )
+    led.ingest(batch)
+    assert led.compact() == 1
+    assert os.path.exists(os.path.join(str(tmp_path / "led"),
+                                       "_LEDGER_PARAMS.json"))
+    # wrong params still refuse to open post-compaction
+    with pytest.raises(ValueError, match="not comparable"):
+        MinHashSignatureLedger(spark, str(tmp_path / "led"), num_hashes=16,
+                               bands=8)
+
+
+def test_c4_line_clean_metachar_separator(spark):
+    """A separator containing regex metacharacters splits LITERALLY (the
+    split regex is \\Q-quoted) — it must reassemble what it split, not
+    explode the page per-character."""
+    from sql_data_warehouse_samples_spark.operators.text import c4_line_clean
+
+    good = "This line is long enough to keep."
+    bad = "short"
+    df = spark.createDataFrame(
+        [(1, f"{good}||{bad}||{good}")], "doc_id: long, text: string"
+    )
+    out = c4_line_clean(df, sep="||").collect()
+    assert len(out) == 1
+    assert out[0].clean_text == f"{good}||{good}"
+    assert out[0].n_lines == 3 and out[0].n_kept == 2
+    with pytest.raises(ValueError, match="regex-quote"):
+        c4_line_clean(df, sep="a\\Eb")
