@@ -558,6 +558,55 @@ def d23_bloom_decontamination(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# d24 — SimHash banding + Hamming verify against an EXACT analytic oracle
+# (the m02/d21 closed-form pattern, applied to d04's machinery).  d04 on
+# raw corpus text is rows-only BY NECESSITY: its near-dup pairs depend on
+# xxhash64 sign-sums DuckDB cannot compute — and a measured probe shows the
+# corpus's planted high-Jaccard near-dups DO collapse to Hamming 0, so no
+# text-level predicate reproduces the raw-corpus pair set.  Here the text
+# is SYNTHESIZED in closed form from doc_id (groups of 4 ids share one
+# token sequence; distinct groups use disjoint vocabularies, so their
+# sign-sum signatures are independent 64-bit vectors — equal only with
+# ~2^-64 coincidence, and deterministically unequal on this fixed id set):
+# at max_hamming=0 the EXPECTED pairs are exactly the within-group pairs,
+# which DuckDB derives from doc_id arithmetic alone.  This drives the full
+# production path — signature pass, banding explode, (band, bucket)
+# exchange, UNCAPPED bucket pairing (max_bucket=None, the ADVICE-r5 persist
+# path), Hamming verify — through a value-checked oracle.  d04 itself stays
+# registered on raw text (recall + bit-identical parity tests in pytest).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d24_simhash_identical_groups",
+    oracle=r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM ids a JOIN ids b
+  ON a.doc_id < b.doc_id AND (a.doc_id // 4) = (b.doc_id // 4)
+""",
+)
+def d24_simhash_identical_groups(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    grp = F.expr("doc_id DIV 4")
+    # group g's text: tokens "g<g>w<j>" for j in [0, 24 + g % 7) — identical
+    # within the group, vocabulary-disjoint across groups (the full token
+    # string parses to (g, j) unambiguously)
+    toks = F.transform(
+        F.sequence(F.lit(0), (F.lit(23) + grp % 7).cast("int")),
+        lambda j: F.concat(
+            F.lit("g"), grp.cast("string"), F.lit("w"), j.cast("string")
+        ),
+    )
+    planted = d.select("doc_id", F.array_join(toks, " ").alias("text"))
+    return D.simhash_dedup_pairs(
+        planted, "text", "doc_id", max_hamming=0, max_bucket=None
+    )
+
+
+# ---------------------------------------------------------------------------
 # d07+d19 — combined decontamination battery (one driver slot): the
 # any-shared-8-gram exact gate (d07, GPT-2/3 style) and the trigram
 # overlap-RATIO rule (d19, GPT-3 appendix / Gopher) are siblings — both
