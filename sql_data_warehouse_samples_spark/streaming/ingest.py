@@ -103,20 +103,25 @@ def ingest_pipeline(
     watermark: str = "1 hour",
     ledger=None,
     model_threshold: float | None = None,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
-    """The full stream: read → quality gate → [model gate] → dedup gate
-    (optionally anti-joined against a persistent content-hash ledger).
-    ``model_threshold`` adds the classifier stage (operators/model_filter
-    — mapInPandas runs per micro-batch in Structured Streaming; the
-    scorer initializes once per executor, not per batch).  Attach a sink
-    with ``writeStream`` (tests drive it with availableNow + a memory
-    sink; production writes parquet shards with a checkpoint)."""
+    """The full stream: read → quality gate → [model gate] →
+    [contamination gate] → dedup gate (optionally anti-joined against a
+    persistent content-hash ledger).  ``model_threshold`` adds the
+    classifier stage (operators/model_filter — mapInPandas runs per
+    micro-batch in Structured Streaming; the scorer initializes once per
+    executor, not per batch).  ``benchmark`` adds the one-sided Bloom
+    ``contamination_gate`` (built once at stream construction).  Attach a
+    sink with ``writeStream`` (tests drive it with availableNow + a
+    memory sink; production writes parquet shards with a checkpoint)."""
     docs = read_document_stream(spark, source_dir)
     gated = quality_gate(docs, min_tokens, min_score)
     if model_threshold is not None:
         from ..operators.model_filter import filter_by_model
 
         gated = filter_by_model(gated, model_threshold)
+    if benchmark is not None:
+        gated = contamination_gate(gated, benchmark=benchmark)
     return dedup_gate(gated, watermark, ledger=ledger)
 
 

@@ -732,3 +732,35 @@ def test_streaming_full_admission_sink(spark, tmp_path):
     assert {
         r.doc_id for r in pipe.near.signatures().select("doc_id").collect()
     } == {1, 2, 12}
+
+
+def test_ingest_pipeline_with_benchmark_gate(spark, tmp_path):
+    """ingest_pipeline(benchmark=...) inserts the contamination gate
+    between the quality and dedup gates: a quality-passing contaminated
+    doc is dropped; clean docs flow through unchanged."""
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval {bench_gram} answer")], "doc_id: long, text: string"
+    )
+    clean = " ".join(f"tok{i}" for i in range(40)) + "."
+    poisoned = f"prefix words {bench_gram} suffix words here."
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark, src, [[_doc_row(1, clean), _doc_row(2, poisoned)]], SI.DOC_SCHEMA
+    )
+    out = SI.ingest_pipeline(spark, src, benchmark=bench)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_bench_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id
+        for r in spark.sql("select doc_id from pipe_bench_gate").collect()
+    }
+    assert got == {1}
