@@ -781,12 +781,21 @@ class BloomGramFilter:
 
         return pandas_udf(_fn, BooleanType())
 
-    def any_gram_maybe(self, text_col: "Column | str") -> "Column":
+    def any_gram_maybe(
+        self, text_col: "Column | str", *, grams: bool = False
+    ) -> "Column":
         """Per-DOCUMENT maybe-contaminated boolean — no explode, no join,
         no row-count change: the append-mode-safe streaming shape.  Gram
         hash pairs ride as arrays (one transform-lambda xxhash64 per gram,
         the same per-gram hash work the batch explode pays) into ONE
         Arrow kernel call that flattens the batch and OR-reduces per doc.
+
+        ``grams=True`` marks ``text_col`` as a PRECOMPUTED distinct-gram
+        array column: both hash transforms then reference one materialized
+        attribute instead of each re-evaluating the gram construction
+        (tokenize + slice + concat per gram — the expensive part) —
+        callers filtering a wide stream should materialize the grams once
+        (see ``streaming.ingest.contamination_gate``).
         """
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -815,10 +824,13 @@ class BloomGramFilter:
                 out[nz] = np.logical_or.reduceat(hit, starts)
             return pd.Series(out)
 
-        grams = F.array_distinct(ngram_strings(text_col, self.n))
+        if grams:
+            garr = F.col(text_col) if isinstance(text_col, str) else text_col
+        else:
+            garr = F.array_distinct(ngram_strings(text_col, self.n))
         return pandas_udf(_fn, BooleanType())(
-            F.transform(grams, lambda g: F.xxhash64(g)),
-            F.transform(grams, lambda g: F.xxhash64(F.lit("bloom2"), g)),
+            F.transform(garr, lambda g: F.xxhash64(g)),
+            F.transform(garr, lambda g: F.xxhash64(F.lit("bloom2"), g)),
         )
 
     def contaminated_ids(

@@ -219,14 +219,21 @@ def contamination_gate(
     broadcast across gates; otherwise one is built from ``benchmark``
     at stream-construction time (static side, built exactly once).
     """
-    from ..operators.dedup import BloomGramFilter
+    from ..operators.dedup import BloomGramFilter, ngram_strings
 
     if (benchmark is None) == (bloom is None):
         raise ValueError("pass exactly one of benchmark / bloom")
     if bloom is None:
         bloom = BloomGramFilter(benchmark, text_col=text_col, n=n,
                                 bits_per_gram=bits_per_gram)
-    return docs.filter(~bloom.any_gram_maybe(text_col))
+    # materialize the gram array ONCE (tokenize+slice+concat per gram is
+    # the expensive part); both hash transforms reference the attribute
+    with_g = docs.withColumn(
+        "__cg_grams", F.array_distinct(ngram_strings(text_col, bloom.n))
+    )
+    return with_g.filter(
+        ~bloom.any_gram_maybe("__cg_grams", grams=True)
+    ).drop("__cg_grams")
 
 
 def admission_sink(
