@@ -93,7 +93,14 @@ HEADLINE = [
     "s10_pq_refine_topk",
     "s11_hybrid_rrf",
     "d23_bloom_decontamination",
-    "m03_image_dhash_pairs",
+    # m03 image-dhash is deliberately NOT benched (the d22 precedent): it
+    # is a correctness gate whose oracle REQUIRES uncapped buckets over a
+    # planted mod-140 class corpus — at sf0.1 that is ~36 identical images
+    # per class, so the exact pair set is quadratic in class density BY
+    # CONSTRUCTION (measured 32 s, all candidate-pair fan-out).  Its
+    # production pipeline costs are tracked where they are real: the
+    # decode pass via m02, the banded Hamming machinery (with star caps)
+    # via d04.
     "t19_c4_line_clean",
 ]
 
