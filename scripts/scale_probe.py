@@ -449,7 +449,9 @@ def bpe_ladder() -> None:
         row["collected_identical"] = coll == merges_by_bs[1]
         # ENFORCE the exactness the docstring (and PERFORMANCE.md) claim —
         # a silent divergence buried in JSON is not an exactness proof
-        assert row["identical"] and row["collected_identical"], row
+        # (explicit raise: a bare assert vanishes under python -O)
+        if not (row["identical"] and row["collected_identical"]):
+            raise AssertionError(f"merge-list divergence: {row}")
         row["speedup"] = (
             round(row["bs1_sec"] / row["bs16_sec"], 2) if row["bs16_sec"] else 0
         )

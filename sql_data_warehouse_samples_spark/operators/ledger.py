@@ -114,10 +114,11 @@ class ContentHashLedger:
 
         ``idempotency_key`` makes the admission REPLAYABLE (same contract
         as the signature ledger): the corpus side excludes this batch's
-        own previously-appended ``batch-<key>/`` files (else a crash
-        between the append and the downstream corpus write turns the
-        replay into "everything is a dup of itself"), and the append
-        overwrites the keyed subdirectory instead of accumulating.
+        own previously-appended hashes — matched by the STORED
+        ``batch_key`` column (else a crash between the append and the
+        downstream corpus write turns the replay into "everything is a
+        dup of itself"), and the append overwrites the keyed
+        ``batch-<key>/`` subdirectory instead of accumulating.
         """
         from .dedup import incremental_dedup
 
@@ -125,11 +126,19 @@ class ContentHashLedger:
         key = None
         if idempotency_key is not None:
             key = _safe_key(idempotency_key)
-            # exclude by the STORED batch_key column (compact-safe; the
-            # batch-<key>/ path would stop matching after compact())
-            corpus_hashes = corpus_hashes.filter(
-                F.col("batch_key").isNull() | (F.col("batch_key") != key)
+            # exclude by the STORED batch_key column (compact-safe; a
+            # batch-<key>/ path match would stop matching after compact()
+            # folds the subdirs away).  Legacy rows written before the
+            # column existed read as batch_key=NULL — for those, fall
+            # back to the path match (their files, by definition, have
+            # never been compacted under the new schema).  eqNullSafe:
+            # a plain != would evaluate NULL on legacy rows and the
+            # filter would silently drop the whole legacy corpus side.
+            own = F.col("batch_key").eqNullSafe(F.lit(key)) | (
+                F.col("batch_key").isNull()
+                & F.input_file_name().contains(f"/batch-{key}/")
             )
+            corpus_hashes = corpus_hashes.filter(~own)
         fresh = incremental_dedup(
             batch, corpus=None, text_col=text_col, id_col=id_col,
             corpus_hashes=corpus_hashes,

@@ -749,3 +749,47 @@ def test_c4_line_clean_metachar_separator(spark):
     assert out[0].n_lines == 3 and out[0].n_kept == 2
     with pytest.raises(ValueError, match="regex-quote"):
         c4_line_clean(df, sep="a\\Eb")
+
+
+def test_content_ledger_legacy_rows_replay_fallback(spark, tmp_path):
+    """Ledger files written BEFORE the batch_key column existed read as
+    batch_key=NULL; a keyed replay must still exclude its own legacy
+    batch-<key>/ rows (path fallback) while keeping every OTHER legacy
+    row on the corpus side (null-safe equality — a plain != would
+    evaluate NULL and silently drop the whole legacy corpus side)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        normalized_text,
+    )
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    path = str(tmp_path / "led")
+    batch = spark.createDataFrame(
+        [(1, "alpha text one"), (2, "beta text two")],
+        "doc_id: long, text: string",
+    )
+    # simulate the pre-upgrade layout: ONE-column parquet, keyed subdir
+    batch.select(
+        F.md5(normalized_text("text")).alias("content_hash")
+    ).write.parquet(f"{path}/batch-b0")
+    # plus a legacy un-keyed flat append of different content
+    spark.createDataFrame(
+        [(9, "gamma text nine")], "doc_id: long, text: string"
+    ).select(F.md5(normalized_text("text")).alias("content_hash")).write.mode(
+        "append"
+    ).parquet(path)
+
+    led = ContentHashLedger(spark, path)
+    # crash replay of b0: its own legacy rows are excluded -> full batch
+    # survives (not zero); the legacy un-keyed row still dedups content
+    s = {r.doc_id for r in led.ingest(batch, idempotency_key="b0").collect()}
+    assert s == {1, 2}
+    mixed = spark.createDataFrame(
+        [(10, "gamma text nine"), (11, "fresh text")],
+        "doc_id: long, text: string",
+    )
+    s2 = {r.doc_id for r in led.ingest(mixed, idempotency_key="b1").collect()}
+    assert s2 == {11}
