@@ -506,3 +506,26 @@ def test_t19_c4_clean_is_map_only(spark):
     assert count_exchanges(df) == 0
     assert "Generate" not in plan  # no explode
     assert plan.count("Scan parquet") == 1
+
+
+def test_st5_contamination_gate_map_only(spark):
+    """The streaming contamination gate is ONE map-only stage: no
+    Exchange, no Join anywhere — a per-doc Arrow membership kernel over a
+    broadcast-variable Bloom (that is what makes it append-mode safe and
+    the cheapest possible stream gate)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        BloomGramFilter,
+    )
+    from sql_data_warehouse_samples_spark.streaming.ingest import (
+        contamination_gate,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    plan = plan_str(contamination_gate(docs, bloom=BloomGramFilter(bench)))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan  # the membership kernel, Arrow-batched
