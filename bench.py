@@ -1,8 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (the driver keeps only a ~2000-char tail of
+stdout — round 6's verbose single line grew to ~4.2 KB and the official
+record was lost).  The emission contract is therefore split:
+
+* stdout: ONE compact line — metric / value / per-query seconds at 2 dp /
+  sf / sf1 total — length-tested to stay under 1900 chars as the headline
+  set grows (tests/test_bench_emission.py).
+* ``BENCH_full_r{N}.json`` at the repo root: the verbose payload (per-rep
+  raw times, spreads, sf1 section, protocol notes) for round-over-round
+  adjudication without a local re-run.
 
 Execution is materialized through the `noop` sink so timing covers the full
 plan (scan → shuffle → agg) without driver-collect overhead, matching how a
@@ -11,8 +19,10 @@ cluster job would be measured.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -107,6 +117,64 @@ HEADLINE = [
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def infer_round(repo_root: str = REPO_ROOT) -> int:
+    """Current round number: $SPARK_GRAFT_ROUND, else max(BENCH_r*.json)+1.
+
+    The driver writes ``BENCH_r{N}.json`` AFTER the round, so during round
+    N the repo holds records r1..r{N-1} and the inferred value is N.
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = []
+    for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    return (max(rounds) + 1) if rounds else 1
+
+
+def build_compact(payload: dict) -> dict:
+    """The driver-facing record: everything adjudication needs, nothing
+    that grows unboundedly.  Per-query values at 2 dp; spreads, raw reps
+    and prose live in the full-payload file named by ``full``."""
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
+        "sf": payload["sf"],
+    }
+    sf1 = payload.get("sf1")
+    if isinstance(sf1, dict) and "total_sec" in sf1:
+        compact["sf1_total"] = sf1["total_sec"]
+    if payload.get("full_record"):
+        compact["full"] = payload["full_record"]
+    return compact
+
+
+def compact_line(payload: dict) -> str:
+    return json.dumps(build_compact(payload), separators=(",", ":"))
+
+
+def emit(payload: dict, repo_root: str = REPO_ROOT) -> None:
+    """Write the verbose payload to BENCH_full_r{N}.json, print the compact
+    line LAST so the driver's stdout-tail capture always contains it."""
+    round_n = infer_round(repo_root)
+    full_name = f"BENCH_full_r{round_n:02d}.json"
+    payload["full_record"] = full_name
+    try:
+        with open(os.path.join(repo_root, full_name), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:  # never let the record file break the stdout line
+        print(f"bench: could not write {full_name}: {e}", file=sys.stderr)
+        payload.pop("full_record", None)
+    print(compact_line(payload))
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +346,8 @@ def main() -> None:
         "rep_protocol": "interleaved rounds; per-query MIN recorded; "
         "spread = max/min per query (>2 = host steal, not plan)",
         "spread": spread,
+        # per-rep raw times so a future steal adjudication needs no re-run
+        "raw": {n: [round(t, 3) for t in ts] for n, ts in reps.items()},
     }
 
     # secondary sf1 point (never allowed to break the primary line)
@@ -309,13 +379,18 @@ def main() -> None:
                 "total_sec": round(sum(sf1_timings.values()), 3),
                 "note": "10x synthesized corpus (mutually-distinct copies); "
                 "documents/embeddings ops only; min-of-reps like the primary",
+                "raw": {
+                    n: [round(t, 3) for t in ts]
+                    for n, ts in sf1_reps.items()
+                    if ts
+                },
             }
             if sf1_errors:
                 payload["sf1"]["errors"] = sf1_errors
         except Exception as e:  # noqa: BLE001
             payload["sf1"] = {"error": str(e)[:300]}
 
-    print(json.dumps(payload))
+    emit(payload)
 
 
 if __name__ == "__main__":
