@@ -75,14 +75,11 @@ DRIVER_PRIORITY: list[str] = [
     "q01_pricing_summary",
     "q03_q05_star_battery",  # J1 + J13 stars (folds q03 + q05)
     "q04_q17_semi_battery",  # J10 EXISTS + J12 IN semi (folds q04 + q17)
-    "q07_distinct_pairs",
+    "q07_q15_pairs_battery",  # O4 DISTINCT + J8 self-join (folds q07 + q15)
     "q55_union_battery",  # U1 + U4 (folds q08 + q43)
-    "q11_customers_without_orders",
-    "q54_outer_join_battery",  # J5 + J6 (folds q12 + q13)
-    "q15_self_join_pairs",
+    "q11_q54_outer_battery",  # J4 left-isnull + J5/J6 (folds q11 + q54)
     "q18_distribution_skew",
-    "q21_count_distinct",
-    "q22_nested_aggregation",
+    "q21_q22_agg_battery",  # A5 count-distinct + A10 agg-of-agg (q21 + q22)
     "q44_composite_key_join",
     "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
     # window functions (q28 carries W2 RANK + W3 lag/moving + W4 frames)
@@ -151,6 +148,18 @@ DRIVER_PRIORITY: list[str] = [
     "d21_incremental_neardup_ledger",
     "t18_heavy_hitter_tokens",
     "d22_admission_pipeline",
+    # round-7 rotation: three more relational folds (q07+q15 pairs battery,
+    # q11 into the q54 outer battery, q21+q22 agg battery — each family
+    # keeps an in-window exemplar inside its battery; the standalone
+    # queries stay registered post-window with their own oracles) free
+    # three slots for the round-6 flagships, ALL exact-oracle: d23
+    # (Bloom-prefiltered decontamination — the 100 TB decon shape), s10
+    # (PQ + exact-refine retrieval — the FAISS IndexRefineFlat pattern),
+    # t19 (C4 line-rule cleaning — plan-locked map-only).  Window oracle
+    # density stays 47 of 50 (d03/d04/p01 remain rows-only by design).
+    "d23_bloom_decontamination",
+    "s10_pq_refine_topk",
+    "t19_c4_line_clean",
 ]
 
 

@@ -1619,3 +1619,226 @@ def q63_dominant_suppliers(spark, sf_dir):
         .select("s_name", F.col("l_partkey").alias("p_partkey"), "qty", "total_qty")
         .orderBy("s_name", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q07+q15 battery — round-7 rotation: DISTINCT projection (O4,
+# query_memory_usage.sql:22-32) and self-join pairs (J8,
+# MemoryConsumption.sql:24-35) in ONE driver slot.  Results align on a
+# (family, k, n) shape; the standalone exemplars stay registered
+# post-window with their own oracles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_q15_pairs_battery",
+    oracle="""
+SELECT 'q07_distinct' AS family,
+       o_orderstatus || '|' || o_orderpriority AS k,
+       CAST(1 AS BIGINT) AS n
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+UNION ALL
+SELECT 'q15_self_join' AS family,
+       CAST(l1.l_orderkey AS VARCHAR) AS k,
+       COUNT(*) AS n
+FROM lineitem l1
+JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+WHERE l1.l_quantity > 45 AND l2.l_quantity > 45
+GROUP BY 2
+""",
+)
+def q07_q15_pairs_battery(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    distinct_part = (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .select(
+            F.lit("q07_distinct").alias("family"),
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("k"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs_part = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        )
+        .groupBy(F.col("l1.l_orderkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("q15_self_join").alias("family"), "k", "n")
+    )
+    return distinct_part.unionByName(pairs_part)
+
+
+# ---------------------------------------------------------------------------
+# q11+q54 battery — round-7 rotation: LEFT-OUTER + IS NULL probing (J4/P7,
+# vw_table_sizes.sql:50-51, sp_create_statistics.sql:56) and the RIGHT/FULL
+# OUTER pair (J5/J6, vw_sql_requests.sql:21-22, white-papers/...md:261) in
+# ONE driver slot.  The q54 branch keeps the region filters that give each
+# full-outer side exclusive keys so both preserved-null directions fire.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_q54_outer_battery",
+    oracle="""
+WITH cs AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+cn AS (
+  SELECT n.n_nationkey AS nationkey, n.n_name,
+         COALESCE(cs.n_cust, 0) AS n_cust
+  FROM cs RIGHT JOIN nation n ON cs.nk = n.n_nationkey
+  WHERE n.n_regionkey <= 2
+),
+sn AS (
+  SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_supp
+  FROM supplier s JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE n2.n_regionkey >= 2 AND s.s_acctbal > 9000
+  GROUP BY s.s_nationkey
+)
+SELECT 'q54_right_full_outer' AS family,
+       CAST(COALESCE(cn.nationkey, sn.nationkey) AS VARCHAR)
+         || ':' || COALESCE(cn.n_name, '~') AS k,
+       COALESCE(cn.n_cust, 0) AS n_a,
+       COALESCE(sn.n_supp, 0) AS n_b
+FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+UNION ALL
+SELECT 'q11_left_isnull' AS family,
+       c.c_mktsegment AS k,
+       COUNT(*) AS n_a,
+       CAST(0 AS BIGINT) AS n_b
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IS NULL
+GROUP BY c.c_mktsegment
+""",
+)
+def q11_q54_outer_battery(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders")
+    cs = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    cn = (
+        cs.join(n, cs.nk == n.n_nationkey, "right")
+        .filter(F.col("n_regionkey") <= 2)
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+    )
+    sn = (
+        s.join(n.alias("n2"), s.s_nationkey == F.col("n2.n_nationkey"))
+        .filter((F.col("n2.n_regionkey") >= 2) & (F.col("s_acctbal") > 9000))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    cn_a, sn_a = cn.alias("cn"), sn.alias("sn")
+    outer_part = (
+        cn_a.join(sn_a, F.col("cn.nationkey") == F.col("sn.nationkey"), "full_outer")
+        .select(
+            F.lit("q54_right_full_outer").alias("family"),
+            F.concat(
+                F.coalesce(F.col("cn.nationkey"), F.col("sn.nationkey")).cast("string"),
+                F.lit(":"),
+                F.coalesce(F.col("cn.n_name"), F.lit("~")),
+            ).alias("k"),
+            F.coalesce(F.col("cn.n_cust"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("sn.n_supp"), F.lit(0)).alias("n_b"),
+        )
+    )
+    isnull_part = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .groupBy(F.col("c_mktsegment").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .select(
+            F.lit("q11_left_isnull").alias("family"),
+            "k",
+            "n_a",
+            F.lit(0).cast("long").alias("n_b"),
+        )
+    )
+    return outer_part.unionByName(isnull_part)
+
+
+# ---------------------------------------------------------------------------
+# q21+q22 battery — round-7 rotation: multi COUNT(DISTINCT) (A5,
+# vw_table_space_summary.sql:12) and aggregate-of-aggregate via derived
+# table (A10, MemoryGrant.sql:6-55) in ONE driver slot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_q22_agg_battery",
+    oracle="""
+SELECT 'q21_count_distinct' AS family,
+       l_returnflag AS k,
+       COUNT(DISTINCT l_suppkey) AS n_a,
+       COUNT(DISTINCT l_partkey) AS n_b,
+       COUNT(*) AS n_c,
+       CAST(NULL AS DOUBLE) AS total
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'q22_nested_agg' AS family,
+       CAST(n_orders AS VARCHAR) AS k,
+       COUNT(*) AS n_a,
+       CAST(0 AS BIGINT) AS n_b,
+       CAST(0 AS BIGINT) AS n_c,
+       CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+GROUP BY 2
+""",
+)
+def q21_q22_agg_battery(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    cd_part = (
+        li.groupBy(F.col("l_returnflag").alias("k"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_a"),
+            F.countDistinct("l_partkey").alias("n_b"),
+            F.count(F.lit(1)).alias("n_c"),
+        )
+        .select(
+            F.lit("q21_count_distinct").alias("family"),
+            "k",
+            "n_a",
+            "n_b",
+            "n_c",
+            F.lit(None).cast("double").alias("total"),
+        )
+    )
+    o = tbl(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "spend"),
+    )
+    nested_part = (
+        per_cust.groupBy(F.col("n_orders").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_a"), dsum("spend", "total"))
+        .select(
+            F.lit("q22_nested_agg").alias("family"),
+            "k",
+            "n_a",
+            F.lit(0).cast("long").alias("n_b"),
+            F.lit(0).cast("long").alias("n_c"),
+            "total",
+        )
+    )
+    return cd_part.unionByName(nested_part)

@@ -57,6 +57,9 @@ def test_driver_priority_window_pinned():
         "t14_curation_pipeline", "s09_knn_join", "t16_bpe_pair_counts",
         "d21_incremental_neardup_ledger", "t18_heavy_hitter_tokens",
         "d22_admission_pipeline", "q04_q17_semi_battery",
+        "q07_q15_pairs_battery", "q11_q54_outer_battery",
+        "q21_q22_agg_battery", "d23_bloom_decontamination",
+        "s10_pq_refine_topk", "t19_c4_line_clean",
     ]:
         assert must in window, must
     # everything in the window has either an oracle or a rows-only design
