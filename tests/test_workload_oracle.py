@@ -71,6 +71,32 @@ def test_driver_priority_window_pinned():
     }
 
 
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md is the §2 → proof map a fresh context trusts; its header
+    counts drifted a full round behind the registry once (round 6).  Pin
+    the stated totals to the live registry so the doc can't silently rot."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as f:
+        head = f.read(2000)
+    m = re.search(
+        r"\*\*(\d+) named queries total; (\d+) carry exact DuckDB oracles\*\*",
+        head,
+    )
+    assert m, "COVERAGE.md header must state query/oracle totals in bold"
+    n_queries, n_oracles = int(m.group(1)), int(m.group(2))
+    assert n_queries == len(workload.QUERIES), (
+        f"COVERAGE.md says {n_queries} queries; registry has "
+        f"{len(workload.QUERIES)} — update the COVERAGE.md header"
+    )
+    assert n_oracles == len(workload.ORACLES), (
+        f"COVERAGE.md says {n_oracles} oracles; registry has "
+        f"{len(workload.ORACLES)} — update the COVERAGE.md header"
+    )
+
+
 def test_approx_quantile_scale_path(spark):
     """t06 uses exact percentile() for oracle parity; the 100 TB path is
     percentile_approx (mergeable t-digest).  Both must agree within 2%."""
