@@ -72,7 +72,9 @@ def run_one() -> None:
     print(
         json.dumps(
             {
-                "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+                # label with the EFFECTIVE heap (session.py defaults to 8g) so a
+                # bare --run without the env var reports what it measured
+                "heap": spark.conf.get("spark.driver.memory"),
                 "total_min_sec": round(sum(out.values()), 3),
                 "queries": out,
             }

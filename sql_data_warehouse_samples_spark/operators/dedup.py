@@ -160,6 +160,31 @@ def minhash_signatures(
 #: empty-doc sentinel bucket) would otherwise make one bucket quadratic.
 DEFAULT_MAX_BUCKET = 128
 
+#: Hot-path caches (persist() frames inside _candidate_pairs and the ledger
+#: verify) awaiting release.  The pairs frame is returned LAZILY, so the
+#: producer cannot unpersist before the caller materializes; left alone the
+#: MEMORY_AND_DISK blocks accumulate across repeated dedup calls in a
+#: long-lived session until executor storage thrashes.  Each TOP-LEVEL
+#: dedup entry point (minhash/simhash/embedding pairs, semantic_dedup,
+#: ledger near_dups/ingest) releases the previous op's caches on entry —
+#: bounding the live set to one operation — and eager materializers
+#: (ledger ingest) also release as soon as their result is checkpointed.
+#: Inner helpers (_candidate_pairs, _near_dups_signed) only REGISTER —
+#: releasing there would clobber a sibling stage's cache mid-operation.
+#: Releasing a frame a concurrent job still references is safe — Spark
+#: recomputes.
+_HOT_CACHES: list = []
+
+
+def release_hot_caches() -> None:
+    """Unpersist dedup's outstanding hot-path caches (see _HOT_CACHES)."""
+    while _HOT_CACHES:
+        df = _HOT_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
 
 def _candidate_pairs(
     banded: DataFrame,
@@ -200,6 +225,7 @@ def _candidate_pairs(
             .withColumn("__rep", F.min(F.struct("__id", *payload)).over(w))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        _HOT_CACHES.append(annotated)
         star = (
             annotated.filter(
                 (F.col("__n") > max_bucket)
@@ -220,6 +246,7 @@ def _candidate_pairs(
         # persist it so the upstream signature pass runs once, mirroring
         # the capped branch's cache (else the corpus is hashed twice)
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        _HOT_CACHES.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(
@@ -254,6 +281,7 @@ def minhash_lsh_candidates(
     are hashes, so co-located and skew-free at any scale; per-bucket work is
     bounded by ``max_bucket`` (see _candidate_pairs).
     """
+    release_hot_caches()  # top-level entry: drop the previous op's caches
     sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
     with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
     return _banded_candidates(with_sig, num_hashes, bands, max_bucket)
@@ -316,6 +344,7 @@ def minhash_dedup_pairs(
 
     from .similarity import _spread
 
+    release_hot_caches()  # top-level entry: drop the previous op's caches
     # spread by cores before the expensive shingle/signature projection —
     # a single-file corpus otherwise tokenizes on one task (no-op when the
     # scan already has enough splits, so nothing shuffles at scale)
@@ -326,6 +355,7 @@ def minhash_dedup_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _HOT_CACHES.append(sh)
     with_sig = minhash_signatures(sh, num_hashes, sig_strategy)
     cands = _banded_candidates(with_sig, num_hashes, bands, max_bucket)
     return (
@@ -376,6 +406,7 @@ def embedding_neardup_pairs(
       recall at high thresholds (near-identical vectors agree on most sign
       bits), cost ~ bucket sizes instead of n².
     """
+    release_hot_caches()  # top-level entry: drop the previous op's caches
     from .similarity import _hyperplanes, _spread, dot, lsh_bucket, norm
 
     if blocking is None and impl == "gemm":
@@ -589,6 +620,7 @@ def hamming_neardup_pairs(
     the verify reads sim_a/sim_b off the candidate rows — no join back to a
     signature table, ONE (band, bh) exchange total.
     """
+    release_hot_caches()  # top-level entry: drop the previous op's caches
     chunk = 64 // bands
     # null signatures (e.g. undecodable images) can never verify — drop
     # them before the explode instead of shipping null-keyed buckets
@@ -1104,6 +1136,7 @@ def semantic_dedup(
     Prune math is float64 with a sequential fold and ``round_to`` rounding,
     so an ANSI-SQL oracle reproduces it bit-for-bit (workload d12).
     """
+    release_hot_caches()  # top-level entry: drop the previous op's caches
     from pyspark import StorageLevel
 
     from .similarity import assign_centroids, dot, norm
@@ -1122,6 +1155,7 @@ def semantic_dedup(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _HOT_CACHES.append(base)
     # FOUR plan branches consume base (bucket frame, both pair-join payload
     # sides, the survivor anti-join) — without the cache each one would
     # recompute the argmin centroid fold over the whole corpus.

@@ -120,7 +120,7 @@ class ContentHashLedger:
         dup of itself"), and the append overwrites the keyed
         ``batch-<key>/`` subdirectory instead of accumulating.
         """
-        from .dedup import incremental_dedup
+        from .dedup import incremental_dedup, normalized_text
 
         corpus_hashes = self.hashes()
         key = None
@@ -138,6 +138,27 @@ class ContentHashLedger:
                 F.col("batch_key").isNull()
                 & F.input_file_name().contains(f"/batch-{key}/")
             )
+            # key-reuse guard: this key's stored hashes are a prior
+            # replay's SURVIVORS — always a subset of their batch's hash
+            # set.  A stored hash absent from the current batch means the
+            # key is being re-used for DIFFERENT content (e.g. micro-batch
+            # ids restarting at 0 after a checkpoint reset); the keyed
+            # overwrite below would silently delete unrelated ledger
+            # state, so refuse instead.
+            batch_hashes = batch.select(
+                F.md5(normalized_text(text_col)).alias("content_hash")
+            )
+            foreign = corpus_hashes.filter(own).join(
+                batch_hashes, "content_hash", "left_anti"
+            )
+            if foreign.limit(1).count():
+                raise ValueError(
+                    f"idempotency_key {key!r} was previously used for a "
+                    "different batch (stored hashes are not a subset of "
+                    "this batch); replaying it would overwrite unrelated "
+                    "ledger state — use a run-scoped key "
+                    "(e.g. <query-run-id>-<batch-id>) or a new ledger"
+                )
             corpus_hashes = corpus_hashes.filter(~own)
         fresh = incremental_dedup(
             batch, corpus=None, text_col=text_col, id_col=id_col,
@@ -277,6 +298,7 @@ class MinHashSignatureLedger:
         from pyspark.sql.types import (
             ArrayType,
             LongType,
+            StringType,
             StructField,
             StructType,
         )
@@ -285,6 +307,15 @@ class MinHashSignatureLedger:
             [
                 StructField("doc_id", LongType(), False),
                 StructField("sig", ArrayType(LongType(), False), False),
+                # the admitting idempotency key (NULL for un-keyed appends)
+                # — a DATA column like the content ledger's, so keyed-replay
+                # exclusion survives compact() folding batch-<key>/ subdirs
+                # away, and so exclusion matches THIS batch's prior rows
+                # only (a doc_id match would silently drop any ledger row
+                # whose id collides with a batch id, admitting near-dups).
+                # Legacy files without the column read as NULL under the
+                # explicit schema.
+                StructField("batch_key", StringType(), True),
             ]
         )
 
@@ -380,6 +411,9 @@ class MinHashSignatureLedger:
         reported as the match, not whether a match is found (same trade
         as the in-batch _candidate_pairs star fallback).
         """
+        from .dedup import release_hot_caches
+
+        release_hot_caches()  # top-level entry: drop the previous op's caches
         bsig = self._signed(batch, text_col, id_col)
         return self._near_dups_signed(bsig, self.signatures(), threshold, max_bucket)
 
@@ -396,7 +430,11 @@ class MinHashSignatureLedger:
         from pyspark import StorageLevel
         from pyspark.sql import Window
 
+        from .dedup import _HOT_CACHES
+
         bsig = bsig.persist(StorageLevel.MEMORY_AND_DISK)
+        _HOT_CACHES.append(bsig)  # released by the next dedup call or an
+        # eager materializer (ingest) — see dedup.release_hot_caches
         lband = self._banded(lsig)
         w = Window.partitionBy("band", "bh").orderBy("doc_id")
         lband = (
@@ -446,27 +484,61 @@ class MinHashSignatureLedger:
         signature scan + band join, never a text read.
 
         ``idempotency_key`` makes the admission REPLAYABLE (the streaming
-        ``neardup_admission_sink`` passes the micro-batch id): the
-        ledger side excludes this batch's own doc ids before the
-        near-dup check (so a crash between the signature append and the
-        downstream corpus write cannot turn the replay into "everything
-        is a dup of itself"), and the signature append overwrites a
-        per-key ``batch-<key>/`` subdirectory instead of accumulating —
-        re-running the same key converges to the same ledger state and
-        the same survivor set.
+        ``neardup_admission_sink`` passes a run-scoped micro-batch key):
+        the ledger side excludes this batch's OWN prior appends — matched
+        by the stored ``batch_key`` column, never by doc_id (an id match
+        would silently drop any unrelated ledger row whose doc_id collides
+        with a batch id, admitting a near-duplicate) — so a crash between
+        the signature append and the downstream corpus write cannot turn
+        the replay into "everything is a dup of itself"; the signature
+        append overwrites a per-key ``batch-<key>/`` subdirectory instead
+        of accumulating, so re-running the same key converges to the same
+        ledger state and survivor set.  Re-USING a key for DIFFERENT
+        content (e.g. micro-batch ids restarting at 0 after a checkpoint
+        reset) is refused: it would delete unrelated prior ledger state.
         """
         from pyspark.sql import Window
 
-        from .dedup import _candidate_pairs
+        from .dedup import _candidate_pairs, release_hot_caches
 
+        release_hot_caches()  # top-level entry: drop the previous op's caches
         signed = self._signed(batch, text_col, id_col).localCheckpoint(
             eager=True
         )
         lsig = self.signatures()
+        key = None
         if idempotency_key is not None:
-            lsig = lsig.join(
-                signed.select("doc_id"), "doc_id", "left_anti"
+            key = _safe_key(idempotency_key)
+            own = F.col("batch_key").eqNullSafe(F.lit(key)) | (
+                # legacy rows (written before the column existed) read as
+                # batch_key=NULL — fall back to the path match for those;
+                # eqNullSafe above keeps NULL-keyed foreign rows IN the
+                # corpus side rather than evaluating to NULL and dropping
+                F.col("batch_key").isNull()
+                & F.input_file_name().contains(f"/batch-{key}/")
             )
+            stored_own = lsig.filter(own)
+            # key-reuse guard: this key's stored rows must be a subset of
+            # the current batch (same doc ids, same signatures) — stored
+            # rows are a prior replay's SURVIVORS, always ⊆ their batch.
+            # Anything else means the key is being re-used for different
+            # content and the overwrite below would destroy ledger state.
+            foreign = stored_own.join(
+                signed.select("doc_id", F.col("sig").alias("__bsig")),
+                "doc_id",
+                "left",
+            ).filter(
+                F.col("__bsig").isNull() | (F.col("sig") != F.col("__bsig"))
+            )
+            if foreign.limit(1).count():
+                raise ValueError(
+                    f"idempotency_key {key!r} was previously used for a "
+                    "different batch (stored signatures are not a subset "
+                    "of this batch); replaying it would overwrite "
+                    "unrelated ledger state — use a run-scoped key "
+                    "(e.g. <query-run-id>-<batch-id>) or a new ledger"
+                )
+            lsig = lsig.filter(~own)
         # cross near-dups vs ledger
         cross = (
             self._near_dups_signed(signed, lsig, threshold, max_bucket)
@@ -495,16 +567,20 @@ class MinHashSignatureLedger:
         survivors = batch.join(
             dropped, batch[id_col] == dropped["doc_id"], "left_anti"
         ).localCheckpoint(eager=True)
+        # the verdict is materialized — release the banding/verify caches
+        # so repeated ingests in a long-lived session don't accumulate
+        # MEMORY_AND_DISK blocks
+        release_hot_caches()
         # reuse the checkpointed signatures — never re-shingle the text
         sig_out = signed.join(
             survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
-        )
+        ).withColumn("batch_key", F.lit(key).cast("string"))
         self._check_params(write=True)
-        if idempotency_key is None:
+        if key is None:
             sig_out.write.mode("append").parquet(self.path)
         else:
             sig_out.write.mode("overwrite").parquet(
-                f"{self.path}/batch-{_safe_key(idempotency_key)}"
+                f"{self.path}/batch-{key}"
             )
         return survivors
 
@@ -515,8 +591,11 @@ class MinHashSignatureLedger:
         the distinct-doc count."""
         from .dirswap import swap_in
 
+        # keep the (non-null) batch_key with each doc so keyed-replay
+        # exclusion and the key-reuse guard survive compaction
         distinct = self.signatures().groupBy("doc_id").agg(
-            F.max("sig").alias("sig")
+            F.max("sig").alias("sig"),
+            F.max("batch_key").alias("batch_key"),
         )
         if n_files:
             distinct = distinct.repartition(n_files)

@@ -453,7 +453,11 @@ def image_dhash(
                     pos = np.arange(64, dtype=np.uint64).reshape(hash_h, hash_w)
                     sig = int((bits << pos).sum(dtype=np.uint64).view(np.int64))
                     rows.append((mid, sig, int(w), int(h)))
-                except (NotImplementedError, ValueError, IndexError):
+                except Exception:  # noqa: BLE001 — "undecodable yields
+                    # NULL" must hold for ANY decode failure: a pluggable
+                    # decoder can raise TypeError/struct.error/OSError or a
+                    # numpy reshape error on a truncated payload, and one
+                    # corrupt image must not kill a 100 TB pass
                     rows.append((mid, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "dhash", "width", "height"]

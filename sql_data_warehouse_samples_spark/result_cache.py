@@ -67,6 +67,17 @@ class ResultCache:
     #: (any rewrite changes the file listing or sizes) — plus tails for a
     #: deterministic sample, so the footer-content guard is kept on a
     #: bounded budget.
+    #:
+    #: DOCUMENTED WEAKENING above the cap: a content rewrite that preserves
+    #: all three of (path, size, mtime) for a NON-sampled file — e.g. a
+    #: staged-swap writer that deliberately restores mtimes onto
+    #: byte-different same-size files — yields a stale hit.  Every cheaper
+    #: per-file proxy (footer-length bytes, row-count from metadata) still
+    #: pays the one open() per file the cap exists to avoid, so the
+    #: trade-off is inherent: raise ``_MAX_TAIL_FILES`` (or set it above
+    #: the table's file count) where that writer pattern is in play, or
+    #: rely on this engine's own writers, whose staged swaps produce fresh
+    #: inodes with fresh mtimes (dirswap never restores timestamps).
     _MAX_TAIL_FILES = 256
 
     @classmethod

@@ -125,6 +125,29 @@ def ingest_pipeline(
     return dedup_gate(gated, watermark, ledger=ledger)
 
 
+def _run_scoped_key(checkpoint: str, batch_id: int) -> str:
+    """Idempotency key for a micro-batch, scoped by the streaming query id.
+
+    Micro-batch ids restart at 0 when a checkpoint is RESET, so a raw
+    ``str(batch_id)`` key would collide across checkpoint generations and
+    the keyed ``batch-<key>/`` overwrite would destroy the old
+    generation's ledger rows (the ledgers now refuse such reuse loudly).
+    Spark pins a query id in ``<checkpoint>/metadata`` at query start —
+    stable across restarts of the SAME checkpoint (replays keep their
+    key), fresh when the checkpoint is reset (no collision).  Falls back
+    to the raw batch id if the metadata is unreadable (pre-start calls,
+    exotic checkpoint stores)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            qid = str(json.load(f)["id"])
+        return f"{qid.replace('-', '')[:12]}-{batch_id}"
+    except (OSError, ValueError, KeyError, TypeError):
+        return str(batch_id)
+
+
 def neardup_admission_sink(
     stream: DataFrame,
     sig_ledger,
@@ -153,9 +176,10 @@ def neardup_admission_sink(
     Exactly-once EFFECT under foreachBatch's at-least-once replay, with no
     transaction log:
 
-    * the ledger append is keyed by micro-batch id — a replay OVERWRITES
-      ``batch-<id>/`` rather than appending twice, and the near-dup check
-      excludes the batch's own doc ids from the ledger side, so a crash
+    * the ledger append is keyed by a run-scoped micro-batch key
+      (``_run_scoped_key``) — a replay OVERWRITES ``batch-<key>/`` rather
+      than appending twice, and the near-dup check excludes the batch's
+      own prior rows by their stored ``batch_key`` column, so a crash
       after the signature append cannot make the replay drop the whole
       batch as "dups of itself" (ledger.ingest idempotency_key contract);
     * the corpus write lands in a ``__ingest_batch=<id>`` partition via
@@ -174,7 +198,7 @@ def neardup_admission_sink(
             id_col=id_col,
             threshold=threshold,
             max_bucket=max_bucket,
-            idempotency_key=str(batch_id),
+            idempotency_key=_run_scoped_key(checkpoint, batch_id),
         )
         (
             survivors.withColumn("__ingest_batch", F.lit(batch_id))
@@ -199,6 +223,7 @@ def contamination_gate(
     text_col: str = "text",
     n: int = 8,
     bits_per_gram: int = 16,
+    mode: str = "filter",
 ) -> DataFrame:
     """Drop documents that (maybe) share a word n-gram with a benchmark/
     eval set — the streaming face of d23's Bloom decontamination.
@@ -211,9 +236,20 @@ def contamination_gate(
     documents (~0.04% of docs-with-a-colliding-gram at 16 bits/gram) is
     over-dropped.  That asymmetry is the right default for training-data
     admission — losing 1-in-2500 clean docs is noise, leaking one eval
-    doc poisons the benchmark.  Exact adjudication of the dropped
-    residue, when wanted, is the batch d23 query (verify=True) over the
-    quarantine — the same lambda split the dedup gate documents.
+    doc poisons the benchmark.
+
+    ``mode`` controls what happens to the maybe-contaminated residue:
+
+    * ``"filter"`` (default) — drop it; the stream carries survivors only.
+    * ``"annotate"`` — keep every row and add a ``contaminated_maybe``
+      boolean instead (still ONE map-only projection, still append-safe).
+      The caller routes flagged rows to a QUARANTINE (e.g.
+      ``partitionBy("contaminated_maybe")`` at the sink) and adjudicates
+      them exactly with the batch d23 query over the quarantine —
+      ``BloomGramFilter.contaminated_ids(quarantine, verify=True)``
+      separates the truly contaminated from the ~FP-rate over-drop (the
+      lambda split the dedup gate documents; test-proven in
+      tests/test_streaming.py::test_contamination_gate_quarantine_adjudication).
 
     Pass a prebuilt ``BloomGramFilter`` (``bloom=``) to share one
     broadcast across gates; otherwise one is built from ``benchmark``
@@ -223,6 +259,8 @@ def contamination_gate(
 
     if (benchmark is None) == (bloom is None):
         raise ValueError("pass exactly one of benchmark / bloom")
+    if mode not in ("filter", "annotate"):
+        raise ValueError(f"mode must be 'filter' or 'annotate', got {mode!r}")
     if bloom is None:
         bloom = BloomGramFilter(benchmark, text_col=text_col, n=n,
                                 bits_per_gram=bits_per_gram)
@@ -231,6 +269,10 @@ def contamination_gate(
     with_g = docs.withColumn(
         "__cg_grams", F.array_distinct(ngram_strings(text_col, bloom.n))
     )
+    if mode == "annotate":
+        return with_g.withColumn(
+            "contaminated_maybe", bloom.any_gram_maybe("__cg_grams", grams=True)
+        ).drop("__cg_grams")
     return with_g.filter(
         ~bloom.any_gram_maybe("__cg_grams", grams=True)
     ).drop("__cg_grams")
@@ -261,9 +303,9 @@ def admission_sink(
     transforms), contamination + dedup + ledger append + corpus write
     here.  Exactly-once EFFECT under foreachBatch replay, with no
     transaction log, by the same two mechanisms as
-    ``neardup_admission_sink``: ledger appends keyed by micro-batch id
-    (replays overwrite ``batch-<id>/`` and exclude their own prior
-    appends from the corpus side), and the corpus write in an
+    ``neardup_admission_sink``: ledger appends keyed by a run-scoped
+    micro-batch key (replays overwrite ``batch-<key>/`` and exclude their
+    own prior appends from the corpus side), and the corpus write in an
     ``__ingest_batch=<id>`` dynamic-overwrite partition.
 
     The Bloom is built ONCE here (static benchmark side) and broadcast;
@@ -293,7 +335,7 @@ def admission_sink(
             clean,
             text_col=text_col,
             id_col=id_col,
-            idempotency_key=str(batch_id),
+            idempotency_key=_run_scoped_key(checkpoint, batch_id),
         )
         (
             survivors.withColumn("__ingest_batch", F.lit(batch_id))

@@ -1,0 +1,143 @@
+"""Round-7 hardening: signature-ledger batch_key replay exclusion, the
+ledger key-reuse guard, run-scoped streaming keys, and hot-cache release.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _text(prefix: str, n: int = 60) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_sig_ledger_doc_id_collision_does_not_admit_neardup(spark, tmp_path):
+    """Pre-fix, a keyed ingest excluded the ledger side by DOC ID — any
+    stored row whose id collided with a batch id silently left the corpus
+    side, so a re-used doc id admitted a near-duplicate.  Exclusion now
+    matches the stored batch_key, so the collision is detected."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"))
+    base = _text("tok")
+    b0 = spark.createDataFrame([(1, base)], "doc_id: long, text: string")
+    s0 = led.ingest(b0, idempotency_key="a")
+    assert {r.doc_id for r in s0.collect()} == {1}
+
+    # a DIFFERENT batch re-uses doc_id 1 with a near-identical text: it
+    # must be dropped against the stored signature, not slip past it
+    near = base.rsplit(" ", 1)[0] + " tokX"
+    b1 = spark.createDataFrame([(1, near)], "doc_id: long, text: string")
+    s1 = led.ingest(b1, idempotency_key="b")
+    assert s1.count() == 0
+
+
+def test_sig_ledger_key_reuse_for_different_batch_refused(spark, tmp_path):
+    """Re-using an idempotency key for different content (micro-batch ids
+    restarting at 0 after a checkpoint reset) would overwrite the old
+    batch-<key>/ files, deleting unrelated ledger state — refuse loudly."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"))
+    b0 = spark.createDataFrame(
+        [(1, _text("tok")), (2, _text("alpha"))], "doc_id: long, text: string"
+    )
+    led.ingest(b0, idempotency_key="k0")
+
+    other = spark.createDataFrame(
+        [(3, _text("beta")), (4, _text("gamma"))], "doc_id: long, text: string"
+    )
+    with pytest.raises(ValueError, match="different batch"):
+        led.ingest(other, idempotency_key="k0")
+    # the refused ingest must not have touched the ledger
+    assert {r.doc_id for r in led.signatures().collect()} == {1, 2}
+
+    # replaying the SAME batch under the same key stays legal + idempotent
+    s = led.ingest(b0, idempotency_key="k0")
+    assert {r.doc_id for r in s.collect()} == {1, 2}
+    assert {r.doc_id for r in led.signatures().collect()} == {1, 2}
+
+
+def test_sig_ledger_batch_key_survives_compact(spark, tmp_path):
+    """compact() folds batch-<key>/ subdirs into flat files; the stored
+    batch_key column must survive so keyed replay exclusion (and the
+    reuse guard) keep working afterwards."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"))
+    b0 = spark.createDataFrame([(1, _text("tok"))], "doc_id: long, text: string")
+    led.ingest(b0, idempotency_key="k0")
+    led.compact(n_files=1)
+    rows = led.signatures().collect()
+    assert [r.batch_key for r in rows] == ["k0"]
+    # replay after compaction: own-row exclusion still matches via the
+    # data column (no batch-k0/ path left), so the doc re-admits
+    s = led.ingest(b0, idempotency_key="k0")
+    assert {r.doc_id for r in s.collect()} == {1}
+
+
+def test_content_ledger_key_reuse_for_different_batch_refused(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+
+    led = ContentHashLedger(spark, str(tmp_path / "led"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id: long, text: string"
+    )
+    led.ingest(b0, idempotency_key="k0")
+    other = spark.createDataFrame(
+        [(3, "epsilon zeta")], "doc_id: long, text: string"
+    )
+    with pytest.raises(ValueError, match="different batch"):
+        led.ingest(other, idempotency_key="k0")
+    # same-batch replay still fine
+    s = led.ingest(b0, idempotency_key="k0")
+    assert s.count() == 2
+
+
+def test_run_scoped_key_uses_checkpoint_query_id(tmp_path):
+    from sql_data_warehouse_samples_spark.streaming.ingest import (
+        _run_scoped_key,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(
+        json.dumps({"id": "a1b2c3d4-e5f6-7890-abcd-ef0123456789"})
+    )
+    key = _run_scoped_key(str(ckpt), 3)
+    assert key == "a1b2c3d4e5f6-3"
+    # a reset checkpoint (new query id) yields a different namespace
+    (ckpt / "metadata").write_text(json.dumps({"id": "ffffffff-0000"}))
+    assert _run_scoped_key(str(ckpt), 3) != key
+    # unreadable metadata falls back to the raw batch id
+    assert _run_scoped_key(str(tmp_path / "nope"), 7) == "7"
+
+
+def test_dedup_hot_caches_released_between_ops(spark):
+    """persist() frames inside the dedup hot path must not accumulate
+    across repeated top-level calls in a long-lived session."""
+    from sql_data_warehouse_samples_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, _text(f"w{i % 3}_")) for i in range(30)],
+        "doc_id: long, text: string",
+    )
+    D.release_hot_caches()
+    for _ in range(3):
+        D.minhash_dedup_pairs(df, "text", "doc_id").count()
+        # each entry releases the previous op's caches: the registry holds
+        # at most ONE op's worth of frames (shingle table + banding cache)
+        assert len(D._HOT_CACHES) <= 3
+    D.release_hot_caches()
+    assert not D._HOT_CACHES
