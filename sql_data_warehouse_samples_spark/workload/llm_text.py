@@ -931,6 +931,76 @@ def p01_sequence_packing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# p03 — the p01 machinery under a RESTRICTED instance whose FFD packing is
+# closed-form, so the real applyInPandas first-fit-decreasing loop gets an
+# EXACT value oracle (the d24 analytic-sibling pattern).  Raw-corpus p01
+# stays rows-only: general FFD bin assignment is an inherently sequential
+# greedy recurrence over sorted sizes, not expressible in ANSI SQL.  With
+# UNIFORM lengths it collapses: every doc is 100 tokens (docs with
+# doc_id % 7 == 0 are 600 tokens — oversize at max_tokens=512, own bin);
+# FFD order = (len DESC, id) = oversize-by-id then normal-by-id;
+# oversize bins can never admit a 100-token doc (600+100 > 512), so
+# bin_id = rank for oversize docs and n_oversize + rank//5 for normal
+# (5 = 512 // 100 per bin).  num_buckets=1 keeps the hash out of the math.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p03_packing_closed_form",
+    oracle="""
+WITH cls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 600 ELSE 100 END AS n_tokens,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is_over
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(is_over) AS BIGINT) AS n_over FROM cls),
+ranked AS (
+  SELECT doc_id, n_tokens, is_over,
+         ROW_NUMBER() OVER (PARTITION BY is_over ORDER BY doc_id) - 1 AS r
+  FROM cls
+),
+assigned AS (
+  SELECT doc_id, n_tokens, is_over,
+         CASE WHEN is_over = 1 THEN r
+              ELSE (SELECT n_over FROM tot) + r // 5
+         END AS bin_id
+  FROM ranked
+)
+SELECT CAST(0 AS INTEGER) AS bucket,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(MAX(is_over) * 600
+            + (1 - MAX(is_over)) * COUNT(*) * 100 AS BIGINT) AS bin_fill,
+       CAST(MAX(is_over) AS INTEGER) AS has_oversize
+FROM assigned
+GROUP BY bin_id
+""",
+)
+def p03_packing_closed_form(spark, sf_dir):
+    from ..operators.packing import pack_sequences
+
+    word = F.lit("w")
+    synth = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.array_repeat(word, 600)),
+        )
+        .otherwise(F.concat_ws(" ", F.array_repeat(word, 100)))
+        .alias("text"),
+    )
+    packed = pack_sequences(
+        synth, "doc_id", "text", max_tokens=512, num_buckets=1
+    )
+    return packed.groupBy("bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("bin_fill").alias("bin_fill"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t06 — corpus length distribution: exact interpolated percentiles of the
 # token-count distribution per source (the stats a pipeline uses to pick
 # truncation/packing capacities).  Spark percentile() and DuckDB
