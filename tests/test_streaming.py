@@ -764,3 +764,73 @@ def test_ingest_pipeline_with_benchmark_gate(spark, tmp_path):
         for r in spark.sql("select doc_id from pipe_bench_gate").collect()
     }
     assert got == {1}
+
+
+def test_contamination_gate_quarantine_adjudication(spark, tmp_path):
+    """annotate mode gives the gate's over-drop a quarantine surface: the
+    flagged rows are routed aside instead of dropped on the floor, and the
+    exact batch d23 adjudication (Bloom + string-verify) over the
+    quarantine separates the truly contaminated from any Bloom
+    false-positive over-drop."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        BloomGramFilter,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"tok{i}" for i in range(40))),
+            (2, f"prefix text {bench_gram} suffix text here"),
+            (3, " ".join(f"word{i}" for i in range(40))),
+        ],
+        "doc_id: long, text: string",
+    )
+
+    bloom = BloomGramFilter(bench)
+    annotated = SI.contamination_gate(docs, bloom=bloom, mode="annotate")
+    # annotate adds ONE boolean — still map-only (append-safe plan shape)
+    assert "Exchange" not in annotated._jdf.queryExecution().executedPlan().toString()
+    rows = {r.doc_id: r.contaminated_maybe for r in annotated.collect()}
+    assert set(rows) == {1, 2, 3}  # nothing dropped in annotate mode
+
+    # equivalence: flag==false  ==  filter-mode survivors
+    survivors = {
+        r.doc_id
+        for r in SI.contamination_gate(docs, bloom=bloom).select("doc_id").collect()
+    }
+    assert {d for d, flagged in rows.items() if not flagged} == survivors
+
+    # exact adjudication over the quarantine: only doc 2 truly shares a
+    # benchmark 8-gram; any over-dropped clean doc is cleared
+    quarantine = annotated.filter(F.col("contaminated_maybe")).drop(
+        "contaminated_maybe"
+    )
+    truly = {
+        r.doc_id
+        for r in bloom.contaminated_ids(
+            quarantine, text_col="text", id_col="doc_id", verify=True
+        ).collect()
+    }
+    assert truly == {2}
+    cleared = {r.doc_id for r in quarantine.collect()} - truly
+    assert cleared.isdisjoint({2})
+
+    # a deliberately under-sized Bloom (1 bit/gram) over-drops clean docs
+    # with near-certainty; adjudication still returns EXACTLY the truly
+    # contaminated set, clearing the over-drop — the lambda split works
+    tiny = BloomGramFilter(bench, bits_per_gram=1)
+    ann2 = SI.contamination_gate(docs, bloom=tiny, mode="annotate")
+    quarantine2 = ann2.filter(F.col("contaminated_maybe")).drop(
+        "contaminated_maybe"
+    )
+    assert {
+        r.doc_id
+        for r in tiny.contaminated_ids(
+            quarantine2, text_col="text", id_col="doc_id", verify=True
+        ).collect()
+    } == {2}
