@@ -472,7 +472,274 @@ def bpe_ladder() -> None:
     print(json.dumps({"sf_dir": SF_DIR, "bpe_ladder": report}))
 
 
+def admission_ladder() -> None:
+    """End-to-end cost of the composed streaming admission sink (L-st5):
+
+        python scripts/scale_probe.py admission
+
+    Rungs: batch sizes 1k → 10k → 1k → 100k → 1k documents, admitted
+    through the REAL ``streaming.ingest.admission_sink`` (exact Bloom+
+    verify decontamination → AdmissionPipeline exact+near dedup → dynamic-
+    partition corpus write) against ONE persistent ledger that GROWS as
+    rungs admit.  Two claims this measures directly:
+
+    * per-batch wall is ~linear in BATCH size (the 1k/10k/100k spread);
+    * per-batch wall is ~flat in ADMITTED-CORPUS size (the repeated 1k
+      rungs, run when the ledger holds ~1k, ~12k and ~112k docs) — the
+      ledger design's whole point: ingest reads stored keys/signatures
+      (16 B / 8·k B rows), never corpus text.
+
+    Every synthesized doc is globally distinct (per-doc token suffixes),
+    so every rung pays the FULL work: sign + band-join the entire stored
+    ledger side, no early exits.  Each rung uses a fresh drop dir +
+    checkpoint (availableNow would otherwise re-read prior rungs' files);
+    the ledger directory is shared across rungs.
+    """
+    import shutil
+    import tempfile
+
+    spark = build_session(app_name="admission-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    root = tempfile.mkdtemp(prefix="admission_probe_")
+    pipeline = AdmissionPipeline(spark, os.path.join(root, "ledger"))
+    benchmark = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+    def synth(n_rows: int, offset: int):
+        return spark.range(offset, offset + n_rows, 1, 32).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(59)),
+                    lambda j: F.concat(F.lit("w"), F.col("id"), F.lit("_"), j),
+                ),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("probe").alias("source"),
+            F.lit(400).cast("long").alias("n_chars"),
+            F.current_timestamp().alias("ingest_ts"),
+        )
+
+    rungs = [1_000, 10_000, 1_000, 100_000, 1_000]
+    offset, admitted, report = 0, 0, []
+    for i, n_rows in enumerate(rungs):
+        src = os.path.join(root, f"src{i}")
+        synth(n_rows, offset).repartition(4).write.parquet(src)
+        offset += n_rows
+        t0 = time.time()
+        q = SI.admission_sink(
+            SI.read_document_stream(spark, src, max_files_per_trigger=4),
+            pipeline,
+            out_dir=os.path.join(root, "corpus"),
+            checkpoint=os.path.join(root, f"ckpt{i}"),
+            benchmark=benchmark,
+        )
+        q.awaitTermination()
+        wall = round(time.time() - t0, 2)
+        row = {
+            "rung": i,
+            "batch_rows": n_rows,
+            "ledger_docs_before": admitted,
+            "wall_sec": wall,
+            "sec_per_1k_docs": round(wall / (n_rows / 1_000), 3),
+        }
+        admitted += n_rows  # all-distinct corpus: every doc admits
+        report.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"admission_ladder": report}))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def bpe_32k_dict_ladder() -> None:
+    """Back the "32k merges in minutes" claim with a measurement at
+    production-shaped DICT sizes:
+
+        python scripts/scale_probe.py bpe32k            # 100k, 500k, 1M words
+        SCALE_PROBE_DICT_WORDS="1000000" python ...     # explicit ladder
+
+    The collected trainer's cost driver is the WORD DICT (the top-
+    ``max_words`` rows collected to the driver), not the corpus — and the
+    sf0.1 synthetic corpus has only ~31 distinct words, so corpus
+    inflation cannot reach a production dict.  The probe synthesizes the
+    dict DIRECTLY (``bpe_train_on_dict``): N distinct natural-SHAPED words
+    (3-12 lowercase letters derived from the index's md5 — real-dict word
+    lengths, not 32-char hex strings) with Zipf counts N//(i+1)+1, the
+    shape a web-scale ``word_frequencies`` pass produces.  Per rung: the
+    32k-merge train wall and the
+    driver max-RSS against the ``max_words`` cap bounding it.
+    """
+    import hashlib
+    import resource
+
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    ladder = [
+        int(x)
+        for x in os.environ.get(
+            "SCALE_PROBE_DICT_WORDS", "100000 1000000"
+        ).split()
+    ]
+
+    def word(i: int) -> str:
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:10], "big")
+        length = 3 + (i * 7919) % 10  # 3-12, uncorrelated with rank
+        chars = []
+        for _ in range(length):
+            chars.append(chr(97 + h % 26))
+            h //= 26
+        return "".join(chars)
+
+    report = []
+    for n_words in ladder:
+        t0 = time.time()
+        seen: dict = {}
+        i = 0
+        while len(seen) < n_words:
+            w = word(i)
+            if w not in seen:
+                seen[w] = len(seen)
+            i += 1
+        dict_rows = [(w, n_words // (r + 1) + 1) for w, r in seen.items()]
+        synth_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        merges = B.bpe_train_on_dict(dict_rows, 32_000, min_count=1)
+        train_sec = round(time.time() - t0, 2)
+        row = {
+            "dict_words": n_words,
+            "dict_synth_sec": synth_sec,
+            "train_32k_sec": train_sec,
+            "merges_learned": len(merges),
+            "driver_maxrss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            ),
+        }
+        report.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"bpe32k_ladder": report}))
+
+
+def sf10_probe() -> None:
+    """One-off 100x scale point for the round-6 flagships whose sf1 (10x)
+    ratios are floored by fixed cost (s10 1.4x, d23 1.0x at 10x — both
+    consistent with the ~linear design but not yet EVIDENCE of it):
+
+        python scripts/scale_probe.py sf10
+
+    Synthesizes a cached 100x corpus from sf0.1 (bench.py's sf1 recipe:
+    per-copy token suffixes make every document copy mutually distinct;
+    per-copy deterministic noise decorrelates embedding copies), then
+    times s10 / d23 / t19 at sf0.1 and sf10.  Note d23's benchmark side
+    (doc_id % 97) scales WITH the corpus here, so its ratio covers Bloom
+    build + probe both growing 100x — an upper bound on the fixed-bench
+    production shape.
+    """
+    X = 100
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+    spark = build_session(app_name="sf10-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_data_warehouse_samples_spark import workload
+
+    workload.load_all()
+
+    marker = os.path.join(sf10_dir, "_SUCCESS_SF10")
+    if not os.path.exists(marker):
+        os.makedirs(sf10_dir, exist_ok=True)
+        copies = spark.range(0, X).select(F.col("id").cast("int").alias("__copy"))
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        (
+            docs.crossJoin(copies)
+            .select(
+                (F.col("doc_id") + F.col("__copy").cast("long") * 1_000_000)
+                .alias("doc_id"),
+                F.regexp_replace(
+                    "text",
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1c"), F.col("__copy").cast("string")),
+                ).alias("text"),
+                *[
+                    c
+                    for c in docs.columns
+                    if c not in ("doc_id", "text", "n_chars")
+                ],
+            )
+            .withColumn("n_chars", F.length("text"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sf10_dir, "documents.parquet"))
+        )
+        embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        (
+            embs.crossJoin(copies)
+            .select(
+                (F.col("vec_id") + F.col("__copy").cast("long") * 1_000_000)
+                .alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: (
+                        x
+                        + 0.5
+                        * F.sin(
+                            (j + 1) * F.col("__copy") * 2.3999
+                            + F.col("__copy")
+                        )
+                    ).cast("float"),
+                ).alias("embedding"),
+                *[
+                    c
+                    for c in embs.columns
+                    if c not in ("vec_id", "embedding")
+                ],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sf10_dir, "embeddings.parquet"))
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    subset = [
+        "s10_pq_refine_topk",
+        "d23_bloom_decontamination",
+        "t19_c4_line_clean",
+    ]
+    report = []
+    for name in subset:
+        fn = workload.QUERIES[name]
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()  # codegen warmup
+        row = {"query": name}
+        for label, d in (("sf0.1", SF_DIR), ("sf10", sf10_dir)):
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                reps.append(time.time() - t0)
+            row[f"{label}_sec"] = round(min(reps), 2)
+        row["ratio_100x"] = round(row["sf10_sec"] / max(row["sf0.1_sec"], 1e-9), 1)
+        report.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"sf10_probe": report, "copies": X}))
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["admission"]:
+        admission_ladder()
+        return
+    if sys.argv[1:2] == ["sf10"]:
+        sf10_probe()
+        return
+    if sys.argv[1:2] == ["bpe32k"]:
+        bpe_32k_dict_ladder()
+        return
     if sys.argv[1:2] == ["ntile"]:
         ntile_ladder()
         return

@@ -301,16 +301,36 @@ def bpe_train_collected(
     tail) are excluded from TRAINING only, standard BPE practice —
     ``apply_bpe`` still segments them at inference via the learned rules.
     """
-    import heapq
-
     rows = (
         word_frequencies(docs, text_col)
         .orderBy(F.desc("wcount"), F.asc("word"))
         .limit(max_words)
         .collect()
     )
-    words: list[list[str]] = [list(r.word) + [end_token] for r in rows]
-    wcounts: list[int] = [r.wcount for r in rows]
+    return bpe_train_on_dict(
+        [(r.word, r.wcount) for r in rows],
+        n_merges,
+        min_count=min_count,
+        end_token=end_token,
+    )
+
+
+def bpe_train_on_dict(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_count: int = 2,
+    end_token: str = END_TOKEN,
+) -> list[tuple[str, str, int]]:
+    """The driver-side merge loop over an explicit (word, count) dict —
+    the heap-and-incremental-recount trainer ``bpe_train_collected``
+    collects into.  Exposed separately so the dict can come from any
+    source (a persisted word-frequency table, a synthesized probe dict)
+    without a corpus pass; scripts/scale_probe.py bpe32k measures it at
+    production dict sizes."""
+    import heapq
+
+    words: list[list[str]] = [list(w) + [end_token] for w, _ in word_counts]
+    wcounts: list[int] = [c for _, c in word_counts]
 
     counts: dict[tuple[str, str], int] = {}
     where: dict[tuple[str, str], set[int]] = {}
@@ -335,7 +355,13 @@ def bpe_train_collected(
             break
         merges.append((l, r, c))
         merged = l + r
-        for wi in sorted(where.get((l, r), ())):
+        # iteration order over touched words is immaterial to the learned
+        # merges: per-word rewrites are independent, count/where updates
+        # commute across words, and heap ties revalidate against `counts`
+        # on pop — so no sort (sorting ~10^4-member sets per merge was a
+        # measurable cost at production dict sizes).  tuple(): the delta
+        # pass discards wi from where[(l, r)] itself mid-iteration.
+        for wi in tuple(where.get((l, r), ())):
             syms = words[wi]
             wc = wcounts[wi]
             n = len(syms)
@@ -352,27 +378,47 @@ def bpe_train_collected(
                     i += 1
             if not changed:  # stale where entry from an earlier rewrite
                 continue
-            # exact per-word recompute: subtract the old pair multiset,
-            # add the new one.  In-place neighbor arithmetic is easy to
-            # get subtly wrong on overlapping runs ("a a a"); words are
-            # short and only words CONTAINING the merged pair are touched,
-            # so the rebuild is the same O(word length) as the scan.
-            for a, b in zip(syms, syms[1:]):
-                cur = counts.get((a, b))
-                if cur is not None:
-                    nc = cur - wc
+            # exact per-word recompute as a MULTISET DELTA: subtract the
+            # old pair multiset, add the new one — but only where they
+            # differ.  In-place neighbor arithmetic is easy to get subtly
+            # wrong on overlapping runs ("a a a"), so both multisets are
+            # rebuilt (Counter, C-speed); the delta restricts the dict
+            # writes and heap pushes to the few pairs the merge actually
+            # touched.  The naive per-position subtract/add/push version
+            # pushed EVERY pair of every touched word per merge — at a
+            # 100k-word dict that is ~10^5 heap pushes per early merge
+            # and made 32k merges take tens of minutes (measured,
+            # scripts/scale_probe.py bpe32k); the delta form is
+            # value-identical (same counts, same where sets, the stale-
+            # entry heap discipline unchanged) and ~10x faster.  Plain
+            # dict counting, not Counter: Counter.__init__'s abc/
+            # isinstance overhead measured ~30% of the whole train loop
+            # at production dict sizes (cProfile, scale_probe bpe32k).
+            old_pairs: dict = {}
+            for pp in zip(syms, syms[1:]):
+                old_pairs[pp] = old_pairs.get(pp, 0) + 1
+            new_pairs: dict = {}
+            for pp in zip(res, res[1:]):
+                new_pairs[pp] = new_pairs.get(pp, 0) + 1
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if d:
+                    nc = counts.get(p, 0) + d * wc
                     if nc <= 0:
-                        counts.pop((a, b), None)
+                        counts.pop(p, None)
                     else:
-                        counts[(a, b)] = nc
-                ws = where.get((a, b))
-                if ws is not None:
-                    ws.discard(wi)
-            for a, b in zip(res, res[1:]):
-                nc = counts.get((a, b), 0) + wc
-                counts[(a, b)] = nc
-                heapq.heappush(heap, (-nc, a, b))
-                where.setdefault((a, b), set()).add(wi)
+                        counts[p] = nc
+                        if d > 0:
+                            heapq.heappush(heap, (-nc, p[0], p[1]))
+                    # d < 0 leaves a stale (higher) heap entry; the pop-
+                    # validation re-checks counts and re-pushes, exactly
+                    # as before
+                if new_pairs.get(p, 0) == 0:
+                    ws = where.get(p)
+                    if ws is not None:
+                        ws.discard(wi)
+                elif old_pairs.get(p, 0) == 0:
+                    where.setdefault(p, set()).add(wi)
             words[wi] = res
         counts.pop((l, r), None)
         where.pop((l, r), None)
