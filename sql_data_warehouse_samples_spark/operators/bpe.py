@@ -292,10 +292,13 @@ def bpe_train_collected(
     input is the WORD DICT, not the corpus: millions of rows where the
     corpus is trillions.  Collecting the top dict (hundreds of MB at
     web scale, standard rare-word pruning) and running the textbook
-    trainer driver-side — incremental pair-count maintenance + a lazy
+    trainer driver-side — multiset-delta pair-count maintenance + a lazy
     max-heap, the tokenizers-library shape — finishes 32k merges in
-    seconds.  Identical merge rules: same (count DESC, l ASC, r ASC)
-    argmax, property-tested against ``bpe_train`` on random corpora.
+    14.6 s at a 100k-word dict and ~4 min / 2.15 GB driver RSS at the
+    1M-word ``max_words`` cap (measured, scripts/scale_probe.py bpe32k
+    — the empirical basis for the default cap).  Identical merge rules:
+    same (count DESC, l ASC, r ASC) argmax, property-tested against
+    ``bpe_train`` on random corpora.
 
     ``max_words`` bounds driver memory; words beyond the cap (the rare
     tail) are excluded from TRAINING only, standard BPE practice —

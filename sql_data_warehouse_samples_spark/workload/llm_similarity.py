@@ -647,3 +647,78 @@ def s11_hybrid_rrf(spark, sf_dir):
         F.col("nbr_rank").alias("rank"),
     )
     return S.rrf_fuse([lex, vec], k0=60)
+
+
+# ---------------------------------------------------------------------------
+# s12 — hard-negative mining for retrieval training (DPR Karpukhin 2020
+# §4.2 / sentence-transformers practice): top BM25 candidates that are NOT
+# labeled positives, minus candidates whose embedding is near-identical to
+# a positive (the false-negative guard).  Composes the s07 BM25 and s01
+# cosine conventions; everything past the term-filtered BM25 pass is
+# bounded by k_raw candidate rows.  Positives here: doc_id IN (0, 1).
+# ---------------------------------------------------------------------------
+
+_S12_K, _S12_RAW, _S12_CEIL = 10, 20, 0.6
+
+
+@query(
+    "s12_hard_negatives",
+    oracle=rf"""
+WITH sized AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS dl,
+         list_filter(string_split_regex(TRIM(text), '\s+'),
+                     t -> list_contains([{_S11_TERMS}], t)) AS hits
+  FROM documents
+),
+consts AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM sized),
+hit AS (SELECT doc_id, dl, unnest(hits) AS term FROM sized),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hit GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         ROUND(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN consts
+  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_S12_RAW}
+),
+ranked AS (
+  SELECT doc_id, bm25,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM bm
+),
+negs AS (SELECT * FROM ranked WHERE doc_id NOT IN (0, 1)),
+pv AS (SELECT embedding FROM embeddings WHERE vec_id IN (0, 1)),
+mc AS (
+  SELECT n.doc_id,
+         MAX(ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6))
+           AS max_pos_cosine
+  FROM negs n
+  LEFT JOIN embeddings c ON c.vec_id = n.doc_id
+  CROSS JOIN pv q
+  GROUP BY n.doc_id
+)
+SELECT CAST(0 AS BIGINT) AS query_id, n.doc_id, n.bm25, n.lex_rank,
+       mc.max_pos_cosine
+FROM negs n LEFT JOIN mc ON mc.doc_id = n.doc_id
+WHERE COALESCE(mc.max_pos_cosine < {_S12_CEIL}, TRUE)
+ORDER BY n.lex_rank LIMIT {_S12_K}
+""",
+)
+def s12_hard_negatives(spark, sf_dir):
+    from ..operators.retrieval import mine_hard_negatives
+
+    d = tbl(spark, sf_dir, "documents")
+    e = tbl(spark, sf_dir, "embeddings")
+    positives = spark.createDataFrame([(0,), (1,)], "doc_id: long")
+    return mine_hard_negatives(
+        d,
+        _S11_QUERY,
+        positives,
+        embeddings=e,
+        k=_S12_K,
+        k_raw=_S12_RAW,
+        sim_ceiling=_S12_CEIL,
+    )

@@ -141,3 +141,66 @@ def test_dedup_hot_caches_released_between_ops(spark):
         assert len(D._HOT_CACHES) <= 3
     D.release_hot_caches()
     assert not D._HOT_CACHES
+
+
+def test_hard_negatives_false_negative_guard_fires(spark):
+    """A candidate whose embedding is (near-)identical to a labeled
+    positive must be dropped as a probable false negative; candidates
+    without embeddings survive on the lexical signal alone."""
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark hash join window functions"),   # positive
+            (1, "spark hash join window operators"),   # dup of positive (emb)
+            (2, "spark hash join window planner"),     # true hard negative
+            (3, "spark hash join window executor"),    # no embedding row
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    v = [1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, v), (1, v), (2, [0.0, 1.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    positives = spark.createDataFrame([(0,)], "doc_id: long")
+    out = mine_hard_negatives(
+        docs,
+        "spark hash join window",
+        positives,
+        embeddings=emb,
+        k=10,
+        k_raw=10,
+        sim_ceiling=0.95,
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert 0 not in ids  # the positive itself is anti-joined
+    assert 1 not in ids  # cosine 1.0 to the positive -> false-negative drop
+    assert {2, 3} <= ids  # real negative + no-embedding candidate survive
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].max_pos_cosine == 0.0
+    assert by_id[3].max_pos_cosine is None
+    # lex_rank is the rank in the RAW list (before drops): doc 2 ranks
+    # behind docs 0 and 1 lexically, so its raw rank is > its output order
+    assert by_id[2].lex_rank >= 2
+
+
+def test_hard_negatives_without_embeddings_is_pure_lexical(spark):
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark hash join window " + "pad " * i) for i in range(6)],
+        "doc_id: long, text: string",
+    )
+    positives = spark.createDataFrame([(0,)], "doc_id: long")
+    out = mine_hard_negatives(
+        docs, "spark hash join window", positives, k=3
+    ).collect()
+    assert len(out) == 3
+    assert all(r.doc_id != 0 for r in out)
+    assert all(r.max_pos_cosine is None for r in out)
