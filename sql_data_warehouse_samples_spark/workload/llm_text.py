@@ -2439,3 +2439,55 @@ FROM cleaned WHERE n_kept >= 1
 def t19_c4_line_clean(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     return T.c4_line_clean(_t19_pages(d), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t20 — exact ROC-AUC of a quality score against labels (Mann-Whitney
+# rank-sum with tie-averaged ranks): the scalar a pipeline tunes its t02/
+# t11/t12 gates against.  Score = token count (integer, heavily tied — the
+# tie correction is exercised for real); labels = planted doc_id % 3 rule.
+# All rank math is exact integer/decimal arithmetic -> bit-equal oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t20_filter_auc",
+    oracle=r"""
+WITH scored AS (
+  SELECT LEN(string_split_regex(TRIM(text), '\s+')) AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+groups AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM scored GROUP BY s),
+ranked AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS c_lt
+  FROM groups
+),
+agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+         SUM(CAST(pos AS DECIMAL(28,1))
+             * (CAST(c_lt AS DECIMAL(28,1))
+                + (CAST(cnt AS DECIMAL(28,1)) + 1) / 2)) AS rank_sum,
+         COUNT(*) AS n_distinct_scores
+  FROM ranked
+)
+SELECT ROUND(CAST(rank_sum
+             - CAST(n_pos AS DECIMAL(28,1))
+               * (CAST(n_pos AS DECIMAL(28,1)) + 1) / 2 AS DOUBLE)
+             / NULLIF(CAST(n_pos * n_neg AS DOUBLE), 0), 6) AS auc,
+       n_pos, n_neg, n_distinct_scores
+FROM agg
+""",
+)
+def t20_filter_auc(spark, sf_dir):
+    from ..operators.evalmetrics import roc_auc
+
+    d = tbl(spark, sf_dir, "documents").select(
+        T.token_count("text").alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    return roc_auc(d, "score", "label")
