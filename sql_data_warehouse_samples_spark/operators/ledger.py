@@ -74,6 +74,22 @@ def _safe_key(key: str) -> str:
     return key
 
 
+def _own_keyed_rows(spark, root: str, key: str, fallback, own_pred, schema):
+    """The rows a prior ingest stored under ``key`` — for the key-reuse
+    guard.  Pre-compaction they live only in ``batch-<key>/``: read that
+    subdirectory directly (targeted, batch-sized IO) rather than filter-
+    scanning the whole ledger a second time.  After compact() folds the
+    subdirs away the targeted read has nothing to find, so fall back to
+    filtering ``fallback`` (the already-open ledger frame) on the stored
+    batch_key predicate."""
+    import os
+
+    sub = os.path.join(root, f"batch-{key}")
+    if os.path.isdir(sub):
+        return spark.read.schema(schema).parquet(sub)
+    return fallback.filter(own_pred)
+
+
 class ContentHashLedger:
     """Append-only parquet ledger of every content hash ever admitted."""
 
@@ -144,11 +160,18 @@ class ContentHashLedger:
             # key is being re-used for DIFFERENT content (e.g. micro-batch
             # ids restarting at 0 after a checkpoint reset); the keyed
             # overwrite below would silently delete unrelated ledger
-            # state, so refuse instead.
+            # state, so refuse instead.  Fast path: before compaction the
+            # key's rows live ONLY in batch-<key>/ — read that subdir
+            # directly (targeted, batch-sized) instead of filter-scanning
+            # the whole ledger a second time; the full-scan fallback
+            # covers post-compaction reuse (rows folded into flat files).
             batch_hashes = batch.select(
                 F.md5(normalized_text(text_col)).alias("content_hash")
             )
-            foreign = corpus_hashes.filter(own).join(
+            stored_own = _own_keyed_rows(
+                self.spark, self.path, key, corpus_hashes, own, LEDGER_SCHEMA
+            )
+            foreign = stored_own.join(
                 batch_hashes, "content_hash", "left_anti"
             )
             if foreign.limit(1).count():
@@ -517,12 +540,16 @@ class MinHashSignatureLedger:
                 F.col("batch_key").isNull()
                 & F.input_file_name().contains(f"/batch-{key}/")
             )
-            stored_own = lsig.filter(own)
             # key-reuse guard: this key's stored rows must be a subset of
             # the current batch (same doc ids, same signatures) — stored
             # rows are a prior replay's SURVIVORS, always ⊆ their batch.
             # Anything else means the key is being re-used for different
             # content and the overwrite below would destroy ledger state.
+            # Targeted batch-<key>/ read pre-compaction; ledger-filter
+            # fallback after (see _own_keyed_rows).
+            stored_own = _own_keyed_rows(
+                self.spark, self.path, key, lsig, own, self._sig_schema()
+            )
             foreign = stored_own.join(
                 signed.select("doc_id", F.col("sig").alias("__bsig")),
                 "doc_id",
