@@ -211,14 +211,39 @@ class ContentHashLedger:
         read; the displaced copy is deleted only after the new live
         directory verifies readable.  Returns the distinct-hash count.
         """
+        return self._rewrite(self.hashes().distinct(), n_files)
+
+    def forget(self, docs: DataFrame, text_col: str = "text") -> int:
+        """Deletion propagation (right-to-be-forgotten): remove the given
+        documents' content hashes from the ledger so a future ingest of
+        the same content is ADMITTED again rather than dropped as a
+        known duplicate.  The ledger stores hashes only, so the caller
+        supplies the documents (or their texts) being purged — the same
+        frame it deletes from the corpus (``catalog.delete_where`` /
+        partition rewrite handles the corpus side).
+
+        Full-ledger rewrite through the same verified staged swap as
+        ``compact()`` — batch forget requests at compaction cadence; cost
+        is O(ledger keys), never O(corpus text).  Returns rows remaining.
+        """
+        from .dedup import normalized_text
+
+        purge = docs.select(
+            F.md5(normalized_text(text_col)).alias("content_hash")
+        ).distinct()
+        kept = self.hashes().join(purge, "content_hash", "left_anti")
+        return self._rewrite(kept, None)
+
+    def _rewrite(self, frame: DataFrame, n_files: int | None) -> int:
         from .dirswap import swap_in
 
-        distinct = self.hashes().distinct()
         if n_files:
-            distinct = distinct.repartition(n_files)
+            frame = frame.repartition(n_files)
         stage = f"{self.path}__compact"
-        distinct.write.mode("overwrite").parquet(stage)
-        n = self.spark.read.parquet(stage).count()
+        frame.write.mode("overwrite").parquet(stage)
+        # explicit schema: a forget() purging every row writes an EMPTY
+        # parquet dir, which schemaless reads cannot infer
+        n = self.spark.read.schema(LEDGER_SCHEMA).parquet(stage).count()
         swap_in(
             self.path,
             stage,
@@ -624,11 +649,29 @@ class MinHashSignatureLedger:
             F.max("sig").alias("sig"),
             F.max("batch_key").alias("batch_key"),
         )
+        return self._rewrite(distinct, n_files)
+
+    def forget(self, doc_ids: DataFrame, id_col: str = "doc_id") -> int:
+        """Deletion propagation: purge the given doc ids' signatures so
+        future near-dup checks no longer match against them and a
+        re-ingest of equivalent content is admitted.  Same verified
+        staged-swap rewrite (and cost profile) as ``compact()`` — batch
+        forget requests; returns rows remaining."""
+        purge = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        kept = self.signatures().join(purge, "doc_id", "left_anti")
+        return self._rewrite(kept, None)
+
+    def _rewrite(self, frame: DataFrame, n_files: int | None) -> int:
+        from .dirswap import swap_in
+
         if n_files:
-            distinct = distinct.repartition(n_files)
+            frame = frame.repartition(n_files)
         stage = f"{self.path}__compact"
-        distinct.write.mode("overwrite").parquet(stage)
-        n = self.spark.read.parquet(stage).count()
+        frame.write.mode("overwrite").parquet(stage)
+        # explicit schema: forgetting every row writes an empty dir
+        n = (
+            self.spark.read.schema(self._sig_schema()).parquet(stage).count()
+        )
         # the sidecar travels WITH the staged directory, so there is no
         # window after the swap in which the ledger exists unpinned (a
         # crash there would let a later reopen with wrong params re-pin
@@ -725,3 +768,21 @@ class AdmissionPipeline:
         """Compact both ledgers (verified staged dirswap each); returns
         (distinct exact hashes, distinct signed docs)."""
         return self.exact.compact(n_files), self.near.compact(n_files)
+
+    def forget(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> tuple[int, int]:
+        """Deletion propagation across BOTH ledgers (right-to-be-
+        forgotten): purge the given documents' content hashes and
+        signatures so re-ingested equivalent content is admitted again
+        and near-dup checks stop matching against the purged docs.  The
+        caller deletes the corpus rows themselves (``catalog.delete_where``
+        / partition rewrite) — this call settles the derived admission
+        state.  Returns (hash rows remaining, signature rows remaining)."""
+        return (
+            self.exact.forget(docs, text_col=text_col),
+            self.near.forget(docs, id_col=id_col),
+        )

@@ -204,3 +204,51 @@ def test_hard_negatives_without_embeddings_is_pure_lexical(spark):
     assert len(out) == 3
     assert all(r.doc_id != 0 for r in out)
     assert all(r.max_pos_cosine is None for r in out)
+
+
+def test_admission_pipeline_forget_readmits_purged_content(spark, tmp_path):
+    """Deletion propagation: after forget(), a re-ingest of the purged
+    content is ADMITTED (no ghost hash/signature blocks it), near-dup
+    checks stop matching the purged doc, and untouched ledger state
+    survives the rewrite."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+
+    pipe = AdmissionPipeline(spark, str(tmp_path / "pipe"))
+    keep_text, purge_text = _text("keep"), _text("purge")
+    batch = spark.createDataFrame(
+        [(1, keep_text), (2, purge_text)], "doc_id: long, text: string"
+    )
+    assert pipe.admit(batch).count() == 2
+
+    # sanity: re-ingesting doc 2's content (new id) is currently dropped
+    again = spark.createDataFrame([(9, purge_text)], "doc_id: long, text: string")
+    assert pipe.admit(again).count() == 0
+
+    purged = spark.createDataFrame([(2, purge_text)], "doc_id: long, text: string")
+    n_hash, n_sig = pipe.forget(purged)
+    assert (n_hash, n_sig) == (1, 1)  # only doc 1's state remains
+
+    # the purged content is admissible again; doc 1's is still blocked
+    readmit = spark.createDataFrame(
+        [(10, purge_text), (11, keep_text)], "doc_id: long, text: string"
+    )
+    got = {r.doc_id for r in pipe.admit(readmit).collect()}
+    assert got == {10}
+
+
+def test_sig_ledger_forget_all_rows_leaves_readable_empty_ledger(
+    spark, tmp_path
+):
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"))
+    b = spark.createDataFrame([(1, _text("tok"))], "doc_id: long, text: string")
+    led.ingest(b)
+    assert led.forget(b.select("doc_id")) == 0
+    assert led.signatures().count() == 0
+    # and the ledger still works after being emptied
+    assert led.ingest(b).count() == 1
