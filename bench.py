@@ -112,6 +112,14 @@ HEADLINE = [
     # decode pass via m02, the banded Hamming machinery (with star caps)
     # via d04.
     "t19_c4_line_clean",
+    # round-7 new operators: hard-negative mining (BM25 + false-negative
+    # cosine guard; the corpus cost is the term-filtered BM25 pass) and
+    # exact ROC-AUC (distinct-score-sized rank window).  p03 is an
+    # oracle-gate row (the d22/m03 precedent): it re-runs p01's packing
+    # loop on a synthesized restricted instance purely for the exact
+    # value check, so its cost story is p01's.
+    "s12_hard_negatives",
+    "t20_filter_auc",
 ]
 
 

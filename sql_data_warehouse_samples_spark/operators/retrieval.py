@@ -78,6 +78,10 @@ def mine_hard_negatives(
             F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc(id_col))),
         )
         .join(pos, F.col(id_col) == F.col("__pos_id"), "left_anti")
+        # materialize the k_raw-row candidate list: BOTH the cosine-guard
+        # branch and the final join consume it — without this the whole
+        # corpus-sized BM25 pass is planned (and run) twice
+        .localCheckpoint(eager=True)
     )
     if embeddings is not None:
         emb = embeddings.select(
@@ -100,7 +104,7 @@ def mine_hard_negatives(
                 ).alias("max_pos_cosine")
             )
         )
-        cands = cands.join(max_cos, id_col, "left").filter(
+        cands = cands.join(F.broadcast(max_cos), id_col, "left").filter(
             F.coalesce(F.col("max_pos_cosine") < sim_ceiling, F.lit(True))
         )
     else:

@@ -529,3 +529,38 @@ def test_st5_contamination_gate_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan  # the membership kernel, Arrow-batched
+
+
+def test_s12_hard_negatives_corpus_cost_is_bm25_pass_only(spark):
+    """Hard-negative mining: the corpus is touched by the term-filtered
+    BM25 scan only; the positive anti-join, false-negative cosine grid
+    and final rank are joins of k_raw-bounded frames against broadcast
+    sides — no sort-merge, no cartesian against the corpus."""
+    df = workload.QUERIES["s12_hard_negatives"](spark, SF)
+    plan = plan_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate list is checkpointed after the BM25 pass, so the
+    # final plan is pure broadcast joins over k_raw-bounded frames —
+    # the corpus parquet does NOT appear in it at all (it was consumed
+    # inside the checkpointed pass), and embeddings are fetched by key
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan parquet") <= 2  # embeddings: candidate + positive fetch
+
+
+def test_t20_auc_window_runs_over_distinct_scores_not_corpus(spark):
+    """Exact AUC: the corpus collapses through ONE map-side-combined
+    groupBy(score) before any window — the single-partition cumulative
+    window (inherent to a global rank) therefore processes the
+    distinct-score table, never corpus rows, and no join exists at all."""
+    df = workload.QUERIES["t20_filter_auc"](spark, SF)
+    plan = plan_str(df)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    # the groupBy(score) reduction happens BELOW the window: the window's
+    # child tree must already contain the score aggregate
+    window_child = plan.split("Window", 1)[1]
+    assert "HashAggregate" in window_child
+    # shuffles: score-agg exchange + the single-partition window + final agg
+    assert count_exchanges(df) <= 3
