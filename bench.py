@@ -230,6 +230,10 @@ SF1_SUBSET = [
     # (the benchmark side is fixed), so ~linear in document bytes.
     "s10_pq_refine_topk",
     "d23_bloom_decontamination",
+    # r7: hard-negative mining's corpus cost is the term-filtered BM25
+    # pass — ~linear in document bytes; everything downstream is k_raw-
+    # bounded, so the sf1 ratio shows the scan term.
+    "s12_hard_negatives",
 ]
 
 
