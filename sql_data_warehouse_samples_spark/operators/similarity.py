@@ -1579,6 +1579,67 @@ class IvfIndex:
         )
         return n
 
+    def forget(self, spark, vec_ids: DataFrame, id_col: str = "vec_id") -> int:
+        """Deletion propagation into the served index (the ledger
+        ``forget`` contract applied to ANN artifacts): purge the given
+        vector ids from the inverted lists so searches stop returning
+        them.  PARTITION-PRUNED: one narrow (id, centroid) scan finds the
+        affected lists, then ONLY those centroid partitions are rewritten
+        via dynamic partition overwrite — untouched lists keep their
+        files byte-identical, so cost scales with the purged lists, not
+        the index.  Partitions emptied by the purge are dropped
+        explicitly (dynamic overwrite leaves absent partitions alone).
+        Returns the number of purged index entries."""
+        return _ivf_lists_forget(
+            spark, f"{self.path}/lists", self._lists(spark), vec_ids, id_col
+        )
+
+
+def _ivf_lists_forget(
+    spark, lists_path: str, lists: DataFrame, vec_ids: DataFrame, id_col: str
+) -> int:
+    """Shared partition-pruned purge for IvfIndex/IvfPqIndex lists."""
+    import shutil
+
+    purge = F.broadcast(
+        vec_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    )
+    hits = (
+        lists.join(purge, "neighbor_id", "semi")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return 0
+    cids = [r.centroid_id for r in hits]
+    removed = sum(r.n for r in hits)
+    kept = (
+        lists.filter(F.col("centroid_id").isin(cids))
+        .join(purge, "neighbor_id", "left_anti")
+        # materialize: the dynamic overwrite below writes INTO the path
+        # this frame reads from — breaking the file lineage first is what
+        # makes the self-overwrite legal (the kept set is purged-lists-
+        # sized, bounded by the deletion batch's fan-out)
+        .localCheckpoint(eager=True)
+    )
+    (
+        kept.write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(lists_path)
+    )
+    survivors = {
+        r.centroid_id
+        for r in kept.select("centroid_id").distinct().collect()
+    }
+    for cid in cids:
+        if cid not in survivors:  # emptied list: drop its directory
+            shutil.rmtree(
+                f"{lists_path}/centroid_id={cid}", ignore_errors=True
+            )
+    return removed
+
 
 class IvfPqIndex:
     """Persisted IVF-PQ index (FAISS IVF_PQ shape; Jégou et al. 2011
@@ -1877,3 +1938,12 @@ class IvfPqIndex:
         live = f"{self.path}/lists"
         swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
         return n
+
+    def forget(self, spark, vec_ids: DataFrame, id_col: str = "vec_id") -> int:
+        """Deletion propagation: purge ids from the PQ-coded inverted
+        lists — same partition-pruned dynamic-overwrite contract as
+        ``IvfIndex.forget`` (untouched lists stay byte-identical; emptied
+        lists dropped).  Returns purged entry count."""
+        return _ivf_lists_forget(
+            spark, f"{self.path}/lists", self._lists(spark), vec_ids, id_col
+        )

@@ -252,3 +252,78 @@ def test_sig_ledger_forget_all_rows_leaves_readable_empty_ledger(
     assert led.signatures().count() == 0
     # and the ledger still works after being emptied
     assert led.ingest(b).count() == 1
+
+
+def test_ivf_index_forget_partition_pruned_purge(spark, tmp_path):
+    """Deletion propagation into the served ANN index: purged ids vanish
+    from search results, the purge rewrites ONLY the affected centroid
+    partitions (untouched lists keep their files byte-identical), and a
+    fully-emptied list's directory is dropped."""
+    import glob
+    import os
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(e, path, nlist=8)
+
+    lists = spark.read.parquet(f"{path}/lists").select(
+        "neighbor_id", "centroid_id"
+    )
+    by_cid: dict = {}
+    for r in lists.collect():
+        by_cid.setdefault(r.centroid_id, []).append(r.neighbor_id)
+    # purge one whole list + one member of another; leave the rest alone
+    cids = sorted(by_cid, key=lambda c: len(by_cid[c]))
+    empty_cid = cids[0]
+    partial_cid = next(c for c in cids if c != empty_cid and len(by_cid[c]) > 1)
+    untouched_cid = next(
+        c for c in cids if c not in (empty_cid, partial_cid)
+    )
+    purge_ids = list(by_cid[empty_cid]) + [min(by_cid[partial_cid])]
+
+    def snapshot(cid):
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{path}/lists/centroid_id={cid}/*.parquet")
+        }
+
+    before = snapshot(untouched_cid)
+    purge = spark.createDataFrame([(i,) for i in purge_ids], "vec_id: long")
+    assert idx.forget(spark, purge) == len(purge_ids)
+
+    assert snapshot(untouched_cid) == before  # byte-identical untouched list
+    assert not os.path.isdir(f"{path}/lists/centroid_id={empty_cid}")
+    remaining = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/lists").select("neighbor_id").collect()
+    }
+    assert remaining.isdisjoint(set(purge_ids))
+    # search no longer returns purged ids, at full probe
+    got = idx.search(e.limit(5), k=5, nprobe=8)
+    assert {r.neighbor_id for r in got.collect()}.isdisjoint(set(purge_ids))
+    # idempotent: forgetting again finds nothing
+    assert idx.forget(spark, purge) == 0
+
+
+def test_ivfpq_index_forget(spark, tmp_path):
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfPqIndex,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    idx = IvfPqIndex.build(e, path, nlist=4, m=4, k_pq=16)
+    queries = e.limit(3)
+    purge_ids = [
+        r.neighbor_id
+        for r in idx.search(queries, k=2, nprobe=4).collect()
+    ][:3]
+    purge = spark.createDataFrame([(i,) for i in set(purge_ids)], "vec_id: long")
+    n = idx.forget(spark, purge)
+    assert n == len(set(purge_ids))
+    got = idx.search(queries, k=2, nprobe=4)
+    assert {r.neighbor_id for r in got.collect()}.isdisjoint(set(purge_ids))
