@@ -288,6 +288,7 @@ def admission_sink(
     bits_per_gram: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    reject_dir: str | None = None,
 ):
     """The FULL training-corpus admission sink: each micro-batch is
     (1) exactly decontaminated against the benchmark (Bloom prefilter +
@@ -312,6 +313,14 @@ def admission_sink(
     per-batch contamination cost is batch grams × one Arrow membership
     kernel + a semi-join probing only maybe-hits.
 
+    ``reject_dir`` (optional) is the audit surface a production ingest
+    wants: every NON-admitted document lands there with a ``reason``
+    column (``contaminated`` — exactly verified against the benchmark —
+    or ``rejected_dedup`` — exact/near duplicate of admitted content),
+    partitioned by micro-batch like the corpus so a replayed batch
+    rewrites its own reject partition and nothing else.  Cost: two
+    batch-sized anti-joins — the corpus is never touched.
+
     Returns the started StreamingQuery; callers own awaitTermination.
     """
     from ..operators.dedup import BloomGramFilter
@@ -326,11 +335,14 @@ def admission_sink(
         if batch_df.isEmpty():
             return
         clean = batch_df
+        contaminated = None
         if bloom is not None:
             bad = bloom.contaminated_ids(
                 batch_df, text_col=text_col, id_col=id_col, verify=True
             )
             clean = batch_df.join(bad, id_col, "left_anti")
+            if reject_dir is not None:
+                contaminated = batch_df.join(bad, id_col, "left_semi")
         survivors = pipeline.admit(
             clean,
             text_col=text_col,
@@ -344,6 +356,26 @@ def admission_sink(
             .partitionBy("__ingest_batch")
             .parquet(out_dir)
         )
+        if reject_dir is not None:
+            dedup_rejects = (
+                clean.join(
+                    survivors.select(id_col), id_col, "left_anti"
+                ).withColumn("reason", F.lit("rejected_dedup"))
+            )
+            rejects = dedup_rejects
+            if contaminated is not None:
+                rejects = contaminated.withColumn(
+                    "reason", F.lit("contaminated")
+                ).unionByName(dedup_rejects)
+            if not rejects.isEmpty():  # batch-sized check; keeps an
+                # all-admitted stream from leaving a schemaless empty dir
+                (
+                    rejects.withColumn("__ingest_batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__ingest_batch")
+                    .parquet(reject_dir)
+                )
 
     return (
         stream.writeStream.foreachBatch(_admit)

@@ -834,3 +834,70 @@ def test_contamination_gate_quarantine_adjudication(spark, tmp_path):
             quarantine2, text_col="text", id_col="doc_id", verify=True
         ).collect()
     } == {2}
+
+
+def test_admission_sink_reject_audit_surface(spark, tmp_path):
+    """reject_dir captures every non-admitted document with its reason
+    (contaminated vs rejected_dedup), batch-partitioned like the corpus
+    so replays converge; admitted + rejected = the whole input."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.rsplit(" ", 1)[0] + " tokX"
+    poisoned = f"prefix text {bench_gram} suffix text here"
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark,
+        src,
+        [
+            [_doc_row(1, base), _doc_row(3, poisoned)],
+            [_doc_row(10, near), _doc_row(11, base)],
+        ],
+        SI.DOC_SCHEMA,
+    )
+
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    out_dir = str(tmp_path / "corpus")
+    reject_dir = str(tmp_path / "rejects")
+
+    def run():
+        q = SI.admission_sink(
+            SI.read_document_stream(spark, src),
+            pipe,
+            out_dir,
+            checkpoint=str(tmp_path / "ckpt"),
+            benchmark=bench,
+            reject_dir=reject_dir,
+        )
+        q.awaitTermination()
+
+    run()
+    admitted = {r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    rejects = spark.read.parquet(reject_dir)
+    by_reason = {
+        (r.doc_id, r.reason) for r in rejects.select("doc_id", "reason").collect()
+    }
+    assert admitted == {1}
+    assert by_reason == {
+        (3, "contaminated"),        # shares a benchmark 8-gram
+        (10, "rejected_dedup"),     # near-dup of 1, cross-batch
+        (11, "rejected_dedup"),     # exact dup of 1
+    }
+    # the audit is exhaustive: admitted + rejected = input
+    assert admitted | {d for d, _ in by_reason} == {1, 3, 10, 11}
+    # replays rewrite their own partitions — nothing duplicates
+    run()
+    assert rejects.count() == 3
+    assert {
+        r["__ingest_batch"] for r in rejects.select("__ingest_batch").collect()
+    } == {0, 1}
