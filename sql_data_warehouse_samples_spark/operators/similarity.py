@@ -1589,6 +1589,9 @@ class IvfIndex:
         files byte-identical, so cost scales with the purged lists, not
         the index.  Partitions emptied by the purge are dropped
         explicitly (dynamic overwrite leaves absent partitions alone).
+        Crash contract: the per-partition overwrite is not atomic across
+        lists — on failure RE-RUN the same forget; it is idempotent
+        (already-purged lists simply stop matching) and converges.
         Returns the number of purged index entries."""
         return _ivf_lists_forget(
             spark, f"{self.path}/lists", self._lists(spark), vec_ids, id_col
