@@ -27,6 +27,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def token_distribution_drift(
+    docs: DataFrame,
+    side_col: str,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_terms: int = 12,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots: symmetric KL and
+    total-variation distance over their token distributions — the drift
+    monitor a recurring ingest runs between yesterday's corpus and
+    today's (retrain tokenizers / re-fit quality models when it moves).
+
+    ``side_col`` must take exactly two values; rows are compared as
+    side A = the smaller value, side B = the larger.  Add-α smoothing
+    over the UNION vocabulary keeps unseen tokens finite:
+    p_i = (c_i + α) / (N + α·V).
+
+    Float discipline (cross-engine exact): each token's KL/TV term is
+    computed in IEEE double (division + ln are deterministic), ROUNDed to
+    ``round_terms`` dp, and summed as DECIMAL — decimal addition is
+    associative, so the total is order-independent and a SQL oracle
+    reproduces it bit-for-bit (the t12 convention).
+
+    Scale shape: ONE token-keyed aggregate with map-side combine (the
+    two sides pivot inside the same groupBy — no join at all), then a
+    single tiny reduce.  The shuffle key is the token hash: uniform,
+    skew-free; vocab-sized intermediate, corpus-sized only at the scan.
+
+    Returns ONE row: (n_tokens_a, n_tokens_b, vocab_union,
+    kl_ab, kl_ba, tvd).
+    """
+    from .text import tokens
+
+    sides = [
+        r[0]
+        for r in docs.select(side_col).distinct().orderBy(side_col).collect()
+    ]
+    if len(sides) != 2:
+        raise ValueError(f"side_col must have exactly 2 values, got {sides}")
+    a, b = sides
+    tok = docs.select(
+        F.col(side_col).alias("__side"), F.explode(tokens(text_col)).alias("__t")
+    )
+    counts = tok.groupBy("__t").agg(
+        F.sum(F.when(F.col("__side") == a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__side") == b, 1).otherwise(0)).alias("cb"),
+    ).localCheckpoint(eager=True)  # vocab-sized; totals + terms both read
+    # it — without this the corpus-sized explode+aggregate runs twice
+    totals = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    na, nb, v = int(totals.na), int(totals.nb), int(totals.v)
+    p = (F.col("ca") + alpha) / F.lit(float(na + alpha * v))
+    q = (F.col("cb") + alpha) / F.lit(float(nb + alpha * v))
+    dec = f"decimal(38,{round_terms})"
+    terms = counts.select(
+        F.round(p * F.log(p / q), round_terms).cast(dec).alias("__kl_ab"),
+        F.round(q * F.log(q / p), round_terms).cast(dec).alias("__kl_ba"),
+        F.round(F.abs(p - q), round_terms).cast(dec).alias("__tv"),
+    )
+    return terms.agg(
+        F.lit(na).cast("long").alias("n_tokens_a"),
+        F.lit(nb).cast("long").alias("n_tokens_b"),
+        F.lit(v).cast("long").alias("vocab_union"),
+        F.round(F.sum("__kl_ab").cast("double"), 6).alias("kl_ab"),
+        F.round(F.sum("__kl_ba").cast("double"), 6).alias("kl_ba"),
+        F.round((F.sum("__tv").cast("double") / 2), 6).alias("tvd"),
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,

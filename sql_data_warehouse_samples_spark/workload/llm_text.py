@@ -2491,3 +2491,64 @@ def t20_filter_auc(spark, sf_dir):
         (F.col("doc_id") % 3 == 0).alias("label"),
     )
     return roc_auc(d, "score", "label")
+
+
+# ---------------------------------------------------------------------------
+# d25 — corpus-snapshot distribution drift: symmetric KL + total-variation
+# over token distributions with add-α smoothing on the union vocabulary —
+# the drift monitor between yesterday's corpus and today's.  Sides here:
+# doc_id parity.  Float discipline: per-token terms double→ROUND(12)→
+# DECIMAL sum (associative), final 6 dp — the t12 convention, bit-equal
+# across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d25_corpus_drift",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id % 2 AS side,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT t,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+  FROM tok GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         COUNT(*) AS v
+  FROM counts
+),
+terms AS (
+  SELECT CAST(ROUND((ca + 0.5) / (na + 0.5 * v)
+              * ln(((ca + 0.5) / (na + 0.5 * v))
+                   / ((cb + 0.5) / (nb + 0.5 * v))), 12) AS DECIMAL(38,12))
+           AS kl_ab_t,
+         CAST(ROUND((cb + 0.5) / (nb + 0.5 * v)
+              * ln(((cb + 0.5) / (nb + 0.5 * v))
+                   / ((ca + 0.5) / (na + 0.5 * v))), 12) AS DECIMAL(38,12))
+           AS kl_ba_t,
+         CAST(ROUND(ABS((ca + 0.5) / (na + 0.5 * v)
+                        - (cb + 0.5) / (nb + 0.5 * v)), 12)
+              AS DECIMAL(38,12)) AS tv_t
+  FROM counts CROSS JOIN tot
+)
+SELECT (SELECT na FROM tot) AS n_tokens_a,
+       (SELECT nb FROM tot) AS n_tokens_b,
+       (SELECT v FROM tot) AS vocab_union,
+       ROUND(CAST(SUM(kl_ab_t) AS DOUBLE), 6) AS kl_ab,
+       ROUND(CAST(SUM(kl_ba_t) AS DOUBLE), 6) AS kl_ba,
+       ROUND(CAST(SUM(tv_t) AS DOUBLE) / 2, 6) AS tvd
+FROM terms
+""",
+)
+def d25_corpus_drift(spark, sf_dir):
+    from ..operators.evalmetrics import token_distribution_drift
+
+    d = tbl(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("side"), "text"
+    )
+    return token_distribution_drift(d, "side")

@@ -327,3 +327,34 @@ def test_ivfpq_index_forget(spark, tmp_path):
     assert n == len(set(purge_ids))
     got = idx.search(queries, k=2, nprobe=4)
     assert {r.neighbor_id for r in got.collect()}.isdisjoint(set(purge_ids))
+
+
+def test_distribution_drift_invariants(spark):
+    """Identical snapshots have zero drift; a shifted snapshot has
+    strictly positive KL both ways and TVD in (0, 1]."""
+    from sql_data_warehouse_samples_spark.operators.evalmetrics import (
+        token_distribution_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(0, "a b c a"), (1, "a b c a")], "side: int, text: string"
+    )
+    r = token_distribution_drift(same, "side").collect()[0]
+    assert (r.kl_ab, r.kl_ba, r.tvd) == (0.0, 0.0, 0.0)
+    assert r.n_tokens_a == r.n_tokens_b == 4
+    assert r.vocab_union == 3
+
+    shifted = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b b b c")], "side: int, text: string"
+    )
+    r2 = token_distribution_drift(shifted, "side").collect()[0]
+    assert r2.kl_ab > 0 and r2.kl_ba > 0
+    assert 0 < r2.tvd <= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly 2"):
+        token_distribution_drift(
+            spark.createDataFrame([(0, "x")], "side: int, text: string"),
+            "side",
+        )
