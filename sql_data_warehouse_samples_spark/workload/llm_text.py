@@ -2552,3 +2552,64 @@ def d25_corpus_drift(spark, sf_dir):
         (F.col("doc_id") % 2).alias("side"), "text"
     )
     return token_distribution_drift(d, "side")
+
+
+# ---------------------------------------------------------------------------
+# t21 — TRAINED char-n-gram language-ID (Cavnar & Trenkle 1994; the
+# fastText/langdetect lineage) beside t03's marker-word heuristic: per-lang
+# top-200 char-3-gram profiles trained distributed, then MAP-ONLY scoring
+# (profiles as literal maps, integer Σ count·weight — no join, no shuffle
+# on the corpus side; plan-locked).  Output: the (lang, pred_lang)
+# confusion matrix.  Scoring is exact-integer with (score DESC, lang ASC)
+# tie-breaks, so DuckDB reproduces train + classify bit-for-bit.  (The
+# synthetic corpus' texts are language-uncorrelated word soup, so the
+# matrix measures determinism, not linguistics — discriminative power is
+# unit-tested on real multilingual text in test_round7_hardening.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t21_langid_trained",
+    oracle=r"""
+WITH grams AS (
+  SELECT lang, doc_id,
+         unnest(list_transform(range(1, length(text) - 1),
+                               i -> substring(text, i, 3))) AS g
+  FROM documents WHERE length(text) >= 3
+),
+counted AS (SELECT lang, g, COUNT(*) AS c FROM grams GROUP BY lang, g),
+prof AS (
+  SELECT lang AS plang, g, c AS w,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+  FROM counted
+),
+topk AS (SELECT plang, g, w FROM prof WHERE rn <= 200),
+scores AS (
+  SELECT dg.doc_id, t.plang, CAST(SUM(t.w) AS BIGINT) AS s
+  FROM grams dg JOIN topk t ON dg.g = t.g
+  GROUP BY dg.doc_id, t.plang
+),
+best AS (
+  SELECT doc_id, plang, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+  FROM scores
+),
+preds AS (
+  SELECT d.lang, b.plang AS pred_lang
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, plang FROM best WHERE rn = 1) b USING (doc_id)
+)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM preds GROUP BY lang, pred_lang
+""",
+)
+def t21_langid_trained(spark, sf_dir):
+    from ..operators.langid import (
+        classify_language,
+        train_char_ngram_profiles,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    profiles = train_char_ngram_profiles(d, top_k=200)
+    out = classify_language(d, profiles)
+    return out.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))

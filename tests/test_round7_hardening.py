@@ -358,3 +358,45 @@ def test_distribution_drift_invariants(spark):
             spark.createDataFrame([(0, "x")], "side: int, text: string"),
             "side",
         )
+
+
+def test_langid_trained_discriminates_real_languages(spark):
+    """On actual multilingual text (the synthetic corpus is word soup, so
+    its driver row only checks determinism) the trained profiles separate
+    languages: self-classification is perfect and held-out sentences in
+    each language classify correctly."""
+    from sql_data_warehouse_samples_spark.operators.langid import (
+        classify_language,
+        train_char_ngram_profiles,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat and the dog ran to the park"),
+            (2, "en", "she was there when the rain began to fall that night"),
+            (3, "fr", "le chat est sur le tapis et le chien court au parc"),
+            (4, "fr", "elle etait la quand la pluie a commence a tomber"),
+            (5, "de", "die katze sass auf der matte und der hund lief zum park"),
+            (6, "de", "sie war dort als der regen in der nacht zu fallen begann"),
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    profiles = train_char_ngram_profiles(train, top_k=100)
+    assert set(profiles) == {"en", "fr", "de"}
+
+    heldout = spark.createDataFrame(
+        [
+            (10, "en", "the man and the woman went to the shop in the town"),
+            (11, "fr", "le garcon et la fille vont au marche dans la ville"),
+            (12, "de", "der mann und die frau gingen zum laden in der stadt"),
+            (13, "xx", ""),  # no grams: NULL prediction, score 0
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    out = classify_language(heldout, profiles)
+    got = {r.doc_id: (r.pred_lang, r.lang_score) for r in out.collect()}
+    assert got[10][0] == "en" and got[11][0] == "fr" and got[12][0] == "de"
+    assert got[13] == (None, 0)
+    # the corpus side is map-only: no join, no exchange added by scoring
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
