@@ -55,9 +55,26 @@ def train_char_ngram_profiles(
     profile set is deterministic/engine-portable)."""
     from pyspark.sql import Window
 
-    grams = docs.select(
-        F.col(lang_col).alias("__lang"),
-        F.explode(char_ngrams(text_col, n)).alias("__g"),
+    # explode the POSITION sequence first, then substring as a plain
+    # codegen'd projection — the transform()-HOF array build is
+    # interpreted per gram (the repo's known HOF pitfall) and measured
+    # ~2x slower on the t21 train pass
+    grams = (
+        docs.select(
+            F.col(lang_col).alias("__lang"), F.col(text_col).alias("__txt")
+        )
+        .filter(F.length("__txt") >= n)
+        .select(
+            "__lang",
+            "__txt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__txt") - n + 1)
+            ).alias("__i"),
+        )
+        .select(
+            "__lang",
+            F.substring(F.col("__txt"), F.col("__i"), F.lit(n)).alias("__g"),
+        )
     )
     counted = grams.groupBy("__lang", "__g").agg(
         F.count(F.lit(1)).alias("__c")
@@ -81,54 +98,110 @@ def classify_language(
     n: int = 3,
     out_col: str = "pred_lang",
     score_col: str = "lang_score",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Map-only classification against trained profiles: adds
     (pred_lang, lang_score) — argmax over Σ count_doc(gram)·weight(gram),
     ties broken by language ascending; documents matching NO profile
-    gram get pred_lang NULL and score 0."""
+    gram get pred_lang NULL and score 0.
+
+    Two value-identical impls (parity-locked,
+    test_langid_impl_parity), BOTH exchange-free on the corpus side:
+
+    * ``arrow`` (default) — one mapInPandas pass: the profile dict rides
+      the task closure (#langs × top_k entries, centroid-broadcast
+      class), gram slicing + dict lookups run as plain Python over Arrow
+      batches.  Spark never codegens HOF lambdas, so the JVM fold is
+      interpreted per gram occurrence — measured ~5x slower at sf0.1.
+    * ``fold`` — pure-JVM ``aggregate`` over the gram array with ONE
+      combined gram→weight-vector literal map, for pipelines that must
+      stay Python-free.
+    """
     if not profiles:
         raise ValueError("profiles is empty — train first")
+    if impl not in ("arrow", "fold"):
+        raise ValueError(f"impl must be 'arrow' or 'fold', got {impl!r}")
     langs = sorted(profiles)
-    grams = F.array_sort(char_ngrams(text_col, n))
-    with_g = docs.withColumn("__grams", grams)
-    score_cols = []
-    for lang in langs:
-        prof = profiles[lang]
-        entries = ", ".join(
-            f"({_sql_str(g)}, {w}L)" for g, w in sorted(prof.items())
-        )
-        m = F.expr(f"map_from_entries(array({entries}))")
-        score = F.aggregate(
-            F.col("__grams"),
-            F.lit(0).cast("long"),
-            lambda acc, g: acc + F.coalesce(m[g], F.lit(0).cast("long")),
-        )
-        score_cols.append(score.alias(f"__s_{lang}"))
-    scored = with_g.select("*", *score_cols)
-    # argmax via greatest-over-structs: (score, reversed-lang) so equal
-    # scores pick the ASCENDING language name deterministically
-    best = F.greatest(
-        *[
-            F.struct(
-                F.col(f"__s_{lang}").alias("s"),
-                F.lit(len(langs) - i).alias("ord"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(langs)
-        ]
-    ) if len(langs) > 1 else F.struct(
-        F.col(f"__s_{langs[0]}").alias("s"),
-        F.lit(1).alias("ord"),
-        F.lit(langs[0]).alias("lang"),
+    nl = len(langs)
+    # ONE combined gram -> per-language weight vector (grams shared
+    # across languages collapse into one entry)
+    union: dict[str, list[int]] = {}
+    for i, lang in enumerate(langs):
+        for g, w in profiles[lang].items():
+            union.setdefault(g, [0] * nl)[i] = int(w)
+
+    if impl == "arrow":
+        from collections.abc import Iterator
+
+        def score(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                preds, scores = [], []
+                for t in pdf[text_col]:
+                    svec = [0] * nl
+                    if t is not None and len(t) >= n:
+                        get = union.get
+                        for j in range(len(t) - n + 1):
+                            ws = get(t[j : j + n])
+                            if ws is not None:
+                                for i in range(nl):
+                                    svec[i] += ws[i]
+                    bi = 0
+                    for i in range(1, nl):
+                        if svec[i] > svec[bi]:
+                            bi = i  # strict >: ties keep the SMALLER
+                            # index = ascending language name
+                    if svec[bi] > 0:
+                        preds.append(langs[bi])
+                        scores.append(svec[bi])
+                    else:
+                        preds.append(None)
+                        scores.append(0)
+                pdf = pdf.copy()
+                pdf[out_col] = preds
+                pdf[score_col] = scores
+                yield pdf
+
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in docs.schema.fields
+        ) + f", `{out_col}` string, `{score_col}` long"
+        return docs.mapInPandas(score, out_schema)
+
+    # pure-JVM fold path
+    with_g = docs.withColumn("__grams", char_ngrams(text_col, n))
+    entries = ", ".join(
+        f"({_sql_str(g)}, array({', '.join(str(w) + 'L' for w in ws)}))"
+        for g, ws in sorted(union.items())
     )
+    m = F.expr(f"map_from_entries(array({entries}))")
+    zero = F.array_repeat(F.lit(0).cast("long"), nl)
+    scores_vec = F.aggregate(
+        F.col("__grams"),
+        zero,
+        lambda acc, g: F.zip_with(
+            acc, F.coalesce(m[g], zero), lambda a, b: a + b
+        ),
+    )
+    # argmax via greatest-over-structs: (score, reversed-ord) so equal
+    # scores pick the ASCENDING language name deterministically
+    structs = [
+        F.struct(
+            F.element_at("__sv", i + 1).alias("s"),
+            F.lit(nl - i).alias("ord"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*structs) if nl > 1 else structs[0]
     return (
-        scored.withColumn("__best", best)
+        with_g.withColumn("__sv", scores_vec)
+        .withColumn("__best", best)
         .withColumn(
             out_col,
             F.when(F.col("__best.s") > 0, F.col("__best.lang")),
         )
         .withColumn(score_col, F.col("__best.s"))
-        .drop("__grams", "__best", *[f"__s_{lang}" for lang in langs])
+        .drop("__grams", "__sv", "__best")
     )
 
 

@@ -400,3 +400,30 @@ def test_langid_trained_discriminates_real_languages(spark):
     # the corpus side is map-only: no join, no exchange added by scoring
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_langid_impl_parity(spark):
+    """The arrow and pure-JVM fold classifiers are value-identical."""
+    from sql_data_warehouse_samples_spark.operators.langid import (
+        classify_language,
+        train_char_ngram_profiles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the hat sat on the mat"),
+            (2, "fr", "le chat et le chapeau sur le tapis"),
+            (3, "de", "die katze und der hut auf der matte"),
+            (4, "xx", "zz"),  # shorter than n: no grams
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    prof = train_char_ngram_profiles(docs, top_k=80)
+    cols = ["doc_id", "pred_lang", "lang_score"]
+    a = sorted(
+        map(tuple, classify_language(docs, prof, impl="arrow").select(*cols).collect())
+    )
+    b = sorted(
+        map(tuple, classify_language(docs, prof, impl="fold").select(*cols).collect())
+    )
+    assert a == b
