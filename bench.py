@@ -120,6 +120,11 @@ HEADLINE = [
     # value check, so its cost story is p01's.
     "s12_hard_negatives",
     "t20_filter_auc",
+    # round-7 late: corpus-drift scalar (one token aggregate, vocab-sized
+    # tail) and trained language-ID (train = one char-gram aggregate +
+    # per-lang rank window; classify map-only behind literal-map profiles)
+    "d25_corpus_drift",
+    "t21_langid_trained",
 ]
 
 
@@ -232,8 +237,10 @@ SF1_SUBSET = [
     "d23_bloom_decontamination",
     # r7: hard-negative mining's corpus cost is the term-filtered BM25
     # pass — ~linear in document bytes; everything downstream is k_raw-
-    # bounded, so the sf1 ratio shows the scan term.
+    # bounded, so the sf1 ratio shows the scan term.  d25's token
+    # aggregate is corpus-linear with a vocab-sized tail.
     "s12_hard_negatives",
+    "d25_corpus_drift",
 ]
 
 
