@@ -173,11 +173,25 @@ DEFAULT_MAX_BUCKET = 128
 #: releasing there would clobber a sibling stage's cache mid-operation.
 #: Releasing a frame a concurrent job still references is safe — Spark
 #: recomputes.
+#:
+#: CONCURRENCY: the registry is process-global and assumes ONE top-level
+#: dedup/ledger operation in flight per driver process at a time.  Two
+#: concurrent top-level ops on one session (e.g. two streaming admission
+#: sinks on separate schedulers, or a thread pool of dedup calls) would
+#: release each other's caches mid-operation — results stay CORRECT
+#: (Spark recomputes an unpersisted frame), but the persist() the hot
+#: path relies on silently degrades to full recompute.  Run concurrent
+#: admission pipelines in separate driver processes, or serialize them.
 _HOT_CACHES: list = []
 
 
 def release_hot_caches() -> None:
-    """Unpersist dedup's outstanding hot-path caches (see _HOT_CACHES)."""
+    """Unpersist dedup's outstanding hot-path caches (see _HOT_CACHES).
+
+    Process-global, single-operation semantics: see the _HOT_CACHES
+    concurrency note — callers running top-level dedup/ledger ops
+    concurrently on one driver will release each other's caches
+    (correctness preserved, persist() benefit lost)."""
     while _HOT_CACHES:
         df = _HOT_CACHES.pop()
         try:

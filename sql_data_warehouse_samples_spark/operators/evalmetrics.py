@@ -64,8 +64,14 @@ def token_distribution_drift(
         r[0]
         for r in docs.select(side_col).distinct().orderBy(side_col).collect()
     ]
-    if len(sides) != 2:
-        raise ValueError(f"side_col must have exactly 2 values, got {sides}")
+    if len(sides) != 2 or any(s is None for s in sides):
+        # NULL must be rejected, not treated as a side: the pivot below
+        # compares with `==`, which evaluates to NULL for a NULL side, so
+        # every NULL-side count would silently land as 0 — garbage drift,
+        # not an error
+        raise ValueError(
+            f"side_col must have exactly 2 non-NULL values, got {sides}"
+        )
     a, b = sides
     tok = docs.select(
         F.col(side_col).alias("__side"), F.explode(tokens(text_col)).alias("__t")
@@ -103,12 +109,23 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    max_distinct_scores: int | None = None,
 ) -> DataFrame:
     """Exact ROC-AUC of ``score_col`` against boolean/0-1 ``label_col``.
 
     Returns ONE row: (auc double 6 dp, n_pos, n_neg, n_distinct_scores).
     Rows with a NULL score or label are excluded (no rank semantics for
     them).  AUC is NULL when either class is empty.
+
+    ``max_distinct_scores`` is the continuous-score cost guard: the
+    single-partition ordered window runs over the DISTINCT-SCORE table,
+    which is only safe when score cardinality is bounded (heuristic /
+    quantized scores).  When set and the observed distinct count exceeds
+    it, scores are first bucketed into that many equal-width bins
+    (bucket-midpoint as the score) — the window is then provably bounded,
+    and the AUC becomes the bucketed approximation (ties within a bin
+    count as 0.5, the standard binned-AUC semantics).  Default ``None``
+    preserves the exact behavior unchanged.
     """
     from pyspark.sql import Window
 
@@ -116,6 +133,25 @@ def roc_auc(
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("int").alias("__y"),
     ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    if max_distinct_scores is not None:
+        if max_distinct_scores < 1:
+            raise ValueError("max_distinct_scores must be >= 1")
+        stats = scored.agg(
+            F.countDistinct("__s").alias("nd"),
+            F.min(F.col("__s").cast("double")).alias("mn"),
+            F.max(F.col("__s").cast("double")).alias("mx"),
+        ).collect()[0]
+        if stats.nd is not None and stats.nd > max_distinct_scores:
+            mn, mx = float(stats.mn), float(stats.mx)
+            width = (mx - mn) / max_distinct_scores
+            # width > 0 here: nd > max_distinct_scores >= 1 implies mx > mn
+            bucket = F.least(
+                F.floor((F.col("__s").cast("double") - mn) / width),
+                F.lit(max_distinct_scores - 1),
+            )
+            scored = scored.withColumn(
+                "__s", mn + (bucket + 0.5) * width
+            )
     groups = scored.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum("__y").alias("__pos"),

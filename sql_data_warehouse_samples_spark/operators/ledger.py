@@ -637,18 +637,20 @@ class MinHashSignatureLedger:
         return survivors
 
     def compact(self, n_files: int | None = None) -> int:
-        """Rewrite accumulated per-batch appends (dedup on doc_id, keep
-        any one signature row — they are identical for a given doc) into
+        """Rewrite accumulated per-batch appends (full-row dedup) into
         ``n_files`` parquet files via the verified staged swap.  Returns
-        the distinct-doc count."""
-        from .dirswap import swap_in
+        the distinct-row count.
 
-        # keep the (non-null) batch_key with each doc so keyed-replay
-        # exclusion and the key-reuse guard survive compaction
-        distinct = self.signatures().groupBy("doc_id").agg(
-            F.max("sig").alias("sig"),
-            F.max("batch_key").alias("batch_key"),
-        )
+        Grain is the FULL (doc_id, sig, batch_key) row, not doc_id: a
+        doc_id legally admitted under two keys (the second batch's content
+        was not a near-dup of the first) must keep BOTH rows — folding to
+        one per doc_id would (a) silently drop one batch's signature, so
+        future near-dups of that content get admitted, and (b) pair one
+        key with the other key's signature, making the key-reuse guard
+        spuriously refuse that batch's legitimate crash-replay.  Full-row
+        distinct still removes what compaction exists to remove: the
+        identical rows accumulated by un-keyed append replays."""
+        distinct = self.signatures().distinct()
         return self._rewrite(distinct, n_files)
 
     def forget(self, doc_ids: DataFrame, id_col: str = "doc_id") -> int:

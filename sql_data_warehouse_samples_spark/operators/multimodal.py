@@ -283,7 +283,12 @@ def decode_image_stats(media: DataFrame, payload_col: str = "payload") -> DataFr
                             int(a.max()),
                         )
                     )
-                except (NotImplementedError, ValueError, IndexError):
+                except Exception:  # noqa: BLE001 — same contract as
+                    # image_dhash: "undecodable yields NULL" must hold for
+                    # ANY decode failure — a pluggable decoder can raise
+                    # TypeError/struct.error/OSError or a numpy shape error
+                    # on a truncated payload, and one corrupt image must
+                    # not kill a 100 TB pass
                     rows.append((mid, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -136,15 +136,29 @@ def _run_scoped_key(checkpoint: str, batch_id: int) -> str:
     stable across restarts of the SAME checkpoint (replays keep their
     key), fresh when the checkpoint is reset (no collision).  Falls back
     to the raw batch id if the metadata is unreadable (pre-start calls,
-    exotic checkpoint stores)."""
+    exotic checkpoint stores) — with a LOUD warning, because the fallback
+    reinstates exactly the cross-generation collision this function
+    exists to prevent: the first colliding batch would then abort the
+    stream on the ledger's key-reuse guard, and operators should learn
+    the keys are unscoped before that happens."""
     import json
+    import logging
     import os
 
     try:
         with open(os.path.join(checkpoint, "metadata")) as f:
             qid = str(json.load(f)["id"])
         return f"{qid.replace('-', '')[:12]}-{batch_id}"
-    except (OSError, ValueError, KeyError, TypeError):
+    except (OSError, ValueError, KeyError, TypeError) as exc:
+        logging.getLogger(__name__).warning(
+            "checkpoint %r has no readable query-id metadata (%s); "
+            "falling back to the UNSCOPED batch id %r as the ledger "
+            "idempotency key — a checkpoint reset will collide with this "
+            "key and the ledger's key-reuse guard will abort the stream",
+            checkpoint,
+            exc,
+            str(batch_id),
+        )
         return str(batch_id)
 
 
@@ -185,6 +199,12 @@ def neardup_admission_sink(
     * the corpus write lands in a ``__ingest_batch=<id>`` partition via
       dynamic partition overwrite — a replayed batch rewrites its own
       partition byte-for-byte and touches nothing else.
+
+    CONCURRENCY: run ONE admission sink per driver process — the ledger's
+    hot-path cache registry (dedup._HOT_CACHES) is process-global with
+    release-on-entry semantics, so two concurrent sinks on one session
+    would release each other's caches mid-batch (results stay correct;
+    the persist() benefit silently degrades to recompute).
 
     Returns the started StreamingQuery; callers own awaitTermination.
     """
@@ -321,6 +341,10 @@ def admission_sink(
     rewrites its own reject partition and nothing else.  Cost: two
     batch-sized anti-joins — the corpus is never touched.
 
+    CONCURRENCY: one admission sink per driver process (see
+    ``neardup_admission_sink`` — the shared dedup._HOT_CACHES registry
+    assumes a single top-level admission op in flight).
+
     Returns the started StreamingQuery; callers own awaitTermination.
     """
     from ..operators.dedup import BloomGramFilter
@@ -376,6 +400,20 @@ def admission_sink(
                     .partitionBy("__ingest_batch")
                     .parquet(reject_dir)
                 )
+            else:
+                # a REPLAY that converges to zero rejects writes nothing —
+                # dynamic overwrite never touches the partition, so a prior
+                # attempt's stale reject rows would survive and the audit
+                # surface would over-report for this batch.  Clear the
+                # batch's partition explicitly instead of skipping.
+                import os
+                import shutil
+
+                stale = os.path.join(
+                    reject_dir, f"__ingest_batch={batch_id}"
+                )
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
 
     return (
         stream.writeStream.foreachBatch(_admit)

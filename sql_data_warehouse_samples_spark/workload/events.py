@@ -133,6 +133,85 @@ def q39_user_sessions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q37+q39 battery — round-8 rotation: tumbling-window aggregation and
+# session windows (gaps-and-islands) in ONE driver slot; the standalone
+# q37/q39 stay registered post-window with their own oracles.  Union of two
+# aggregations over the same events table (each branch's oracle is the
+# standalone query's, re-projected onto the shared battery schema).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_q39_events_battery",
+    oracle="""
+SELECT 'q37_tumbling' AS family,
+       event_type AS k,
+       DATE_TRUNC('hour', ts) AS w_start,
+       CAST(NULL AS TIMESTAMP) AS w_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, DATE_TRUNC('hour', ts)
+UNION ALL
+SELECT 'q39_sessions' AS family,
+       CAST(user_id AS VARCHAR) AS k,
+       MIN(ts) AS w_start,
+       MAX(ts) + INTERVAL '10 minutes' AS w_end,
+       COUNT(*) AS n_events,
+       CAST(NULL AS DOUBLE) AS total_value,
+       CAST(0 AS BIGINT) AS n_users
+FROM (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '10 minutes'
+                 OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  )
+)
+GROUP BY user_id, session_id
+""",
+)
+def q37_q39_events_battery(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    tumbling = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit("q37_tumbling").alias("family"),
+            F.col("event_type").alias("k"),
+            F.col("w.start").alias("w_start"),
+            F.lit(None).cast("timestamp").alias("w_end"),
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+    sessions = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("q39_sessions").alias("family"),
+            F.col("user_id").cast("string").alias("k"),
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            F.lit(None).cast("double").alias("total_value"),
+            F.lit(0).cast("long").alias("n_users"),
+        )
+    )
+    return tumbling.unionByName(sessions)
+
+
+# ---------------------------------------------------------------------------
 # q40 — JSON extraction (driver-mandate surface; Spark from_json /
 # get_json_object over the events.props payload).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,206 @@
+"""Round-8 hardening: compact() keeps (sig, batch_key) rows paired,
+drift rejects NULL sides, ROC-AUC continuous-score guard, reject-audit
+replay clears stale partitions, unscoped-key fallback warns, and
+decode_image_stats survives any decoder failure.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import pytest
+
+
+def _text(prefix: str, n: int = 60) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_sig_ledger_compact_keeps_two_key_rows_paired(spark, tmp_path):
+    """A doc_id legally admitted under two keys (second batch's content is
+    NOT a near-dup of the first) stores two (sig, batch_key) rows.
+    Pre-fix, compact() aggregated max(sig) and max(batch_key) PER DOC
+    INDEPENDENTLY — collapsing them into one mismatched row, so one
+    batch's signature silently left the ledger (future near-dups of that
+    content admitted) and the key-reuse guard could spuriously refuse a
+    legitimate crash-replay.  Full-row compaction keeps both."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        MinHashSignatureLedger,
+    )
+
+    led = MinHashSignatureLedger(spark, str(tmp_path / "led"))
+    text_a, text_b = _text("tok"), _text("alpha")
+    ba = spark.createDataFrame([(1, text_a)], "doc_id: long, text: string")
+    bb = spark.createDataFrame([(1, text_b)], "doc_id: long, text: string")
+    assert led.ingest(ba, idempotency_key="ka").count() == 1
+    # different content, same doc_id, different key: legal (not a near-dup)
+    assert led.ingest(bb, idempotency_key="kb").count() == 1
+
+    assert led.compact(n_files=1) == 2  # both rows survive, full-row grain
+    rows = led.signatures().collect()
+    assert {r.batch_key for r in rows} == {"ka", "kb"}
+    sigs = {r.batch_key: list(r.sig) for r in rows}
+    assert sigs["ka"] != sigs["kb"]  # each key keeps ITS OWN signature
+
+    # crash-replay of EITHER batch under its own key stays legal — the
+    # key-reuse guard sees the correctly-paired stored signature
+    assert led.ingest(ba, idempotency_key="ka").count() == 1
+    assert led.ingest(bb, idempotency_key="kb").count() == 1
+
+    # and near-dups of BOTH contents are still rejected post-compact —
+    # pre-fix, whichever signature compact() dropped admitted its near-dup
+    near_a = text_a.rsplit(" ", 1)[0] + " tokX"
+    near_b = text_b.rsplit(" ", 1)[0] + " alphaX"
+    probe = spark.createDataFrame(
+        [(50, near_a), (51, near_b)], "doc_id: long, text: string"
+    )
+    assert led.ingest(probe, idempotency_key="kp").count() == 0
+
+
+def test_drift_null_side_rejected(spark):
+    """A NULL in side_col passed the exactly-2-values check, but the pivot
+    compares with `==`, which is NULL for NULL — that side's counts all
+    became 0 and the drift output was silently garbage.  Now rejected."""
+    from sql_data_warehouse_samples_spark.operators.evalmetrics import (
+        token_distribution_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), (None, "x y q")], "snap: string, text: string"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        token_distribution_drift(docs, "snap")
+
+
+def test_roc_auc_max_distinct_scores_guard(spark):
+    """Continuous-score cost guard: when the distinct-score count exceeds
+    max_distinct_scores, scores are pre-bucketed (equal-width bins) so the
+    ordered window stays bounded; default behavior is byte-identical."""
+    from sql_data_warehouse_samples_spark.operators.evalmetrics import roc_auc
+
+    rows = [(i / 97.0 + (0.31 if i % 3 == 0 else 0.0), 1 if i % 3 == 0 else 0)
+            for i in range(97)]
+    df = spark.createDataFrame(rows, "score: double, label: int")
+
+    # brute-force exact AUC (pairwise) as the reference
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    expect = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+
+    exact = roc_auc(df, "score", "label").collect()[0]
+    assert exact.auc == pytest.approx(expect, abs=1e-6)
+    assert exact.n_distinct_scores == len({s for s, _ in rows})
+
+    # a bound ABOVE the observed cardinality changes nothing
+    same = roc_auc(df, "score", "label", max_distinct_scores=10_000).collect()[0]
+    assert same == exact
+
+    # a binding bound caps the window size; AUC is the binned approximation
+    binned = roc_auc(df, "score", "label", max_distinct_scores=8).collect()[0]
+    assert binned.n_distinct_scores <= 8
+    assert binned.n_pos == exact.n_pos and binned.n_neg == exact.n_neg
+    assert binned.auc == pytest.approx(expect, abs=0.1)
+
+    with pytest.raises(ValueError, match="max_distinct_scores"):
+        roc_auc(df, "score", "label", max_distinct_scores=0)
+
+
+def test_admission_sink_replay_clears_stale_reject_partition(spark, tmp_path):
+    """A replayed batch that converges to ZERO rejects writes nothing via
+    dynamic overwrite — pre-fix the prior attempt's stale reject rows
+    survived and the audit surface over-reported.  The sink now clears the
+    batch's reject partition explicitly when its reject set is empty."""
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_streaming import _doc_row, _write_doc_batches
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark,
+        src,
+        [[_doc_row(1, _text("tok")), _doc_row(2, _text("alpha"))]],
+        SI.DOC_SCHEMA,
+    )
+    reject_dir = str(tmp_path / "rejects")
+    # simulate a prior attempt of batch 0 that recorded a (now stale)
+    # reject before crashing pre-checkpoint-commit
+    stale = os.path.join(reject_dir, "__ingest_batch=0")
+    os.makedirs(stale)
+    spark.createDataFrame(
+        [(2, "stale", "rejected_dedup")], "doc_id: long, text: string, reason: string"
+    ).coalesce(1).write.mode("overwrite").parquet(stale)
+    assert os.path.isdir(stale)
+
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    q = SI.admission_sink(
+        SI.read_document_stream(spark, src),
+        pipe,
+        str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ckpt"),
+        reject_dir=reject_dir,
+    )
+    q.awaitTermination()
+    # both docs admitted -> zero rejects -> the stale partition is GONE
+    assert not os.path.isdir(stale)
+
+
+def test_run_scoped_key_fallback_warns(tmp_path, caplog):
+    """Falling back to the raw batch id reinstates the cross-generation
+    collision the scoped key exists to prevent — it must be loud, not
+    silent, so operators learn before the ledger guard aborts a stream."""
+    from sql_data_warehouse_samples_spark.streaming.ingest import (
+        _run_scoped_key,
+    )
+
+    with caplog.at_level(logging.WARNING):
+        key = _run_scoped_key(str(tmp_path / "no_such_ckpt"), 7)
+    assert key == "7"
+    assert any("UNSCOPED" in r.message for r in caplog.records)
+
+
+def test_decode_image_stats_any_decode_failure_yields_null(spark):
+    """Same contract as image_dhash (fixed in r7): an injected decoder can
+    raise TypeError/struct.error on a truncated payload — one corrupt
+    image yields a NULL stats row, never a failed 100 TB pass."""
+    import struct
+
+    import numpy as np
+
+    from sql_data_warehouse_samples_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+
+    def crashy(b: bytes):
+        if b == b"\x01typeerr":
+            raise TypeError("buffer of wrong kind")
+        if b == b"\x02structerr":
+            raise struct.error("unpack requires more bytes")
+        return mm.default_decoder(b)
+
+    media = spark.createDataFrame(
+        [
+            (1, mm.encode_ppm(img)),
+            (2, b"\x01typeerr"),
+            (3, b"\x02structerr"),
+        ],
+        "media_id: long, payload: binary",
+    )
+    old = mm._DECODER
+    mm.set_decoder(crashy)
+    try:
+        got = {r.media_id: r for r in mm.decode_image_stats(media).collect()}
+    finally:
+        mm._DECODER = old
+    assert got[1].pix_sum == int(img.astype(np.int64).sum())
+    assert got[1].width == 5 and got[1].height == 4
+    for mid in (2, 3):
+        r = got[mid]
+        assert (r.width, r.height, r.pix_sum, r.pix_min, r.pix_max) == (
+            None,
+        ) * 5
