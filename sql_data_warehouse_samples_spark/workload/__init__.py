@@ -87,8 +87,7 @@ DRIVER_PRIORITY: list[str] = [
     # scalar families (q52 = combined battery; stat aggs ride in q01)
     "q52_scalar_battery",
     # events (streaming batch twins) + pandas-UDF grouped map
-    "q37_tumbling_hourly",
-    "q39_user_sessions",
+    "q37_q39_events_battery",  # tumbling + session windows (folds q37 + q39)
     "q40_json_props",
     "q48_grouped_map_summary",
     # LLM text pipeline — every mandate op in-window
@@ -97,8 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "t05_repetition_filters",
     "t07_pii_redaction",
     "d01_dedup_exact",
-    "d03_minhash_lsh_pairs",
-    "d04_simhash_pairs",
+    "d24_simhash_identical_groups",  # d04's machinery under an EXACT oracle
     "d05_embedding_neardup",
     "d06_t06_split_quantiles",  # d06 + t06 in one slot
     "d07_d19_decontamination_battery",  # folds d07 + d19
@@ -107,10 +105,9 @@ DRIVER_PRIORITY: list[str] = [
     "d10_mixture_sample",
     "d11_substring_dup_pairs",
     "t08_curation_funnel",
-    "p01_sequence_packing",  # rows-only: greedy FFD not SQL-expressible
+    "p03_packing_closed_form",  # the REAL FFD loop under an EXACT oracle
     # similarity search + multimodal
-    "s01_cosine_topk",
-    "s03_embedding_stats",
+    "s01_s03_embed_battery",  # cosine top-k + stats (folds s01 + s03)
     "s04_ivf_topk",
     "m01_media_meta",
     # round-4 rotation: the two slots freed by the q03+q05 and t01+t04
@@ -160,6 +157,21 @@ DRIVER_PRIORITY: list[str] = [
     "d23_bloom_decontamination",
     "s10_pq_refine_topk",
     "t19_c4_line_clean",
+    # round-8 rotation: q37+q39 fold into one events battery and s01+s03
+    # into one embeddings battery (each family keeps its in-window exemplar
+    # inside the battery; the standalone queries stay registered post-window
+    # with their own oracles); the rows-only trio rotates to its exact-
+    # oracle siblings — d04→d24 (same SimHash machinery, closed-form
+    # analytic oracle), p01→p03 (the REAL applyInPandas FFD loop on a
+    # uniform-length instance with a closed-form oracle), and d03 moves
+    # post-window (the MinHash family keeps d21/d22/d23 in-window, all
+    # exact).  The three freed slots seat the round-7 flagships t21
+    # (trained language-ID), s12 (hard-negative mining) and t20 (exact
+    # ROC-AUC).  Window oracle density: 47 → 50 of 50 — every driver row
+    # now hash-compares against an exact DuckDB oracle.
+    "t21_langid_trained",
+    "s12_hard_negatives",
+    "t20_filter_auc",
 ]
 
 

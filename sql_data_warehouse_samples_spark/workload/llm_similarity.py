@@ -57,6 +57,87 @@ def s01_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# s01+s03 battery — round-8 rotation: brute-force cosine top-k and corpus
+# embedding statistics in ONE driver slot (the standalone s01/s03 stay
+# registered post-window with their own oracles).  Each branch's oracle is
+# the standalone query's, re-projected onto the shared battery schema.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s01_s03_embed_battery",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6) AS cosine_sim
+  FROM q, c
+  WHERE q.vec_id <> c.vec_id
+),
+norms AS (
+  SELECT label,
+         ROUND(sqrt(list_sum(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS vnorm
+  FROM (SELECT label, embedding FROM embeddings) c
+)
+SELECT 's01_cosine_topk' AS family,
+       CAST(query_id AS VARCHAR) AS k,
+       neighbor_id AS id2,
+       CAST(nbr_rank AS BIGINT) AS n,
+       cosine_sim AS x1,
+       CAST(NULL AS DOUBLE) AS x2,
+       CAST(NULL AS DOUBLE) AS x3
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS nbr_rank
+  FROM sims
+)
+WHERE nbr_rank <= 5
+UNION ALL
+SELECT 's03_embedding_stats' AS family,
+       CAST(label AS VARCHAR) AS k,
+       CAST(NULL AS BIGINT) AS id2,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(vnorm AS DECIMAL(18,6))) AS DOUBLE) AS x1,
+       CAST(MIN(vnorm) AS DOUBLE) AS x2,
+       CAST(MAX(vnorm) AS DOUBLE) AS x3
+FROM norms
+GROUP BY label
+""",
+)
+def s01_s03_embed_battery(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    topk = S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5).select(
+        F.lit("s01_cosine_topk").alias("family"),
+        F.col("query_id").cast("string").alias("k"),
+        F.col("neighbor_id").alias("id2"),
+        F.col("nbr_rank").cast("long").alias("n"),
+        F.col("cosine_sim").alias("x1"),
+        F.lit(None).cast("double").alias("x2"),
+        F.lit(None).cast("double").alias("x3"),
+    )
+    norms = e.select(
+        "label", F.round(S.norm(F.col("embedding")), 6).alias("vnorm")
+    )
+    stats = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vnorm").cast("decimal(18,6)")).cast("double").alias("x1"),
+        F.min("vnorm").cast("double").alias("x2"),
+        F.max("vnorm").cast("double").alias("x3"),
+    ).select(
+        F.lit("s03_embedding_stats").alias("family"),
+        F.col("label").cast("string").alias("k"),
+        F.lit(None).cast("long").alias("id2"),
+        "n",
+        "x1",
+        "x2",
+        "x3",
+    )
+    return topk.unionByName(stats)
+
+
+# ---------------------------------------------------------------------------
 # s02 — LSH-bucketed approximate neighbors.  EXACT oracle (round-6, the r5
 # verdict's stretch #10): the hyperplanes are deterministic Python floats
 # (_hyperplanes(64, 6, seed=42)), so the oracle SQL inlines them as

@@ -44,13 +44,14 @@ def test_driver_priority_window_pinned():
     window = set(workload.DRIVER_PRIORITY)
     # events + pandas-UDF + EVERY LLM-mandate op must be inside
     for must in [
-        "q37_tumbling_hourly", "q48_grouped_map_summary",
+        "q37_q39_events_battery", "q48_grouped_map_summary",
         "t01_t04_text_battery", "t02_t03_quality_langid_battery",
         "t05_repetition_filters", "t07_pii_redaction",
-        "d01_dedup_exact", "d03_minhash_lsh_pairs", "d05_embedding_neardup",
+        "d01_dedup_exact", "d24_simhash_identical_groups",
+        "d05_embedding_neardup",
         "d06_t06_split_quantiles", "d07_d19_decontamination_battery",
         "d08_incremental_dedup", "d09_duplicate_clusters",
-        "p01_sequence_packing", "s01_cosine_topk", "s04_ivf_topk",
+        "p03_packing_closed_form", "s01_s03_embed_battery", "s04_ivf_topk",
         "m01_media_meta", "q52_scalar_battery",
         "d12_semantic_dedup", "q60_scd2_dimension",
         "s06_pq_codes", "s07_bm25_topk", "q58_asof_attribution",
@@ -60,15 +61,24 @@ def test_driver_priority_window_pinned():
         "q07_q15_pairs_battery", "q11_q54_outer_battery",
         "q21_q22_agg_battery", "d23_bloom_decontamination",
         "s10_pq_refine_topk", "t19_c4_line_clean",
+        "t21_langid_trained", "s12_hard_negatives", "t20_filter_auc",
     ]:
         assert must in window, must
-    # everything in the window has either an oracle or a rows-only design
+    # round-8: every in-window row carries an exact oracle (the rows-only
+    # ops d03/d04/p01 ride post-window; their machinery is driver-proven
+    # by in-window exact siblings d21/d24/p03)
     rows_only = {n for n in window if n not in workload.ORACLES}
-    assert rows_only == {
+    assert rows_only == set()
+    for post_window in (
         "d03_minhash_lsh_pairs",
         "d04_simhash_pairs",
         "p01_sequence_packing",
-    }
+        "q37_tumbling_hourly",
+        "q39_user_sessions",
+        "s01_cosine_topk",
+        "s03_embedding_stats",
+    ):
+        assert post_window in workload.QUERIES, post_window
 
 
 def test_coverage_doc_counts_match_registry():
