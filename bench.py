@@ -120,6 +120,10 @@ HEADLINE = [
     # value check, so its cost story is p01's.
     "s12_hard_negatives",
     "t20_filter_auc",
+    # round-8: batched hard-negative mining — one corpus pass for a query
+    # TABLE (tracked alongside s12 so the batch-vs-single cost ratio is a
+    # standing measurement; 3 queries here vs s12's 1)
+    "s13_hard_negatives_batch",
     # round-7 late: corpus-drift scalar (one token aggregate, vocab-sized
     # tail) and trained language-ID (train = one char-gram aggregate +
     # per-lang rank window; classify map-only behind literal-map profiles)
@@ -241,6 +245,18 @@ SF1_SUBSET = [
     # aggregate is corpus-linear with a vocab-sized tail.
     "s12_hard_negatives",
     "d25_corpus_drift",
+]
+
+
+#: The standing 100x subset (SPARK_GRAFT_SF10=1): ops whose ~linear terms
+#: are below fixed cost at sf1 — the 100x ratio is the evidence.  s12/s13
+#: ride along so the batch-vs-single mining cost is measured at scale.
+SF10_SUBSET = [
+    "s10_pq_refine_topk",
+    "d23_bloom_decontamination",
+    "t19_c4_line_clean",
+    "s12_hard_negatives",
+    "s13_hard_negatives_batch",
 ]
 
 
@@ -408,6 +424,56 @@ def main() -> None:
                 payload["sf1"]["errors"] = sf1_errors
         except Exception as e:  # noqa: BLE001
             payload["sf1"] = {"error": str(e)[:300]}
+
+    # standing 100x point (SPARK_GRAFT_SF10=1): the ops whose linear terms
+    # are invisible at sf1 (fixed-cost floored).  Deliberately FLAG-GATED —
+    # d23's benchmark side scales with the corpus here, so the section adds
+    # ~3-4 min — and the flagless run (the driver's) CARRIES FORWARD the
+    # round's previously-recorded sf10 section instead of erasing it, so
+    # one flagged run per round keeps the 100x ratios in the full record.
+    # Never in the compact stdout line (it stays sf0.1-only).
+    if os.environ.get("SPARK_GRAFT_SF10", "0") == "1":
+        try:
+            from scripts.scale_probe import ensure_sf10
+
+            sf10_dir = ensure_sf10(spark, SF_DIR)
+            sf10_q: dict[str, dict] = {}
+            sf10_reps: dict[str, list[float]] = {n: [] for n in SF10_SUBSET}
+            for _ in range(2):  # min-of-2: the section is long; spread
+                # still flags steal, and primary mins give the ratio base
+                for name in SF10_SUBSET:
+                    fn = workload.QUERIES[name]
+                    t0 = time.perf_counter()
+                    materialize(fn(spark, sf10_dir))
+                    sf10_reps[name].append(time.perf_counter() - t0)
+            for name, ts in sf10_reps.items():
+                base = timings.get(name)
+                sf10_q[name] = {
+                    "sf10_sec": round(min(ts), 2),
+                    "spread": round(max(ts) / max(min(ts), 1e-9), 2),
+                    "ratio_100x": (
+                        round(min(ts) / base, 1) if base else None
+                    ),
+                    "raw": [round(t, 2) for t in ts],
+                }
+            payload["sf10"] = {
+                "queries": sf10_q,
+                "note": "100x synthesized corpus (mutually-distinct "
+                "copies); ratio_100x = sf10 min / this run's sf0.1 min",
+            }
+        except Exception as e:  # noqa: BLE001
+            payload["sf10"] = {"error": str(e)[:300]}
+    else:
+        prev = os.path.join(
+            REPO_ROOT, f"BENCH_full_r{infer_round():02d}.json"
+        )
+        try:
+            with open(prev) as f:
+                old = json.load(f)
+            if isinstance(old.get("sf10"), dict):
+                payload["sf10"] = {**old["sf10"], "carried_forward": True}
+        except (OSError, ValueError):
+            pass
 
     emit(payload)
 

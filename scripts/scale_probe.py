@@ -626,34 +626,20 @@ def bpe_32k_dict_ladder() -> None:
     print(json.dumps({"bpe32k_ladder": report}))
 
 
-def sf10_probe() -> None:
-    """One-off 100x scale point for the round-6 flagships whose sf1 (10x)
-    ratios are floored by fixed cost (s10 1.4x, d23 1.0x at 10x — both
-    consistent with the ~linear design but not yet EVIDENCE of it):
-
-        python scripts/scale_probe.py sf10
-
-    Synthesizes a cached 100x corpus from sf0.1 (bench.py's sf1 recipe:
-    per-copy token suffixes make every document copy mutually distinct;
-    per-copy deterministic noise decorrelates embedding copies), then
-    times s10 / d23 / t19 at sf0.1 and sf10.  Note d23's benchmark side
-    (doc_id % 97) scales WITH the corpus here, so its ratio covers Bloom
-    build + probe both growing 100x — an upper bound on the fixed-bench
-    production shape.
-    """
+def ensure_sf10(spark, base_dir: str | None = None) -> str:
+    """Synthesize (once, cached) the 100x corpus from sf0.1 — bench.py's
+    sf1 recipe at X=100: per-copy token suffixes make every document copy
+    mutually distinct; per-copy deterministic noise decorrelates embedding
+    copies.  Shared by the one-off probe below and bench.py's standing
+    sf10 section (SPARK_GRAFT_SF10=1)."""
     X = 100
+    base = base_dir or SF_DIR
     sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
-    spark = build_session(app_name="sf10-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    from sql_data_warehouse_samples_spark import workload
-
-    workload.load_all()
-
     marker = os.path.join(sf10_dir, "_SUCCESS_SF10")
     if not os.path.exists(marker):
         os.makedirs(sf10_dir, exist_ok=True)
         copies = spark.range(0, X).select(F.col("id").cast("int").alias("__copy"))
-        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
         (
             docs.crossJoin(copies)
             .select(
@@ -675,7 +661,7 @@ def sf10_probe() -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(sf10_dir, "documents.parquet"))
         )
-        embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        embs = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
         (
             embs.crossJoin(copies)
             .select(
@@ -704,6 +690,29 @@ def sf10_probe() -> None:
         )
         with open(marker, "w") as f:
             f.write("ok\n")
+    return sf10_dir
+
+
+def sf10_probe() -> None:
+    """One-off 100x scale point for the round-6 flagships whose sf1 (10x)
+    ratios are floored by fixed cost (s10 1.4x, d23 1.0x at 10x — both
+    consistent with the ~linear design but not yet EVIDENCE of it):
+
+        python scripts/scale_probe.py sf10
+
+    Synthesizes the cached 100x corpus (ensure_sf10), then times
+    s10 / d23 / t19 at sf0.1 and sf10.  Note d23's benchmark side
+    (doc_id % 97) scales WITH the corpus here, so its ratio covers Bloom
+    build + probe both growing 100x — an upper bound on the fixed-bench
+    production shape.  bench.py's SPARK_GRAFT_SF10=1 section records the
+    same measurement round-over-round in BENCH_full_r{N}.json.
+    """
+    spark = build_session(app_name="sf10-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_data_warehouse_samples_spark import workload
+
+    workload.load_all()
+    sf10_dir = ensure_sf10(spark)
 
     subset = [
         "s10_pq_refine_topk",
@@ -727,7 +736,7 @@ def sf10_probe() -> None:
         row["ratio_100x"] = round(row["sf10_sec"] / max(row["sf0.1_sec"], 1e-9), 1)
         report.append(row)
         print(json.dumps(row), flush=True)
-    print(json.dumps({"sf10_probe": report, "copies": X}))
+    print(json.dumps({"sf10_probe": report, "copies": 100}))
 
 
 def main() -> None:

@@ -11,15 +11,16 @@ negative and poison the objective.
 
 Scale shape (100 TB corpus, millions of queries):
 
-* the ONLY corpus-sized work is the BM25 pass, which filters tokens to
-  the query's terms BEFORE the explode (operators/bm25.py) — the shuffle
-  carries hits only; with a persisted term-bucketed inverted index the
-  scan prunes to the query's term buckets;
+* ``mine_hard_negatives_batch`` mines for a query TABLE in ONE corpus
+  pass: the batched BM25 scorer (operators/bm25.bm25_topk_batch)
+  broadcasts the (query_id, term) list and scores every query off one
+  checkpointed scan — a DPR-style million-query run is one scan, never a
+  Python loop of per-query passes;
 * everything downstream is bounded by |Q|·k_raw candidate rows: the
-  positive anti-join and the false-negative cosine check are joins of a
-  k_raw-row frame against a broadcast positive set — the corpus'
-  embeddings are probed by key (|candidates| + |positives| rows fetched),
-  never scanned pairwise.
+  positive anti-join and the false-negative cosine check are joins of the
+  candidate frame against broadcast (query_id-keyed) positive sets — the
+  corpus' embeddings are probed by key (|candidates| + |positives| rows
+  fetched), never scanned pairwise.
 
 Float conventions: BM25 scores and cosines round to 6 dp (the engine's
 cross-engine determinism rule), ordering always carries an id tiebreak.
@@ -29,6 +30,113 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def mine_hard_negatives_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    embeddings: DataFrame | None = None,
+    k: int = 10,
+    k_raw: int | None = None,
+    sim_ceiling: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    consts: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Mine up to ``k`` hard negatives PER QUERY for a query table.
+
+    ``queries``: (query_id, query text) rows, query_id unique.
+    ``positives``: (query_id, doc_id) labeled-relevant pairs — a query may
+    have any number of positives, including none.
+    ``embeddings``: optional (id, vector) side for the false-negative
+    guard; when given, a candidate whose cosine to ANY of ITS QUERY'S
+    positives is ``>= sim_ceiling`` is dropped.  Candidates or positives
+    WITHOUT an embedding row are kept (no similarity evidence — the
+    lexical signal stands), mirrored by the oracle's LEFT-join semantics.
+    A query with no embedded positives keeps all its candidates
+    (max_pos_cosine NULL).
+
+    Output: (query_id, doc_id, bm25, lex_rank, max_pos_cosine) — per
+    query, the top ``k`` surviving candidates by BM25 rank.  ``lex_rank``
+    is the rank in the RAW candidate list (before drops), so a training
+    pipeline can see how hard each negative is.
+
+    Cost: ONE corpus scan (inside the checkpointed batched BM25 pass —
+    plan-locked: the corpus never appears downstream), then |Q|·k_raw-
+    bounded joins.  ``consts``: optional precomputed (n_docs, avgdl)
+    passed through to the BM25 scorer.
+    """
+    from pyspark.sql import Window
+
+    from .bm25 import bm25_topk_batch
+    from .similarity import cosine
+
+    k_raw = k_raw or 2 * k
+    pos = F.broadcast(
+        positives.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(id_col),
+        ).distinct()
+    )
+    cands = (
+        bm25_topk_batch(
+            docs,
+            queries,
+            k=k_raw,
+            id_col=id_col,
+            text_col=text_col,
+            query_id_col=query_id_col,
+            query_col=query_col,
+            consts=consts,
+        )
+        .join(pos, ["query_id", id_col], "left_anti")
+        # materialize the |Q|·k_raw candidate list: BOTH the cosine-guard
+        # branch and the final join consume it — without this the whole
+        # corpus-sized BM25 pass is planned (and run) twice
+        .localCheckpoint(eager=True)
+    )
+    if embeddings is not None:
+        emb = embeddings.select(
+            F.col(vec_id_col).alias("__eid"), F.col(vec_col).alias("__evec")
+        )
+        pos_vecs = F.broadcast(
+            pos.join(emb, pos[id_col] == emb["__eid"]).select(
+                "query_id", F.col("__evec").alias("__pvec")
+            )
+        )
+        # per query: |cands| x |its positives| grid — both sides bounded
+        # (k_raw and the label count), embeddings fetched by key, the
+        # corpus never scanned pairwise
+        max_cos = (
+            cands.join(emb, F.col(id_col) == F.col("__eid"), "left")
+            .join(pos_vecs, "query_id")
+            .groupBy("query_id", id_col)
+            .agg(
+                F.max(
+                    F.round(cosine(F.col("__evec"), F.col("__pvec")), 6)
+                ).alias("max_pos_cosine")
+            )
+        )
+        cands = cands.join(
+            F.broadcast(max_cos), ["query_id", id_col], "left"
+        ).filter(
+            F.coalesce(F.col("max_pos_cosine") < sim_ceiling, F.lit(True))
+        )
+    else:
+        cands = cands.withColumn(
+            "max_pos_cosine", F.lit(None).cast("double")
+        )
+    surv = Window.partitionBy("query_id").orderBy("lex_rank")
+    return (
+        cands.withColumn("__sr", F.row_number().over(surv))
+        .filter(F.col("__sr") <= k)
+        .select("query_id", id_col, "bm25", "lex_rank", "max_pos_cosine")
+    )
 
 
 def mine_hard_negatives(
@@ -45,80 +153,29 @@ def mine_hard_negatives(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Mine up to ``k`` hard negatives for one training query.
-
-    ``positives``: one column of ``id_col`` — the labeled relevant docs.
-    ``embeddings``: optional (id, vector) side for the false-negative
-    guard; when given, a candidate whose cosine to ANY positive is
-    ``>= sim_ceiling`` is dropped.  Candidates or positives WITHOUT an
-    embedding row are kept (no similarity evidence — the lexical signal
-    stands), mirrored by the oracle's LEFT-join semantics.
-
-    Output: (query_id, doc_id, bm25, lex_rank, max_pos_cosine) — the top
-    ``k`` surviving candidates by BM25 rank.  ``lex_rank`` is the rank in
-    the RAW candidate list (before drops), so a training pipeline can see
-    how hard each negative is.
-
-    One query per call (BM25 is per-query); loop or union for a query
-    set — each call's non-corpus cost is bounded by ``k_raw`` rows.
-    """
-    from pyspark.sql import Window
-
-    from .bm25 import bm25_topk
-    from .similarity import cosine
-
-    k_raw = k_raw or 2 * k
-    pos = F.broadcast(
-        positives.select(F.col(id_col).alias("__pos_id")).distinct()
+    """Mine up to ``k`` hard negatives for ONE training query — thin
+    wrapper over ``mine_hard_negatives_batch`` with a single-row query
+    table (``positives``: one column of ``id_col``).  Query sets should
+    call the batch form directly: it shares the corpus scan across all
+    queries."""
+    spark = docs.sparkSession
+    queries = spark.createDataFrame(
+        [(int(query_id), query)], "query_id: long, query: string"
     )
-    cands = (
-        bm25_topk(docs, query, k=k_raw, id_col=id_col, text_col=text_col)
-        .withColumn(
-            "lex_rank",
-            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc(id_col))),
-        )
-        .join(pos, F.col(id_col) == F.col("__pos_id"), "left_anti")
-        # materialize the k_raw-row candidate list: BOTH the cosine-guard
-        # branch and the final join consume it — without this the whole
-        # corpus-sized BM25 pass is planned (and run) twice
-        .localCheckpoint(eager=True)
+    pos_pairs = positives.select(
+        F.lit(int(query_id)).cast("long").alias("query_id"),
+        F.col(id_col),
     )
-    if embeddings is not None:
-        emb = embeddings.select(
-            F.col(vec_id_col).alias("__eid"), F.col(vec_col).alias("__evec")
-        )
-        pos_vecs = F.broadcast(
-            pos.join(emb, F.col("__pos_id") == F.col("__eid")).select(
-                F.col("__evec").alias("__pvec")
-            )
-        )
-        # |cands| x |positives| grid — both sides bounded (k_raw and the
-        # label count), embeddings fetched by key, corpus never scanned
-        max_cos = (
-            cands.join(emb, F.col(id_col) == F.col("__eid"), "left")
-            .join(pos_vecs, how="cross")
-            .groupBy(id_col)
-            .agg(
-                F.max(
-                    F.round(cosine(F.col("__evec"), F.col("__pvec")), 6)
-                ).alias("max_pos_cosine")
-            )
-        )
-        cands = cands.join(F.broadcast(max_cos), id_col, "left").filter(
-            F.coalesce(F.col("max_pos_cosine") < sim_ceiling, F.lit(True))
-        )
-    else:
-        cands = cands.withColumn(
-            "max_pos_cosine", F.lit(None).cast("double")
-        )
-    return (
-        cands.orderBy("lex_rank")
-        .limit(k)
-        .select(
-            F.lit(query_id).cast("long").alias("query_id"),
-            id_col,
-            "bm25",
-            "lex_rank",
-            "max_pos_cosine",
-        )
+    return mine_hard_negatives_batch(
+        docs,
+        queries,
+        pos_pairs,
+        embeddings=embeddings,
+        k=k,
+        k_raw=k_raw,
+        sim_ceiling=sim_ceiling,
+        id_col=id_col,
+        text_col=text_col,
+        vec_id_col=vec_id_col,
+        vec_col=vec_col,
     )

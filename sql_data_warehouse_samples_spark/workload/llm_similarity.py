@@ -803,3 +803,109 @@ def s12_hard_negatives(spark, sf_dir):
         k_raw=_S12_RAW,
         sim_ceiling=_S12_CEIL,
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — BATCHED hard-negative mining (the DPR-scale shape the r7 verdict
+# asked for): a query TABLE mined in ONE corpus pass — the (query_id, term)
+# list broadcasts into the shared BM25 scorer, candidates rank per query,
+# per-query positives anti-join and cosine-guard against per-query positive
+# embeddings.  Three queries in one call: q0 has two positives, q1 two
+# different ones, q2 NONE (exercises the no-positive / NULL-cosine keep
+# semantics).  Oracle: s12's SQL parameterized by a (query_id, term) VALUES
+# list — every stage gains a query_id key, nothing else changes.
+# ---------------------------------------------------------------------------
+
+_S13 = [
+    (0, "spark hash join window"),
+    (1, "vector scan filter merge"),
+    (2, "stream batch query sort"),
+]
+_S13_POS = [(0, 0), (0, 1), (1, 2), (1, 3)]
+_S13_K, _S13_RAW, _S13_CEIL = 5, 12, 0.6
+_S13_QT_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, q in _S13 for t in q.split()
+)
+_S13_POS_SQL = ", ".join(f"({q}, {d})" for q, d in _S13_POS)
+_S13_VOCAB_SQL = "'" + "','".join(
+    sorted({t for _, q in _S13 for t in q.split()})
+) + "'"
+
+
+@query(
+    "s13_hard_negatives_batch",
+    oracle=rf"""
+WITH qt(query_id, term) AS (VALUES {_S13_QT_SQL}),
+pos(query_id, doc_id) AS (VALUES {_S13_POS_SQL}),
+sized AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS dl,
+         list_filter(string_split_regex(TRIM(text), '\s+'),
+                     t -> list_contains([{_S13_VOCAB_SQL}], t)) AS hits
+  FROM documents
+),
+consts AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM sized),
+hit AS (SELECT doc_id, dl, unnest(hits) AS term FROM sized),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hit GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS bm25
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN consts
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM scored
+  QUALIFY lex_rank <= {_S13_RAW}
+),
+negs AS (
+  SELECT r.* FROM ranked r
+  LEFT JOIN pos p ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+  WHERE p.doc_id IS NULL
+),
+pv AS (
+  SELECT p.query_id, e.embedding
+  FROM pos p JOIN embeddings e ON e.vec_id = p.doc_id
+),
+mc AS (
+  SELECT n.query_id, n.doc_id,
+         MAX(ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6))
+           AS max_pos_cosine
+  FROM negs n
+  LEFT JOIN embeddings c ON c.vec_id = n.doc_id
+  JOIN pv q ON q.query_id = n.query_id
+  GROUP BY n.query_id, n.doc_id
+)
+SELECT CAST(n.query_id AS BIGINT) AS query_id, n.doc_id, n.bm25, n.lex_rank,
+       mc.max_pos_cosine
+FROM negs n
+LEFT JOIN mc ON mc.query_id = n.query_id AND mc.doc_id = n.doc_id
+WHERE COALESCE(mc.max_pos_cosine < {_S13_CEIL}, TRUE)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY n.query_id ORDER BY n.lex_rank)
+        <= {_S13_K}
+""",
+)
+def s13_hard_negatives_batch(spark, sf_dir):
+    from ..operators.retrieval import mine_hard_negatives_batch
+
+    d = tbl(spark, sf_dir, "documents")
+    e = tbl(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(_S13, "query_id: long, query: string")
+    positives = spark.createDataFrame(
+        _S13_POS, "query_id: long, doc_id: long"
+    )
+    return mine_hard_negatives_batch(
+        d,
+        queries,
+        positives,
+        embeddings=e,
+        k=_S13_K,
+        k_raw=_S13_RAW,
+        sim_ceiling=_S13_CEIL,
+    )

@@ -36,6 +36,13 @@ def _worst_case_payload() -> dict:
             "total_sec": 99999.999,
             "note": "y" * 300,
         },
+        "sf10": {
+            "queries": {
+                n: {"sf10_sec": 9999.99, "spread": 99.99, "ratio_100x": 99.9}
+                for n in bench.SF10_SUBSET
+            },
+            "note": "z" * 200,
+        },
         "full_record": "BENCH_full_r99.json",
     }
 
@@ -58,8 +65,10 @@ def test_compact_line_is_single_parseable_json():
     assert set(rec["queries"]) == set(bench.HEADLINE)
     assert rec["sf1_total"] == 99999.999
     assert rec["full"] == "BENCH_full_r99.json"
-    # ... and the unbounded fields do not
-    for verbose_only in ("spread", "raw", "rep_protocol", "sf1", "reps"):
+    # ... and the unbounded fields do not (sf10 lives ONLY in the full
+    # record — the compact line stays sf0.1-only by contract)
+    for verbose_only in ("spread", "raw", "rep_protocol", "sf1", "reps",
+                         "sf10"):
         assert verbose_only not in rec
 
 

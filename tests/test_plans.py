@@ -346,22 +346,89 @@ def test_d15_canonical_no_window_exec(spark):
 
 
 def test_s07_bm25_filters_tokens_before_explode(spark):
-    """The explode input must already be filtered to query terms (the
-    generator row count is bounded by hits, not the token stream), and the
-    per-term/corpus stats must ride broadcast joins."""
-    from sql_data_warehouse_samples_spark.operators.bm25 import bm25_topk
+    """The corpus projection must filter tokens to the query terms BEFORE
+    the explode (the generator row count is bounded by hits, not the token
+    stream) and be the ONLY documents scan; downstream, per-term/corpus
+    stats ride broadcast joins and the top-k is a TakeOrdered."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        _hits_base,
+        bm25_topk,
+        query_terms,
+    )
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    df = bm25_topk(d, "spark hash join window", k=10)
+    q = "spark hash join window"
+    # the pre-checkpoint corpus projection: ONE scan, filter in projection
+    base_plan = plan_str(_hits_base(d, query_terms(q), "doc_id", "text"))
+    assert base_plan.count("Scan parquet") == 1
+    assert "filter(" in base_plan  # the query-term filter, pre-explode
+    assert "Exchange" not in base_plan  # map-only projection
+
+    df = bm25_topk(d, q, k=10)
     plan = plan_str(df)
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     # explode consumes the pre-filtered __hits projection, never raw tokens
     assert gen and all("explode(__hits" in ln for ln in gen), gen
-    assert "filter(" in plan  # the query-term filter inside the projection
+    # the corpus scan was consumed by the checkpointed projection — the
+    # scoring plan reads the checkpoint, so documents appear ZERO times
+    # (one scan TOTAL between the two plans)
+    assert "documents.parquet" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row consts attach
     # top-k must be a TakeOrdered, not a global Sort+Limit
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_batch_one_corpus_scan_for_all_queries(spark):
+    """The batched scorer shares ONE documents scan across the whole query
+    table: the (query_id, term) list rides a broadcast join, per-query
+    ranking is windowed (salted local top-k first), and the corpus never
+    appears downstream of the checkpointed projection."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import bm25_topk_batch
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "quality filter dedup"),
+         (2, "window join")],
+        "query_id: long, query: string",
+    )
+    df = bm25_topk_batch(d, queries, k=5)
+    plan = plan_str(df)
+    assert "documents.parquet" not in plan  # consumed by the ONE scan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # qterms + dfreq
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row consts attach
+    # two-phase top-k: the salted local window + the per-query window
+    # (count node headers — the literal query text also contains "window")
+    assert plan.count("Window [row_number()") == 2
+
+
+def test_mine_hard_negatives_batch_corpus_cost_is_one_bm25_pass(spark):
+    """Batched mining: the corpus is touched ONCE (inside the batched BM25
+    checkpoint); the positive anti-join, per-query cosine grid and final
+    rank are joins of |Q|*k_raw-bounded frames against broadcast sides."""
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        mine_hard_negatives_batch,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "quality filter dedup")],
+        "query_id: long, query: string",
+    )
+    positives = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 2)], "query_id: long, doc_id: long"
+    )
+    df = mine_hard_negatives_batch(
+        d, queries, positives, embeddings=e, k=5, k_raw=10, sim_ceiling=0.6
+    )
+    plan = plan_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan parquet") <= 2  # embeddings: candidate + positive fetch
 
 
 def test_t14_pipeline_fused_exchange_budget(spark):
