@@ -609,13 +609,19 @@ def bpe_32k_dict_ladder() -> None:
             i += 1
         dict_rows = [(w, n_words // (r + 1) + 1) for w, r in seen.items()]
         synth_sec = round(time.time() - t0, 2)
+        kernel = os.environ.get("SCALE_PROBE_BPE_KERNEL", "auto")
         t0 = time.time()
-        merges = B.bpe_train_on_dict(dict_rows, 32_000, min_count=1)
+        merges = B.bpe_train_on_dict(
+            dict_rows, 32_000, min_count=1, kernel=kernel
+        )
         train_sec = round(time.time() - t0, 2)
         row = {
             "dict_words": n_words,
             "dict_synth_sec": synth_sec,
             "train_32k_sec": train_sec,
+            "kernel": (
+                "c" if kernel != "python" and B._load_bpe_ckernel() else "python"
+            ),
             "merges_learned": len(merges),
             "driver_maxrss_mb": round(
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024

@@ -318,18 +318,183 @@ def bpe_train_collected(
     )
 
 
+#: compiled-kernel cache: False = not probed yet; None = unavailable
+_CKERNEL = False
+
+
+def _load_bpe_ckernel():
+    """Compile (once, cached by source hash in /tmp) and load the C merge
+    kernel via cc + ctypes.  Returns the ctypes function or None — any
+    failure (no compiler, sandboxed /tmp, bad toolchain) falls back to the
+    pure-Python trainer silently; the seam never breaks training."""
+    global _CKERNEL
+    if _CKERNEL is not False:
+        return _CKERNEL
+    _CKERNEL = None
+    try:
+        import ctypes
+        import hashlib
+        import os
+        import shutil
+        import subprocess
+        import tempfile
+
+        src = os.path.join(os.path.dirname(__file__), "_bpe_kernel.c")
+        with open(src, "rb") as f:
+            blob = f.read()
+        tag = hashlib.sha256(blob).hexdigest()[:12]
+        so = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bpe_kernel_{tag}.so"
+        )
+        if not os.path.exists(so):
+            cc = shutil.which("cc") or shutil.which("gcc")
+            if cc is None:
+                return None
+            tmp = so + f".build{os.getpid()}"
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp, so)  # atomic: concurrent builders converge
+        lib = ctypes.CDLL(so)
+        fn = lib.bpe_train_kernel
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            i32p, i64p, ctypes.c_int64, i64p,
+            ctypes.c_char_p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i64p,
+        ]
+        _CKERNEL = fn
+    except Exception:  # noqa: BLE001 — seam contract: never break training
+        _CKERNEL = None
+    return _CKERNEL
+
+
+def _train_on_dict_c(
+    fn,
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_count: int,
+    end_token: str,
+) -> list[tuple[str, str, int]]:
+    """Marshal the dict into flat arrays, run the C kernel, decode ids.
+
+    Symbol interning mirrors the kernel exactly: initial symbols in first-
+    appearance order, then one lookup-or-add per merge — so the kernel's
+    id space and ours stay bijective and the decoded merge rules are the
+    same (left, right, count) string triples the Python trainer emits."""
+    import ctypes
+
+    import numpy as np
+
+    sym_id: dict[str, int] = {}
+    syms: list[str] = []
+
+    def intern(s: str) -> int:
+        i = sym_id.get(s)
+        if i is None:
+            i = len(syms)
+            sym_id[s] = i
+            syms.append(s)
+        return i
+
+    flat: list[int] = []
+    offs = [0]
+    wcounts: list[int] = []
+    for w, c in word_counts:
+        for ch in w:
+            flat.append(intern(ch))
+        flat.append(intern(end_token))
+        offs.append(len(flat))
+        wcounts.append(int(c))
+    n_syms0 = len(syms)
+    enc = [s.encode("utf-8") for s in syms]
+    sym_bytes = b"".join(enc)
+    sym_offs = np.zeros(n_syms0 + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in enc], out=sym_offs[1:])
+
+    a_flat = np.asarray(flat, dtype=np.int32)
+    a_offs = np.asarray(offs, dtype=np.int64)
+    a_wc = np.asarray(wcounts, dtype=np.int64)
+    out_a = np.zeros(max(n_merges, 1), dtype=np.int32)
+    out_b = np.zeros(max(n_merges, 1), dtype=np.int32)
+    out_c = np.zeros(max(n_merges, 1), dtype=np.int64)
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    n = fn(
+        p32(a_flat), p64(a_offs), len(word_counts), p64(a_wc),
+        sym_bytes, p64(sym_offs), n_syms0,
+        n_merges, min_count,
+        p32(out_a), p32(out_b), p64(out_c),
+    )
+    if n < 0:
+        raise MemoryError("bpe C kernel allocation failure")
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n):
+        sa, sb = syms[out_a[i]], syms[out_b[i]]
+        merges.append((sa, sb, int(out_c[i])))
+        m = sa + sb
+        if m not in sym_id:  # mirror the kernel's lookup-or-add
+            sym_id[m] = len(syms)
+            syms.append(m)
+    return merges
+
+
 def bpe_train_on_dict(
     word_counts: list[tuple[str, int]],
     n_merges: int,
     min_count: int = 2,
     end_token: str = END_TOKEN,
+    kernel: str = "auto",
 ) -> list[tuple[str, str, int]]:
     """The driver-side merge loop over an explicit (word, count) dict —
     the heap-and-incremental-recount trainer ``bpe_train_collected``
     collects into.  Exposed separately so the dict can come from any
     source (a persisted word-frequency table, a synthesized probe dict)
     without a corpus pass; scripts/scale_probe.py bpe32k measures it at
-    production dict sizes."""
+    production dict sizes.
+
+    ``kernel``: ``"auto"`` (default) uses a compiled C kernel of the SAME
+    algorithm when a C compiler is available (built once via cc + ctypes,
+    value-identical — same argmax tie-breaks over UTF-8 byte order, same
+    lazy-heap discipline; the parity suite asserts equality against both
+    the pure trainer and the distributed trainer), falling back to pure
+    Python silently; ``"python"`` forces the fallback; ``"c"`` requires
+    the kernel (raises if unavailable).  Measured at the 1M-word/32k-merge
+    cap the kernel cuts ~4 min to seconds (PERFORMANCE.md round-8)."""
+    if kernel not in ("auto", "python", "c"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel in ("auto", "c"):
+        fn = _load_bpe_ckernel()
+        if fn is not None:
+            return _train_on_dict_c(
+                fn, word_counts, n_merges, min_count, end_token
+            )
+        if kernel == "c":
+            raise RuntimeError(
+                "no C kernel available (compiler missing or build failed)"
+            )
+    return _bpe_train_on_dict_py(word_counts, n_merges, min_count, end_token)
+
+
+def _bpe_train_on_dict_py(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_count: int = 2,
+    end_token: str = END_TOKEN,
+) -> list[tuple[str, str, int]]:
+    """Pure-Python reference path of ``bpe_train_on_dict`` (and its
+    portable fallback when no C compiler exists)."""
     import heapq
 
     words: list[list[str]] = [list(w) + [end_token] for w, _ in word_counts]

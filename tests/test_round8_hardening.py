@@ -163,6 +163,55 @@ def test_run_scoped_key_fallback_warns(tmp_path, caplog):
     assert any("UNSCOPED" in r.message for r in caplog.records)
 
 
+def test_bpe_c_kernel_parity_with_python_path():
+    """The compiled-kernel seam (cc + ctypes, import-try) must learn the
+    IDENTICAL merge sequence as the pure-Python trainer — same argmax
+    tie-breaks (count DESC, left/right symbol ASC over UTF-8 bytes), same
+    lazy-heap stale discipline — across randomized dicts, shared-string
+    merge paths ("a"+"bc" == "ab"+"c"), and min_count edges."""
+    import random
+
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    if B._load_bpe_ckernel() is None:
+        pytest.skip("no C compiler on this host — python path is the path")
+
+    rng = random.Random(7)
+    letters = "abcdef"
+    for _ in range(25):
+        n = rng.randint(1, 80)
+        d: dict[str, int] = {}
+        for _ in range(n):
+            w = "".join(
+                rng.choice(letters) for _ in range(rng.randint(1, 10))
+            )
+            d[w] = d.get(w, 0) + rng.randint(1, 40)
+        wc = list(d.items())
+        nm, mc = rng.randint(1, 50), rng.choice([1, 2, 3])
+        assert B.bpe_train_on_dict(wc, nm, min_count=mc, kernel="c") == (
+            B.bpe_train_on_dict(wc, nm, min_count=mc, kernel="python")
+        )
+    # shared-string merge paths: "ab"+"c" and "a"+"bc" both yield "abc" —
+    # the kernel must intern BY STRING so later counts don't split
+    wc2 = [("abc", 10), ("ab", 8), ("bc", 8), ("abcabc", 6)]
+    assert B.bpe_train_on_dict(wc2, 12, min_count=1, kernel="c") == (
+        B.bpe_train_on_dict(wc2, 12, min_count=1, kernel="python")
+    )
+    # unicode symbols: UTF-8 byte order == code-point order keeps ties equal
+    wc3 = [("héllo", 5), ("héllos", 4), ("héçz", 3), ("zçéh", 3)]
+    assert B.bpe_train_on_dict(wc3, 10, min_count=1, kernel="c") == (
+        B.bpe_train_on_dict(wc3, 10, min_count=1, kernel="python")
+    )
+    assert B.bpe_train_on_dict([], 5, kernel="c") == []
+
+
+def test_bpe_kernel_arg_validation():
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    with pytest.raises(ValueError, match="kernel"):
+        B.bpe_train_on_dict([("ab", 2)], 2, kernel="rust")
+
+
 def test_decode_image_stats_any_decode_failure_yields_null(spark):
     """Same contract as image_dhash (fixed in r7): an injected decoder can
     raise TypeError/struct.error on a truncated payload — one corrupt
