@@ -129,6 +129,9 @@ HEADLINE = [
     # per-lang rank window; classify map-only behind literal-map profiles)
     "d25_corpus_drift",
     "t21_langid_trained",
+    # t22 (2+3-gram back-off) is deliberately NOT benched (the d22/p03
+    # precedent): it is the same train aggregate + map-only classify as
+    # t21 run at two orders — its cost story IS t21's, doubled.
 ]
 
 

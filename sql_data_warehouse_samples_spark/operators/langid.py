@@ -205,5 +205,58 @@ def classify_language(
     )
 
 
+def classify_language_backoff(
+    docs: DataFrame,
+    profiles_by_n: dict[int, dict[str, dict[str, int]]],
+    text_col: str = "text",
+    out_col: str = "pred_lang",
+    score_col: str = "lang_score",
+    order_col: str = "ngram_order",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Multi-order classification with BACK-OFF (Cavnar & Trenkle train
+    profiles at several n; real language-ID backs shorter contexts off
+    when the longer ones have no evidence — fastText's char-ngram range):
+    score against the LARGEST-n profiles first; documents with zero
+    evidence there (score 0 — e.g. texts shorter than n, or matching no
+    top-k gram) fall back to the next smaller n, and so on.
+
+    ``profiles_by_n``: {n: profiles} as returned by
+    ``train_char_ngram_profiles(docs, n=n)`` per order — train each order
+    with one gram aggregate; profiles stay #langs × top_k (control-plane).
+
+    Adds (out_col, score_col, order_col): the prediction, its
+    exact-integer score at the DECIDING order, and that order (NULL when
+    no order matched).  Composition of the parity-locked single-order
+    scorer — one map-only pass per order, zero corpus-side exchanges, and
+    exact-integer scoring keeps the whole cascade SQL-reproducible."""
+    if not profiles_by_n:
+        raise ValueError("profiles_by_n is empty — train first")
+    ns = sorted(profiles_by_n, reverse=True)
+    out = docs
+    tmp: list[tuple[int, str, str]] = []
+    for n in ns:
+        pc, sc = f"__bo_p{n}", f"__bo_s{n}"
+        out = classify_language(
+            out, profiles_by_n[n], text_col=text_col, n=n,
+            out_col=pc, score_col=sc, impl=impl,
+        )
+        tmp.append((n, pc, sc))
+    pred = F.coalesce(*[F.col(pc) for _, pc, _ in tmp])
+    score = F.lit(0).cast("long")
+    order = F.lit(None).cast("int")
+    for n, pc, sc in reversed(tmp):  # largest n wins the when-chain
+        score = F.when(F.col(pc).isNotNull(), F.col(sc)).otherwise(score)
+        order = F.when(F.col(pc).isNotNull(), F.lit(n)).otherwise(order)
+    out = (
+        out.withColumn(out_col, pred)
+        .withColumn(score_col, score)
+        .withColumn(order_col, order)
+    )
+    for _, pc, sc in tmp:
+        out = out.drop(pc, sc)
+    return out
+
+
 def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -2613,3 +2613,112 @@ def t21_langid_trained(spark, sf_dir):
     profiles = train_char_ngram_profiles(d, top_k=200)
     out = classify_language(d, profiles)
     return out.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# t22 — language-ID with 2+3-gram BACK-OFF (r8 stretch; the Cavnar-Trenkle
+# multi-order form): profiles trained at n=3 AND n=2 on the full corpus;
+# classification scores the 3-gram profiles first and backs off to 2-grams
+# when the longer context has zero evidence.  Every 7th document is
+# truncated to its 2-char prefix before classification, so the back-off
+# branch is exercised deterministically (a 2-char text has NO 3-grams).
+# Output: the (lang, pred_lang, ngram_order) confusion matrix; exact-
+# integer scoring + (score DESC, lang ASC) ties keep the whole cascade
+# DuckDB-reproducible bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t22_langid_backoff",
+    oracle=r"""
+WITH g3 AS (
+  SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+                                     i -> substring(text, i, 3))) AS g
+  FROM documents WHERE length(text) >= 3
+),
+c3 AS (SELECT lang, g, COUNT(*) AS c FROM g3 GROUP BY lang, g),
+topk3 AS (
+  SELECT lang AS plang, g, c AS w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+    FROM c3) WHERE rn <= 200
+),
+g2 AS (
+  SELECT lang, unnest(list_transform(range(1, length(text)),
+                                     i -> substring(text, i, 2))) AS g
+  FROM documents WHERE length(text) >= 2
+),
+c2 AS (SELECT lang, g, COUNT(*) AS c FROM g2 GROUP BY lang, g),
+topk2 AS (
+  SELECT lang AS plang, g, c AS w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+    FROM c2) WHERE rn <= 200
+),
+target AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 2)
+              ELSE text END AS text
+  FROM documents
+),
+dg3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                                       i -> substring(text, i, 3))) AS g
+  FROM target WHERE length(text) >= 3
+),
+dg2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+                                       i -> substring(text, i, 2))) AS g
+  FROM target WHERE length(text) >= 2
+),
+s3 AS (
+  SELECT dg3.doc_id, t.plang, CAST(SUM(t.w) AS BIGINT) AS s
+  FROM dg3 JOIN topk3 t USING (g) GROUP BY dg3.doc_id, t.plang
+),
+b3 AS (
+  SELECT doc_id, plang, s FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, plang) AS rn
+    FROM s3) WHERE rn = 1
+),
+s2 AS (
+  SELECT dg2.doc_id, t.plang, CAST(SUM(t.w) AS BIGINT) AS s
+  FROM dg2 JOIN topk2 t USING (g) GROUP BY dg2.doc_id, t.plang
+),
+b2 AS (
+  SELECT doc_id, plang, s FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, plang) AS rn
+    FROM s2) WHERE rn = 1
+),
+preds AS (
+  SELECT d.lang,
+         COALESCE(b3.plang, b2.plang) AS pred_lang,
+         CASE WHEN b3.plang IS NOT NULL THEN 3
+              WHEN b2.plang IS NOT NULL THEN 2 END AS ngram_order
+  FROM target d
+  LEFT JOIN b3 USING (doc_id)
+  LEFT JOIN b2 USING (doc_id)
+)
+SELECT lang, pred_lang, ngram_order, COUNT(*) AS n
+FROM preds GROUP BY lang, pred_lang, ngram_order
+""",
+)
+def t22_langid_backoff(spark, sf_dir):
+    from ..operators.langid import (
+        classify_language_backoff,
+        train_char_ngram_profiles,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    profiles = {
+        n: train_char_ngram_profiles(d, n=n, top_k=200) for n in (3, 2)
+    }
+    target = d.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.substring("text", 1, 2)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = classify_language_backoff(target, profiles)
+    return out.groupBy("lang", "pred_lang", "ngram_order").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -163,6 +163,126 @@ def test_run_scoped_key_fallback_warns(tmp_path, caplog):
     assert any("UNSCOPED" in r.message for r in caplog.records)
 
 
+def test_quarantine_readmission_round_trip(spark, tmp_path):
+    """The governance loop the r7 round's two features imply, end to end:
+    the map-only streaming gate QUARANTINES maybe-contaminated docs
+    (annotate mode — over-drop included, by design one-sided), the exact
+    batch d23 adjudication clears the false positives, and the cleared
+    docs RE-ADMIT through the ledger path — after which they are real
+    corpus members (an exact dup of a re-admitted doc is rejected) while
+    the truly contaminated doc stays out."""
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        BloomGramFilter,
+    )
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from pyspark.sql import functions as F
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, " ".join(f"tok{i}" for i in range(40))),
+            (2, f"prefix text {bench_gram} suffix text here"),
+            (3, " ".join(f"word{i}" for i in range(40))),
+        ],
+        "doc_id: long, text: string",
+    )
+    # a deliberately under-sized Bloom: deterministic over-drop (1 bit/gram
+    # flags all three docs; only doc 2 truly shares a benchmark 8-gram)
+    tiny = BloomGramFilter(bench, bits_per_gram=1)
+    annotated = SI.contamination_gate(batch, bloom=tiny, mode="annotate")
+    quarantine = annotated.filter(F.col("contaminated_maybe")).drop(
+        "contaminated_maybe"
+    )
+    clean = annotated.filter(~F.col("contaminated_maybe")).drop(
+        "contaminated_maybe"
+    )
+    assert {r.doc_id for r in quarantine.collect()} == {1, 2, 3}
+
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    assert pipe.admit(clean).count() == 0  # everything got quarantined
+
+    # exact adjudication (the d23 battery over the quarantine): a
+    # properly-sized Bloom + string-verify — one true positive
+    exact = BloomGramFilter(bench)
+    truly = {
+        r.doc_id
+        for r in exact.contaminated_ids(quarantine, verify=True).collect()
+    }
+    assert truly == {2}
+
+    # re-admission of the cleared docs through the ledger path
+    cleared = quarantine.filter(~F.col("doc_id").isin(list(truly)))
+    readmitted = {r.doc_id for r in pipe.admit(cleared).collect()}
+    assert readmitted == {1, 3}
+
+    # closure: the re-admitted docs are REAL corpus members now — an exact
+    # dup (new id, same text) is rejected by the content ledger, and a
+    # near-dup by the signature ledger
+    dup = spark.createDataFrame(
+        [
+            (11, " ".join(f"tok{i}" for i in range(40))),  # exact dup of 1
+            (13, " ".join(f"word{i}" for i in range(39)) + " wordX"),  # near 3
+            (14, " ".join(f"new{i}" for i in range(40))),  # genuinely new
+        ],
+        "doc_id: long, text: string",
+    )
+    assert {r.doc_id for r in pipe.admit(dup).collect()} == {14}
+
+
+def test_langid_backoff_semantics_and_impl_parity(spark):
+    """Back-off cascade: normal text decides at n=3; a text too short for
+    any 3-gram decides at n=2; a text matching no profile at either order
+    stays NULL with score 0.  Arrow and fold impls agree through the
+    cascade (both are compositions of the parity-locked scorer)."""
+    from sql_data_warehouse_samples_spark.operators.langid import (
+        classify_language_backoff,
+        train_char_ngram_profiles,
+    )
+
+    train = spark.createDataFrame(
+        [
+            ("en", "the quick brown fox and the lazy dog then they ran"),
+            ("en", "this is the thing that the other thing was then"),
+            ("fr", "le renard brun et le chien paresseux puis ils ont"),
+            ("fr", "ceci est la chose que la autre chose etait alors"),
+        ],
+        "lang: string, text: string",
+    )
+    profiles = {
+        n: train_char_ngram_profiles(train, n=n, top_k=100) for n in (3, 2)
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick thing ran then"),  # English, full 3-gram path
+            (2, "le"),                        # 2 chars: MUST back off to n=2
+            (3, "xq"),                        # no profile gram at either n
+        ],
+        "doc_id: long, text: string",
+    )
+    for impl in ("arrow", "fold"):
+        rows = {
+            r.doc_id: r
+            for r in classify_language_backoff(
+                docs, profiles, impl=impl
+            ).collect()
+        }
+        assert rows[1].pred_lang == "en" and rows[1].ngram_order == 3
+        assert rows[2].pred_lang == "fr" and rows[2].ngram_order == 2
+        assert rows[2].lang_score > 0
+        assert rows[3].pred_lang is None and rows[3].ngram_order is None
+        assert rows[3].lang_score == 0
+
+    with pytest.raises(ValueError, match="empty"):
+        classify_language_backoff(docs, {})
+
+
 def test_bpe_c_kernel_parity_with_python_path():
     """The compiled-kernel seam (cc + ctypes, import-try) must learn the
     IDENTICAL merge sequence as the pure-Python trainer — same argmax
