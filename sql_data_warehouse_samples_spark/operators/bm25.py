@@ -181,6 +181,20 @@ def _bm25_scores(
         )
     # per-term document frequency: ≤ |vocab| rows, broadcast back
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    return _score_hits(hits, qterms, dfreq, consts_df, k1, b, id_col)
+
+
+def _score_hits(
+    hits: DataFrame,
+    qterms: DataFrame,
+    dfreq: DataFrame,
+    consts_df: DataFrame,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, id, bm25) from a (id, dl, term, tf) hits frame — shared
+    by the scan-time scorer and the persisted-index search path."""
     return (
         hits.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
@@ -188,6 +202,24 @@ def _bm25_scores(
         .withColumn("__s", _score_expr(k1, b))
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("__s"), 6).alias("bm25"))
+    )
+
+
+def _rank_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Two-phase per-query top-k (see ``bm25_topk_batch``): a window
+    salted by the physical partition id takes a local top-k first, so the
+    per-query rank window never sees a query's full hit set."""
+    from pyspark.sql import Window
+
+    order = [F.desc("bm25"), F.asc(id_col)]
+    local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    per_query = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+        .withColumn("lex_rank", F.row_number().over(per_query))
+        .filter(F.col("lex_rank") <= k)
     )
 
 
@@ -258,8 +290,6 @@ def bm25_topk_batch(
     query-independent, compute once per corpus snapshot and reuse across
     batches (required to keep one-scan behavior past
     ``max_literal_terms``)."""
-    from pyspark.sql import Window
-
     qterms = _terms_frame(queries, query_id_col, query_col)
     vocab = sorted({r[0] for r in qterms.select("term").distinct().collect()})
     if not vocab:
@@ -268,13 +298,216 @@ def bm25_topk_batch(
         docs, qterms, vocab, id_col, text_col, k1, b, consts,
         max_literal_terms,
     )
-    order = [F.desc("bm25"), F.asc(id_col)]
-    local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
-    per_query = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("__lr", F.row_number().over(local))
-        .filter(F.col("__lr") <= k)
-        .drop("__lr")
-        .withColumn("lex_rank", F.row_number().over(per_query))
-        .filter(F.col("lex_rank") <= k)
-    )
+    return _rank_per_query(scored, k, id_col)
+
+
+class Bm25Index:
+    """Persisted term-bucketed inverted index — the repeated-query BM25
+    path the scan-time scorer's docstring points at (the IvfIndex pattern
+    applied to lexical search).
+
+    Layout under ``path``:
+
+    * ``postings/`` — (id, dl, term, tf) parquet PARTITIONED BY ``__tb``
+      (= pmod(xxhash64(term), n_buckets)): a query touches only its
+      terms' buckets, so the reader opens ~|query vocab|/n_buckets of the
+      index instead of scanning the corpus — the CTAS-the-exploded-frame
+      design from the scan-time docstring, directory-partitioned so
+      partition PRUNING needs no metastore;
+    * ``dfreq/``   — (term, df_t) under the same bucketing;
+    * ``doclens/`` — (id, dl) for EVERY document (docs with no tokens
+      included), so corpus constants survive deletion propagation;
+    * ``_BM25_META.json`` — n_docs, avgdl, n_buckets, column names.
+
+    BM25 parameters (k1, b) stay QUERY-time arguments — the index stores
+    raw tf/dl/df only, so one build serves any parameterization.  Search
+    results are value-identical to ``bm25_topk_batch`` over the source
+    corpus (test-locked), because both feed the same scoring tail with
+    the same (hits, df, consts) inputs.
+    """
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "_BM25_META.json")) as f:
+            m = json.load(f)
+        self.n_docs = int(m["n_docs"])
+        self.avgdl = float(m["avgdl"])
+        self.n_buckets = int(m["n_buckets"])
+        self.id_col = m["id_col"]
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 32,
+    ) -> "Bm25Index":
+        """One corpus pass builds the postings (explode → (id, term) tf
+        aggregate — the only corpus-sized shuffle), plus the bucketed df
+        table and the doclens/constants sidecars (a second, cheap
+        column-pruned pass).  At 100 TB: build once, then every query
+        batch reads ~|vocab|/n_buckets of the index and nothing else."""
+        import json
+        import os
+
+        spark = docs.sparkSession
+        toks = tokens(text_col)
+        base = docs.select(
+            F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
+        )
+        posts = (
+            base.select(id_col, "dl", F.explode("__toks").alias("term"))
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("__tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        )
+        posts.write.mode("overwrite").partitionBy("__tb").parquet(
+            os.path.join(path, "postings")
+        )
+        # df per term, bucketed identically — derived from the PERSISTED
+        # postings (index-sized read, not a third corpus pass)
+        stored = spark.read.parquet(os.path.join(path, "postings"))
+        stored.groupBy("term", "__tb").agg(
+            F.count(F.lit(1)).alias("df_t")
+        ).write.mode("overwrite").partitionBy("__tb").parquet(
+            os.path.join(path, "dfreq")
+        )
+        lens = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+        lens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+        stats = spark.read.parquet(os.path.join(path, "doclens")).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+        ).collect()[0]
+        with open(os.path.join(path, "_BM25_META.json"), "w") as f:
+            json.dump(
+                {
+                    "n_docs": int(stats.n),
+                    "avgdl": float(stats.a) if stats.a is not None else 0.0,
+                    "n_buckets": n_buckets,
+                    "id_col": id_col,
+                },
+                f,
+            )
+        return cls(spark, path)
+
+    def _buckets_for(self, vocab: list[str]) -> list[int]:
+        """Bucket ids for the query vocabulary — computed with the SAME
+        engine hash that bucketed the index (one vocab-sized local job)."""
+        vdf = self.spark.createDataFrame([(t,) for t in vocab], "term: string")
+        rows = vdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).alias("b")
+        ).distinct().collect()
+        return sorted(int(r.b) for r in rows)
+
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_col: str = "query",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-``k`` per query — partition-pruned: only the query terms'
+        buckets of postings/dfreq are read (plan-locked); the corpus is
+        never touched.  Output matches ``bm25_topk_batch`` exactly."""
+        import os
+
+        qterms = _terms_frame(queries, query_id_col, query_col)
+        vocab = sorted(
+            {r[0] for r in qterms.select("term").distinct().collect()}
+        )
+        if not vocab:
+            raise ValueError("no query has any terms")
+        buckets = self._buckets_for(vocab)
+        term_in = F.col("term").isin(vocab)
+        tb_in = F.col("__tb").isin(buckets)
+        hits = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(tb_in & term_in)
+            .drop("__tb")
+        )
+        dfreq = (
+            self.spark.read.parquet(os.path.join(self.path, "dfreq"))
+            .filter(tb_in & term_in)
+            .drop("__tb")
+        )
+        consts_df = self.spark.createDataFrame(
+            [(self.n_docs, self.avgdl)], "n_docs: long, avgdl: double"
+        )
+        scored = _score_hits(
+            hits, qterms, dfreq, consts_df, k1, b, self.id_col
+        )
+        return _rank_per_query(scored, k, self.id_col)
+
+    def topk(self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """Single-query convenience over ``topk_batch`` (drops query_id)."""
+        q = self.spark.createDataFrame(
+            [(0, query)], "query_id: long, query: string"
+        )
+        return (
+            self.topk_batch(q, k=k, k1=k1, b=b)
+            .drop("query_id", "lex_rank")
+        )
+
+    def forget(self, doc_ids: DataFrame, id_col: str | None = None) -> int:
+        """Deletion propagation (the L-g1 contract, extended to the
+        lexical index like IvfIndex.forget): purge the documents' postings
+        and doclens, recompute df and the corpus constants from the
+        remaining index — O(index), never O(corpus text).  A purged doc's
+        terms hash across ~all buckets, so this is a full-index rewrite
+        (staged + verified swap per table); batch forget requests at
+        compaction cadence.  Returns postings rows remaining."""
+        import json
+        import os
+
+        from .dirswap import swap_in
+
+        idc = id_col or self.id_col
+        purge = F.broadcast(
+            doc_ids.select(F.col(idc).alias(self.id_col)).distinct()
+        )
+        posts_p = os.path.join(self.path, "postings")
+        lens_p = os.path.join(self.path, "doclens")
+        pre_posts = self.spark.read.parquet(posts_p)
+        sch_posts = pre_posts.schema  # explicit schema: forgetting every
+        # doc leaves an empty (schemaless) directory readable only this way
+        kept = pre_posts.join(purge, self.id_col, "left_anti")
+        stage = posts_p + "__forget"
+        kept.write.mode("overwrite").partitionBy("__tb").parquet(stage)
+        swap_in(posts_p, stage, verify=lambda p: True)
+        pre_lens = self.spark.read.parquet(lens_p)
+        sch_lens = pre_lens.schema
+        kept_lens = pre_lens.join(purge, self.id_col, "left_anti")
+        stage_l = lens_p + "__forget"
+        kept_lens.write.mode("overwrite").parquet(stage_l)
+        swap_in(lens_p, stage_l, verify=lambda p: True)
+        # df + constants recomputed from the remaining index
+        stored = self.spark.read.schema(sch_posts).parquet(posts_p)
+        dfreq_p = os.path.join(self.path, "dfreq")
+        stage_d = dfreq_p + "__forget"
+        stored.groupBy("term", "__tb").agg(
+            F.count(F.lit(1)).alias("df_t")
+        ).write.mode("overwrite").partitionBy("__tb").parquet(stage_d)
+        swap_in(dfreq_p, stage_d, verify=lambda p: True)
+        stats = self.spark.read.schema(sch_lens).parquet(lens_p).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+        ).collect()[0]
+        self.n_docs = int(stats.n)
+        self.avgdl = float(stats.a) if stats.a is not None else 0.0
+        with open(os.path.join(self.path, "_BM25_META.json"), "w") as f:
+            json.dump(
+                {
+                    "n_docs": self.n_docs,
+                    "avgdl": self.avgdl,
+                    "n_buckets": self.n_buckets,
+                    "id_col": self.id_col,
+                },
+                f,
+            )
+        return stored.count()

@@ -404,6 +404,26 @@ def test_bm25_batch_one_corpus_scan_for_all_queries(spark):
     assert plan.count("Window [row_number()") == 2
 
 
+def test_bm25_index_search_is_partition_pruned(spark, tmp_path):
+    """The persisted inverted index's search plan reads ONLY the query
+    terms' buckets (PartitionFilters on __tb) of postings + dfreq — never
+    the corpus — and pushes the term filter into both scans."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = Bm25Index.build(d, str(tmp_path / "idx"), n_buckets=8)
+    q = spark.createDataFrame(
+        [(0, "spark hash")], "query_id: long, query: string"
+    )
+    plan = plan_str(idx.topk_batch(q, k=5))
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan parquet") == 2  # postings + dfreq, nothing else
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 2 and all("__tb" in ln and " IN " in ln for ln in pf), pf
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mine_hard_negatives_batch_corpus_cost_is_one_bm25_pass(spark):
     """Batched mining: the corpus is touched ONCE (inside the batched BM25
     checkpoint); the positive anti-join, per-query cosine grid and final

@@ -236,6 +236,84 @@ def test_quarantine_readmission_round_trip(spark, tmp_path):
     assert {r.doc_id for r in pipe.admit(dup).collect()} == {14}
 
 
+def test_bm25_index_matches_scan_time_scorer(spark, tmp_path):
+    """The persisted term-bucketed inverted index (Bm25Index) must return
+    VALUE-IDENTICAL results to the scan-time batch scorer — same hits,
+    same df, same constants feed the same scoring tail — while reading
+    only the query terms' buckets (partition-pruned; no corpus scan)."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        Bm25Index,
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = Bm25Index.build(d, str(tmp_path / "idx"), n_buckets=8)
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "vector scan filter merge"),
+         (2, "stream batch query sort")],
+        "query_id: long, query: string",
+    )
+    got = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    want = sorted(
+        tuple(r) for r in bm25_topk_batch(d, queries, k=5).collect()
+    )
+    assert got == want and len(got) == 15
+    # single-query convenience == the scan-time single-query form
+    one = sorted(tuple(r) for r in idx.topk("spark hash join window", k=5).collect())
+    ref = sorted(
+        tuple(r) for r in bm25_topk(d, "spark hash join window", k=5).collect()
+    )
+    assert one == ref
+    # non-default BM25 params are query-time (index stores raw tf/dl/df)
+    tuned = sorted(
+        tuple(r)
+        for r in idx.topk_batch(queries, k=5, k1=1.6, b=0.6).collect()
+    )
+    tuned_ref = sorted(
+        tuple(r)
+        for r in bm25_topk_batch(d, queries, k=5, k1=1.6, b=0.6).collect()
+    )
+    assert tuned == tuned_ref
+
+    with pytest.raises(ValueError, match="terms"):
+        idx.topk_batch(
+            spark.createDataFrame([(0, "  ")], "query_id: long, query: string")
+        )
+
+
+def test_bm25_index_forget_equals_rebuild(spark, tmp_path):
+    """Deletion propagation on the lexical index (the L-g1 contract): after
+    forget(doc), searches equal an index REBUILT from the corpus minus the
+    doc — postings, doclens, df and the corpus constants all settle."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = Bm25Index.build(d, str(tmp_path / "idx"), n_buckets=8)
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "stream batch query sort")],
+        "query_id: long, query: string",
+    )
+    victim = idx.topk_batch(queries, k=1).collect()[0][1]
+    idx.forget(spark.createDataFrame([(victim,)], "doc_id: long"))
+    rebuilt = Bm25Index.build(
+        d.filter(F.col("doc_id") != victim), str(tmp_path / "idx2"),
+        n_buckets=8,
+    )
+    got = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    want = sorted(
+        tuple(r) for r in rebuilt.topk_batch(queries, k=5).collect()
+    )
+    assert got == want
+    assert all(r[1] != victim for r in got)
+    assert idx.n_docs == rebuilt.n_docs and idx.avgdl == rebuilt.avgdl
+    # a reopened handle sees the settled constants (meta sidecar rewritten)
+    reopened = Bm25Index(spark, str(tmp_path / "idx"))
+    assert (reopened.n_docs, reopened.avgdl) == (idx.n_docs, idx.avgdl)
+
+
 def test_langid_backoff_semantics_and_impl_parity(spark):
     """Back-off cascade: normal text decides at n=3; a text too short for
     any 3-gram decides at n=2; a text matching no profile at either order
