@@ -308,23 +308,35 @@ class Bm25Index:
 
     Layout under ``path``:
 
-    * ``postings/`` — (id, dl, term, tf) parquet PARTITIONED BY ``__tb``
-      (= pmod(xxhash64(term), n_buckets)): a query touches only its
-      terms' buckets, so the reader opens ~|query vocab|/n_buckets of the
-      index instead of scanning the corpus — the CTAS-the-exploded-frame
-      design from the scan-time docstring, directory-partitioned so
-      partition PRUNING needs no metastore;
-    * ``dfreq/``   — (term, df_t) under the same bucketing;
+    * ``postings/`` — (id, dl, term, tf) parquet PARTITIONED BY
+      ``(__tb, __bk)``: ``__tb = pmod(xxhash64(term), n_buckets)`` gives
+      term locality — a query touches only its terms' buckets, so the
+      reader opens ~|query vocab|/n_buckets of the index instead of
+      scanning the corpus (directory-partitioned, so partition PRUNING
+      needs no metastore); ``__bk`` is the ingest-batch key, so
+      incremental ``ingest`` batches land as their own subpartitions and
+      a keyed replay dynamic-overwrites ONLY its own (the ledger
+      idempotency pattern);
     * ``doclens/`` — (id, dl) for EVERY document (docs with no tokens
-      included), so corpus constants survive deletion propagation;
+      included), partitioned by ``__bk``, so the corpus constants survive
+      both incremental ingest and deletion propagation;
     * ``_BM25_META.json`` — n_docs, avgdl, n_buckets, column names.
 
-    BM25 parameters (k1, b) stay QUERY-time arguments — the index stores
-    raw tf/dl/df only, so one build serves any parameterization.  Search
-    results are value-identical to ``bm25_topk_batch`` over the source
-    corpus (test-locked), because both feed the same scoring tail with
-    the same (hits, df, consts) inputs.
+    There is deliberately NO materialized df table: document frequency is
+    derived at query time from the SAME pruned postings the scorer reads
+    (exact — bucketing is by term, so a term's postings are complete in
+    its bucket), which keeps incremental ingest and forget() free of df
+    maintenance.  BM25 parameters (k1, b) stay QUERY-time arguments — the
+    index stores raw tf/dl only, so one build serves any
+    parameterization.  Search results are value-identical to
+    ``bm25_topk_batch`` over the source corpus (test-locked), because
+    both feed the same scoring tail with the same (hits, df, consts).
+
+    Document ids must be unique across the whole index (the admission
+    pipeline upstream guarantees exactly that for a training corpus).
     """
+
+    _BASE_KEY = "base"
 
     def __init__(self, spark, path: str):
         import json
@@ -339,6 +351,8 @@ class Bm25Index:
         self.n_buckets = int(m["n_buckets"])
         self.id_col = m["id_col"]
 
+    # -- construction / maintenance ------------------------------------
+
     @classmethod
     def build(
         cls,
@@ -349,51 +363,174 @@ class Bm25Index:
         n_buckets: int = 32,
     ) -> "Bm25Index":
         """One corpus pass builds the postings (explode → (id, term) tf
-        aggregate — the only corpus-sized shuffle), plus the bucketed df
-        table and the doclens/constants sidecars (a second, cheap
-        column-pruned pass).  At 100 TB: build once, then every query
-        batch reads ~|vocab|/n_buckets of the index and nothing else."""
-        import json
+        aggregate — the only corpus-sized shuffle) plus the doclens table
+        (a second, column-pruned pass).  At 100 TB: build once, then
+        every query batch reads ~|vocab|/n_buckets of the index and
+        nothing else."""
         import os
 
         spark = docs.sparkSession
-        toks = tokens(text_col)
-        base = docs.select(
-            F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
+        cls._write_batch(
+            docs, path, id_col, text_col, n_buckets, cls._BASE_KEY,
+            overwrite=True,
         )
+        idx = cls.__new__(cls)
+        idx.spark, idx.path = spark, path
+        idx.n_buckets, idx.id_col = n_buckets, id_col
+        idx._refresh_consts()
+        return idx
+
+    @staticmethod
+    def _write_batch(
+        docs: DataFrame,
+        path: str,
+        id_col: str,
+        text_col: str,
+        n_buckets: int,
+        key: str,
+        overwrite: bool,
+    ) -> None:
+        import os
+
+        toks = tokens(text_col)
         posts = (
-            base.select(id_col, "dl", F.explode("__toks").alias("term"))
+            docs.select(id_col, F.size(toks).alias("dl"),
+                        F.explode(toks).alias("term"))
             .groupBy(id_col, "dl", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("__tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+            .withColumn("__bk", F.lit(key))
         )
-        posts.write.mode("overwrite").partitionBy("__tb").parquet(
-            os.path.join(path, "postings")
+        # full build: static overwrite replaces the whole table; batch
+        # ingest: DYNAMIC overwrite touches only the batch's own
+        # (__tb, __bk=key) partitions — a keyed replay converges
+        ovm = "static" if overwrite else "dynamic"
+        posts.write.mode("overwrite").option(
+            "partitionOverwriteMode", ovm
+        ).partitionBy("__tb", "__bk").parquet(os.path.join(path, "postings"))
+        lens = docs.select(
+            F.col(id_col), F.size(toks).alias("dl"), F.lit(key).alias("__bk")
         )
-        # df per term, bucketed identically — derived from the PERSISTED
-        # postings (index-sized read, not a third corpus pass)
-        stored = spark.read.parquet(os.path.join(path, "postings"))
-        stored.groupBy("term", "__tb").agg(
-            F.count(F.lit(1)).alias("df_t")
-        ).write.mode("overwrite").partitionBy("__tb").parquet(
-            os.path.join(path, "dfreq")
-        )
-        lens = docs.select(F.col(id_col), F.size(toks).alias("dl"))
-        lens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
-        stats = spark.read.parquet(os.path.join(path, "doclens")).agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
-        ).collect()[0]
-        with open(os.path.join(path, "_BM25_META.json"), "w") as f:
+        lens.write.mode("overwrite").option(
+            "partitionOverwriteMode", ovm
+        ).partitionBy("__bk").parquet(os.path.join(path, "doclens"))
+
+    def _refresh_consts(self) -> None:
+        """Recompute (n_docs, avgdl) from the doclens table and pin them in
+        the meta sidecar — idempotent, so ingest replays converge."""
+        import json
+        import os
+
+        stats = self.spark.read.parquet(
+            os.path.join(self.path, "doclens")
+        ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
+        self.n_docs = int(stats.n)
+        self.avgdl = float(stats.a) if stats.a is not None else 0.0
+        with open(os.path.join(self.path, "_BM25_META.json"), "w") as f:
             json.dump(
                 {
-                    "n_docs": int(stats.n),
-                    "avgdl": float(stats.a) if stats.a is not None else 0.0,
-                    "n_buckets": n_buckets,
-                    "id_col": id_col,
+                    "n_docs": self.n_docs,
+                    "avgdl": self.avgdl,
+                    "n_buckets": self.n_buckets,
+                    "id_col": self.id_col,
                 },
                 f,
             )
-        return cls(spark, path)
+
+    def ingest(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        idempotency_key: str | None = None,
+    ) -> None:
+        """Incrementally index a new document batch — the step that lets
+        the index ride the admission pipeline (dedup-admit, then index the
+        survivors) without a full rebuild.  Cost: one BATCH-sized pass;
+        the existing index is not rewritten (new files land inside the
+        term buckets as a ``__bk`` subpartition).
+
+        ``idempotency_key`` makes the ingest REPLAYABLE: the batch lands
+        in ``__bk=<key>`` partitions via dynamic overwrite (a replay
+        rewrites only its own), and re-USING a key for a different batch
+        is refused by comparing the stored (id, dl) rows under the key
+        against the batch (the ledger key-reuse contract — an overwrite
+        with different content would silently corrupt term statistics).
+        Without a key the batch is appended (caller owns at-most-once).
+        Corpus constants are re-settled from doclens afterwards, which is
+        idempotent under replay."""
+        import os
+
+        # keyed partitions are "k-<key>": never collides with the build's
+        # "base" partition or the un-keyed "u<N>" counters
+        key = (
+            "k-" + _safe_index_key(idempotency_key)
+            if idempotency_key is not None
+            else None
+        )
+        if key is not None:
+            lens_p = os.path.join(self.path, "doclens")
+            toks = tokens(text_col)
+            batch_lens = batch.select(
+                F.col(self.id_col), F.size(toks).alias("__bdl")
+            )
+            stored = (
+                self.spark.read.parquet(lens_p)
+                .filter(F.col("__bk") == key)
+                .select(self.id_col, "dl")
+            )
+            foreign = stored.join(
+                F.broadcast(batch_lens), self.id_col, "left"
+            ).filter(
+                F.col("__bdl").isNull() | (F.col("dl") != F.col("__bdl"))
+            )
+            if foreign.limit(1).count():
+                raise ValueError(
+                    f"idempotency_key {idempotency_key!r} was previously "
+                    "used for a different batch; replaying it would "
+                    "overwrite unrelated index state — use a run-scoped key"
+                )
+        self._write_batch(
+            batch, self.path, self.id_col, text_col, self.n_buckets,
+            key if key is not None else _unkeyed_batch_name(self.path),
+            overwrite=False,
+        )
+        self._refresh_consts()
+
+    def forget(self, doc_ids: DataFrame, id_col: str | None = None) -> int:
+        """Deletion propagation (the L-g1 contract, extended to the
+        lexical index like IvfIndex.forget): purge the documents' postings
+        and doclens and re-settle the corpus constants — O(index), never
+        O(corpus text); df needs no maintenance (derived at query time).
+        A purged doc's terms hash across ~all buckets, so this is a
+        full-index rewrite (staged + verified swap per table); batch
+        forget requests at compaction cadence.  Returns postings rows
+        remaining."""
+        import os
+
+        from .dirswap import swap_in
+
+        idc = id_col or self.id_col
+        purge = F.broadcast(
+            doc_ids.select(F.col(idc).alias(self.id_col)).distinct()
+        )
+        posts_p = os.path.join(self.path, "postings")
+        lens_p = os.path.join(self.path, "doclens")
+        pre_posts = self.spark.read.parquet(posts_p)
+        sch_posts = pre_posts.schema  # explicit schema: forgetting every
+        # doc leaves an empty (schemaless) directory readable only this way
+        kept = pre_posts.join(purge, self.id_col, "left_anti")
+        stage = posts_p + "__forget"
+        kept.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(stage)
+        swap_in(posts_p, stage, verify=lambda p: True)
+        pre_lens = self.spark.read.parquet(lens_p)
+        kept_lens = pre_lens.join(purge, self.id_col, "left_anti")
+        stage_l = lens_p + "__forget"
+        kept_lens.write.mode("overwrite").partitionBy("__bk").parquet(stage_l)
+        swap_in(lens_p, stage_l, verify=lambda p: True)
+        self._refresh_consts()
+        return self.spark.read.schema(sch_posts).parquet(posts_p).count()
+
+    # -- search ----------------------------------------------------------
 
     def _buckets_for(self, vocab: list[str]) -> list[int]:
         """Bucket ids for the query vocabulary — computed with the SAME
@@ -414,8 +551,10 @@ class Bm25Index:
         b: float = 0.75,
     ) -> DataFrame:
         """Top-``k`` per query — partition-pruned: only the query terms'
-        buckets of postings/dfreq are read (plan-locked); the corpus is
-        never touched.  Output matches ``bm25_topk_batch`` exactly."""
+        buckets of the postings are read (plan-locked); the corpus is
+        never touched.  df is derived from the same pruned read (exact —
+        a term's postings are complete inside its bucket).  Output
+        matches ``bm25_topk_batch`` exactly."""
         import os
 
         qterms = _terms_frame(queries, query_id_col, query_col)
@@ -425,18 +564,12 @@ class Bm25Index:
         if not vocab:
             raise ValueError("no query has any terms")
         buckets = self._buckets_for(vocab)
-        term_in = F.col("term").isin(vocab)
-        tb_in = F.col("__tb").isin(buckets)
         hits = (
             self.spark.read.parquet(os.path.join(self.path, "postings"))
-            .filter(tb_in & term_in)
-            .drop("__tb")
+            .filter(F.col("__tb").isin(buckets) & F.col("term").isin(vocab))
+            .drop("__tb", "__bk")
         )
-        dfreq = (
-            self.spark.read.parquet(os.path.join(self.path, "dfreq"))
-            .filter(tb_in & term_in)
-            .drop("__tb")
-        )
+        dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         consts_df = self.spark.createDataFrame(
             [(self.n_docs, self.avgdl)], "n_docs: long, avgdl: double"
         )
@@ -455,59 +588,26 @@ class Bm25Index:
             .drop("query_id", "lex_rank")
         )
 
-    def forget(self, doc_ids: DataFrame, id_col: str | None = None) -> int:
-        """Deletion propagation (the L-g1 contract, extended to the
-        lexical index like IvfIndex.forget): purge the documents' postings
-        and doclens, recompute df and the corpus constants from the
-        remaining index — O(index), never O(corpus text).  A purged doc's
-        terms hash across ~all buckets, so this is a full-index rewrite
-        (staged + verified swap per table); batch forget requests at
-        compaction cadence.  Returns postings rows remaining."""
-        import json
-        import os
 
-        from .dirswap import swap_in
+def _safe_index_key(key: str) -> str:
+    """Sanitize an ingest key for use as a partition VALUE (same contract
+    as the ledgers' _safe_key: filesystem-safe, unambiguous)."""
+    import re
 
-        idc = id_col or self.id_col
-        purge = F.broadcast(
-            doc_ids.select(F.col(idc).alias(self.id_col)).distinct()
-        )
-        posts_p = os.path.join(self.path, "postings")
-        lens_p = os.path.join(self.path, "doclens")
-        pre_posts = self.spark.read.parquet(posts_p)
-        sch_posts = pre_posts.schema  # explicit schema: forgetting every
-        # doc leaves an empty (schemaless) directory readable only this way
-        kept = pre_posts.join(purge, self.id_col, "left_anti")
-        stage = posts_p + "__forget"
-        kept.write.mode("overwrite").partitionBy("__tb").parquet(stage)
-        swap_in(posts_p, stage, verify=lambda p: True)
-        pre_lens = self.spark.read.parquet(lens_p)
-        sch_lens = pre_lens.schema
-        kept_lens = pre_lens.join(purge, self.id_col, "left_anti")
-        stage_l = lens_p + "__forget"
-        kept_lens.write.mode("overwrite").parquet(stage_l)
-        swap_in(lens_p, stage_l, verify=lambda p: True)
-        # df + constants recomputed from the remaining index
-        stored = self.spark.read.schema(sch_posts).parquet(posts_p)
-        dfreq_p = os.path.join(self.path, "dfreq")
-        stage_d = dfreq_p + "__forget"
-        stored.groupBy("term", "__tb").agg(
-            F.count(F.lit(1)).alias("df_t")
-        ).write.mode("overwrite").partitionBy("__tb").parquet(stage_d)
-        swap_in(dfreq_p, stage_d, verify=lambda p: True)
-        stats = self.spark.read.schema(sch_lens).parquet(lens_p).agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
-        ).collect()[0]
-        self.n_docs = int(stats.n)
-        self.avgdl = float(stats.a) if stats.a is not None else 0.0
-        with open(os.path.join(self.path, "_BM25_META.json"), "w") as f:
-            json.dump(
-                {
-                    "n_docs": self.n_docs,
-                    "avgdl": self.avgdl,
-                    "n_buckets": self.n_buckets,
-                    "id_col": self.id_col,
-                },
-                f,
-            )
-        return stored.count()
+    s = re.sub(r"[^A-Za-z0-9_.-]", "_", str(key))
+    if not s:
+        raise ValueError("empty idempotency key")
+    return s
+
+
+def _unkeyed_batch_name(path: str) -> str:
+    """A fresh __bk partition value for un-keyed appends — uniqueness via
+    a monotonic counter over existing batch partitions (un-keyed ingest is
+    the caller-owns-at-most-once path; replays WILL double-count)."""
+    import os
+
+    lens = os.path.join(path, "doclens")
+    existing = [
+        d for d in os.listdir(lens) if d.startswith("__bk=")
+    ] if os.path.isdir(lens) else []
+    return f"u{len(existing)}"

@@ -314,6 +314,64 @@ def test_bm25_index_forget_equals_rebuild(spark, tmp_path):
     assert (reopened.n_docs, reopened.avgdl) == (idx.n_docs, idx.avgdl)
 
 
+def test_bm25_index_incremental_ingest(spark, tmp_path):
+    """The index rides the admission pipeline: ingest() adds a batch as
+    its own __bk subpartition (batch-sized work, no index rewrite), a
+    keyed replay converges via dynamic overwrite, key reuse for different
+    content is refused (the ledger contract), and searches over the
+    incrementally-built index equal the scan-time scorer over the full
+    corpus — term stats (df, n_docs, avgdl) all settle."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        Bm25Index,
+        bm25_topk_batch,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1 = d.filter(F.col("doc_id") % 3 != 0)
+    d2 = d.filter(F.col("doc_id") % 3 == 0)
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "vector scan filter merge")],
+        "query_id: long, query: string",
+    )
+    want = sorted(
+        tuple(r) for r in bm25_topk_batch(d, queries, k=5).collect()
+    )
+
+    idx = Bm25Index.build(d1, str(tmp_path / "idx"), n_buckets=8)
+    idx.ingest(d2, idempotency_key="batch-7")
+    got = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    assert got == want
+
+    # crash-replay of the same key converges byte-for-byte
+    idx.ingest(d2, idempotency_key="batch-7")
+    again = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    assert again == want and idx.n_docs == d.count()
+
+    # re-using the key for DIFFERENT content would corrupt term stats
+    with pytest.raises(ValueError, match="different batch"):
+        idx.ingest(d1.limit(3), idempotency_key="batch-7")
+
+    # un-keyed append (caller-owned at-most-once) reaches the same state
+    idx2 = Bm25Index.build(d1, str(tmp_path / "idx2"), n_buckets=8)
+    idx2.ingest(d2)
+    assert sorted(
+        tuple(r) for r in idx2.topk_batch(queries, k=5).collect()
+    ) == want
+
+    # deletion propagation still equals a rebuild AFTER incremental ingest
+    victim = got[0][1]
+    idx.forget(spark.createDataFrame([(victim,)], "doc_id: long"))
+    rebuilt = Bm25Index.build(
+        d.filter(F.col("doc_id") != victim), str(tmp_path / "idx3"),
+        n_buckets=8,
+    )
+    assert sorted(
+        tuple(r) for r in idx.topk_batch(queries, k=5).collect()
+    ) == sorted(tuple(r) for r in rebuilt.topk_batch(queries, k=5).collect())
+
+
 def test_langid_backoff_semantics_and_impl_parity(spark):
     """Back-off cascade: normal text decides at n=3; a text too short for
     any 3-gram decides at n=2; a text matching no profile at either order
