@@ -338,6 +338,15 @@ class Bm25Index:
 
     _BASE_KEY = "base"
 
+    def _posts_schema(self) -> str:
+        return (
+            f"`{self.id_col}` {self.id_type}, dl int, term string, "
+            "tf long, __tb int, __bk string"
+        )
+
+    def _lens_schema(self) -> str:
+        return f"`{self.id_col}` {self.id_type}, dl int, __bk string"
+
     def __init__(self, spark, path: str):
         import json
         import os
@@ -350,6 +359,7 @@ class Bm25Index:
         self.avgdl = float(m["avgdl"])
         self.n_buckets = int(m["n_buckets"])
         self.id_col = m["id_col"]
+        self.id_type = m.get("id_type", "bigint")
 
     # -- construction / maintenance ------------------------------------
 
@@ -377,6 +387,7 @@ class Bm25Index:
         idx = cls.__new__(cls)
         idx.spark, idx.path = spark, path
         idx.n_buckets, idx.id_col = n_buckets, id_col
+        idx.id_type = docs.schema[id_col].dataType.simpleString()
         idx._refresh_consts()
         return idx
 
@@ -421,7 +432,7 @@ class Bm25Index:
         import json
         import os
 
-        stats = self.spark.read.parquet(
+        stats = self.spark.read.schema(self._lens_schema()).parquet(
             os.path.join(self.path, "doclens")
         ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
         self.n_docs = int(stats.n)
@@ -433,6 +444,7 @@ class Bm25Index:
                     "avgdl": self.avgdl,
                     "n_buckets": self.n_buckets,
                     "id_col": self.id_col,
+                    "id_type": self.id_type,
                 },
                 f,
             )
@@ -474,7 +486,7 @@ class Bm25Index:
                 F.col(self.id_col), F.size(toks).alias("__bdl")
             )
             stored = (
-                self.spark.read.parquet(lens_p)
+                self.spark.read.schema(self._lens_schema()).parquet(lens_p)
                 .filter(F.col("__bk") == key)
                 .select(self.id_col, "dl")
             )
@@ -515,20 +527,24 @@ class Bm25Index:
         )
         posts_p = os.path.join(self.path, "postings")
         lens_p = os.path.join(self.path, "doclens")
-        pre_posts = self.spark.read.parquet(posts_p)
-        sch_posts = pre_posts.schema  # explicit schema: forgetting every
-        # doc leaves an empty (schemaless) directory readable only this way
+        pre_posts = self.spark.read.schema(self._posts_schema()).parquet(
+            posts_p
+        )
         kept = pre_posts.join(purge, self.id_col, "left_anti")
         stage = posts_p + "__forget"
         kept.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(stage)
         swap_in(posts_p, stage, verify=lambda p: True)
-        pre_lens = self.spark.read.parquet(lens_p)
+        pre_lens = self.spark.read.schema(self._lens_schema()).parquet(lens_p)
         kept_lens = pre_lens.join(purge, self.id_col, "left_anti")
         stage_l = lens_p + "__forget"
         kept_lens.write.mode("overwrite").partitionBy("__bk").parquet(stage_l)
         swap_in(lens_p, stage_l, verify=lambda p: True)
         self._refresh_consts()
-        return self.spark.read.schema(sch_posts).parquet(posts_p).count()
+        return (
+            self.spark.read.schema(self._posts_schema())
+            .parquet(posts_p)
+            .count()
+        )
 
     # -- search ----------------------------------------------------------
 
@@ -565,7 +581,8 @@ class Bm25Index:
             raise ValueError("no query has any terms")
         buckets = self._buckets_for(vocab)
         hits = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            self.spark.read.schema(self._posts_schema())
+            .parquet(os.path.join(self.path, "postings"))
             .filter(F.col("__tb").isin(buckets) & F.col("term").isin(vocab))
             .drop("__tb", "__bk")
         )

@@ -309,6 +309,7 @@ def admission_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     reject_dir: str | None = None,
+    bm25_index=None,
 ):
     """The FULL training-corpus admission sink: each micro-batch is
     (1) exactly decontaminated against the benchmark (Bloom prefilter +
@@ -340,6 +341,15 @@ def admission_sink(
     partitioned by micro-batch like the corpus so a replayed batch
     rewrites its own reject partition and nothing else.  Cost: two
     batch-sized anti-joins — the corpus is never touched.
+
+    ``bm25_index`` (optional, an ``operators.bm25.Bm25Index``) keeps a
+    SERVING lexical index in lockstep with the corpus: each micro-batch's
+    survivors are ingested incrementally (batch-sized work, new files
+    inside the term buckets) under the SAME run-scoped key as the ledger
+    append, so a crash-replay dynamic-overwrites only its own index
+    subpartitions and the index's key-reuse guard refuses cross-
+    generation collisions — admitted docs become searchable
+    exactly-once, rejected/contaminated docs never enter the index.
 
     CONCURRENCY: one admission sink per driver process (see
     ``neardup_admission_sink`` — the shared dedup._HOT_CACHES registry
@@ -380,6 +390,12 @@ def admission_sink(
             .partitionBy("__ingest_batch")
             .parquet(out_dir)
         )
+        if bm25_index is not None and not survivors.isEmpty():
+            bm25_index.ingest(
+                survivors.select(id_col, text_col),
+                text_col=text_col,
+                idempotency_key=_run_scoped_key(checkpoint, batch_id),
+            )
         if reject_dir is not None:
             dedup_rejects = (
                 clean.join(

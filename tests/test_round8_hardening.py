@@ -372,6 +372,71 @@ def test_bm25_index_incremental_ingest(spark, tmp_path):
     ) == sorted(tuple(r) for r in rebuilt.topk_batch(queries, k=5).collect())
 
 
+def test_admission_sink_keeps_bm25_index_in_lockstep(spark, tmp_path):
+    """The full pipeline a production ingest runs: decontaminate → dedup-
+    admit → corpus write → INDEX the survivors, one foreachBatch.  Only
+    admitted docs become searchable; the keyed index ingest makes a
+    replayed stream converge (no double counting)."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_streaming import _doc_row, _write_doc_batches
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    base = _text("tok")
+    near = base.rsplit(" ", 1)[0] + " tokX"
+    poisoned = f"prefix text {bench_gram} suffix text here"
+    other = _text("alpha")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark,
+        src,
+        [
+            [_doc_row(1, base), _doc_row(3, poisoned)],
+            [_doc_row(10, near), _doc_row(12, other)],
+        ],
+        SI.DOC_SCHEMA,
+    )
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    idx = Bm25Index.build(
+        spark.createDataFrame([], "doc_id: long, text: string"),
+        str(tmp_path / "bm25"),
+        n_buckets=8,
+    )
+
+    def run():
+        q = SI.admission_sink(
+            SI.read_document_stream(spark, src),
+            pipe,
+            str(tmp_path / "corpus"),
+            checkpoint=str(tmp_path / "ckpt"),
+            benchmark=bench,
+            bm25_index=idx,
+        )
+        q.awaitTermination()
+
+    run()
+    # admitted: 1 (batch 0) and 12 (batch 1); 3 contaminated, 10 near-dup
+    hits = {r.doc_id for r in idx.topk("tok0 alpha0", k=10).collect()}
+    assert hits == {1, 12}
+    assert idx.n_docs == 2
+    # the contaminated doc's distinctive grams are nowhere in the index
+    assert idx.topk("epsilon zeta", k=10).count() == 0
+
+    # a replayed stream (fresh checkpoint-less rerun would collide; the
+    # SAME checkpoint replays cleanly) converges — no double counting
+    run()
+    assert idx.n_docs == 2
+    assert {r.doc_id for r in idx.topk("tok0 alpha0", k=10).collect()} == {1, 12}
+
+
 def test_langid_backoff_semantics_and_impl_parity(spark):
     """Back-off cascade: normal text decides at n=3; a text too short for
     any 3-gram decides at n=2; a text matching no profile at either order
