@@ -220,6 +220,10 @@ def _rank_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
         .drop("__lr")
         .withColumn("lex_rank", F.row_number().over(per_query))
         .filter(F.col("lex_rank") <= k)
+        # deterministic presentation order (k·|Q| rows — a cheap sort):
+        # callers iterating the result see ranked negatives per query,
+        # the documented contract of the single-query forms
+        .orderBy("query_id", "lex_rank")
     )
 
 
@@ -405,10 +409,7 @@ class Bm25Index:
 
         toks = tokens(text_col)
         posts = (
-            docs.select(id_col, F.size(toks).alias("dl"),
-                        F.explode(toks).alias("term"))
-            .groupBy(id_col, "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            _batch_postings(docs, id_col, text_col)
             .withColumn("__tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
             .withColumn("__bk", F.lit(key))
         )
@@ -464,9 +465,15 @@ class Bm25Index:
         ``idempotency_key`` makes the ingest REPLAYABLE: the batch lands
         in ``__bk=<key>`` partitions via dynamic overwrite (a replay
         rewrites only its own), and re-USING a key for a different batch
-        is refused by comparing the stored (id, dl) rows under the key
-        against the batch (the ledger key-reuse contract — an overwrite
-        with different content would silently corrupt term statistics).
+        is refused by comparing the stored POSTINGS under the key against
+        the batch's postings — full (id, term, tf) content, so different
+        text with the same ids/token counts is still caught, and a crash
+        between the postings and doclens writes leaves evidence the guard
+        sees (the ledger key-reuse contract: an overwrite with different
+        content would silently corrupt term statistics — dynamic
+        overwrite would leave the old content's other term buckets live).
+        Stored ⊆ batch is legal (a crashed partial write; the replay
+        completes it); stored rows ABSENT from the batch are refused.
         Without a key the batch is appended (caller owns at-most-once).
         Corpus constants are re-settled from doclens afterwards, which is
         idempotent under replay."""
@@ -480,25 +487,18 @@ class Bm25Index:
             else None
         )
         if key is not None:
-            lens_p = os.path.join(self.path, "doclens")
-            toks = tokens(text_col)
-            batch_lens = batch.select(
-                F.col(self.id_col), F.size(toks).alias("__bdl")
-            )
+            posts_p = os.path.join(self.path, "postings")
             stored = (
-                self.spark.read.schema(self._lens_schema()).parquet(lens_p)
+                self.spark.read.schema(self._posts_schema()).parquet(posts_p)
                 .filter(F.col("__bk") == key)
-                .select(self.id_col, "dl")
+                .select(self.id_col, "dl", "term", "tf")
             )
-            foreign = stored.join(
-                F.broadcast(batch_lens), self.id_col, "left"
-            ).filter(
-                F.col("__bdl").isNull() | (F.col("dl") != F.col("__bdl"))
-            )
-            if foreign.limit(1).count():
+            bposts = _batch_postings(batch, self.id_col, text_col)
+            if stored.exceptAll(bposts).limit(1).count():
                 raise ValueError(
                     f"idempotency_key {idempotency_key!r} was previously "
-                    "used for a different batch; replaying it would "
+                    "used for a different batch (stored postings are not "
+                    "a subset of this batch's); replaying it would "
                     "overwrite unrelated index state — use a run-scoped key"
                 )
         self._write_batch(
@@ -533,12 +533,26 @@ class Bm25Index:
         kept = pre_posts.join(purge, self.id_col, "left_anti")
         stage = posts_p + "__forget"
         kept.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(stage)
-        swap_in(posts_p, stage, verify=lambda p: True)
+        # REAL verify (the ledger/IVF pattern): an unreadable staged tree
+        # must raise so swap_in keeps the live index, never promote junk
+        swap_in(
+            posts_p,
+            stage,
+            verify=lambda p: self.spark.read.schema(self._posts_schema())
+            .parquet(p)
+            .first(),
+        )
         pre_lens = self.spark.read.schema(self._lens_schema()).parquet(lens_p)
         kept_lens = pre_lens.join(purge, self.id_col, "left_anti")
         stage_l = lens_p + "__forget"
         kept_lens.write.mode("overwrite").partitionBy("__bk").parquet(stage_l)
-        swap_in(lens_p, stage_l, verify=lambda p: True)
+        swap_in(
+            lens_p,
+            stage_l,
+            verify=lambda p: self.spark.read.schema(self._lens_schema())
+            .parquet(p)
+            .first(),
+        )
         self._refresh_consts()
         return (
             self.spark.read.schema(self._posts_schema())
@@ -565,12 +579,18 @@ class Bm25Index:
         query_col: str = "query",
         k1: float = 1.2,
         b: float = 0.75,
+        max_literal_terms: int = DEFAULT_MAX_LITERAL_TERMS,
     ) -> DataFrame:
         """Top-``k`` per query — partition-pruned: only the query terms'
         buckets of the postings are read (plan-locked); the corpus is
         never touched.  df is derived from the same pruned read (exact —
         a term's postings are complete inside its bucket).  Output
-        matches ``bm25_topk_batch`` exactly."""
+        matches ``bm25_topk_batch`` exactly.
+
+        Past ``max_literal_terms`` distinct terms the term filter switches
+        from a literal IN-list (plan-size/codegen hazard at DPR-scale
+        vocabularies) to a broadcast semi-join; the bucket filter stays a
+        literal (bounded by n_buckets)."""
         import os
 
         qterms = _terms_frame(queries, query_id_col, query_col)
@@ -580,12 +600,21 @@ class Bm25Index:
         if not vocab:
             raise ValueError("no query has any terms")
         buckets = self._buckets_for(vocab)
-        hits = (
+        pruned = (
             self.spark.read.schema(self._posts_schema())
             .parquet(os.path.join(self.path, "postings"))
-            .filter(F.col("__tb").isin(buckets) & F.col("term").isin(vocab))
-            .drop("__tb", "__bk")
+            .filter(F.col("__tb").isin(buckets))
         )
+        if len(vocab) <= max_literal_terms:
+            hits = pruned.filter(F.col("term").isin(vocab))
+        else:
+            vocab_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(t,) for t in vocab], "term: string"
+                )
+            )
+            hits = pruned.join(vocab_df, "term")
+        hits = hits.drop("__tb", "__bk")
         dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         consts_df = self.spark.createDataFrame(
             [(self.n_docs, self.avgdl)], "n_docs: long, avgdl: double"
@@ -606,25 +635,55 @@ class Bm25Index:
         )
 
 
-def _safe_index_key(key: str) -> str:
-    """Sanitize an ingest key for use as a partition VALUE (same contract
-    as the ledgers' _safe_key: filesystem-safe, unambiguous)."""
-    import re
+def _batch_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl, term, tf) postings of a document frame — shared by the
+    index writer and the key-reuse guard so the two can never diverge."""
+    toks = tokens(text_col)
+    return (
+        docs.select(
+            id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
 
-    s = re.sub(r"[^A-Za-z0-9_.-]", "_", str(key))
-    if not s:
-        raise ValueError("empty idempotency key")
-    return s
+
+def _safe_index_key(key: str) -> str:
+    """Validate an ingest key for use as a partition VALUE — the SAME
+    validate-and-raise contract as the ledgers' _safe_key (admission_sink
+    feeds one run-scoped key to both components, so their acceptance
+    rules must not diverge; silent sanitization could also collide two
+    distinct keys onto one partition)."""
+    from .ledger import _safe_key
+
+    return _safe_key(str(key))
 
 
 def _unkeyed_batch_name(path: str) -> str:
-    """A fresh __bk partition value for un-keyed appends — uniqueness via
-    a monotonic counter over existing batch partitions (un-keyed ingest is
-    the caller-owns-at-most-once path; replays WILL double-count)."""
+    """A fresh __bk partition value for un-keyed appends: max existing
+    u<N> counter + 1 across BOTH index tables, so a name still live in
+    either is never reused (len()-based counting could resurrect a name
+    after forget() dropped an earlier batch's partitions and then
+    dynamic-overwrite a LIVE batch).  Un-keyed ingest remains the
+    caller-owns-at-most-once path; replays WILL double-count."""
     import os
+    import re as _re
 
+    mx = -1
     lens = os.path.join(path, "doclens")
-    existing = [
-        d for d in os.listdir(lens) if d.startswith("__bk=")
-    ] if os.path.isdir(lens) else []
-    return f"u{len(existing)}"
+    posts = os.path.join(path, "postings")
+    roots = []
+    if os.path.isdir(lens):
+        roots.append(lens)
+    if os.path.isdir(posts):
+        roots.extend(
+            os.path.join(posts, d)
+            for d in os.listdir(posts)
+            if d.startswith("__tb=")
+        )
+    for r in roots:
+        for d in os.listdir(r):
+            m = _re.fullmatch(r"__bk=u(\d+)", d)
+            if m:
+                mx = max(mx, int(m.group(1)))
+    return f"u{mx + 1}"

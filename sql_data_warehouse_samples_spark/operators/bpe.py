@@ -321,12 +321,26 @@ def bpe_train_collected(
 #: compiled-kernel cache: False = not probed yet; None = unavailable
 _CKERNEL = False
 
+#: the C kernel keeps its symbol table in per-call globals and ctypes
+#: releases the GIL during the call — serialize kernel invocations so two
+#: driver threads training tokenizers concurrently can't race (the pure-
+#: Python path never had this hazard; the lock restores its semantics)
+import threading as _threading
+
+_CKERNEL_CALL_LOCK = _threading.Lock()
+
 
 def _load_bpe_ckernel():
-    """Compile (once, cached by source hash in /tmp) and load the C merge
-    kernel via cc + ctypes.  Returns the ctypes function or None — any
-    failure (no compiler, sandboxed /tmp, bad toolchain) falls back to the
-    pure-Python trainer silently; the seam never breaks training."""
+    """Compile (once, cached by source hash) and load the C merge kernel
+    via cc + ctypes.  Returns the ctypes function or None — any failure
+    (no compiler, unusable cache dir, bad toolchain) falls back to the
+    pure-Python trainer silently; the seam never breaks training.
+
+    The cache lives in a PER-USER 0700 directory and both the directory
+    and the .so are refused unless owned by us and group/other-unwritable
+    — loading a predictable world-writable /tmp path into the driver
+    process would be a classic shared-object-planting vector on a
+    multi-user host."""
     global _CKERNEL
     if _CKERNEL is not False:
         return _CKERNEL
@@ -343,9 +357,18 @@ def _load_bpe_ckernel():
         with open(src, "rb") as f:
             blob = f.read()
         tag = hashlib.sha256(blob).hexdigest()[:12]
-        so = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_bpe_kernel_{tag}.so"
+        cache_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bpe_{os.getuid()}"
         )
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+
+        def _owned_and_private(p: str) -> bool:
+            st = os.lstat(p)
+            return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+        if not _owned_and_private(cache_dir):
+            return None  # someone else owns / can write the cache dir
+        so = os.path.join(cache_dir, f"kernel_{tag}.so")
         if not os.path.exists(so):
             cc = shutil.which("cc") or shutil.which("gcc")
             if cc is None:
@@ -358,6 +381,8 @@ def _load_bpe_ckernel():
                 timeout=120,
             )
             os.replace(tmp, so)  # atomic: concurrent builders converge
+        if not _owned_and_private(so):
+            return None
         lib = ctypes.CDLL(so)
         fn = lib.bpe_train_kernel
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -431,12 +456,13 @@ def _train_on_dict_c(
     def p64(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
-    n = fn(
-        p32(a_flat), p64(a_offs), len(word_counts), p64(a_wc),
-        sym_bytes, p64(sym_offs), n_syms0,
-        n_merges, min_count,
-        p32(out_a), p32(out_b), p64(out_c),
-    )
+    with _CKERNEL_CALL_LOCK:  # kernel globals: one call at a time
+        n = fn(
+            p32(a_flat), p64(a_offs), len(word_counts), p64(a_wc),
+            sym_bytes, p64(sym_offs), n_syms0,
+            n_merges, min_count,
+            p32(out_a), p32(out_b), p64(out_c),
+        )
     if n < 0:
         raise MemoryError("bpe C kernel allocation failure")
     merges: list[tuple[str, str, int]] = []

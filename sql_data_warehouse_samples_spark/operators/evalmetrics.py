@@ -136,21 +136,34 @@ def roc_auc(
     if max_distinct_scores is not None:
         if max_distinct_scores < 1:
             raise ValueError("max_distinct_scores must be >= 1")
+        dd = F.col("__s").cast("double")
+        # min/max over FINITE scores only: a single NaN (0/0 upstream)
+        # would otherwise make width NaN and collapse EVERY score into
+        # one bucket — AUC silently 0.5.  NaN rows bucket to the TOP
+        # (Spark's NaN-is-largest ordering, matching the exact path).
+        finite = F.when(~F.isnan(dd), dd)
         stats = scored.agg(
             F.countDistinct("__s").alias("nd"),
-            F.min(F.col("__s").cast("double")).alias("mn"),
-            F.max(F.col("__s").cast("double")).alias("mx"),
+            F.min(finite).alias("mn"),
+            F.max(finite).alias("mx"),
         ).collect()[0]
-        if stats.nd is not None and stats.nd > max_distinct_scores:
+        if (
+            stats.nd is not None
+            and stats.nd > max_distinct_scores
+            and stats.mn is not None
+            and float(stats.mx) > float(stats.mn)
+        ):
             mn, mx = float(stats.mn), float(stats.mx)
             width = (mx - mn) / max_distinct_scores
-            # width > 0 here: nd > max_distinct_scores >= 1 implies mx > mn
             bucket = F.least(
-                F.floor((F.col("__s").cast("double") - mn) / width),
+                F.floor((dd - mn) / width),
                 F.lit(max_distinct_scores - 1),
             )
             scored = scored.withColumn(
-                "__s", mn + (bucket + 0.5) * width
+                "__s",
+                F.when(
+                    F.isnan(dd), F.lit(float("nan"))
+                ).otherwise(mn + (bucket + 0.5) * width),
             )
     groups = scored.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__cnt"),

@@ -136,6 +136,10 @@ def mine_hard_negatives_batch(
         cands.withColumn("__sr", F.row_number().over(surv))
         .filter(F.col("__sr") <= k)
         .select("query_id", id_col, "bm25", "lex_rank", "max_pos_cosine")
+        # deterministic presentation order (k·|Q| rows): the single-query
+        # wrapper's documented "top negatives, ranked" contract holds for
+        # .collect()[0]-style consumers
+        .orderBy("query_id", "lex_rank")
     )
 
 

@@ -437,6 +437,128 @@ def test_admission_sink_keeps_bm25_index_in_lockstep(spark, tmp_path):
     assert {r.doc_id for r in idx.topk("tok0 alpha0", k=10).collect()} == {1, 12}
 
 
+def test_bm25_index_review_fixes(spark, tmp_path):
+    """Round-8 self-review regressions on Bm25Index:
+    (a) an un-keyed batch name is never reused while live — even after
+        forget() drops an earlier batch's partitions (len()-based naming
+        would resurrect u<N> and dynamic-overwrite a LIVE batch);
+    (b) key reuse with different content but IDENTICAL ids and token
+        counts is still refused (the guard compares full postings);
+    (c) keys are validated like the ledgers' (reject, don't sanitize);
+    (d) a huge query vocabulary takes the broadcast-join path and stays
+        value-identical (no unbounded IN-literal)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        Bm25Index,
+        bm25_topk_batch,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window")], "query_id: long, query: string"
+    )
+
+    # (a) unkeyed-name reuse after forget
+    idx = Bm25Index.build(d.limit(0), str(tmp_path / "idx"), n_buckets=8)
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1)
+    b2 = d.filter(F.col("doc_id") % 3 == 2)
+    idx.ingest(b0)  # u0
+    idx.ingest(b1)  # u1
+    idx.forget(b0.select("doc_id"))  # u0's partitions vanish
+    idx.ingest(b2)  # must NOT be named u1 again
+    want = sorted(
+        tuple(r)
+        for r in bm25_topk_batch(b1.unionByName(b2), queries, k=5).collect()
+    )
+    got = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    assert got == want  # b1 survived the third ingest intact
+
+    # (b) same ids + same per-doc token counts, different text: refused
+    idx2 = Bm25Index.build(d.limit(0), str(tmp_path / "idx2"), n_buckets=8)
+    a1 = spark.createDataFrame([(1, "alpha beta")], "doc_id: long, text: string")
+    a2 = spark.createDataFrame([(1, "gamma delta")], "doc_id: long, text: string")
+    idx2.ingest(a1, idempotency_key="k0")
+    with pytest.raises(ValueError, match="different batch"):
+        idx2.ingest(a2, idempotency_key="k0")
+
+    # (c) ledger-grade key validation: reject, never sanitize
+    with pytest.raises(ValueError, match="idempotency_key"):
+        idx2.ingest(a1, idempotency_key="run a:1")
+
+    # (d) broadcast-join term path (forced low literal cap) is identical
+    lit = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    joined = sorted(
+        tuple(r)
+        for r in idx.topk_batch(queries, k=5, max_literal_terms=2).collect()
+    )
+    assert joined == lit
+
+
+def test_bpe_kernel_cache_refuses_unsafe_dir(tmp_path, monkeypatch):
+    """The kernel .so cache is per-user 0700 and ownership-checked — a
+    world-writable cache dir (the /tmp planting vector) must disable the
+    kernel, not load whatever is there."""
+    import os
+
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)  # re-read TMPDIR
+    cache = tmp_path / f"spark_graft_bpe_{os.getuid()}"
+    cache.mkdir(mode=0o700)
+    os.chmod(cache, 0o777)  # simulate an attacker-writable cache dir
+    old = B._CKERNEL
+    B._CKERNEL = False  # force a re-probe
+    try:
+        assert B._load_bpe_ckernel() is None
+    finally:
+        B._CKERNEL = old
+        os.chmod(cache, 0o700)
+    # training still works — the seam falls back to pure Python
+    assert B.bpe_train_on_dict([("abab", 4)], 2) == B._bpe_train_on_dict_py(
+        [("abab", 4)], 2
+    )
+
+
+def test_roc_auc_bucketing_survives_nan_scores(spark):
+    """A single NaN score must not poison the equal-width bucketing (NaN
+    max -> NaN width -> every score in one bucket -> AUC silently 0.5).
+    NaN rows bucket to the top, matching the exact path's NaN-is-largest
+    ordering."""
+    from sql_data_warehouse_samples_spark.operators.evalmetrics import roc_auc
+
+    rows = [(i / 97.0 + (0.31 if i % 3 == 0 else 0.0), 1 if i % 3 == 0 else 0)
+            for i in range(97)]
+    rows.append((float("nan"), 0))
+    df = spark.createDataFrame(rows, "score: double, label: int")
+    exact = roc_auc(df, "score", "label").collect()[0]
+    binned = roc_auc(
+        df, "score", "label", max_distinct_scores=16
+    ).collect()[0]
+    assert binned.n_distinct_scores <= 17  # 16 buckets + the NaN group
+    assert binned.auc == pytest.approx(exact.auc, abs=0.05)
+    assert binned.auc != pytest.approx(0.5, abs=0.01)
+
+
+def test_mine_hard_negatives_output_is_rank_ordered(spark):
+    """The documented contract: rows come back ordered by lex_rank (the
+    batch form: by (query_id, lex_rank)) so .collect()[0] IS the hardest
+    negative — the window filter alone leaves exchange order."""
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pos = spark.createDataFrame([(0,)], "doc_id: long")
+    out = mine_hard_negatives(d, "spark hash join window", pos, k=8).collect()
+    assert [r.lex_rank for r in out] == sorted(r.lex_rank for r in out)
+    assert out[0].lex_rank == min(r.lex_rank for r in out)
+
+
 def test_langid_backoff_semantics_and_impl_parity(spark):
     """Back-off cascade: normal text decides at n=3; a text too short for
     any 3-gram decides at n=2; a text matching no profile at either order
