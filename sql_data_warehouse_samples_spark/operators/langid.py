@@ -227,12 +227,26 @@ def classify_language_backoff(
 
     Adds (out_col, score_col, order_col): the prediction, its
     exact-integer score at the DECIDING order, and that order (NULL when
-    no order matched).  Composition of the parity-locked single-order
-    scorer — one map-only pass per order, zero corpus-side exchanges, and
-    exact-integer scoring keeps the whole cascade SQL-reproducible."""
+    no order matched).  Zero corpus-side exchanges either way; exact-
+    integer scoring keeps the whole cascade SQL-reproducible.
+
+    ``impl="arrow"`` (default) runs the WHOLE cascade in ONE mapInPandas
+    pass — each text is sliced once per order, and shorter orders are
+    only scored when the longer ones had zero evidence, so the common
+    case pays a single profile lookup pass.  ``impl="fold"`` composes the
+    parity-locked pure-JVM single-order scorer per order (Python-free
+    pipelines; value-identical, parity-tested)."""
     if not profiles_by_n:
         raise ValueError("profiles_by_n is empty — train first")
+    if impl not in ("arrow", "fold"):
+        raise ValueError(f"impl must be 'arrow' or 'fold', got {impl!r}")
     ns = sorted(profiles_by_n, reverse=True)
+
+    if impl == "arrow":
+        return _classify_backoff_arrow(
+            docs, profiles_by_n, ns, text_col, out_col, score_col, order_col
+        )
+
     out = docs
     tmp: list[tuple[int, str, str]] = []
     for n in ns:
@@ -256,6 +270,74 @@ def classify_language_backoff(
     for _, pc, sc in tmp:
         out = out.drop(pc, sc)
     return out
+
+
+def _classify_backoff_arrow(
+    docs: DataFrame,
+    profiles_by_n: dict[int, dict[str, dict[str, int]]],
+    ns: list[int],
+    text_col: str,
+    out_col: str,
+    score_col: str,
+    order_col: str,
+) -> DataFrame:
+    """One fused mapInPandas pass for the whole back-off cascade — the
+    per-order unions ride the task closure together; a row falls through
+    to the next order only on zero evidence (same semantics as the
+    composed form, parity-tested)."""
+    from collections.abc import Iterator
+
+    unions: list[tuple[int, list[str], dict[str, list[int]]]] = []
+    for n in ns:
+        profiles = profiles_by_n[n]
+        langs = sorted(profiles)
+        union: dict[str, list[int]] = {}
+        for i, lang in enumerate(langs):
+            for g, w in profiles[lang].items():
+                union.setdefault(g, [0] * len(langs))[i] = int(w)
+        unions.append((n, langs, union))
+
+    def score(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            preds, scores, orders = [], [], []
+            for t in pdf[text_col]:
+                pred, sc, od = None, 0, None
+                for n, langs, union in unions:  # longest order first
+                    if t is None or len(t) < n:
+                        continue
+                    nl = len(langs)
+                    svec = [0] * nl
+                    get = union.get
+                    for j in range(len(t) - n + 1):
+                        ws = get(t[j : j + n])
+                        if ws is not None:
+                            for i in range(nl):
+                                svec[i] += ws[i]
+                    bi = 0
+                    for i in range(1, nl):
+                        if svec[i] > svec[bi]:
+                            bi = i  # strict >: ties keep ascending lang
+                    if svec[bi] > 0:
+                        pred, sc, od = langs[bi], svec[bi], n
+                        break  # evidence found — no back-off
+                preds.append(pred)
+                scores.append(sc)
+                orders.append(od)
+            pdf = pdf.copy()
+            pdf[out_col] = preds
+            pdf[score_col] = scores
+            pdf[order_col] = pd_arr(orders)
+            yield pdf
+
+    def pd_arr(vals):
+        import pandas as pd
+
+        return pd.array(vals, dtype="Int32")  # nullable int32
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + f", `{out_col}` string, `{score_col}` long, `{order_col}` int"
+    return docs.mapInPandas(score, out_schema)
 
 
 def _sql_str(s: str) -> str:
