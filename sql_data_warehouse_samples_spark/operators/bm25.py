@@ -376,13 +376,12 @@ class Bm25Index:
         text_col: str = "text",
         n_buckets: int = 32,
     ) -> "Bm25Index":
-        """One corpus pass builds the postings (explode → (id, term) tf
-        aggregate — the only corpus-sized shuffle) plus the doclens table
-        (a second, column-pruned pass).  At 100 TB: build once, then
-        every query batch reads ~|vocab|/n_buckets of the index and
-        nothing else."""
-        import os
-
+        """ONE corpus pass builds the index: the postings aggregate
+        (explode → (id, term) tf — the only corpus-sized shuffle) is
+        checkpointed and the doclens table derives from it (every doc
+        has ≥1 token under the whitespace tokenizer, so distinct (id, dl)
+        covers the corpus).  At 100 TB: build once, then every query
+        batch reads ~|vocab|/n_buckets of the index and nothing else."""
         spark = docs.sparkSession
         cls._write_batch(
             docs, path, id_col, text_col, n_buckets, cls._BASE_KEY,
@@ -404,12 +403,23 @@ class Bm25Index:
         n_buckets: int,
         key: str,
         overwrite: bool,
+        postings: DataFrame | None = None,
     ) -> None:
+        """Write one batch's postings + doclens.  ``postings``: an
+        already-MATERIALIZED (id, dl, term, tf) frame to reuse (the keyed
+        ingest guard computes it anyway); when None it is computed and
+        checkpointed here — either way the batch text is tokenized
+        exactly once, and doclens derives from the postings (the
+        whitespace tokenizer yields ≥1 token for every non-null text, so
+        distinct (id, dl) covers every doc)."""
         import os
 
-        toks = tokens(text_col)
+        if postings is None:
+            postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
+                eager=True
+            )
         posts = (
-            _batch_postings(docs, id_col, text_col)
+            postings
             .withColumn("__tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
             .withColumn("__bk", F.lit(key))
         )
@@ -420,8 +430,10 @@ class Bm25Index:
         posts.write.mode("overwrite").option(
             "partitionOverwriteMode", ovm
         ).partitionBy("__tb", "__bk").parquet(os.path.join(path, "postings"))
-        lens = docs.select(
-            F.col(id_col), F.size(toks).alias("dl"), F.lit(key).alias("__bk")
+        lens = (
+            postings.select(id_col, "dl")
+            .distinct()
+            .withColumn("__bk", F.lit(key))
         )
         lens.write.mode("overwrite").option(
             "partitionOverwriteMode", ovm
@@ -486,14 +498,19 @@ class Bm25Index:
             if idempotency_key is not None
             else None
         )
+        bposts = None
         if key is not None:
+            # materialize the batch postings ONCE: the guard and the
+            # write both consume them (batch-sized)
+            bposts = _batch_postings(
+                batch, self.id_col, text_col
+            ).localCheckpoint(eager=True)
             posts_p = os.path.join(self.path, "postings")
             stored = (
                 self.spark.read.schema(self._posts_schema()).parquet(posts_p)
                 .filter(F.col("__bk") == key)
                 .select(self.id_col, "dl", "term", "tf")
             )
-            bposts = _batch_postings(batch, self.id_col, text_col)
             if stored.exceptAll(bposts).limit(1).count():
                 raise ValueError(
                     f"idempotency_key {idempotency_key!r} was previously "
@@ -505,6 +522,7 @@ class Bm25Index:
             batch, self.path, self.id_col, text_col, self.n_buckets,
             key if key is not None else _unkeyed_batch_name(self.path),
             overwrite=False,
+            postings=bposts,
         )
         self._refresh_consts()
 

@@ -380,6 +380,8 @@ def _load_bpe_ckernel():
                 capture_output=True,
                 timeout=120,
             )
+            os.chmod(tmp, 0o700)  # cc honors umask (e.g. 0002 -> 0775,
+            # group-writable) — pin the mode so the check below holds
             os.replace(tmp, so)  # atomic: concurrent builders converge
         if not _owned_and_private(so):
             return None

@@ -137,11 +137,13 @@ def roc_auc(
         if max_distinct_scores < 1:
             raise ValueError("max_distinct_scores must be >= 1")
         dd = F.col("__s").cast("double")
-        # min/max over FINITE scores only: a single NaN (0/0 upstream)
-        # would otherwise make width NaN and collapse EVERY score into
-        # one bucket — AUC silently 0.5.  NaN rows bucket to the TOP
-        # (Spark's NaN-is-largest ordering, matching the exact path).
-        finite = F.when(~F.isnan(dd), dd)
+        # min/max over FINITE scores only: a single NaN (0/0 upstream) or
+        # +/-inf (1/0) would otherwise make width NaN/inf and collapse
+        # EVERY score into one bucket — AUC silently 0.5.  Non-finite
+        # rows pass through unbucketed (NaN buckets above +inf via
+        # Spark's NaN-is-largest ordering, matching the exact path).
+        nonfinite = F.isnan(dd) | (dd == float("inf")) | (dd == float("-inf"))
+        finite = F.when(~nonfinite, dd)
         stats = scored.agg(
             F.countDistinct("__s").alias("nd"),
             F.min(finite).alias("mn"),
@@ -161,9 +163,9 @@ def roc_auc(
             )
             scored = scored.withColumn(
                 "__s",
-                F.when(
-                    F.isnan(dd), F.lit(float("nan"))
-                ).otherwise(mn + (bucket + 0.5) * width),
+                F.when(nonfinite, dd).otherwise(
+                    mn + (bucket + 0.5) * width
+                ),
             )
     groups = scored.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__cnt"),

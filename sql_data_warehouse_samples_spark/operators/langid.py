@@ -121,14 +121,8 @@ def classify_language(
         raise ValueError("profiles is empty — train first")
     if impl not in ("arrow", "fold"):
         raise ValueError(f"impl must be 'arrow' or 'fold', got {impl!r}")
-    langs = sorted(profiles)
+    langs, union = _build_union(profiles)
     nl = len(langs)
-    # ONE combined gram -> per-language weight vector (grams shared
-    # across languages collapse into one entry)
-    union: dict[str, list[int]] = {}
-    for i, lang in enumerate(langs):
-        for g, w in profiles[lang].items():
-            union.setdefault(g, [0] * nl)[i] = int(w)
 
     if impl == "arrow":
         from collections.abc import Iterator
@@ -137,25 +131,9 @@ def classify_language(
             for pdf in batches:
                 preds, scores = [], []
                 for t in pdf[text_col]:
-                    svec = [0] * nl
-                    if t is not None and len(t) >= n:
-                        get = union.get
-                        for j in range(len(t) - n + 1):
-                            ws = get(t[j : j + n])
-                            if ws is not None:
-                                for i in range(nl):
-                                    svec[i] += ws[i]
-                    bi = 0
-                    for i in range(1, nl):
-                        if svec[i] > svec[bi]:
-                            bi = i  # strict >: ties keep the SMALLER
-                            # index = ascending language name
-                    if svec[bi] > 0:
-                        preds.append(langs[bi])
-                        scores.append(svec[bi])
-                    else:
-                        preds.append(None)
-                        scores.append(0)
+                    lang, s = _best_lang(t, n, langs, union)
+                    preds.append(lang)
+                    scores.append(s)
                 pdf = pdf.copy()
                 pdf[out_col] = preds
                 pdf[score_col] = scores
@@ -205,6 +183,46 @@ def classify_language(
     )
 
 
+def _build_union(
+    profiles: dict[str, dict[str, int]]
+) -> tuple[list[str], dict[str, list[int]]]:
+    """ONE combined gram -> per-language weight vector (grams shared
+    across languages collapse into one entry) — shared by the single-
+    order arrow scorer and the fused back-off cascade."""
+    langs = sorted(profiles)
+    nl = len(langs)
+    union: dict[str, list[int]] = {}
+    for i, lang in enumerate(langs):
+        for g, w in profiles[lang].items():
+            union.setdefault(g, [0] * nl)[i] = int(w)
+    return langs, union
+
+
+def _best_lang(
+    t: str | None, n: int, langs: list[str], union: dict[str, list[int]]
+) -> tuple[str | None, int]:
+    """(lang, score) argmax for one text at one order — the parity-
+    critical scoring loop (strict > on the score, so ties keep the
+    smaller index = ascending language name).  Shared by both arrow
+    paths so they cannot drift."""
+    nl = len(langs)
+    svec = [0] * nl
+    if t is not None and len(t) >= n:
+        get = union.get
+        for j in range(len(t) - n + 1):
+            ws = get(t[j : j + n])
+            if ws is not None:
+                for i in range(nl):
+                    svec[i] += ws[i]
+    bi = 0
+    for i in range(1, nl):
+        if svec[i] > svec[bi]:
+            bi = i
+    if nl and svec[bi] > 0:
+        return langs[bi], svec[bi]
+    return None, 0
+
+
 def classify_language_backoff(
     docs: DataFrame,
     profiles_by_n: dict[int, dict[str, dict[str, int]]],
@@ -238,6 +256,10 @@ def classify_language_backoff(
     pipelines; value-identical, parity-tested)."""
     if not profiles_by_n:
         raise ValueError("profiles_by_n is empty — train first")
+    for n, profs in profiles_by_n.items():
+        if not profs:  # uniform driver-side error for BOTH impls (the
+            # fused path would otherwise fail inside an executor)
+            raise ValueError(f"profiles for n={n} are empty — train first")
     if impl not in ("arrow", "fold"):
         raise ValueError(f"impl must be 'arrow' or 'fold', got {impl!r}")
     ns = sorted(profiles_by_n, reverse=True)
@@ -287,15 +309,7 @@ def _classify_backoff_arrow(
     composed form, parity-tested)."""
     from collections.abc import Iterator
 
-    unions: list[tuple[int, list[str], dict[str, list[int]]]] = []
-    for n in ns:
-        profiles = profiles_by_n[n]
-        langs = sorted(profiles)
-        union: dict[str, list[int]] = {}
-        for i, lang in enumerate(langs):
-            for g, w in profiles[lang].items():
-                union.setdefault(g, [0] * len(langs))[i] = int(w)
-        unions.append((n, langs, union))
+    unions = [(n, *_build_union(profiles_by_n[n])) for n in ns]
 
     def score(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -303,22 +317,9 @@ def _classify_backoff_arrow(
             for t in pdf[text_col]:
                 pred, sc, od = None, 0, None
                 for n, langs, union in unions:  # longest order first
-                    if t is None or len(t) < n:
-                        continue
-                    nl = len(langs)
-                    svec = [0] * nl
-                    get = union.get
-                    for j in range(len(t) - n + 1):
-                        ws = get(t[j : j + n])
-                        if ws is not None:
-                            for i in range(nl):
-                                svec[i] += ws[i]
-                    bi = 0
-                    for i in range(1, nl):
-                        if svec[i] > svec[bi]:
-                            bi = i  # strict >: ties keep ascending lang
-                    if svec[bi] > 0:
-                        pred, sc, od = langs[bi], svec[bi], n
+                    lang, s = _best_lang(t, n, langs, union)
+                    if lang is not None:
+                        pred, sc, od = lang, s, n
                         break  # evidence found — no back-off
                 preds.append(pred)
                 scores.append(sc)

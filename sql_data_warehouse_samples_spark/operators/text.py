@@ -554,59 +554,3 @@ def c4_line_clean(
         .filter(F.col("n_kept") >= min_kept_lines)
     )
 
-
-def chunk_documents(
-    docs: DataFrame,
-    chunk_tokens: int = 128,
-    overlap: int = 16,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Token-window document chunking with overlap — the context-window
-    preparation primitive (RAG passage splitting, long-document training
-    prep): chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
-    stride = chunk_tokens − overlap, so consecutive chunks share
-    ``overlap`` tokens and every token is covered.  The final chunk may
-    be short (slice clamps at the document end); documents with zero
-    tokens produce no chunks.
-
-    Output: (id, chunk_id, start_token, n_tokens, chunk_text), one row
-    per chunk, chunk_id dense from 0 per document.
-
-    Scale shape: MAP-ONLY — tokenize once, generate the start sequence,
-    posexplode, slice; no shuffle, no state.  Output volume ≈ input
-    tokens × chunk_tokens/stride (the overlap amplification — callers
-    budget it explicitly via the two knobs).  All boundaries are pure
-    integer arithmetic on token positions, so a SQL oracle reproduces
-    every chunk byte-for-byte.
-    """
-    if overlap < 0 or overlap >= chunk_tokens:
-        raise ValueError(
-            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
-        )
-    stride = chunk_tokens - overlap
-    with_t = docs.select(F.col(id_col), tokens(text_col).alias("__ts"))
-    starts = F.sequence(F.lit(0), F.size("__ts") - 1, F.lit(stride))
-    return (
-        with_t.filter(F.size("__ts") > 0)
-        .select(
-            id_col,
-            "__ts",
-            F.posexplode(starts).alias("chunk_id", "start_token"),
-        )
-        .select(
-            id_col,
-            "chunk_id",
-            "start_token",
-            F.slice(
-                "__ts", F.col("start_token") + 1, chunk_tokens
-            ).alias("__ct"),
-        )
-        .select(
-            id_col,
-            "chunk_id",
-            "start_token",
-            F.size("__ct").alias("n_tokens"),
-            F.array_join("__ct", " ").alias("chunk_text"),
-        )
-    )

@@ -2722,38 +2722,3 @@ def t22_langid_backoff(spark, sf_dir):
     return out.groupBy("lang", "pred_lang", "ngram_order").agg(
         F.count(F.lit(1)).alias("n")
     )
-
-
-# ---------------------------------------------------------------------------
-# t23 — token-window document chunking with overlap (r8): the RAG/long-doc
-# context-window preparation primitive.  chunk=40 / overlap=8 (stride 32)
-# over the documents table; map-only (tokenize → start sequence →
-# posexplode → slice, no shuffle).  Pure integer boundary arithmetic, so
-# the oracle reproduces every chunk byte-for-byte.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "t23_doc_chunking",
-    oracle=r"""
-WITH tok AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ts FROM documents
-),
-st AS (
-  SELECT doc_id, ts,
-         unnest(generate_series(0, LEN(ts) - 1, 32)) AS start_token
-  FROM tok WHERE LEN(ts) > 0
-)
-SELECT doc_id,
-       CAST(start_token // 32 AS INT) AS chunk_id,
-       CAST(start_token AS INT) AS start_token,
-       CAST(LEN(list_slice(ts, start_token + 1, start_token + 40)) AS INT)
-         AS n_tokens,
-       array_to_string(list_slice(ts, start_token + 1, start_token + 40), ' ')
-         AS chunk_text
-FROM st
-""",
-)
-def t23_doc_chunking(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
-    return T.chunk_documents(d, chunk_tokens=40, overlap=8)

@@ -404,16 +404,6 @@ def test_bm25_batch_one_corpus_scan_for_all_queries(spark):
     assert plan.count("Window [row_number()") == 2
 
 
-def test_t23_chunking_is_map_only(spark):
-    """Document chunking: tokenize → start sequence → posexplode → slice,
-    ZERO exchanges — the corpus side never shuffles."""
-    df = workload.QUERIES["t23_doc_chunking"](spark, SF)
-    assert count_exchanges(df) == 0
-    plan = plan_str(df)
-    assert "Generate posexplode" in plan
-    assert "Join" not in plan
-
-
 def test_bm25_index_search_is_partition_pruned(spark, tmp_path):
     """The persisted inverted index's search plan reads ONLY the query
     terms' buckets (PartitionFilters on __tb) of postings + dfreq — never

@@ -559,42 +559,6 @@ def test_mine_hard_negatives_output_is_rank_ordered(spark):
     assert out[0].lex_rank == min(r.lex_rank for r in out)
 
 
-def test_chunk_documents_boundaries(spark):
-    """Chunk boundary semantics: overlap shared between consecutive
-    chunks, the final chunk clamps at the document end, zero-token docs
-    produce no chunks, and every token is covered exactly once per
-    stride position."""
-    from sql_data_warehouse_samples_spark.operators.text import (
-        chunk_documents,
-    )
-
-    docs = spark.createDataFrame(
-        [
-            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
-            (2, "a b c"),                               # shorter than chunk
-            (3, "only"),                                # single token
-        ],
-        "doc_id: long, text: string",
-    )
-    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
-    rows = {
-        (r.doc_id, r.chunk_id): r for r in out.collect()
-    }
-    # doc 1: stride 3 -> starts 0,3,6,9
-    assert [rows[(1, i)].start_token for i in range(4)] == [0, 3, 6, 9]
-    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
-    assert rows[(1, 1)].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
-    assert rows[(1, 3)].chunk_text == "w9"  # clamped final chunk
-    assert rows[(1, 3)].n_tokens == 1
-    # doc 2: one (short) chunk; doc 3: one single-token chunk
-    assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_tokens == 3
-    assert rows[(3, 0)].chunk_text == "only"
-    assert len(rows) == 6
-
-    with pytest.raises(ValueError, match="overlap"):
-        chunk_documents(docs, chunk_tokens=4, overlap=4)
-
-
 def test_langid_backoff_semantics_and_impl_parity(spark):
     """Back-off cascade: normal text decides at n=3; a text too short for
     any 3-gram decides at n=2; a text matching no profile at either order
