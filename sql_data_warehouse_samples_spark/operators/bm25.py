@@ -35,9 +35,9 @@ inverted index or a per-query loop):
    uses ``orderBy(...).limit(k)`` — Spark's TakeOrdered, per-partition
    heaps + driver merge, never a global sort.
 
-Repeated-query workloads that want a persisted inverted index should CTAS
-the exploded (term, doc, tf) frame bucketed by term (pkg/catalog.py J14
-machinery); this operator is the scan-time path.
+Repeated-query workloads use the persisted, incrementally-ingestible
+``Bm25Index`` below (term-bucketed postings, partition-pruned searches);
+``bm25_topk``/``bm25_topk_batch`` are the scan-time path.
 """
 
 from __future__ import annotations
