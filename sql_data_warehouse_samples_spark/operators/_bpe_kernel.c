@@ -288,11 +288,18 @@ int64_t bpe_train_kernel(
             if (!found) continue;
             if (n > scratch_cap) {
                 while (scratch_cap < n) scratch_cap *= 2;
-                pk_old = realloc(pk_old, scratch_cap * sizeof(uint64_t));
-                pc_old = realloc(pc_old, scratch_cap * sizeof(int32_t));
-                pk_new = realloc(pk_new, scratch_cap * sizeof(uint64_t));
-                pc_new = realloc(pc_new, scratch_cap * sizeof(int32_t));
-                if (!pk_old || !pc_old || !pk_new || !pc_new) { produced = -1; goto done2; }
+                /* grow via temporaries: overwriting the pointers with a
+                 * failed realloc's NULL would leak the originals before
+                 * done2 frees them */
+                uint64_t *tk_old = realloc(pk_old, scratch_cap * sizeof(uint64_t));
+                if (tk_old) pk_old = tk_old;
+                int32_t *tc_old = realloc(pc_old, scratch_cap * sizeof(int32_t));
+                if (tc_old) pc_old = tc_old;
+                uint64_t *tk_new = realloc(pk_new, scratch_cap * sizeof(uint64_t));
+                if (tk_new) pk_new = tk_new;
+                int32_t *tc_new = realloc(pc_new, scratch_cap * sizeof(int32_t));
+                if (tc_new) pc_new = tc_new;
+                if (!tk_old || !tc_old || !tk_new || !tc_new) { produced = -1; goto done2; }
             }
             /* old pair multiset (linear scans: words are short) */
             int64_t n_old = 0;

@@ -68,11 +68,29 @@ def query_terms(query: str) -> list[str]:
     return list(seen)
 
 
+def _require_integral_id(df: DataFrame, col: str, what: str) -> None:
+    """Refuse non-integral id columns BEFORE the long cast: a string id
+    would cast to NULL silently, collapsing every query into one NULL
+    group and producing wrong per-query results with no error.  Plan-time
+    check — zero runtime cost."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{what} column {col!r} must be an integral type (got "
+            f"{dt.simpleString()}); a silent cast to long would NULL out "
+            "non-numeric ids and merge their rows into one group — map "
+            "string ids to a dense integer key first"
+        )
+
+
 def _terms_frame(
     queries: DataFrame, query_id_col: str, query_col: str
 ) -> DataFrame:
     """(query_id, term) pairs — per-query deduplicated, mirroring
     ``query_terms``.  ``query_id`` must be unique per query row."""
+    _require_integral_id(queries, query_id_col, "query_id")
     arr = F.array_distinct(
         F.filter(
             F.split(F.trim(F.col(query_col)), r"\s+"), lambda t: t != ""
@@ -133,7 +151,20 @@ def _bm25_scores(
     explode + broadcast semi-join (map-side filter, still no corpus
     shuffle); supply precomputed ``consts = (n_docs, avgdl)`` there to
     keep the single-scan property (they are query-independent corpus
-    stats a production pipeline computes once).
+    stats a production pipeline computes once — see
+    ``bm25_corpus_consts`` / ``refresh_bm25_consts`` for the persisted
+    snapshot surface).
+
+    The eager localCheckpoint is a deliberate trade, twice over: (a) it
+    runs the corpus projection as a job AT CALL TIME, so merely
+    constructing the scorer pays the scan even if the result frame is
+    never consumed — callers treat a call as starting the mining run;
+    (b) checkpoint blocks have NO lineage recovery — losing an executor
+    mid-run fails the job, which must be re-run from the call (same
+    caveat as the ledgers' localCheckpoint sites; acceptable for batch
+    mining, re-run on failure).  The lazy alternative would silently
+    re-plan the corpus scan once per consumer, the exact double-scan this
+    function exists to prevent.
     """
     spark = docs.sparkSession
     if len(vocab) <= max_literal_terms:
@@ -164,11 +195,16 @@ def _bm25_scores(
             F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
         )
         # map-side broadcast filter: the shuffle below still carries hits
-        # only — the token stream never crosses an exchange
+        # only — the token stream never crosses an exchange.  Checkpoint
+        # the (hits-sized) aggregate: BOTH the df derivation and the
+        # scoring tail consume it, and without the checkpoint each would
+        # re-plan (and re-scan) the corpus — with precomputed ``consts``
+        # this branch is then exactly ONE documents scan (plan-locked)
         hits = (
             tok_rows.join(vocab_df, "term")
             .groupBy(id_col, "dl", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
         )
         consts_df = (
             spark.createDataFrame(
@@ -305,6 +341,53 @@ def bm25_topk_batch(
     return _rank_per_query(scored, k, id_col)
 
 
+def refresh_bm25_consts(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> tuple[int, float]:
+    """Maintenance op: settle the scan-time scorer's corpus-constants
+    snapshot — ONE scalar-aggregate pass over the corpus computes
+    (n_docs, avgdl) and pins them in ``<path>/_BM25_CONSTS.json``
+    (written atomically: tmp + rename, so a crashed refresh never leaves
+    a torn snapshot).  Run it beside the admission ledger's compaction
+    cadence: the constants are query-independent corpus stats, so every
+    ``bm25_topk_batch`` call between refreshes reuses them via
+    ``consts=bm25_corpus_consts(path)`` — which is what keeps the
+    >``max_literal_terms`` path at exactly ONE documents scan instead of
+    a second constants pass (pkg docstring point 4; plan-locked in
+    tests/test_plans.py).  This is the multi-batch twin of Bm25Index's
+    ``_BM25_META.json`` sidecar (the single-index form).
+
+    Drift contract: admissions between refreshes shift (n_docs, avgdl)
+    slightly; BM25 degrades gracefully under stale constants (they scale
+    idf and the length norm smoothly), so refresh at maintenance cadence,
+    not per batch.  Returns the settled (n_docs, avgdl)."""
+    import json
+    import os
+
+    row = docs.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+    ).collect()[0]
+    n_docs = int(row.n)
+    avgdl = float(row.a) if row.a is not None else 0.0
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_BM25_CONSTS.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
+    os.replace(tmp, os.path.join(path, "_BM25_CONSTS.json"))
+    return n_docs, avgdl
+
+
+def bm25_corpus_consts(path: str) -> tuple[int, float]:
+    """Load the persisted (n_docs, avgdl) snapshot ``refresh_bm25_consts``
+    settled — the value callers hand to ``bm25_topk_batch(consts=...)``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_BM25_CONSTS.json")) as f:
+        m = json.load(f)
+    return int(m["n_docs"]), float(m["avgdl"])
+
+
 class Bm25Index:
     """Persisted term-bucketed inverted index — the repeated-query BM25
     path the scan-time scorer's docstring points at (the IvfIndex pattern
@@ -410,8 +493,9 @@ class Bm25Index:
         ingest guard computes it anyway); when None it is computed and
         checkpointed here — either way the batch text is tokenized
         exactly once, and doclens derives from the postings (the
-        whitespace tokenizer yields ≥1 token for every non-null text, so
-        distinct (id, dl) covers every doc)."""
+        whitespace tokenizer yields ≥1 token for every non-null text, and
+        ``_batch_postings`` emits a (term '', dl NULL) sentinel row for
+        NULL text, so distinct (id, dl) covers every doc)."""
         import os
 
         if postings is None:
@@ -655,11 +739,21 @@ class Bm25Index:
 
 def _batch_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, dl, term, tf) postings of a document frame — shared by the
-    index writer and the key-reuse guard so the two can never diverge."""
+    index writer and the key-reuse guard so the two can never diverge.
+
+    NULL text still yields one posting row (term '', dl NULL): a plain
+    explode would DROP the doc, excluding it from the doclens-derived
+    (n_docs, avgdl) while the scan-time scorer counts it in n_docs — the
+    coalesced sentinel keeps both paths value-identical on corpora with
+    NULL text (n_docs counts the doc, avg(dl) skips its NULL dl, and the
+    '' term can never match a query term — ``query_terms`` filters empty
+    strings)."""
     toks = tokens(text_col)
     return (
         docs.select(
-            id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term")
+            id_col,
+            F.size(toks).alias("dl"),
+            F.explode(F.coalesce(toks, F.array(F.lit("")))).alias("term"),
         )
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

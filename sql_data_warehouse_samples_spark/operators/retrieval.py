@@ -73,10 +73,11 @@ def mine_hard_negatives_batch(
     """
     from pyspark.sql import Window
 
-    from .bm25 import bm25_topk_batch
+    from .bm25 import _require_integral_id, bm25_topk_batch
     from .similarity import cosine
 
     k_raw = k_raw or 2 * k
+    _require_integral_id(positives, query_id_col, "positives query_id")
     pos = F.broadcast(
         positives.select(
             F.col(query_id_col).cast("long").alias("query_id"),
@@ -109,11 +110,26 @@ def mine_hard_negatives_batch(
                 "query_id", F.col("__evec").alias("__pvec")
             )
         )
+        # prefilter the embeddings by broadcast candidate-id SEMI-join
+        # before the left join: a LEFT join can only broadcast its RIGHT
+        # side, and the raw embeddings table is corpus-sized — without
+        # the prefilter the fetch degrades to a sort-merge join that
+        # shuffles the FULL embeddings table at scale.  After the
+        # map-side semi, |candidates| rows survive, so the left join's
+        # right side is broadcastable at any corpus size (plan-locked:
+        # tests/test_plans.py)
+        cand_emb = F.broadcast(
+            emb.join(
+                F.broadcast(cands.select(F.col(id_col).alias("__eid"))),
+                "__eid",
+                "semi",
+            )
+        )
         # per query: |cands| x |its positives| grid — both sides bounded
         # (k_raw and the label count), embeddings fetched by key, the
         # corpus never scanned pairwise
         max_cos = (
-            cands.join(emb, F.col(id_col) == F.col("__eid"), "left")
+            cands.join(cand_emb, F.col(id_col) == F.col("__eid"), "left")
             .join(pos_vecs, "query_id")
             .groupBy("query_id", id_col)
             .agg(
