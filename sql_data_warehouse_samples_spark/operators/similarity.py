@@ -1346,9 +1346,20 @@ class IvfIndex:
     between reading 100 TB and reading ~nprobe/nlist of it.
 
     Layout under ``path``:
-      lists/centroid_id=<cid>/part-*.parquet   (neighbor_id, __cvec)
+      lists/centroid_id=<cid>/__bk=<batch>/part-*.parquet
+                                               (neighbor_id, __cvec)
       centroids/part-*.parquet                 (centroid_id, __cent)
+
+    ``__bk`` is the ingest-batch subpartition (the Bm25Index pattern):
+    ``build`` writes ``__bk=base``, a keyed ``add`` lands in
+    ``__bk=k-<key>`` via dynamic overwrite so a crash-replay rewrites
+    ONLY its own files, and an un-keyed ``add`` appends under a fresh
+    ``u<N>`` counter.  Search prunes on ``centroid_id`` exactly as
+    before — the extra level changes which files a partition holds, not
+    which partitions a probe opens.
     """
+
+    _BASE_KEY = "base"
 
     def __init__(self, path: str, centroids: list[tuple[int, list[float]]]):
         self.path = path
@@ -1387,9 +1398,9 @@ class IvfIndex:
             centroids,
             round_to,
         )
-        assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
-            f"{path}/lists"
-        )
+        assigned.withColumn("__bk", F.lit(cls._BASE_KEY)).write.partitionBy(
+            "centroid_id", "__bk"
+        ).mode("overwrite").parquet(f"{path}/lists")
         spark.createDataFrame(
             list(centroids), "centroid_id long, __cent array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1456,17 +1467,32 @@ class IvfIndex:
         )
 
     def add(self, batch: DataFrame, id_col: str = "vec_id",
-            vec_col: str = "embedding", round_to: int = 6) -> None:
+            vec_col: str = "embedding", round_to: int = 6,
+            idempotency_key: str | None = None) -> None:
         """Incremental index maintenance: assign a new batch against the
-        FROZEN quantizer and append into the partitioned lists — cost
-        scales with the batch, the existing lists are untouched (parquet
-        append writes only the probed partitions' new files).  The
+        FROZEN quantizer and land it in the partitioned lists — cost
+        scales with the batch, the existing lists are untouched.  The
         standard IVF serving pattern: rebuild the quantizer only when
-        drift warrants it, append otherwise."""
-        # appended files must carry the SAME element type as the existing
+        drift warrants it, add otherwise.
+
+        ``idempotency_key`` makes the add REPLAYABLE (the Bm25Index.ingest
+        / ledger contract, so ``admission_sink`` can keep the vector index
+        in exactly-once lockstep): the batch lands in ``__bk=k-<key>``
+        subpartitions of each touched centroid via DYNAMIC overwrite — a
+        crash-replay rewrites only its own files — and re-USING a key for
+        a different batch is refused by comparing the stored rows under
+        the key against the batch's full assigned rows (id, vector and
+        centroid), so different vectors with the same ids are still
+        caught.  Stored ⊆ batch is legal (a crashed partial write; the
+        replay completes it); stored rows ABSENT from the batch are
+        refused.  Without a key the batch is APPENDED under a fresh
+        ``u<N>`` partition (caller owns at-most-once; replays WILL
+        double-count)."""
+        spark = batch.sparkSession
+        # new files must carry the SAME element type as the existing
         # lists — a float corpus + double batch would poison the parquet
         # table with mixed per-partition schemas
-        vec_type = self._lists(batch.sparkSession).schema["__cvec"].dataType
+        vec_type = self._lists(spark).schema["__cvec"].dataType
         assigned = assign_centroids(
             _spread(
                 batch.select(
@@ -1478,8 +1504,39 @@ class IvfIndex:
             self.centroids,
             round_to,
         )
-        assigned.write.partitionBy("centroid_id").mode("append").parquet(
-            f"{self.path}/lists"
+        if idempotency_key is None:
+            key = _unkeyed_lists_name(f"{self.path}/lists")
+            (
+                assigned.withColumn("__bk", F.lit(key))
+                .write.partitionBy("centroid_id", "__bk")
+                .mode("append")
+                .parquet(f"{self.path}/lists")
+            )
+            return
+        from .bm25 import _safe_index_key
+
+        key = "k-" + _safe_index_key(idempotency_key)
+        # materialize the assignment ONCE: the key-reuse guard and the
+        # write both consume it (batch-sized)
+        assigned = assigned.localCheckpoint(eager=True)
+        stored = (
+            self._lists(spark)
+            .filter(F.col("__bk") == key)
+            .select("neighbor_id", "__cvec", "centroid_id")
+        )
+        if stored.exceptAll(assigned).limit(1).count():
+            raise ValueError(
+                f"idempotency_key {idempotency_key!r} was previously used "
+                "for a different batch (stored list rows are not a subset "
+                "of this batch's assignment); replaying it would overwrite "
+                "unrelated index state — use a run-scoped key"
+            )
+        (
+            assigned.withColumn("__bk", F.lit(key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "__bk")
+            .parquet(f"{self.path}/lists")
         )
 
     def _lists(self, spark) -> DataFrame:
@@ -1533,7 +1590,7 @@ class IvfIndex:
         old lists until the swap lands, and a crash self-heals."""
         from .dirswap import swap_in
 
-        corpus = self._lists(spark).select("neighbor_id", "__cvec")
+        corpus = self._lists(spark).select("neighbor_id", "__cvec", "__bk")
         new_cents = kmeans_centroids(
             corpus,
             id_col="neighbor_id",
@@ -1543,8 +1600,14 @@ class IvfIndex:
             round_to=round_to,
         )
         stage = f"{self.path}/lists__retrain"
+        # rows move to their NEW nearest list but keep their __bk (the
+        # assignment is a map-only annotation, __bk rides along): a keyed
+        # replay after a retrain still finds its stored rows (re-assigned
+        # under the same new quantizer the guard uses) and converges
         assigned = assign_centroids(corpus, "__cvec", new_cents, round_to)
-        assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
+        assigned.write.partitionBy("centroid_id", "__bk").mode(
+            "overwrite"
+        ).parquet(stage)
         live = f"{self.path}/lists"
         swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
         spark.createDataFrame(
@@ -1554,13 +1617,18 @@ class IvfIndex:
         return self
 
     def compact(self, spark, files_per_list: int = 1) -> int:
-        """Rebuild the inverted lists' accumulated ``add()`` appends into
-        ``files_per_list`` files per centroid partition (staged write +
-        verified directory swap, dirswap.swap_in: live index untouched
-        until the swap, crash mid-swap self-heals on next open, displaced
-        copy deleted only after the new live directory verifies readable).
-        Keeps the partition-pruned search's per-list open/footer cost flat
-        as batches accumulate.  Returns the indexed-vector count."""
+        """Rebuild the inverted lists' accumulated ``add()`` batches into
+        ``files_per_list`` files per (centroid, batch) partition (staged
+        write + verified directory swap, dirswap.swap_in: live index
+        untouched until the swap, crash mid-swap self-heals on next open,
+        displaced copy deleted only after the new live directory verifies
+        readable).  Keeps the partition-pruned search's per-list
+        open/footer cost flat as small writes accumulate WITHIN batches;
+        the ``__bk`` subpartitions themselves are preserved — folding
+        them together would make a later keyed replay see an empty
+        ``__bk=k-<key>`` and re-ingest (double count), so per-list footer
+        cost floors at one file per live batch.  Returns the
+        indexed-vector count."""
         from .dirswap import swap_in
 
         lists = self._lists(spark)
@@ -1568,7 +1636,7 @@ class IvfIndex:
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),
                               "centroid_id")
-            .write.partitionBy("centroid_id")
+            .write.partitionBy("centroid_id", "__bk")
             .mode("overwrite")
             .parquet(stage)
         )
@@ -1601,24 +1669,44 @@ class IvfIndex:
 def _ivf_lists_forget(
     spark, lists_path: str, lists: DataFrame, vec_ids: DataFrame, id_col: str
 ) -> int:
-    """Shared partition-pruned purge for IvfIndex/IvfPqIndex lists."""
+    """Shared partition-pruned purge for IvfIndex/IvfPqIndex lists.
+
+    Partition grain is introspected: IvfIndex lists carry the ``__bk``
+    ingest-batch subpartition (purge rewrites only touched
+    (centroid, batch) pairs — finer than per-centroid, so untouched
+    BATCHES inside a touched centroid stay byte-identical too);
+    IvfPqIndex lists stay per-centroid."""
+    import os
     import shutil
 
+    part_cols = ["centroid_id"] + (
+        ["__bk"] if "__bk" in lists.columns else []
+    )
     purge = F.broadcast(
         vec_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
     )
     hits = (
         lists.join(purge, "neighbor_id", "semi")
-        .groupBy("centroid_id")
+        .groupBy(*part_cols)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     if not hits:
         return 0
-    cids = [r.centroid_id for r in hits]
+    touched = [tuple(r[c] for c in part_cols) for r in hits]
     removed = sum(r.n for r in hits)
+    part_schema = ", ".join(
+        f"{c} {'string' if c == '__bk' else 'long'}" for c in part_cols
+    )
+    touched_df = F.broadcast(
+        spark.createDataFrame(touched, part_schema)
+    )
     kept = (
-        lists.filter(F.col("centroid_id").isin(cids))
+        # filter at the PARTITION grain (pair semi-join, not a cid isin):
+        # an untouched batch inside a touched centroid must not be
+        # rewritten — dynamic overwrite only touches partitions present
+        # in the written frame
+        lists.join(touched_df, part_cols, "semi")
         .join(purge, "neighbor_id", "left_anti")
         # materialize: the dynamic overwrite below writes INTO the path
         # this frame reads from — breaking the file lineage first is what
@@ -1627,21 +1715,55 @@ def _ivf_lists_forget(
         .localCheckpoint(eager=True)
     )
     (
-        kept.write.partitionBy("centroid_id")
+        kept.write.partitionBy(*part_cols)
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(lists_path)
     )
     survivors = {
-        r.centroid_id
-        for r in kept.select("centroid_id").distinct().collect()
+        tuple(r[c] for c in part_cols)
+        for r in kept.select(*part_cols).distinct().collect()
     }
-    for cid in cids:
-        if cid not in survivors:  # emptied list: drop its directory
-            shutil.rmtree(
-                f"{lists_path}/centroid_id={cid}", ignore_errors=True
-            )
+    for t in touched:
+        if t in survivors:
+            continue
+        # emptied partition: drop its directory (dynamic overwrite leaves
+        # absent partitions alone), then the centroid directory itself if
+        # no sibling batch survives
+        sub = "/".join(f"{c}={v}" for c, v in zip(part_cols, t))
+        shutil.rmtree(f"{lists_path}/{sub}", ignore_errors=True)
+        cid_dir = f"{lists_path}/centroid_id={t[0]}"
+        if os.path.isdir(cid_dir) and not any(
+            e.startswith("__bk=") or e.endswith(".parquet")
+            for e in os.listdir(cid_dir)
+        ):
+            shutil.rmtree(cid_dir, ignore_errors=True)
     return removed
+
+
+def _unkeyed_lists_name(lists_path: str) -> str:
+    """A fresh ``__bk`` partition value for un-keyed ``IvfIndex.add``:
+    max existing u<N> counter + 1 across every centroid directory, so a
+    name still live anywhere is never reused (len()-based counting could
+    resurrect a name after forget() dropped an earlier batch's partitions
+    and collide with a LIVE batch).  Un-keyed add remains the
+    caller-owns-at-most-once path; replays WILL double-count."""
+    import os
+    import re as _re
+
+    mx = -1
+    if os.path.isdir(lists_path):
+        for cd in os.listdir(lists_path):
+            if not cd.startswith("centroid_id="):
+                continue
+            full = os.path.join(lists_path, cd)
+            if not os.path.isdir(full):
+                continue
+            for d in os.listdir(full):
+                m = _re.fullmatch(r"__bk=u(\d+)", d)
+                if m:
+                    mx = max(mx, int(m.group(1)))
+    return f"u{mx + 1}"
 
 
 class IvfPqIndex:

@@ -310,6 +310,8 @@ def admission_sink(
     text_col: str = "text",
     reject_dir: str | None = None,
     bm25_index=None,
+    ivf_index=None,
+    vec_col: str = "embedding",
 ):
     """The FULL training-corpus admission sink: each micro-batch is
     (1) exactly decontaminated against the benchmark (Bloom prefilter +
@@ -351,6 +353,15 @@ def admission_sink(
     generation collisions — admitted docs become searchable
     exactly-once, rejected/contaminated docs never enter the index.
 
+    ``ivf_index`` (optional, an ``operators.similarity.IvfIndex``) does
+    the same for the VECTOR index: each micro-batch's survivors are added
+    under the frozen quantizer with the SAME run-scoped key
+    (``IvfIndex.add(idempotency_key=...)`` — (centroid, batch-key)
+    subpartitions, dynamic overwrite, stored-subset key-reuse guard), so
+    BOTH serving indexes stay in exactly-once lockstep with the corpus.
+    Requires the stream schema to carry the embedding column
+    (``vec_col``) — production pipelines embed upstream of admission.
+
     CONCURRENCY: one admission sink per driver process (see
     ``neardup_admission_sink`` — the shared dedup._HOT_CACHES registry
     assumes a single top-level admission op in flight).
@@ -390,12 +401,22 @@ def admission_sink(
             .partitionBy("__ingest_batch")
             .parquet(out_dir)
         )
-        if bm25_index is not None and not survivors.isEmpty():
-            bm25_index.ingest(
-                survivors.select(id_col, text_col),
-                text_col=text_col,
-                idempotency_key=_run_scoped_key(checkpoint, batch_id),
-            )
+        if (bm25_index is not None or ivf_index is not None) and (
+            not survivors.isEmpty()
+        ):
+            if bm25_index is not None:
+                bm25_index.ingest(
+                    survivors.select(id_col, text_col),
+                    text_col=text_col,
+                    idempotency_key=_run_scoped_key(checkpoint, batch_id),
+                )
+            if ivf_index is not None:
+                ivf_index.add(
+                    survivors.select(id_col, vec_col),
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    idempotency_key=_run_scoped_key(checkpoint, batch_id),
+                )
         if reject_dir is not None:
             dedup_rejects = (
                 clean.join(
@@ -421,15 +442,19 @@ def admission_sink(
                 # dynamic overwrite never touches the partition, so a prior
                 # attempt's stale reject rows would survive and the audit
                 # surface would over-report for this batch.  Clear the
-                # batch's partition explicitly instead of skipping.
-                import os
-                import shutil
-
-                stale = os.path.join(
+                # batch's partition explicitly instead of skipping — via
+                # the Hadoop FileSystem API, so the cleanup works on any
+                # store the sink can write to (HDFS/S3/local), not just a
+                # local path.
+                spark = batch_df.sparkSession
+                stale = spark._jvm.org.apache.hadoop.fs.Path(
                     reject_dir, f"__ingest_batch={batch_id}"
                 )
-                if os.path.isdir(stale):
-                    shutil.rmtree(stale)
+                fs = stale.getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                if fs.exists(stale):
+                    fs.delete(stale, True)
 
     return (
         stream.writeStream.foreachBatch(_admit)

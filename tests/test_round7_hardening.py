@@ -286,10 +286,12 @@ def test_ivf_index_forget_partition_pruned_purge(spark, tmp_path):
     purge_ids = list(by_cid[empty_cid]) + [min(by_cid[partial_cid])]
 
     def snapshot(cid):
-        return {
-            p: (os.path.getsize(p), os.path.getmtime(p))
-            for p in glob.glob(f"{path}/lists/centroid_id={cid}/*.parquet")
-        }
+        # recursive: the r9 layout nests __bk=<batch> under each centroid
+        files = glob.glob(
+            f"{path}/lists/centroid_id={cid}/**/*.parquet", recursive=True
+        )
+        assert files, f"no list files under centroid_id={cid}"
+        return {p: (os.path.getsize(p), os.path.getmtime(p)) for p in files}
 
     before = snapshot(untouched_cid)
     purge = spark.createDataFrame([(i,) for i in purge_ids], "vec_id: long")

@@ -1,0 +1,442 @@
+"""Round-9 hardening: regression tests for the r8 ADVICE findings and
+the r9 verdict's scale-shape fixes.
+
+Covers: the query-id silent-cast trap (bm25/_terms_frame + retrieval's
+positives projection), NULL-text parity between Bm25Index and the
+scan-time scorer, the Hadoop-FS stale-reject cleanup, and the
+broadcast-semi embeddings prefilter in mine_hard_negatives_batch.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_batch_scorer_rejects_string_query_id(spark):
+    """ADVICE r8 (medium): a string query_id used to cast to long
+    silently — non-numeric ids became NULL and every query collapsed
+    into one NULL group.  Now it raises at plan time."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        bm25_topk_batch,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = spark.createDataFrame(
+        [("qa", "spark hash join")], "query_id: string, query: string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        bm25_topk_batch(d, queries, k=5)
+
+
+def test_miner_rejects_string_positive_query_id(spark):
+    """Same trap on the positives side of the hard-negative miner."""
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        mine_hard_negatives_batch,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "spark hash join")], "query_id: long, query: string"
+    )
+    positives = spark.createDataFrame(
+        [("qa", 3)], "query_id: string, doc_id: long"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        mine_hard_negatives_batch(d, queries, positives, k=5)
+
+
+def test_bm25_index_null_text_parity_with_scan_scorer(spark, tmp_path):
+    """ADVICE r8: doclens derived from postings DROPPED NULL-text docs
+    (explode eats them), so the index's (n_docs, avgdl) diverged from the
+    scan-time scorer's on corpora with NULL text.  The postings sentinel
+    row (term '', dl NULL) restores exact parity: NULL-text docs count in
+    n_docs, stay out of avgdl, and never match a query term — identical
+    to the scan path's semantics."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        Bm25Index,
+        bm25_topk_batch,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    with_null = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    assert with_null.filter(F.col("text").isNull()).count() > 0
+    idx = Bm25Index.build(with_null, str(tmp_path / "idx"), n_buckets=8)
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "vector scan filter merge")],
+        "query_id: long, query: string",
+    )
+    got = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    want = sorted(
+        tuple(r) for r in bm25_topk_batch(with_null, queries, k=5).collect()
+    )
+    assert got == want and got
+    # the corpus constants match the scan path's exactly: NULL-text docs
+    # count in n_docs, their NULL dl stays out of avgdl
+    scan = with_null.select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
+    assert idx.n_docs == scan.n
+    assert idx.avgdl == pytest.approx(float(scan.a))
+    # ingest of a NULL-text batch keeps parity too (same sentinel path)
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, "spark spark hash")],
+        "doc_id: long, text: string",
+    )
+    idx.ingest(extra, idempotency_key="nulls-1")
+    full = with_null.unionByName(extra)
+    got2 = sorted(tuple(r) for r in idx.topk_batch(queries, k=5).collect())
+    want2 = sorted(
+        tuple(r) for r in bm25_topk_batch(full, queries, k=5).collect()
+    )
+    assert got2 == want2
+    assert idx.n_docs == full.count()
+
+
+def test_miner_embeddings_fetch_is_broadcast_semi_prefiltered(spark):
+    """VERDICT r8 'What's missing #4': the candidate-embedding fetch used
+    a plain LEFT join against the raw embeddings table — broadcastable at
+    test scale only by luck (a LEFT join can only broadcast its RIGHT
+    side; at 100 TB it degrades to a sort-merge join shuffling the full
+    table).  Now the embeddings are prefiltered by a broadcast
+    candidate-id SEMI-join, so the left join's right side is
+    |candidates|-bounded at any scale."""
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        mine_hard_negatives_batch,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "quality filter dedup")],
+        "query_id: long, query: string",
+    )
+    positives = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 2)], "query_id: long, doc_id: long"
+    )
+    df = mine_hard_negatives_batch(
+        d, queries, positives, embeddings=e, k=5, k_raw=10, sim_ceiling=0.6
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    semi = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+    ]
+    assert semi, "embeddings fetch lost its broadcast semi prefilter"
+    # and the fetch itself broadcasts the (now bounded) embeddings side
+    outer = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftOuter" in ln
+    ]
+    assert outer, "candidate-embedding fetch is not a broadcast left join"
+    # values unchanged by the prefilter (the r8 oracle still gates s13;
+    # this is the cheap end-to-end smoke on the same inputs)
+    assert df.count() > 0
+
+
+def _vec(seed: int, dim: int = 4) -> list:
+    """Deterministic unit-ish vector for a doc id (no RNG in tests)."""
+    return [float((seed * (j + 3)) % 17) + 0.25 * j for j in range(dim)]
+
+
+def test_ivf_index_keyed_add_replay_idempotent(spark, tmp_path):
+    """VERDICT r8 task 1: IvfIndex.add gains the Bm25Index.ingest
+    contract — a keyed add lands in (centroid, __bk=k-<key>)
+    subpartitions via dynamic overwrite, so a crash-replay converges
+    instead of double-counting; key reuse for a different batch is
+    refused; a partially-written keyed batch is COMPLETED by the replay."""
+    import glob
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], "vec_id: long, embedding: array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(100, 110)],
+        "vec_id: long, embedding: array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(base, path, nlist=2)
+
+    idx.add(batch, idempotency_key="b-1")
+    lists = lambda: sorted(  # noqa: E731
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/lists").select("neighbor_id").collect()
+    )
+    want = sorted(list(range(8)) + list(range(100, 110)))
+    assert lists() == want
+
+    # replay of the same key converges — no double counting
+    idx.add(batch, idempotency_key="b-1")
+    assert lists() == want
+
+    # key reuse for DIFFERENT content is refused (stored ⊄ new batch)
+    with pytest.raises(ValueError, match="different batch"):
+        idx.add(base.limit(3), idempotency_key="b-1")
+
+    # crash simulation: one (centroid, key) subpartition lost mid-write —
+    # the replay completes it (stored remainder ⊆ batch is legal)
+    import shutil
+
+    victim = glob.glob(f"{path}/lists/centroid_id=*/__bk=k-b-1")[0]
+    shutil.rmtree(victim)
+    assert len(lists()) < len(want)
+    idx.add(batch, idempotency_key="b-1")
+    assert lists() == want
+
+    # un-keyed adds still append under fresh u<N> names
+    extra = spark.createDataFrame(
+        [(200, _vec(200))], "vec_id: long, embedding: array<double>"
+    )
+    idx.add(extra)
+    idx.add(extra)  # caller-owned at-most-once: double add double-counts
+    got = lists()
+    assert got.count(200) == 2 and sorted(set(got)) == sorted(want + [200])
+
+
+def test_ivf_index_forget_compact_guarantees_after_keyed_add(spark, tmp_path):
+    """The r7 forget/compact guarantees, re-asserted on the r9 layout:
+    forget rewrites ONLY the touched (centroid, batch) partitions — an
+    untouched BATCH inside a touched centroid stays byte-identical (finer
+    than the r7 per-centroid claim) — and compact preserves the __bk
+    subpartitions so keyed replays stay sound after it."""
+    import glob
+    import os
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], "vec_id: long, embedding: array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(100, 110)],
+        "vec_id: long, embedding: array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(base, path, nlist=2)
+    idx.add(batch, idempotency_key="b-1")
+
+    # pick a centroid that holds BOTH a base and a keyed partition
+    both = [
+        d
+        for d in glob.glob(f"{path}/lists/centroid_id=*")
+        if os.path.isdir(f"{d}/__bk=base") and os.path.isdir(f"{d}/__bk=k-b-1")
+    ]
+    assert both, "test setup: need a centroid with both batches"
+    cdir = both[0]
+
+    def snap(sub):
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{cdir}/{sub}/*.parquet")
+        }
+
+    base_before = snap("__bk=base")
+    assert base_before
+    # forget a doc from the KEYED batch that lives in this centroid
+    keyed_ids = [
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/lists")
+        .filter("__bk = 'k-b-1'")
+        .collect()
+        if f"centroid_id={r.centroid_id}" in cdir
+    ]
+    purge = spark.createDataFrame([(keyed_ids[0],)], "vec_id: long")
+    assert idx.forget(spark, purge) == 1
+    # the same centroid's BASE partition was not rewritten
+    assert snap("__bk=base") == base_before
+    remaining = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    assert keyed_ids[0] not in remaining
+
+    # compact preserves the __bk level (folding it would let a later
+    # keyed replay double-count) and results are unchanged
+    before_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("neighbor_id", "centroid_id", "__bk")
+        .collect()
+    )
+    idx.compact(spark)
+    after_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("neighbor_id", "centroid_id", "__bk")
+        .collect()
+    )
+    assert after_rows == before_rows
+    assert glob.glob(f"{path}/lists/centroid_id=*/__bk=k-b-1")
+    # and the keyed-replay guard still sees its rows after compact: a
+    # replay of the ORIGINAL batch is refused only for CHANGED content
+    with pytest.raises(ValueError, match="different batch"):
+        idx.add(base.limit(2), idempotency_key="b-1")
+
+
+def test_admission_sink_keeps_ivf_index_in_lockstep(spark, tmp_path):
+    """The r9 flagship composition: admission_sink keeps BOTH serving
+    indexes (BM25 + IVF) in exactly-once lockstep with the corpus.  Only
+    admitted docs become searchable in the vector index; replays converge
+    (no double-counted vectors)."""
+    import os
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_round8_hardening import _text
+    from tests.test_streaming import _write_doc_batches
+
+    import datetime
+
+    def row(doc_id, text):
+        return (
+            doc_id,
+            text,
+            "en",
+            "web",
+            len(text),
+            datetime.datetime(2024, 1, 1, 0, 0, int(doc_id) % 60),
+            _vec(doc_id),
+        )
+
+    ext_schema = SI.DOC_SCHEMA + ", embedding array<double>"
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    base = _text("tok")
+    near = base.rsplit(" ", 1)[0] + " tokX"
+    poisoned = f"prefix text {bench_gram} suffix text here"
+    other = _text("alpha")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark,
+        src,
+        [
+            [row(21, base), row(23, poisoned)],
+            [row(30, near), row(32, other)],
+        ],
+        ext_schema,
+    )
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    # seed ids 0/1: seed_centroids picks the nlist lowest-id vectors
+    seed = spark.createDataFrame(
+        [(0, _vec(90)), (1, _vec(91))],
+        "vec_id: long, embedding: array<double>",
+    )
+    ivf = IvfIndex.build(seed, str(tmp_path / "ivf"), nlist=2)
+    bm25 = Bm25Index.build(
+        spark.createDataFrame([], "doc_id: long, text: string"),
+        str(tmp_path / "bm25"),
+        n_buckets=8,
+    )
+
+    def run():
+        q = SI.admission_sink(
+            spark.readStream.schema(ext_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pipe,
+            str(tmp_path / "corpus"),
+            checkpoint=str(tmp_path / "ckpt"),
+            benchmark=bench,
+            bm25_index=bm25,
+            ivf_index=ivf,
+        )
+        q.awaitTermination()
+
+    run()
+
+    def indexed():
+        return sorted(
+            r.neighbor_id
+            for r in spark.read.parquet(str(tmp_path / "ivf/lists"))
+            .select("neighbor_id")
+            .collect()
+        )
+
+    # admitted: 21 (batch 0) and 32 (batch 1); 23 contaminated, 30 near-dup
+    assert indexed() == [0, 1, 21, 32]
+    assert bm25.n_docs == 2
+    # a replayed stream converges — neither index double-counts
+    run()
+    assert indexed() == [0, 1, 21, 32]
+    assert bm25.n_docs == 2
+    # the vector index actually serves the admitted docs
+    q = spark.createDataFrame(
+        [(777, _vec(32))], "vec_id: long, embedding: array<double>"
+    )
+    got = ivf.search(q, k=1, nprobe=2).collect()
+    assert got and got[0].neighbor_id == 32
+
+
+def test_persisted_consts_keep_large_vocab_path_single_scan(spark, tmp_path):
+    """VERDICT r8 task 4: past max_literal_terms the scan-time batch
+    scorer needs (n_docs, avgdl) from somewhere — without a snapshot it
+    pays a SECOND corpus scan.  refresh_bm25_consts persists the
+    maintenance-cadence snapshot; with it the large-vocab path plans
+    exactly ONE documents scan, and results equal the small-vocab path."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        bm25_corpus_consts,
+        bm25_topk_batch,
+        refresh_bm25_consts,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    cpath = str(tmp_path / "consts")
+    n, a = refresh_bm25_consts(d, cpath)
+    assert n == d.count() and a > 0
+    assert bm25_corpus_consts(cpath) == (n, a)
+
+    queries = spark.createDataFrame(
+        [(0, "spark hash join window"), (1, "vector scan filter merge")],
+        "query_id: long, query: string",
+    )
+    # force the broadcast-semi (large-vocab) corpus branch
+    with_snap = bm25_topk_batch(
+        d, queries, k=5, max_literal_terms=2, consts=bm25_corpus_consts(cpath)
+    )
+    # the corpus was consumed by the checkpointed hits aggregate at call
+    # time; with snapshot consts the DOWNSTREAM plan contains no corpus
+    # scan at all — one scan total for the whole batch
+    plan = with_snap._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan and "Scan parquet" not in plan
+    without_snap = bm25_topk_batch(d, queries, k=5, max_literal_terms=2)
+    plan2 = without_snap._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 1  # the scan the snapshot saves
+
+    want = sorted(
+        tuple(r) for r in bm25_topk_batch(d, queries, k=5).collect()
+    )
+    assert sorted(tuple(r) for r in with_snap.collect()) == want
+    # a torn refresh never replaces the snapshot (tmp + atomic rename)
+    import os
+
+    assert not os.path.exists(
+        os.path.join(cpath, "_BM25_CONSTS.json.tmp")
+    )
