@@ -78,8 +78,8 @@ DRIVER_PRIORITY: list[str] = [
     "q07_q15_pairs_battery",  # O4 DISTINCT + J8 self-join (folds q07 + q15)
     "q55_union_battery",  # U1 + U4 (folds q08 + q43)
     "q11_q54_outer_battery",  # J4 left-isnull + J5/J6 (folds q11 + q54)
-    "q18_distribution_skew",
-    "q21_q22_agg_battery",  # A5 count-distinct + A10 agg-of-agg (q21 + q22)
+    "q18_q21_q22_agg_battery",  # A5/A9/A10/A11/M7 skew% + count-distinct
+    # + agg-of-agg (round-9 fold of q18 into the q21+q22 battery)
     "q44_composite_key_join",
     "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
     # window functions (q28 carries W2 RANK + W3 lag/moving + W4 frames)
@@ -92,8 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "q48_grouped_map_summary",
     # LLM text pipeline — every mandate op in-window
     "t01_t04_text_battery",  # map-only text ops (folds t01 + t04)
-    "t02_t03_quality_langid_battery",  # folds t02 + t03, ONE scan
-    "t05_repetition_filters",
+    "t02_t03_t05_quality_battery",  # folds t02 + t03 + t05 (round-9)
     "t07_pii_redaction",
     "d01_dedup_exact",
     "d24_simhash_identical_groups",  # d04's machinery under an EXACT oracle
@@ -106,7 +105,9 @@ DRIVER_PRIORITY: list[str] = [
     "d11_substring_dup_pairs",
     "t08_curation_funnel",
     "p03_packing_closed_form",  # the REAL FFD loop under an EXACT oracle
-    # similarity search + multimodal
+    # similarity search + multimodal (s06 PQ codes moved post-window in
+    # round-9: the PQ family keeps s10_pq_refine_topk — encode + ADC +
+    # refine, a strict superset of s06's machinery — in-window)
     "s01_s03_embed_battery",  # cosine top-k + stats (folds s01 + s03)
     "s04_ivf_topk",
     "m01_media_meta",
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: list[str] = [
     # round-5 rotation: the four slots freed by the t02+t03 fold, the
     # q28-rownum W1 fold and the q06/q19 post-window moves go to the
     # round-4 flagships that only had local oracles
-    "s06_pq_codes",
     "s07_bm25_topk",
     "q58_asof_attribution",
     "t14_curation_pipeline",
@@ -172,6 +172,16 @@ DRIVER_PRIORITY: list[str] = [
     "t21_langid_trained",
     "s12_hard_negatives",
     "t20_filter_auc",
+    # round-9 rotation: q18 folds into the agg battery, t05 into the
+    # quality battery, and s06 moves post-window (PQ family keeps s10
+    # in-window) — the three freed slots seat the remaining exact-oracle
+    # flagships: d25 (corpus drift — the last §2.15 flagship without a
+    # driver row), s13 (batched hard-negative mining, the r8 flagship)
+    # and t22 (language-ID 2+3-gram back-off).  Window oracle density
+    # stays 50 of 50.
+    "d25_corpus_drift",
+    "s13_hard_negatives_batch",
+    "t22_langid_backoff",
 ]
 
 

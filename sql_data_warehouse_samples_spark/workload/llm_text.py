@@ -483,6 +483,36 @@ def t05_repetition_filters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# t02+t03+t05 battery — round-9 rotation: the quality/langid projection and
+# the Gopher repetition metrics are both per-doc over the SAME table, so
+# one doc_id equi-join presents them in one driver slot (the map-only
+# projection rides the join's probe side; the only exchanges are t05's own
+# token/2-gram aggregates).  Frees a slot for a round-8 flagship; t02_t03
+# and t05 stay individually registered + locally oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _battery_join_oracle() -> str:
+    from . import ORACLES
+
+    return f"""
+SELECT a.doc_id, a.lang, a.distinct_ratio, a.sw_ratio, a.punct_ratio,
+       a.quality_score, a.predicted_lang,
+       b.n_tokens, b.n_2grams, b.dup_2gram_frac, b.top_token_frac,
+       b.mean_word_len, b.alpha_token_frac, b.gopher_pass
+FROM ({ORACLES["t02_t03_quality_langid_battery"]}) a
+JOIN ({ORACLES["t05_repetition_filters"]}) b USING (doc_id)
+"""
+
+
+@query("t02_t03_t05_quality_battery", oracle=_battery_join_oracle())
+def t02_t03_t05_quality_battery(spark, sf_dir):
+    return t02_t03_quality_langid_battery(spark, sf_dir).join(
+        t05_repetition_filters(spark, sf_dir), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # d07 — benchmark decontamination: training docs sharing any word 8-gram
 # with the (deterministic) eval slice doc_id % 97 == 0.  Benchmark side is
 # tiny → broadcast semi-join on the exploded n-gram.

@@ -1842,3 +1842,79 @@ def q21_q22_agg_battery(spark, sf_dir):
         )
     )
     return cd_part.unionByName(nested_part)
+
+
+# ---------------------------------------------------------------------------
+# q18+q21+q22 battery — round-9 rotation: the skew% formula (A9/A11/M7,
+# vw_tables_with_skew.sql:19) folds into the aggregation battery as one
+# more family row (min/max/total land in the n_a/n_b/n_c slots, skew_pct
+# in total), freeing a driver slot for a round-8 flagship.  q18 and the
+# q21_q22 battery stay individually registered + locally oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_q21_q22_agg_battery",
+    oracle="""
+SELECT 'q18_skew' AS family,
+       'all' AS k,
+       MIN(row_count) AS n_a,
+       MAX(row_count) AS n_b,
+       CAST(SUM(row_count) AS BIGINT) AS n_c,
+       CAST(ROUND((MAX(row_count) - MIN(row_count)) * 100.0
+                  / NULLIF(SUM(row_count), 0), 6) AS DOUBLE) AS total
+FROM (
+  SELECT l_suppkey % 60 AS distribution_id, COUNT(*) AS row_count
+  FROM lineitem
+  GROUP BY l_suppkey % 60
+)
+UNION ALL
+SELECT 'q21_count_distinct' AS family,
+       l_returnflag AS k,
+       COUNT(DISTINCT l_suppkey) AS n_a,
+       COUNT(DISTINCT l_partkey) AS n_b,
+       COUNT(*) AS n_c,
+       CAST(NULL AS DOUBLE) AS total
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'q22_nested_agg' AS family,
+       CAST(n_orders AS VARCHAR) AS k,
+       COUNT(*) AS n_a,
+       CAST(0 AS BIGINT) AS n_b,
+       CAST(0 AS BIGINT) AS n_c,
+       CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+GROUP BY 2
+""",
+)
+def q18_q21_q22_agg_battery(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    dist = li.groupBy(
+        F.pmod(F.col("l_suppkey"), F.lit(60)).alias("distribution_id")
+    ).agg(F.count(F.lit(1)).alias("row_count"))
+    skew_part = dist.agg(
+        F.min("row_count").alias("n_a"),
+        F.max("row_count").alias("n_b"),
+        F.sum("row_count").alias("n_c"),
+        F.round(
+            (F.max("row_count") - F.min("row_count"))
+            * 100.0
+            / F.nullif(F.sum("row_count"), F.lit(0)),
+            6,
+        )
+        .cast("double")
+        .alias("total"),
+    ).select(
+        F.lit("q18_skew").alias("family"),
+        F.lit("all").alias("k"),
+        "n_a",
+        "n_b",
+        "n_c",
+        "total",
+    )
+    return skew_part.unionByName(q21_q22_agg_battery(spark, sf_dir))

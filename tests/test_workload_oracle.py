@@ -45,8 +45,8 @@ def test_driver_priority_window_pinned():
     # events + pandas-UDF + EVERY LLM-mandate op must be inside
     for must in [
         "q37_q39_events_battery", "q48_grouped_map_summary",
-        "t01_t04_text_battery", "t02_t03_quality_langid_battery",
-        "t05_repetition_filters", "t07_pii_redaction",
+        "t01_t04_text_battery", "t02_t03_t05_quality_battery",
+        "t07_pii_redaction",
         "d01_dedup_exact", "d24_simhash_identical_groups",
         "d05_embedding_neardup",
         "d06_t06_split_quantiles", "d07_d19_decontamination_battery",
@@ -54,14 +54,16 @@ def test_driver_priority_window_pinned():
         "p03_packing_closed_form", "s01_s03_embed_battery", "s04_ivf_topk",
         "m01_media_meta", "q52_scalar_battery",
         "d12_semantic_dedup", "q60_scd2_dimension",
-        "s06_pq_codes", "s07_bm25_topk", "q58_asof_attribution",
+        "s07_bm25_topk", "q58_asof_attribution",
         "t14_curation_pipeline", "s09_knn_join", "t16_bpe_pair_counts",
         "d21_incremental_neardup_ledger", "t18_heavy_hitter_tokens",
         "d22_admission_pipeline", "q04_q17_semi_battery",
         "q07_q15_pairs_battery", "q11_q54_outer_battery",
-        "q21_q22_agg_battery", "d23_bloom_decontamination",
+        "q18_q21_q22_agg_battery", "d23_bloom_decontamination",
         "s10_pq_refine_topk", "t19_c4_line_clean",
         "t21_langid_trained", "s12_hard_negatives", "t20_filter_auc",
+        "d25_corpus_drift", "s13_hard_negatives_batch",
+        "t22_langid_backoff",
     ]:
         assert must in window, must
     # round-8: every in-window row carries an exact oracle (the rows-only
@@ -77,6 +79,12 @@ def test_driver_priority_window_pinned():
         "q39_user_sessions",
         "s01_cosine_topk",
         "s03_embedding_stats",
+        # round-9 rotation: folded/superseded exemplars stay registered
+        "q18_distribution_skew",
+        "q21_q22_agg_battery",
+        "t02_t03_quality_langid_battery",
+        "t05_repetition_filters",
+        "s06_pq_codes",
     ):
         assert post_window in workload.QUERIES, post_window
 
