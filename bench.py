@@ -248,6 +248,13 @@ SF1_SUBSET = [
     # aggregate is corpus-linear with a vocab-sized tail.
     "s12_hard_negatives",
     "d25_corpus_drift",
+    # r9 (the r8 verdict's round-boundary ask): the batch miner's linear
+    # term (ONE corpus scan for 3 queries — the sf1 ratio vs s12 shows the
+    # amortization) and trained language-ID's train-pass term (one
+    # char-gram aggregate; classify is map-only).  t22 stays un-benched
+    # (the d22/p03 precedent): its cost story IS t21's at two gram orders.
+    "s13_hard_negatives_batch",
+    "t21_langid_trained",
 ]
 
 
@@ -396,6 +403,18 @@ def main() -> None:
             sf1_spread: dict[str, float] = {}
             sf1_errors: dict[str, str] = {}
             sf1_reps: dict[str, list[float]] = {n: [] for n in SF1_SUBSET}
+            # UNTIMED warm-up pass at sf1 (the r8→r9 protocol fix): the
+            # first pass over a freshly-synthesized corpus pays page-cache
+            # warming and shuffle-dir creation that later reps don't —
+            # r8's sf1 raws DESCENDED 51→26→19 on one run and sat flat at
+            # ~42 on another, a 2.2x same-code divergence.  The primary
+            # sf0.1 protocol already excludes warm-up; mirror it so every
+            # timed rep measures the steady state.
+            for name in SF1_SUBSET:
+                try:
+                    materialize(workload.QUERIES[name](spark, sf1_dir))
+                except Exception as qe:  # noqa: BLE001
+                    sf1_errors[name] = str(qe)[:200]
             for _ in range(max(1, N_REPS)):
                 for name in SF1_SUBSET:
                     if name in sf1_errors:
