@@ -582,6 +582,10 @@ class Bm25Index:
             if idempotency_key is not None
             else None
         )
+        if key is None:
+            _warn_unkeyed_into_keyed_index(
+                self.path, os.path.join(self.path, "postings"), "__tb="
+            )
         bposts = None
         if key is not None:
             # materialize the batch postings ONCE: the guard and the
@@ -769,6 +773,40 @@ def _safe_index_key(key: str) -> str:
     from .ledger import _safe_key
 
     return _safe_key(str(key))
+
+
+def _warn_unkeyed_into_keyed_index(
+    index_path: str, table_path: str, level_prefix: str
+) -> None:
+    """Warn LOUDLY when an un-keyed ingest targets an index that already
+    holds keyed (``__bk=k-*``) batches: such an index is maintained by a
+    replay-idempotent pipeline (e.g. ``admission_sink``), and an un-keyed
+    append beside it reinstates exactly the double-count-on-replay
+    foot-gun the keys exist to close.  A warning (not a refusal): offline
+    backfills legitimately mix, but the operator should hear about it
+    before a replay does the double counting."""
+    import logging
+    import os
+
+    root = table_path if os.path.isdir(table_path) else None
+    if root is None:
+        return
+    subdirs = [os.path.join(root, d) for d in os.listdir(root)
+               if d.startswith(level_prefix)] if level_prefix else [root]
+    for sub in subdirs or [root]:
+        if not os.path.isdir(sub):
+            continue
+        if any(d.startswith("__bk=k-") for d in os.listdir(sub)):
+            logging.getLogger(__name__).warning(
+                "un-keyed ingest into %r, which already holds keyed "
+                "(__bk=k-*) batches — this index looks pipeline-maintained "
+                "(admission_sink keys every ingest); an un-keyed append "
+                "WILL double-count if the caller's batch is ever replayed. "
+                "Pass idempotency_key unless this is a deliberate one-off "
+                "backfill.",
+                index_path,
+            )
+            return
 
 
 def _unkeyed_batch_name(path: str) -> str:

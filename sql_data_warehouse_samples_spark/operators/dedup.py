@@ -788,8 +788,94 @@ class BloomGramFilter:
             pairs["h1"].to_numpy(), pairs["h2"].to_numpy(), max(1, len(pairs)),
             bits_per_gram,
         )
+        # benchmark-snapshot signature: order-independent XOR of the gram
+        # hashes + the gram count — recomputable from any candidate
+        # benchmark with one Spark aggregate (no collect, no bit-pack), so
+        # a persisted artifact can be staleness-checked cheaply (save/load)
+        import numpy as np
+
+        self.n_grams = int(len(pairs))
+        self.sig = (
+            int(np.bitwise_xor.reduce(pairs["h1"].to_numpy()))
+            if len(pairs)
+            else 0
+        )
         sc = benchmark.sparkSession.sparkContext
         self._bc = sc.broadcast(bytes(bits.tobytes()))
+
+    def save(self, path: str) -> None:
+        """Persist the build-once artifact: bit array + meta (incl. the
+        benchmark-snapshot signature) + the distinct benchmark grams (the
+        exact-verify side ``contaminated_ids`` joins against).  A
+        restarted stream then ``load``s in O(bits) instead of re-paying
+        the benchmark gram build (tokenize + slice + distinct + pack)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.grams.write.mode("overwrite").parquet(
+            os.path.join(path, "grams")
+        )
+        tmp = os.path.join(path, "_bits.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(self._bc.value)
+        os.replace(tmp, os.path.join(path, "bits.bin"))
+        tmpj = os.path.join(path, "_BLOOM_META.json.tmp")
+        with open(tmpj, "w") as f:
+            json.dump(
+                {
+                    "n": self.n,
+                    "m": self.m,
+                    "k": self.k,
+                    "n_grams": self.n_grams,
+                    "sig": self.sig,
+                },
+                f,
+            )
+        os.replace(tmpj, os.path.join(path, "_BLOOM_META.json"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BloomGramFilter":
+        """Open a persisted filter: re-broadcast the stored bits, point
+        ``grams`` at the stored parquet — no benchmark scan, no gram
+        build.  The caller owns staleness (see ``ensure_bloom``)."""
+        import json
+        import os
+
+        obj = cls.__new__(cls)
+        with open(os.path.join(path, "_BLOOM_META.json")) as f:
+            meta = json.load(f)
+        obj.n = int(meta["n"])
+        obj.m = int(meta["m"])
+        obj.k = int(meta["k"])
+        obj.n_grams = int(meta["n_grams"])
+        obj.sig = int(meta["sig"])
+        with open(os.path.join(path, "bits.bin"), "rb") as f:
+            bits = f.read()
+        obj._bc = spark.sparkContext.broadcast(bits)
+        obj.grams = spark.read.schema("g string").parquet(
+            os.path.join(path, "grams")
+        )
+        return obj
+
+    def benchmark_sig(self, benchmark: DataFrame, text_col: str = "text") -> tuple[int, int]:
+        """(xor-of-gram-hashes, gram count) of a candidate benchmark —
+        ONE Spark aggregate over its distinct grams; compare against
+        (self.sig, self.n_grams) to detect a stale artifact."""
+        row = (
+            benchmark.select(
+                F.explode(
+                    F.array_distinct(ngram_strings(text_col, self.n))
+                ).alias("g")
+            )
+            .distinct()
+            .agg(
+                F.expr("bit_xor(xxhash64(g))").alias("x"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()[0]
+        )
+        return (int(row.x) if row.x is not None else 0, int(row.c))
 
     def _kernel(self):
         """(uint64 a, uint64 b) ndarray pair -> bool hit ndarray, closed
@@ -901,6 +987,36 @@ class BloomGramFilter:
         if not verify:
             return maybe.select(id_col).distinct()
         return maybe.join(self.grams, "g", "left_semi").select(id_col).distinct()
+
+
+def ensure_bloom(
+    spark,
+    path: str,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    bits_per_gram: int = 16,
+) -> BloomGramFilter:
+    """Load the persisted decontamination Bloom at ``path`` if it exists
+    AND still matches ``benchmark`` (the snapshot signature: one Spark
+    aggregate over the candidate's distinct grams, no collect/bit-pack);
+    otherwise build from ``benchmark`` and save.  The restart contract
+    ``admission_sink(bloom_path=...)`` rides: a resumed stream re-pays one
+    signature aggregate, never the gram build — and a CHANGED benchmark
+    is detected rather than silently served stale."""
+    import os
+
+    if os.path.exists(os.path.join(path, "_BLOOM_META.json")):
+        bloom = BloomGramFilter.load(spark, path)
+        if bloom.n == n:
+            sig, cnt = bloom.benchmark_sig(benchmark, text_col)
+            if (sig, cnt) == (bloom.sig, bloom.n_grams):
+                return bloom
+    bloom = BloomGramFilter(
+        benchmark, text_col=text_col, n=n, bits_per_gram=bits_per_gram
+    )
+    bloom.save(path)
+    return bloom
 
 
 def bloom_contaminated_ids(

@@ -1505,6 +1505,11 @@ class IvfIndex:
             round_to,
         )
         if idempotency_key is None:
+            from .bm25 import _warn_unkeyed_into_keyed_index
+
+            _warn_unkeyed_into_keyed_index(
+                self.path, f"{self.path}/lists", "centroid_id="
+            )
             key = _unkeyed_lists_name(f"{self.path}/lists")
             (
                 assigned.withColumn("__bk", F.lit(key))

@@ -312,6 +312,7 @@ def admission_sink(
     bm25_index=None,
     ivf_index=None,
     vec_col: str = "embedding",
+    bloom_path: str | None = None,
 ):
     """The FULL training-corpus admission sink: each micro-batch is
     (1) exactly decontaminated against the benchmark (Bloom prefilter +
@@ -334,7 +335,12 @@ def admission_sink(
 
     The Bloom is built ONCE here (static benchmark side) and broadcast;
     per-batch contamination cost is batch grams × one Arrow membership
-    kernel + a semi-join probing only maybe-hits.
+    kernel + a semi-join probing only maybe-hits.  ``bloom_path`` makes
+    the build durable across RESTARTS: the filter (bits + grams +
+    benchmark-snapshot signature) persists there, and a resumed stream
+    reloads it after one signature aggregate over the benchmark —
+    re-paying the gram build only when the benchmark actually changed
+    (operators.dedup.ensure_bloom).
 
     ``reject_dir`` (optional) is the audit surface a production ingest
     wants: every NON-admitted document lands there with a ``reason``
@@ -368,13 +374,18 @@ def admission_sink(
 
     Returns the started StreamingQuery; callers own awaitTermination.
     """
-    from ..operators.dedup import BloomGramFilter
+    from ..operators.dedup import BloomGramFilter, ensure_bloom
 
-    bloom = (
-        BloomGramFilter(benchmark, text_col=text_col, n=n,
-                        bits_per_gram=bits_per_gram)
-        if benchmark is not None else None
-    )
+    if benchmark is None:
+        bloom = None
+    elif bloom_path is not None:
+        bloom = ensure_bloom(
+            stream.sparkSession, bloom_path, benchmark,
+            text_col=text_col, n=n, bits_per_gram=bits_per_gram,
+        )
+    else:
+        bloom = BloomGramFilter(benchmark, text_col=text_col, n=n,
+                                bits_per_gram=bits_per_gram)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

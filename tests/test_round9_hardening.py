@@ -367,6 +367,7 @@ def test_admission_sink_keeps_ivf_index_in_lockstep(spark, tmp_path):
             benchmark=bench,
             bm25_index=bm25,
             ivf_index=ivf,
+            bloom_path=str(tmp_path / "bloom"),
         )
         q.awaitTermination()
 
@@ -440,3 +441,121 @@ def test_persisted_consts_keep_large_vocab_path_single_scan(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(cpath, "_BM25_CONSTS.json.tmp")
     )
+
+
+def test_bloom_artifact_roundtrip_and_staleness(spark, tmp_path, monkeypatch):
+    """r8 verdict stretch 8: the decontamination Bloom persists (bits +
+    grams + benchmark-snapshot signature); ensure_bloom reloads on
+    restart instead of rebuilding, serves value-identical verdicts
+    (including the exact verify semi-join, which reads the STORED grams),
+    and a CHANGED benchmark triggers a rebuild, never a stale serve."""
+    from sql_data_warehouse_samples_spark.operators import dedup as D
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        "doc_id: long, text: string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            (2, "clean text with no overlapping grams at all here ok"),
+        ],
+        "doc_id: long, text: string",
+    )
+    builds = []
+    orig_init = D.BloomGramFilter.__init__
+
+    def counting_init(self, *a, **kw):
+        builds.append(1)
+        return orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(D.BloomGramFilter, "__init__", counting_init)
+
+    path = str(tmp_path / "bloom")
+    b1 = D.ensure_bloom(spark, path, bench)
+    assert len(builds) == 1
+    want = sorted(r.doc_id for r in b1.contaminated_ids(train).collect())
+    assert want == [1]
+
+    # restart: loads, does NOT rebuild; verdicts identical (verify joins
+    # against the persisted grams)
+    b2 = D.ensure_bloom(spark, path, bench)
+    assert len(builds) == 1
+    assert (b2.sig, b2.n_grams, b2.m, b2.k) == (b1.sig, b1.n_grams, b1.m, b1.k)
+    assert sorted(
+        r.doc_id for r in b2.contaminated_ids(train).collect()
+    ) == want
+
+    # changed benchmark: signature mismatch -> rebuild, new verdicts
+    bench2 = spark.createDataFrame(
+        [(101, "clean text with no overlapping grams at all here ok")],
+        "doc_id: long, text: string",
+    )
+    b3 = D.ensure_bloom(spark, path, bench2)
+    assert len(builds) == 2
+    assert sorted(
+        r.doc_id for r in b3.contaminated_ids(train).collect()
+    ) == [2]
+    # and the artifact now holds the NEW snapshot (a further restart loads)
+    b4 = D.ensure_bloom(spark, path, bench2)
+    assert len(builds) == 2 and b4.sig == b3.sig
+
+
+def test_unkeyed_ingest_into_keyed_index_warns(spark, tmp_path, caplog):
+    """r8 verdict stretch 9: an un-keyed ingest into an index that holds
+    keyed (__bk=k-*) batches is the double-count-on-replay foot-gun —
+    both serving indexes now warn loudly (and stay silent on indexes
+    never touched by a keyed pipeline)."""
+    import logging
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id: long, text: string"
+    )
+    idx = Bm25Index.build(d, str(tmp_path / "bm25"), n_buckets=4)
+    extra = spark.createDataFrame(
+        [(3, "epsilon zeta")], "doc_id: long, text: string"
+    )
+    with caplog.at_level(logging.WARNING):
+        idx.ingest(extra)  # no keyed batches yet: silent
+    assert "double-count" not in caplog.text
+    idx.ingest(
+        spark.createDataFrame([(4, "eta theta")], "doc_id: long, text: string"),
+        idempotency_key="run-1",
+    )
+    with caplog.at_level(logging.WARNING):
+        idx.ingest(
+            spark.createDataFrame(
+                [(5, "iota kappa")], "doc_id: long, text: string"
+            )
+        )
+    assert "double-count" in caplog.text
+
+    caplog.clear()
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(4)], "vec_id: long, embedding: array<double>"
+    )
+    ivf = IvfIndex.build(base, str(tmp_path / "ivf"), nlist=2)
+    batch = spark.createDataFrame(
+        [(50, _vec(50))], "vec_id: long, embedding: array<double>"
+    )
+    with caplog.at_level(logging.WARNING):
+        ivf.add(batch)  # no keyed batches: silent
+    assert "double-count" not in caplog.text
+    ivf.add(
+        spark.createDataFrame(
+            [(51, _vec(51))], "vec_id: long, embedding: array<double>"
+        ),
+        idempotency_key="run-1",
+    )
+    with caplog.at_level(logging.WARNING):
+        ivf.add(
+            spark.createDataFrame(
+                [(52, _vec(52))], "vec_id: long, embedding: array<double>"
+            )
+        )
+    assert "double-count" in caplog.text
