@@ -361,7 +361,6 @@ def refresh_bm25_consts(
     slightly; BM25 degrades gracefully under stale constants (they scale
     idf and the length norm smoothly), so refresh at maintenance cadence,
     not per batch.  Returns the settled (n_docs, avgdl)."""
-    import json
     import os
 
     row = docs.select(F.size(tokens(text_col)).alias("dl")).agg(
@@ -370,10 +369,12 @@ def refresh_bm25_consts(
     n_docs = int(row.n)
     avgdl = float(row.a) if row.a is not None else 0.0
     os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "_BM25_CONSTS.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
-    os.replace(tmp, os.path.join(path, "_BM25_CONSTS.json"))
+    from .dirswap import atomic_json_write
+
+    atomic_json_write(
+        os.path.join(path, "_BM25_CONSTS.json"),
+        {"n_docs": n_docs, "avgdl": avgdl},
+    )
     return n_docs, avgdl
 
 
@@ -438,8 +439,13 @@ class Bm25Index:
         import json
         import os
 
+        from .ledger import _require_local
+
         self.spark = spark
-        self.path = path
+        # the maintenance surface (meta sidecar open(), dirswap staged
+        # swaps, u<N> counters, tombstone/keyed-batch dir checks) is
+        # local-FS — same contract as the ledgers; fail loudly on URIs
+        self.path = _require_local(path)
         with open(os.path.join(path, "_BM25_META.json")) as f:
             m = json.load(f)
         self.n_docs = int(m["n_docs"])
@@ -465,7 +471,10 @@ class Bm25Index:
         has ≥1 token under the whitespace tokenizer, so distinct (id, dl)
         covers the corpus).  At 100 TB: build once, then every query
         batch reads ~|vocab|/n_buckets of the index and nothing else."""
+        from .ledger import _require_local
+
         spark = docs.sparkSession
+        path = _require_local(path)  # same local-FS contract as __init__
         cls._write_batch(
             docs, path, id_col, text_col, n_buckets, cls._BASE_KEY,
             overwrite=True,
@@ -526,7 +535,6 @@ class Bm25Index:
     def _refresh_consts(self) -> None:
         """Recompute (n_docs, avgdl) from the doclens table and pin them in
         the meta sidecar — idempotent, so ingest replays converge."""
-        import json
         import os
 
         stats = self.spark.read.schema(self._lens_schema()).parquet(
@@ -534,17 +542,20 @@ class Bm25Index:
         ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
         self.n_docs = int(stats.n)
         self.avgdl = float(stats.a) if stats.a is not None else 0.0
-        with open(os.path.join(self.path, "_BM25_META.json"), "w") as f:
-            json.dump(
-                {
-                    "n_docs": self.n_docs,
-                    "avgdl": self.avgdl,
-                    "n_buckets": self.n_buckets,
-                    "id_col": self.id_col,
-                    "id_type": self.id_type,
-                },
-                f,
-            )
+        from .dirswap import atomic_json_write
+
+        # atomic: this runs after EVERY ingest/forget and every reopen
+        # parses it — a crash mid-write must not tear the sidecar
+        atomic_json_write(
+            os.path.join(self.path, "_BM25_META.json"),
+            {
+                "n_docs": self.n_docs,
+                "avgdl": self.avgdl,
+                "n_buckets": self.n_buckets,
+                "id_col": self.id_col,
+                "id_type": self.id_type,
+            },
+        )
 
     def ingest(
         self,
@@ -588,11 +599,24 @@ class Bm25Index:
             )
         bposts = None
         if key is not None:
+            bposts = _batch_postings(batch, self.id_col, text_col)
+            # drop documents forget() tombstoned UNDER THIS KEY: a replay
+            # after a deletion would otherwise read the purge as a
+            # crashed partial write (stored ⊂ batch) and resurrect the
+            # forgotten docs.  Key-scoped, so a later re-admission of the
+            # same id under a NEW key stays legal.
+            ts_path = os.path.join(self.path, "tombstones")
+            if os.path.isdir(ts_path):
+                dead = (
+                    self.spark.read.parquet(ts_path)
+                    .filter(F.col("__bk") == key)
+                    .select(self.id_col)
+                    .distinct()
+                )
+                bposts = bposts.join(F.broadcast(dead), self.id_col, "left_anti")
             # materialize the batch postings ONCE: the guard and the
             # write both consume them (batch-sized)
-            bposts = _batch_postings(
-                batch, self.id_col, text_col
-            ).localCheckpoint(eager=True)
+            bposts = bposts.localCheckpoint(eager=True)
             posts_p = os.path.join(self.path, "postings")
             stored = (
                 self.spark.read.schema(self._posts_schema()).parquet(posts_p)
@@ -636,6 +660,23 @@ class Bm25Index:
         pre_posts = self.spark.read.schema(self._posts_schema()).parquet(
             posts_p
         )
+        # tombstone the purged (id, batch) pairs BEFORE the rewrite: the
+        # record a later keyed ingest REPLAY checks, so a crash-replay of
+        # the purged batch cannot resurrect forgotten documents (the
+        # stored-subset guard alone reads the purge as a crashed partial
+        # write and re-ingests).  Deletion-batch-bounded; an all-miss
+        # purge writes nothing (a data-less parquet dir would break the
+        # replay-side read).
+        pairs = (
+            pre_posts.join(purge, self.id_col, "semi")
+            .select(self.id_col, "__bk")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not pairs.isEmpty():
+            pairs.write.mode("append").parquet(
+                os.path.join(self.path, "tombstones")
+            )
         kept = pre_posts.join(purge, self.id_col, "left_anti")
         stage = posts_p + "__forget"
         kept.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(stage)
@@ -784,7 +825,9 @@ def _warn_unkeyed_into_keyed_index(
     append beside it reinstates exactly the double-count-on-replay
     foot-gun the keys exist to close.  A warning (not a refusal): offline
     backfills legitimately mix, but the operator should hear about it
-    before a replay does the double counting."""
+    before a replay does the double counting.  os.listdir is sound here
+    because both index classes _require_local their path at construction
+    (URIs are refused, so the check can never silently no-op on S3)."""
     import logging
     import os
 

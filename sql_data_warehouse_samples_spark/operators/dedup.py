@@ -777,6 +777,7 @@ class BloomGramFilter:
         bits_per_gram: int = 16,
     ) -> None:
         self.n = n
+        self.bits_per_gram = bits_per_gram
         self.grams = benchmark.select(
             F.explode(F.array_distinct(ngram_strings(text_col, n))).alias("g")
         ).distinct()
@@ -809,30 +810,26 @@ class BloomGramFilter:
         exact-verify side ``contaminated_ids`` joins against).  A
         restarted stream then ``load``s in O(bits) instead of re-paying
         the benchmark gram build (tokenize + slice + distinct + pack)."""
-        import json
         import os
+
+        from .dirswap import atomic_json_write, atomic_write
 
         os.makedirs(path, exist_ok=True)
         self.grams.write.mode("overwrite").parquet(
             os.path.join(path, "grams")
         )
-        tmp = os.path.join(path, "_bits.bin.tmp")
-        with open(tmp, "wb") as f:
-            f.write(self._bc.value)
-        os.replace(tmp, os.path.join(path, "bits.bin"))
-        tmpj = os.path.join(path, "_BLOOM_META.json.tmp")
-        with open(tmpj, "w") as f:
-            json.dump(
-                {
-                    "n": self.n,
-                    "m": self.m,
-                    "k": self.k,
-                    "n_grams": self.n_grams,
-                    "sig": self.sig,
-                },
-                f,
-            )
-        os.replace(tmpj, os.path.join(path, "_BLOOM_META.json"))
+        atomic_write(os.path.join(path, "bits.bin"), self._bc.value)
+        atomic_json_write(
+            os.path.join(path, "_BLOOM_META.json"),
+            {
+                "n": self.n,
+                "bits_per_gram": self.bits_per_gram,
+                "m": self.m,
+                "k": self.k,
+                "n_grams": self.n_grams,
+                "sig": self.sig,
+            },
+        )
 
     @classmethod
     def load(cls, spark, path: str) -> "BloomGramFilter":
@@ -846,6 +843,7 @@ class BloomGramFilter:
         with open(os.path.join(path, "_BLOOM_META.json")) as f:
             meta = json.load(f)
         obj.n = int(meta["n"])
+        obj.bits_per_gram = int(meta.get("bits_per_gram", 0))
         obj.m = int(meta["m"])
         obj.k = int(meta["k"])
         obj.n_grams = int(meta["n_grams"])
@@ -1008,7 +1006,10 @@ def ensure_bloom(
 
     if os.path.exists(os.path.join(path, "_BLOOM_META.json")):
         bloom = BloomGramFilter.load(spark, path)
-        if bloom.n == n:
+        # EVERY build parameter must match, not just the benchmark: a
+        # changed bits_per_gram (FP-rate retune) must rebuild, never
+        # silently serve the old rate
+        if bloom.n == n and bloom.bits_per_gram == bits_per_gram:
             sig, cnt = bloom.benchmark_sig(benchmark, text_col)
             if (sig, cnt) == (bloom.sig, bloom.n_grams):
                 return bloom

@@ -71,3 +71,23 @@ def swap_in(live: str, stage: str, verify: Callable[[str], None] | None = None) 
             shutil.move(old, live)
             raise
     shutil.rmtree(old, ignore_errors=True)
+
+
+def atomic_write(path: str, data: bytes) -> None:
+    """Crash-safe small-artifact write (same local-FS contract as the
+    directory swap above): write to a same-directory temp file, then
+    ``os.replace`` — readers see the old content or the new, never a torn
+    file."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def atomic_json_write(path: str, obj) -> None:
+    """``atomic_write`` for the JSON meta sidecars (index constants,
+    Bloom meta): a crash mid-write must never tear the sidecar every
+    reopen parses."""
+    import json
+
+    atomic_write(path, json.dumps(obj).encode())

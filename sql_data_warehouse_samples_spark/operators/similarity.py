@@ -1362,7 +1362,12 @@ class IvfIndex:
     _BASE_KEY = "base"
 
     def __init__(self, path: str, centroids: list[tuple[int, list[float]]]):
-        self.path = path
+        from .ledger import _require_local
+
+        # the maintenance surface (dirswap staged swaps, u<N> counters,
+        # tombstone/keyed-batch dir checks, emptied-partition cleanup) is
+        # local-FS — same contract as the ledgers; fail loudly on URIs
+        self.path = _require_local(path)
         self.centroids = centroids
 
     @classmethod
@@ -1489,10 +1494,22 @@ class IvfIndex:
         ``u<N>`` partition (caller owns at-most-once; replays WILL
         double-count)."""
         spark = batch.sparkSession
+        existing = self._lists(spark)
+        if "__bk" not in existing.columns:
+            # a pre-__bk layout (lists/centroid_id=N/part-*.parquet): an
+            # append at the new depth would mix leaf depths and brick
+            # partition discovery for every subsequent read — fail loudly
+            # instead of corrupting silently
+            raise ValueError(
+                f"index at {self.path!r} uses the pre-batch-subpartition "
+                "layout (no __bk level in lists/); rebuild it with "
+                "IvfIndex.build before using add() — an append at the new "
+                "depth would corrupt partition discovery"
+            )
         # new files must carry the SAME element type as the existing
         # lists — a float corpus + double batch would poison the parquet
         # table with mixed per-partition schemas
-        vec_type = self._lists(spark).schema["__cvec"].dataType
+        vec_type = existing.schema["__cvec"].dataType
         assigned = assign_centroids(
             _spread(
                 batch.select(
@@ -1521,6 +1538,24 @@ class IvfIndex:
         from .bm25 import _safe_index_key
 
         key = "k-" + _safe_index_key(idempotency_key)
+        # drop rows forget() tombstoned UNDER THIS KEY: without this, a
+        # replay after a deletion reads the purge as a crashed partial
+        # write (stored ⊂ batch) and resurrects the forgotten vectors.
+        # Scoped to the key, so a LATER re-admission of the same id under
+        # a new key stays legal (a fresh admission decision).
+        import os
+
+        ts_path = f"{self.path}/tombstones"
+        if os.path.isdir(ts_path):
+            dead = (
+                spark.read.parquet(ts_path)
+                .filter(F.col("__bk") == key)
+                .select("neighbor_id")
+                .distinct()
+            )
+            assigned = assigned.join(
+                F.broadcast(dead), "neighbor_id", "left_anti"
+            )
         # materialize the assignment ONCE: the key-reuse guard and the
         # write both consume it (batch-sized)
         assigned = assigned.localCheckpoint(eager=True)
@@ -1665,14 +1700,19 @@ class IvfIndex:
         Crash contract: the per-partition overwrite is not atomic across
         lists — on failure RE-RUN the same forget; it is idempotent
         (already-purged lists simply stop matching) and converges.
-        Returns the number of purged index entries."""
+        Purged (id, batch) pairs are tombstoned under
+        ``{path}/tombstones`` so a keyed ``add`` REPLAY of the purged
+        batch cannot resurrect them (forget-then-crash-replay).  Returns
+        the number of purged index entries."""
         return _ivf_lists_forget(
-            spark, f"{self.path}/lists", self._lists(spark), vec_ids, id_col
+            spark, f"{self.path}/lists", self._lists(spark), vec_ids,
+            id_col, tombstone_dir=f"{self.path}/tombstones",
         )
 
 
 def _ivf_lists_forget(
-    spark, lists_path: str, lists: DataFrame, vec_ids: DataFrame, id_col: str
+    spark, lists_path: str, lists: DataFrame, vec_ids: DataFrame,
+    id_col: str, tombstone_dir: str | None = None,
 ) -> int:
     """Shared partition-pruned purge for IvfIndex/IvfPqIndex lists.
 
@@ -1680,7 +1720,13 @@ def _ivf_lists_forget(
     ingest-batch subpartition (purge rewrites only touched
     (centroid, batch) pairs — finer than per-centroid, so untouched
     BATCHES inside a touched centroid stay byte-identical too);
-    IvfPqIndex lists stay per-centroid."""
+    IvfPqIndex lists stay per-centroid.
+
+    ``tombstone_dir``: when given (IvfIndex), the purged (neighbor_id,
+    __bk) pairs are APPENDED there before the rewrite — the record a
+    later keyed ``add`` replay checks so a crash-replay of the purged
+    batch cannot resurrect forgotten vectors (the stored-subset guard
+    alone would read the purge as a crashed partial write and re-ingest)."""
     import os
     import shutil
 
@@ -1690,14 +1736,27 @@ def _ivf_lists_forget(
     purge = F.broadcast(
         vec_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
     )
-    hits = (
+    # ONE purged-rows materialization serves the partition census AND the
+    # tombstone append (deletion-batch-bounded)
+    purged_rows = (
         lists.join(purge, "neighbor_id", "semi")
-        .groupBy(*part_cols)
+        .select("neighbor_id", *part_cols)
+        .localCheckpoint(eager=True)
+    )
+    hits = (
+        purged_rows.groupBy(*part_cols)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     if not hits:
         return 0
+    if tombstone_dir is not None:
+        (
+            purged_rows.select("neighbor_id", "__bk")
+            .distinct()
+            .write.mode("append")
+            .parquet(tombstone_dir)
+        )
     touched = [tuple(r[c] for c in part_cols) for r in hits]
     removed = sum(r.n for r in hits)
     part_schema = ", ".join(
@@ -1706,12 +1765,16 @@ def _ivf_lists_forget(
     touched_df = F.broadcast(
         spark.createDataFrame(touched, part_schema)
     )
+    cids = sorted({t[0] for t in touched})
     kept = (
-        # filter at the PARTITION grain (pair semi-join, not a cid isin):
-        # an untouched batch inside a touched centroid must not be
-        # rewritten — dynamic overwrite only touches partitions present
-        # in the written frame
-        lists.join(touched_df, part_cols, "semi")
+        # static centroid_id.isin keeps PARTITION PRUNING on the scan (a
+        # semi-join against a LocalRelation alone prunes nothing), then
+        # the pair semi-join narrows to the exact (centroid, batch)
+        # partitions: an untouched batch inside a touched centroid must
+        # not be rewritten — dynamic overwrite only touches partitions
+        # present in the written frame
+        lists.filter(F.col("centroid_id").isin(cids))
+        .join(touched_df, part_cols, "semi")
         .join(purge, "neighbor_id", "left_anti")
         # materialize: the dynamic overwrite below writes INTO the path
         # this frame reads from — breaking the file lineage first is what

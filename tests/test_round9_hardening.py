@@ -559,3 +559,133 @@ def test_unkeyed_ingest_into_keyed_index_warns(spark, tmp_path, caplog):
             )
         )
     assert "double-count" in caplog.text
+
+
+def test_forget_tombstones_block_keyed_replay_resurrection(spark, tmp_path):
+    """Review fix (r9): forget() then a crash-replay of the purged batch's
+    key must NOT resurrect the forgotten rows — the stored-subset guard
+    alone would read the purge as a crashed partial write and re-ingest.
+    forget() now tombstones (id, batch) pairs; a keyed replay filters its
+    batch against its own key's tombstones.  A re-admission of the same
+    id under a NEW key stays legal (a fresh admission decision)."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    # --- lexical index -------------------------------------------------
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id: long, text: string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "epsilon zeta"), (11, "eta theta")], "doc_id: long, text: string"
+    )
+    idx = Bm25Index.build(d1, str(tmp_path / "bm25"), n_buckets=4)
+    idx.ingest(batch, idempotency_key="k1")
+    assert idx.topk("epsilon", k=5).count() == 1
+    idx.forget(spark.createDataFrame([(10,)], "doc_id: long"))
+    assert idx.topk("epsilon", k=5).count() == 0
+    # crash-replay of the SAME key: the tombstone blocks resurrection
+    idx.ingest(batch, idempotency_key="k1")
+    assert idx.topk("epsilon", k=5).count() == 0
+    assert idx.topk("eta", k=5).count() == 1  # un-purged batch row intact
+    assert idx.n_docs == 3
+    # re-admission under a NEW key is a fresh decision — legal
+    idx.ingest(
+        spark.createDataFrame([(10, "epsilon zeta")], "doc_id: long, text: string"),
+        idempotency_key="k2",
+    )
+    assert idx.topk("epsilon", k=5).count() == 1
+    assert idx.n_docs == 4
+
+    # --- vector index ----------------------------------------------------
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(4)], "vec_id: long, embedding: array<double>"
+    )
+    vbatch = spark.createDataFrame(
+        [(50, _vec(50)), (51, _vec(51))], "vec_id: long, embedding: array<double>"
+    )
+    ivf = IvfIndex.build(base, str(tmp_path / "ivf"), nlist=2)
+    ivf.add(vbatch, idempotency_key="k1")
+    ivf.forget(spark, spark.createDataFrame([(50,)], "vec_id: long"))
+    ivf.add(vbatch, idempotency_key="k1")  # crash-replay
+    ids = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(str(tmp_path / "ivf/lists"))
+        .select("neighbor_id")
+        .collect()
+    )
+    assert 50 not in ids and 51 in ids and ids == [0, 1, 2, 3, 51]
+    # new key re-admission is legal
+    ivf.add(
+        spark.createDataFrame([(50, _vec(50))], "vec_id: long, embedding: array<double>"),
+        idempotency_key="k2",
+    )
+    ids2 = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(str(tmp_path / "ivf/lists"))
+        .select("neighbor_id")
+        .collect()
+    )
+    assert ids2 == [0, 1, 2, 3, 50, 51]
+
+
+def test_ivf_add_refuses_pre_r9_layout(spark, tmp_path):
+    """Review fix (r9): an un-keyed add() on a pre-__bk index layout used
+    to append at the new depth, mixing leaf depths and bricking partition
+    discovery for every later read.  It now fails loudly."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        _spread,
+        assign_centroids,
+        seed_centroids,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(4)], "vec_id: long, embedding: array<double>"
+    )
+    path = str(tmp_path / "old")
+    cents = seed_centroids(base, "vec_id", "embedding", 2)
+    # hand-write the OLD layout: lists partitioned by centroid_id only
+    assign_centroids(
+        _spread(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__cvec"),
+            )
+        ),
+        "__cvec",
+        cents,
+        6,
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        cents, "centroid_id long, __cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    idx = IvfIndex.load(spark, path)
+    batch = spark.createDataFrame(
+        [(50, _vec(50))], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="pre-batch-subpartition"):
+        idx.add(batch)
+    with pytest.raises(ValueError, match="pre-batch-subpartition"):
+        idx.add(batch, idempotency_key="k1")
+    # the refusal left the old index readable
+    assert spark.read.parquet(f"{path}/lists").count() == 4
+
+
+def test_ensure_bloom_rebuilds_on_bits_per_gram_change(spark, tmp_path):
+    """Review fix (r9): a retuned bits_per_gram must rebuild the persisted
+    Bloom, never silently serve the old FP rate."""
+    from sql_data_warehouse_samples_spark.operators import dedup as D
+
+    text = " ".join(f"w{i}" for i in range(40))  # enough grams to clear
+    bench = spark.createDataFrame(                # the m=64 bit floor
+        [(1, text)], "doc_id: long, text: string"
+    )
+    path = str(tmp_path / "bloom")
+    b16 = D.ensure_bloom(spark, path, bench, bits_per_gram=16)
+    b32 = D.ensure_bloom(spark, path, bench, bits_per_gram=32)
+    assert b32.m > b16.m and b32.bits_per_gram == 32
+    # and the artifact now stores the retuned filter
+    b_again = D.ensure_bloom(spark, path, bench, bits_per_gram=32)
+    assert (b_again.m, b_again.bits_per_gram) == (b32.m, 32)
