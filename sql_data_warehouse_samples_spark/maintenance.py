@@ -343,3 +343,20 @@ def health_report(spark: SparkSession, catalog: Catalog, meta: Meta, tables: lis
         "table string, total_rows long, n_rowgroups long, avg_rows_per_rowgroup double,"
         " needs_rebuild boolean, min_max_ratio double, skew_flag boolean",
     )
+
+
+def refresh_search_constants(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> tuple[int, float]:
+    """Maintenance-cadence refresh of the BM25 corpus-constants snapshot
+    (the multi-batch analogue of UPDATE STATISTICS for the lexical
+    scorer — stale constants degrade ranking smoothly the way stale
+    column stats degrade plans): one scalar-aggregate corpus pass settles
+    (n_docs, avgdl) into the atomic sidecar that
+    ``operators.bm25.bm25_topk_batch(consts=bm25_corpus_consts(path))``
+    reads, keeping the large-vocabulary batch-scorer path at exactly one
+    documents scan between refreshes.  Run it beside compaction/statistics
+    in the same maintenance window."""
+    from .operators.bm25 import refresh_bm25_consts
+
+    return refresh_bm25_consts(docs, path, text_col=text_col)

@@ -408,9 +408,15 @@ def test_persisted_consts_keep_large_vocab_path_single_scan(spark, tmp_path):
         refresh_bm25_consts,
     )
 
+    from sql_data_warehouse_samples_spark.maintenance import (
+        refresh_search_constants,
+    )
+
     d = spark.read.parquet(f"{SF}/documents.parquet")
     cpath = str(tmp_path / "consts")
-    n, a = refresh_bm25_consts(d, cpath)
+    # the maintenance-module surface is a thin delegate — same snapshot
+    n, a = refresh_search_constants(d, cpath)
+    assert refresh_bm25_consts(d, cpath) == (n, a)
     assert n == d.count() and a > 0
     assert bm25_corpus_consts(cpath) == (n, a)
 
