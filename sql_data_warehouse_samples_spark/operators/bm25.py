@@ -605,14 +605,11 @@ class Bm25Index:
             # crashed partial write (stored ⊂ batch) and resurrect the
             # forgotten docs.  Key-scoped, so a later re-admission of the
             # same id under a NEW key stays legal.
-            ts_path = os.path.join(self.path, "tombstones")
-            if os.path.isdir(ts_path):
-                dead = (
-                    self.spark.read.parquet(ts_path)
-                    .filter(F.col("__bk") == key)
-                    .select(self.id_col)
-                    .distinct()
-                )
+            dead = _tombstoned_ids(
+                self.spark, os.path.join(self.path, "tombstones"), key,
+                self.id_col,
+            )
+            if dead is not None:
                 bposts = bposts.join(F.broadcast(dead), self.id_col, "left_anti")
             # materialize the batch postings ONCE: the guard and the
             # write both consume them (batch-sized)
@@ -674,9 +671,7 @@ class Bm25Index:
             .localCheckpoint(eager=True)
         )
         if not pairs.isEmpty():
-            pairs.write.mode("append").parquet(
-                os.path.join(self.path, "tombstones")
-            )
+            _merge_tombstones(os.path.join(self.path, "tombstones"), pairs)
         kept = pre_posts.join(purge, self.id_col, "left_anti")
         stage = posts_p + "__forget"
         kept.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(stage)
@@ -814,6 +809,52 @@ def _safe_index_key(key: str) -> str:
     from .ledger import _safe_key
 
     return _safe_key(str(key))
+
+
+def _merge_tombstones(ts_dir: str, pairs: DataFrame) -> None:
+    """Maintain the DEDUPED tombstone table both serving indexes' forget()
+    writes: union the new purged (id, batch) pairs with the existing
+    table and staged-swap the result into ONE file.  Tombstone-sized work
+    (bounded by cumulative deletions), and it keeps the keyed-replay
+    check's read cost flat as forgets accumulate — plain appends would
+    grow a file per forget and duplicate pairs across overlapping purges.
+    Entries are never dropped here: only the CALLER knows when a batch
+    key can no longer be replayed (its checkpoint committed past it), so
+    retention is a caller-side decision."""
+    import os
+
+    from .dirswap import recover, swap_in
+
+    spark = pairs.sparkSession
+    recover(ts_dir)
+    if os.path.isdir(ts_dir):
+        merged = spark.read.parquet(ts_dir).unionByName(pairs).distinct()
+        stage = ts_dir + "__merge"
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        swap_in(
+            ts_dir, stage, verify=lambda p: spark.read.parquet(p).first()
+        )
+    else:
+        pairs.distinct().coalesce(1).write.mode("overwrite").parquet(ts_dir)
+
+
+def _tombstoned_ids(spark, ts_dir: str, key: str, id_col: str):
+    """The ids forget() tombstoned under ``key`` (None when no tombstone
+    table exists) — the frame a keyed replay anti-joins its batch
+    against.  Heals a crashed merge swap before reading."""
+    import os
+
+    from .dirswap import recover
+
+    recover(ts_dir)
+    if not os.path.isdir(ts_dir):
+        return None
+    return (
+        spark.read.parquet(ts_dir)
+        .filter(F.col("__bk") == key)
+        .select(id_col)
+        .distinct()
+    )
 
 
 def _warn_unkeyed_into_keyed_index(

@@ -1543,16 +1543,12 @@ class IvfIndex:
         # write (stored ⊂ batch) and resurrects the forgotten vectors.
         # Scoped to the key, so a LATER re-admission of the same id under
         # a new key stays legal (a fresh admission decision).
-        import os
+        from .bm25 import _tombstoned_ids
 
-        ts_path = f"{self.path}/tombstones"
-        if os.path.isdir(ts_path):
-            dead = (
-                spark.read.parquet(ts_path)
-                .filter(F.col("__bk") == key)
-                .select("neighbor_id")
-                .distinct()
-            )
+        dead = _tombstoned_ids(
+            spark, f"{self.path}/tombstones", key, "neighbor_id"
+        )
+        if dead is not None:
             assigned = assigned.join(
                 F.broadcast(dead), "neighbor_id", "left_anti"
             )
@@ -1751,11 +1747,10 @@ def _ivf_lists_forget(
     if not hits:
         return 0
     if tombstone_dir is not None:
-        (
-            purged_rows.select("neighbor_id", "__bk")
-            .distinct()
-            .write.mode("append")
-            .parquet(tombstone_dir)
+        from .bm25 import _merge_tombstones
+
+        _merge_tombstones(
+            tombstone_dir, purged_rows.select("neighbor_id", "__bk").distinct()
         )
     touched = [tuple(r[c] for c in part_cols) for r in hits]
     removed = sum(r.n for r in hits)

@@ -603,6 +603,16 @@ def test_forget_tombstones_block_keyed_replay_resurrection(spark, tmp_path):
     )
     assert idx.topk("epsilon", k=5).count() == 1
     assert idx.n_docs == 4
+    # repeated / overlapping forgets keep the tombstone table DEDUPED in
+    # one file (merge + staged swap, not append-per-forget)
+    import glob
+
+    idx.forget(spark.createDataFrame([(11,), (99,)], "doc_id: long"))
+    idx.forget(spark.createDataFrame([(11,)], "doc_id: long"))
+    ts_files = glob.glob(str(tmp_path / "bm25/tombstones/*.parquet"))
+    assert len(ts_files) == 1
+    ts = spark.read.parquet(str(tmp_path / "bm25/tombstones"))
+    assert ts.count() == ts.distinct().count() == 2  # (10,k1) + (11,k1)
 
     # --- vector index ----------------------------------------------------
     base = spark.createDataFrame(
