@@ -1746,7 +1746,7 @@ def _ivf_lists_forget(
     )
     if not hits:
         return 0
-    if tombstone_dir is not None:
+    if tombstone_dir is not None and "__bk" in lists.columns:
         from .bm25 import _merge_tombstones
 
         _merge_tombstones(
@@ -1860,7 +1860,11 @@ class IvfPqIndex:
         codebooks: list[list[tuple[int, list[float]]]],
         residual: bool = False,
     ) -> None:
-        self.path = path
+        from .ledger import _require_local
+
+        # same local-FS maintenance contract as IvfIndex (dirswap swaps,
+        # u<N> counters, tombstone dir checks)
+        self.path = _require_local(path)
         self.centroids = centroids
         self.codebooks = codebooks
         self.residual = residual
@@ -1934,7 +1938,8 @@ class IvfPqIndex:
         )
         (
             encoded.join(assigned.select("neighbor_id", "centroid_id"), "neighbor_id")
-            .write.partitionBy("centroid_id")
+            .withColumn("__bk", F.lit(IvfIndex._BASE_KEY))
+            .write.partitionBy("centroid_id", "__bk")
             .mode("overwrite")
             .parquet(f"{path}/lists")
         )
@@ -2064,12 +2069,29 @@ class IvfPqIndex:
         return spark.read.parquet(f"{self.path}/lists")
 
     def add(self, batch: DataFrame, id_col: str = "vec_id",
-            vec_col: str = "embedding", round_to: int = 6) -> None:
+            vec_col: str = "embedding", round_to: int = 6,
+            idempotency_key: str | None = None) -> None:
         """Incremental maintenance under the FROZEN quantizer AND frozen
         codebooks (the IVF-PQ serving pattern): assign, residual-shift if
-        the index is residual, encode, append — cost scales with the
-        batch; existing list files untouched."""
+        the index is residual, encode, land in the lists — cost scales
+        with the batch; existing list files untouched.
+
+        ``idempotency_key`` gives the PQ lists the same replay contract
+        as ``IvfIndex.add`` (the admission-sink lockstep pattern): the
+        batch lands in ``__bk=k-<key>`` subpartitions via dynamic
+        overwrite, key reuse for different content is refused by the full
+        stored-rows-subset guard (id, codes AND centroid), and forget()'s
+        tombstones block a replay from resurrecting purged entries.
+        Without a key: append under a fresh ``u<N>`` partition (caller
+        owns at-most-once)."""
         spark = batch.sparkSession
+        if "__bk" not in self._lists(spark).columns:
+            raise ValueError(
+                f"index at {self.path!r} uses the pre-batch-subpartition "
+                "layout (no __bk level in lists/); rebuild it with "
+                "IvfPqIndex.build before using add() — an append at the "
+                "new depth would corrupt partition discovery"
+            )
         assigned = assign_centroids(
             _spread(
                 batch.select(
@@ -2100,17 +2122,59 @@ class IvfPqIndex:
             "neighbor_id",
             F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
         )
+        rows = encoded.join(
+            assigned.select("neighbor_id", "centroid_id"), "neighbor_id"
+        )
+        if idempotency_key is None:
+            from .bm25 import _warn_unkeyed_into_keyed_index
+
+            _warn_unkeyed_into_keyed_index(
+                self.path, f"{self.path}/lists", "centroid_id="
+            )
+            key = _unkeyed_lists_name(f"{self.path}/lists")
+            (
+                rows.withColumn("__bk", F.lit(key))
+                .write.partitionBy("centroid_id", "__bk")
+                .mode("append")
+                .parquet(f"{self.path}/lists")
+            )
+            return
+        from .bm25 import _safe_index_key, _tombstoned_ids
+
+        key = "k-" + _safe_index_key(idempotency_key)
+        dead = _tombstoned_ids(
+            spark, f"{self.path}/tombstones", key, "neighbor_id"
+        )
+        if dead is not None:
+            rows = rows.join(F.broadcast(dead), "neighbor_id", "left_anti")
+        rows = rows.localCheckpoint(eager=True)
+        stored = (
+            self._lists(spark)
+            .filter(F.col("__bk") == key)
+            .select("neighbor_id", "codes", "centroid_id")
+        )
+        if stored.exceptAll(
+            rows.select("neighbor_id", "codes", "centroid_id")
+        ).limit(1).count():
+            raise ValueError(
+                f"idempotency_key {idempotency_key!r} was previously used "
+                "for a different batch (stored PQ list rows are not a "
+                "subset of this batch's encoding); replaying it would "
+                "overwrite unrelated index state — use a run-scoped key"
+            )
         (
-            encoded.join(assigned.select("neighbor_id", "centroid_id"), "neighbor_id")
-            .write.partitionBy("centroid_id")
-            .mode("append")
+            rows.withColumn("__bk", F.lit(key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "__bk")
             .parquet(f"{self.path}/lists")
         )
 
     def compact(self, spark, files_per_list: int = 1) -> int:
-        """Rebuild accumulated add() appends into ``files_per_list``
-        files per centroid partition via the verified staged swap
-        (same crash contract as IvfIndex.compact / the ledger)."""
+        """Rebuild accumulated add() batches into ``files_per_list``
+        files per (centroid, batch) partition via the verified staged
+        swap (same crash contract as IvfIndex.compact / the ledger; the
+        ``__bk`` level is preserved so keyed replays stay sound)."""
         from .dirswap import swap_in
 
         lists = self._lists(spark)
@@ -2118,7 +2182,7 @@ class IvfPqIndex:
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),
                               "centroid_id")
-            .write.partitionBy("centroid_id")
+            .write.partitionBy("centroid_id", "__bk")
             .mode("overwrite")
             .parquet(stage)
         )
@@ -2130,8 +2194,11 @@ class IvfPqIndex:
     def forget(self, spark, vec_ids: DataFrame, id_col: str = "vec_id") -> int:
         """Deletion propagation: purge ids from the PQ-coded inverted
         lists — same partition-pruned dynamic-overwrite contract as
-        ``IvfIndex.forget`` (untouched lists stay byte-identical; emptied
-        lists dropped).  Returns purged entry count."""
+        ``IvfIndex.forget`` (untouched partitions stay byte-identical;
+        emptied partitions dropped; purged (id, batch) pairs tombstoned
+        so a keyed add replay cannot resurrect them).  Returns purged
+        entry count."""
         return _ivf_lists_forget(
-            spark, f"{self.path}/lists", self._lists(spark), vec_ids, id_col
+            spark, f"{self.path}/lists", self._lists(spark), vec_ids,
+            id_col, tombstone_dir=f"{self.path}/tombstones",
         )

@@ -367,6 +367,9 @@ def admission_sink(
     BOTH serving indexes stay in exactly-once lockstep with the corpus.
     Requires the stream schema to carry the embedding column
     (``vec_col``) — production pipelines embed upstream of admission.
+    An ``operators.similarity.IvfPqIndex`` satisfies the same
+    ``add(batch, id_col, vec_col, idempotency_key)`` interface, so a
+    compressed serving index can ride the slot instead.
 
     CONCURRENCY: one admission sink per driver process (see
     ``neardup_admission_sink`` — the shared dedup._HOT_CACHES registry

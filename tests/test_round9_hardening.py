@@ -705,3 +705,66 @@ def test_ensure_bloom_rebuilds_on_bits_per_gram_change(spark, tmp_path):
     # and the artifact now stores the retuned filter
     b_again = D.ensure_bloom(spark, path, bench, bits_per_gram=32)
     assert (b_again.m, b_again.bits_per_gram) == (b32.m, 32)
+
+
+def test_ivfpq_keyed_add_replay_and_tombstones(spark, tmp_path):
+    """The keyed-add contract extended to the PQ lists (round-10
+    candidate pulled forward): replay converges, key reuse for different
+    content is refused on the full (id, codes, centroid) grain, forget's
+    tombstones block resurrection, and compact preserves __bk."""
+    import glob
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfPqIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(8)],
+        "vec_id: long, embedding: array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(100, 106)],
+        "vec_id: long, embedding: array<double>",
+    )
+    path = str(tmp_path / "pq")
+    idx = IvfPqIndex.build(base, path, nlist=2, m=4, k_pq=4)
+
+    ids = lambda: sorted(  # noqa: E731
+        r.neighbor_id
+        for r in spark.read.parquet(f"{path}/lists").select("neighbor_id").collect()
+    )
+    idx.add(batch, idempotency_key="k1")
+    want = sorted(list(range(8)) + list(range(100, 106)))
+    assert ids() == want
+    idx.add(batch, idempotency_key="k1")  # replay converges
+    assert ids() == want
+    with pytest.raises(ValueError, match="different batch"):
+        idx.add(base.limit(2), idempotency_key="k1")
+
+    # forget a keyed entry; replay cannot resurrect it
+    idx.forget(spark, spark.createDataFrame([(100,)], "vec_id: long"))
+    idx.add(batch, idempotency_key="k1")
+    got = ids()
+    assert 100 not in got and got == sorted(set(want) - {100})
+
+    # compact preserves the __bk level; search still works
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("neighbor_id", "centroid_id", "__bk")
+        .collect()
+    )
+    idx.compact(spark)
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("neighbor_id", "centroid_id", "__bk")
+        .collect()
+    )
+    assert after == before
+    assert glob.glob(f"{path}/lists/centroid_id=*/__bk=k-k1")
+    q = spark.createDataFrame(
+        [(777, _vec(101, 8))], "vec_id: long, embedding: array<double>"
+    )
+    res = idx.search(q, k=3, nprobe=2).collect()
+    assert res and all(r.neighbor_id != 100 for r in res)
