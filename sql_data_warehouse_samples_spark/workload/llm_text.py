@@ -485,10 +485,14 @@ def t05_repetition_filters(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # t02+t03+t05 battery — round-9 rotation: the quality/langid projection and
 # the Gopher repetition metrics are both per-doc over the SAME table, so
-# one doc_id equi-join presents them in one driver slot (the map-only
-# projection rides the join's probe side; the only exchanges are t05's own
-# token/2-gram aggregates).  Frees a slot for a round-8 flagship; t02_t03
-# and t05 stay individually registered + locally oracle-checked.
+# one doc_id equi-join presents them in one driver slot.  Exchange budget:
+# t05's own (doc_id, token) aggregate + doc_id assembly joins, plus ONE
+# added doc_id exchange for the quality projection — the same narrow
+# one-row-per-doc join class repetition_metrics already pays internally,
+# so the battery adds no new cost CLASS at scale (standalone t02_t03
+# stays map-only for callers who don't need the combined slot).  Frees a
+# slot for a round-8 flagship; t02_t03 and t05 stay individually
+# registered + locally oracle-checked.
 # ---------------------------------------------------------------------------
 
 
