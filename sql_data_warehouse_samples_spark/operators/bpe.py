@@ -713,3 +713,89 @@ def apply_bpe(
 
     seg = pandas_udf(_fn, ArrayType(StringType()))
     return docs.withColumn(out_col, seg(tokens(text_col)))
+
+
+def corpus_base_symbols(
+    docs: DataFrame, text_col: str = "text", end_token: str = END_TOKEN
+) -> list[str]:
+    """The BPE vocabulary's base alphabet: sorted distinct characters of
+    the corpus TOKENS (whitespace-split words — whitespace itself never
+    becomes a symbol) plus the end-of-word token.  One explode→distinct
+    aggregate; the result is alphabet-sized (the broadcast/control-plane
+    class, like centroids)."""
+    from .text import tokens
+
+    rows = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted({r.c for r in rows} | {end_token})
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    base_symbols: list[str],
+    specials: tuple[str, ...] = ("<unk>",),
+) -> list[str]:
+    """Deterministic token-id assignment: specials first, then the base
+    alphabet in its given (sorted) order, then each merge's OUTPUT symbol
+    in learned order — the tokenizers-library convention, so ids are
+    stable across re-encodes of the same (merges, alphabet).  Duplicates
+    keep their first id (a merge output already present is not re-added)."""
+    seen: dict[str, None] = {}
+    for s in list(specials) + list(base_symbols):
+        seen.setdefault(s, None)
+    for m in merges:
+        seen.setdefault(m[0] + m[1], None)
+    return list(seen)
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    vocab: list[str],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    end_token: str = END_TOKEN,
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Corpus → training-ready token-ID arrays: the export step between a
+    trained tokenizer and shard packing (``sampling.training_shards`` /
+    the t15 token-budget ops consume counts; THIS is what a trainer
+    actually reads).  Two MAP-ONLY Arrow passes, no shuffle, no join:
+    ``apply_bpe``'s parity-locked segmentation (merge rules replayed in
+    learned order, per-worker word memo), then a vocab-dict id lookup
+    riding the udf closure (vocab-sized — the broadcast-closure class).
+    Symbols outside ``vocab`` map to ``unk_token``'s id — encoding NEW
+    documents under a frozen vocabulary is the serving norm."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ids = {s: i for i, s in enumerate(vocab)}
+    if unk_token not in ids:
+        raise ValueError(
+            f"unk_token {unk_token!r} is not in the vocabulary; OOV "
+            "symbols need a defined id"
+        )
+    unk = ids[unk_token]
+
+    def _fn(col):
+        out = []
+        for syms in col:
+            out.append(
+                None if syms is None else [ids.get(s, unk) for s in syms]
+            )
+        return pd.Series(out)
+
+    seg = apply_bpe(
+        docs, merges, text_col=text_col, out_col="__bpe_syms",
+        end_token=end_token,
+    )
+    return seg.withColumn(
+        out_col, pandas_udf(_fn, ArrayType(IntegerType()))("__bpe_syms")
+    ).drop("__bpe_syms")

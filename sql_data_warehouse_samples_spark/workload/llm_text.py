@@ -2756,3 +2756,76 @@ def t22_langid_backoff(spark, sf_dir):
     return out.groupBy("lang", "pred_lang", "ngram_order").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — corpus → training-ready token-ID arrays (operators/bpe.encode_token
+# _ids): the export step a trainer actually reads, under an EXACT oracle.
+# The merge list is EXPLICIT (one rule: 'e' + '</w>'), so the oracle can
+# compute every word's segmentation in closed form — the end-of-word token
+# only ever follows the last character, so the rule fires iff the word ends
+# with 'e' — while full data-dependent merge semantics stay parity-locked
+# by the BPE trainer suite (t16/t17 and the C-kernel tests).  Ids are the
+# deterministic bpe_vocab order (unk, sorted alphabet incl. '</w>', merge
+# outputs), reproduced in SQL as list_position over the sorted alphabet.
+# Output is posexploded to scalar rows (the s06/s08 array-oracle pattern).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t23_token_ids",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws
+  FROM documents WHERE doc_id < 200
+),
+alpha AS (
+  SELECT list_sort(list_distinct(list_append(
+           flatten(list(regexp_extract_all(array_to_string(ws, ''), '.'))),
+           '</w>'))) AS al
+  FROM docs
+),
+words AS (
+  SELECT d.doc_id, CAST(u.i AS INT) AS wi,
+         d.ws[CAST(u.i AS INT) + 1] AS w
+  FROM docs d, UNNEST(range(0, LEN(d.ws))) AS u(i)
+),
+wsyms AS (
+  SELECT doc_id, wi,
+         regexp_extract_all(w, '.') AS chars,
+         (w LIKE '%e') AS esuf,
+         LEN(regexp_extract_all(w, '.'))
+           + CASE WHEN w LIKE '%e' THEN 0 ELSE 1 END AS n_syms
+  FROM words WHERE w <> ''
+),
+offs AS (
+  SELECT *, COALESCE(SUM(n_syms) OVER (
+      PARTITION BY doc_id ORDER BY wi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM wsyms
+),
+syms AS (
+  SELECT o.doc_id, CAST(o.off + u.i AS INT) AS pos,
+         CASE
+           WHEN CAST(u.i AS INT) = o.n_syms - 1
+             THEN CASE WHEN o.esuf THEN 'e</w>' ELSE '</w>' END
+           ELSE o.chars[CAST(u.i AS INT) + 1]
+         END AS sym
+  FROM offs o, UNNEST(range(0, o.n_syms)) AS u(i)
+)
+SELECT s.doc_id, s.pos,
+       CAST(CASE WHEN s.sym = 'e</w>' THEN LEN(a.al) + 1
+                 ELSE list_position(a.al, s.sym) END AS INT) AS token_id
+FROM syms s, alpha a
+""",
+)
+def t23_token_ids(spark, sf_dir):
+    from ..operators import bpe as B
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = [("e", "</w>")]
+    vocab = B.bpe_vocab(merges, B.corpus_base_symbols(d))
+    enc = B.encode_token_ids(d, merges, vocab)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select("doc_id", F.col("pos").cast("int"), "token_id")

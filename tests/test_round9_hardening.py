@@ -768,3 +768,47 @@ def test_ivfpq_keyed_add_replay_and_tombstones(spark, tmp_path):
     )
     res = idx.search(q, k=3, nprobe=2).collect()
     assert res and all(r.neighbor_id != 100 for r in res)
+
+
+def test_encode_token_ids_roundtrip_and_oov(spark):
+    """Token-id export (operators/bpe.encode_token_ids): ids decode back
+    to the parity-locked apply_bpe segmentation, the vocab order is
+    deterministic (specials, sorted alphabet, merge outputs in learned
+    order), and symbols outside a FROZEN vocab map to <unk> — the
+    serving-time norm for new documents."""
+    from sql_data_warehouse_samples_spark.operators import bpe as B
+
+    d = spark.createDataFrame(
+        [(1, "the late tree"), (2, "be bet the")],
+        "doc_id: long, text: string",
+    )
+    merges = [("e", "</w>"), ("t", "h")]
+    base = B.corpus_base_symbols(d)
+    assert base == sorted(set("thelatreb") | {"</w>"})
+    vocab = B.bpe_vocab(merges, base)
+    assert vocab[0] == "<unk>" and vocab[1 : 1 + len(base)] == base
+    assert vocab[-2:] == ["e</w>", "th"]
+
+    enc = {
+        r.doc_id: list(r.token_ids)
+        for r in B.encode_token_ids(d, merges, vocab).collect()
+    }
+    seg = {
+        r.doc_id: list(r.bpe_syms)
+        for r in B.apply_bpe(d, merges, out_col="bpe_syms").collect()
+    }
+    inv = {i: s for i, s in enumerate(vocab)}
+    for k in enc:
+        assert [inv[i] for i in enc[k]] == seg[k]  # exact round-trip
+    # 'the' -> th + e</w>; both merge outputs exercised
+    assert enc[1][:2] == [len(vocab) - 1, len(vocab) - 2]
+
+    # frozen vocab + unseen characters: OOV maps to <unk>, never raises
+    new = spark.createDataFrame([(9, "the zoo")], "doc_id: long, text: string")
+    ids9 = list(B.encode_token_ids(new, merges, vocab).collect()[0].token_ids)
+    assert ids9[:2] == enc[1][:2]  # 'the' encodes identically
+    # 'z','o','o' are outside the training alphabet: exactly 3 unk ids
+    assert ids9.count(vocab.index("<unk>")) == 3
+
+    with pytest.raises(ValueError, match="unk_token"):
+        B.encode_token_ids(new, merges, [s for s in vocab if s != "<unk>"])
