@@ -132,6 +132,9 @@ HEADLINE = [
     # t22 (2+3-gram back-off) is deliberately NOT benched (the d22/p03
     # precedent): it is the same train aggregate + map-only classify as
     # t21 run at two orders — its cost story IS t21's, doubled.
+    # round-9: corpus -> token-id export (two map-only Arrow passes with a
+    # per-worker word memo; the alphabet aggregate is the only shuffle)
+    "t23_token_ids",
 ]
 
 
@@ -255,6 +258,10 @@ SF1_SUBSET = [
     # (the d22/p03 precedent): its cost story IS t21's at two gram orders.
     "s13_hard_negatives_batch",
     "t21_langid_trained",
+    # r9 late: token-id export — corpus-linear Arrow segmentation; the
+    # sf1 ratio shows the memo amortization (repeated words segment once
+    # per worker)
+    "t23_token_ids",
 ]
 
 
