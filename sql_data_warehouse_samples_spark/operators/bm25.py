@@ -821,13 +821,11 @@ def _merge_tombstones(ts_dir: str, pairs: DataFrame) -> None:
     Entries are never dropped here: only the CALLER knows when a batch
     key can no longer be replayed (its checkpoint committed past it), so
     retention is a caller-side decision."""
-    import os
-
     from .dirswap import recover, swap_in
 
     spark = pairs.sparkSession
     recover(ts_dir)
-    if os.path.isdir(ts_dir):
+    if _has_parquet_data(ts_dir):
         merged = spark.read.parquet(ts_dir).unionByName(pairs).distinct()
         stage = ts_dir + "__merge"
         merged.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -835,19 +833,37 @@ def _merge_tombstones(ts_dir: str, pairs: DataFrame) -> None:
             ts_dir, stage, verify=lambda p: spark.read.parquet(p).first()
         )
     else:
+        # no table yet, OR a torn first write (directory with no data
+        # files — a crash mid-write leaves only _temporary/).  A plain
+        # isdir branch would try to READ the torn dir and fail forever;
+        # overwrite heals it.  Safe ordering-wise: forget() tombstones
+        # BEFORE it purges, so a torn tombstone write means the purge
+        # never happened — there is nothing to resurrect yet.
         pairs.distinct().coalesce(1).write.mode("overwrite").parquet(ts_dir)
+
+
+def _has_parquet_data(path: str) -> bool:
+    """True when ``path`` holds at least one parquet data file — a torn
+    first write (crash mid-job) leaves a directory with no data files,
+    which must read as 'no table', never as an unreadable one."""
+    import glob as _glob
+    import os
+
+    return os.path.isdir(path) and bool(
+        _glob.glob(os.path.join(path, "*.parquet"))
+    )
 
 
 def _tombstoned_ids(spark, ts_dir: str, key: str, id_col: str):
     """The ids forget() tombstoned under ``key`` (None when no tombstone
     table exists) — the frame a keyed replay anti-joins its batch
-    against.  Heals a crashed merge swap before reading."""
-    import os
-
+    against.  Heals a crashed merge swap before reading; a torn FIRST
+    write also reads as no-tombstones, which is sound because forget()
+    tombstones before it purges (nothing was purged yet)."""
     from .dirswap import recover
 
     recover(ts_dir)
-    if not os.path.isdir(ts_dir):
+    if not _has_parquet_data(ts_dir):
         return None
     return (
         spark.read.parquet(ts_dir)

@@ -1495,17 +1495,7 @@ class IvfIndex:
         double-count)."""
         spark = batch.sparkSession
         existing = self._lists(spark)
-        if "__bk" not in existing.columns:
-            # a pre-__bk layout (lists/centroid_id=N/part-*.parquet): an
-            # append at the new depth would mix leaf depths and brick
-            # partition discovery for every subsequent read — fail loudly
-            # instead of corrupting silently
-            raise ValueError(
-                f"index at {self.path!r} uses the pre-batch-subpartition "
-                "layout (no __bk level in lists/); rebuild it with "
-                "IvfIndex.build before using add() — an append at the new "
-                "depth would corrupt partition discovery"
-            )
+        _require_bk_layout(existing, self.path, "IvfIndex", "add()")
         # new files must carry the SAME element type as the existing
         # lists — a float corpus + double batch would poison the parquet
         # table with mixed per-partition schemas
@@ -1668,6 +1658,7 @@ class IvfIndex:
         from .dirswap import swap_in
 
         lists = self._lists(spark)
+        _require_bk_layout(lists, self.path, "IvfIndex", "compact()")
         stage = f"{self.path}/lists__compact"
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),
@@ -1712,17 +1703,19 @@ def _ivf_lists_forget(
 ) -> int:
     """Shared partition-pruned purge for IvfIndex/IvfPqIndex lists.
 
-    Partition grain is introspected: IvfIndex lists carry the ``__bk``
-    ingest-batch subpartition (purge rewrites only touched
-    (centroid, batch) pairs — finer than per-centroid, so untouched
-    BATCHES inside a touched centroid stay byte-identical too);
-    IvfPqIndex lists stay per-centroid.
+    Partition grain is introspected: current layouts (both IvfIndex and
+    IvfPqIndex) carry the ``__bk`` ingest-batch subpartition — purge
+    rewrites only touched (centroid, batch) pairs, finer than
+    per-centroid, so untouched BATCHES inside a touched centroid stay
+    byte-identical too; a pre-``__bk`` legacy layout degrades to the old
+    per-centroid grain.
 
-    ``tombstone_dir``: when given (IvfIndex), the purged (neighbor_id,
-    __bk) pairs are APPENDED there before the rewrite — the record a
-    later keyed ``add`` replay checks so a crash-replay of the purged
-    batch cannot resurrect forgotten vectors (the stored-subset guard
-    alone would read the purge as a crashed partial write and re-ingest)."""
+    ``tombstone_dir``: when given (both index classes pass it), the
+    purged (neighbor_id, __bk) pairs are MERGED into the deduped
+    tombstone table before the rewrite — the record a later keyed
+    ``add`` replay checks so a crash-replay of the purged batch cannot
+    resurrect forgotten vectors (the stored-subset guard alone would
+    read the purge as a crashed partial write and re-ingest)."""
     import os
     import shutil
 
@@ -1802,6 +1795,21 @@ def _ivf_lists_forget(
         ):
             shutil.rmtree(cid_dir, ignore_errors=True)
     return removed
+
+
+def _require_bk_layout(lists: DataFrame, path: str, cls: str, op: str) -> None:
+    """Refuse pre-``__bk`` lists layouts LOUDLY before a write that would
+    either corrupt partition discovery (an ``add`` appending at a mixed
+    depth) or die with an opaque missing-partition-column error (a
+    ``compact`` partitioning by ``__bk``) — the operator should hear
+    'rebuild' instead."""
+    if "__bk" not in lists.columns:
+        raise ValueError(
+            f"index at {path!r} uses the pre-batch-subpartition layout "
+            f"(no __bk level in lists/); rebuild it with {cls}.build "
+            f"before using {op} — writes at the new depth would corrupt "
+            "or fail partition discovery"
+        )
 
 
 def _unkeyed_lists_name(lists_path: str) -> str:
@@ -2085,13 +2093,8 @@ class IvfPqIndex:
         Without a key: append under a fresh ``u<N>`` partition (caller
         owns at-most-once)."""
         spark = batch.sparkSession
-        if "__bk" not in self._lists(spark).columns:
-            raise ValueError(
-                f"index at {self.path!r} uses the pre-batch-subpartition "
-                "layout (no __bk level in lists/); rebuild it with "
-                "IvfPqIndex.build before using add() — an append at the "
-                "new depth would corrupt partition discovery"
-            )
+        existing = self._lists(spark)
+        _require_bk_layout(existing, self.path, "IvfPqIndex", "add()")
         assigned = assign_centroids(
             _spread(
                 batch.select(
@@ -2149,7 +2152,7 @@ class IvfPqIndex:
             rows = rows.join(F.broadcast(dead), "neighbor_id", "left_anti")
         rows = rows.localCheckpoint(eager=True)
         stored = (
-            self._lists(spark)
+            existing
             .filter(F.col("__bk") == key)
             .select("neighbor_id", "codes", "centroid_id")
         )
@@ -2178,6 +2181,7 @@ class IvfPqIndex:
         from .dirswap import swap_in
 
         lists = self._lists(spark)
+        _require_bk_layout(lists, self.path, "IvfPqIndex", "compact()")
         stage = f"{self.path}/lists__compact"
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),

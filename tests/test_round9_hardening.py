@@ -812,3 +812,75 @@ def test_encode_token_ids_roundtrip_and_oov(spark):
 
     with pytest.raises(ValueError, match="unk_token"):
         B.encode_token_ids(new, merges, [s for s in vocab if s != "<unk>"])
+
+
+def test_torn_first_tombstone_write_self_heals(spark, tmp_path):
+    """Second review pass (r9): a crash during the FIRST-ever tombstone
+    write leaves a data-less directory; the old isdir branch then tried
+    to READ it and bricked forget() and every keyed replay forever.  A
+    data-less dir must read as 'no table' (sound: forget tombstones
+    BEFORE it purges, so nothing was purged yet) and the next write must
+    heal it."""
+    import os
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        _merge_tombstones,
+        _tombstoned_ids,
+    )
+
+    ts = tmp_path / "tombstones"
+    os.makedirs(ts / "_temporary" / "0")  # torn first write: no data files
+
+    assert _tombstoned_ids(spark, str(ts), "k-x", "doc_id") is None
+
+    pairs = spark.createDataFrame(
+        [(1, "k-x"), (2, "k-y")], "doc_id: long, __bk: string"
+    )
+    _merge_tombstones(str(ts), pairs)  # heals: overwrite, not read
+    dead = _tombstoned_ids(spark, str(ts), "k-x", "doc_id")
+    assert dead is not None and [r.doc_id for r in dead.collect()] == [1]
+    # and the merge path still works on the healed table
+    _merge_tombstones(
+        str(ts),
+        spark.createDataFrame([(3, "k-x")], "doc_id: long, __bk: string"),
+    )
+    got = sorted(
+        r.doc_id
+        for r in _tombstoned_ids(spark, str(ts), "k-x", "doc_id").collect()
+    )
+    assert got == [1, 3]
+
+
+def test_compact_refuses_pre_r9_layout(spark, tmp_path):
+    """Second review pass (r9): compact() on a pre-__bk layout used to
+    die with an opaque missing-partition-column error; it now raises the
+    same rebuild guidance as add()."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        _spread,
+        assign_centroids,
+        seed_centroids,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(4)], "vec_id: long, embedding: array<double>"
+    )
+    path = str(tmp_path / "old")
+    cents = seed_centroids(base, "vec_id", "embedding", 2)
+    assign_centroids(
+        _spread(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__cvec"),
+            )
+        ),
+        "__cvec",
+        cents,
+        6,
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        cents, "centroid_id long, __cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    idx = IvfIndex.load(spark, path)
+    with pytest.raises(ValueError, match="pre-batch-subpartition"):
+        idx.compact(spark)
