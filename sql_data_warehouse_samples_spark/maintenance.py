@@ -360,3 +360,30 @@ def refresh_search_constants(
     from .operators.bm25 import refresh_bm25_consts
 
     return refresh_bm25_consts(docs, path, text_col=text_col)
+
+
+def prune_search_tombstones(
+    spark: SparkSession,
+    index_path: str,
+    settled_keys=(),
+    include_unreplayable: bool = False,
+) -> int:
+    """Maintenance-cadence retention for a serving index's forget-
+    tombstone table (``Bm25Index``/``IvfIndex``/``IvfPqIndex`` all share
+    the ``{path}/tombstones`` layout): drop entries whose ingest batch
+    key can never be replayed again — the caller-side decision
+    ``operators.bm25._merge_tombstones`` deliberately defers (only the
+    pipeline knows when its checkpoint committed past a batch).  Keeps
+    the keyed-replay check's read cost bounded by LIVE deletions instead
+    of all-time deletions.  Run beside compaction; see
+    ``operators.bm25.prune_tombstones`` for the full contract."""
+    import os
+
+    from .operators.bm25 import prune_tombstones
+
+    return prune_tombstones(
+        spark,
+        os.path.join(index_path, "tombstones"),
+        settled_keys,
+        include_unreplayable=include_unreplayable,
+    )

@@ -363,17 +363,19 @@ def refresh_bm25_consts(
     not per batch.  Returns the settled (n_docs, avgdl)."""
     import os
 
+    from .dirswap import atomic_json_write, fs_mkdirs
+
+    spark = docs.sparkSession
     row = docs.select(F.size(tokens(text_col)).alias("dl")).agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
     ).collect()[0]
     n_docs = int(row.n)
     avgdl = float(row.a) if row.a is not None else 0.0
-    os.makedirs(path, exist_ok=True)
-    from .dirswap import atomic_json_write
-
+    fs_mkdirs(path, spark)
     atomic_json_write(
         os.path.join(path, "_BM25_CONSTS.json"),
         {"n_docs": n_docs, "avgdl": avgdl},
+        spark,
     )
     return n_docs, avgdl
 
@@ -384,8 +386,9 @@ def bm25_corpus_consts(path: str) -> tuple[int, float]:
     import json
     import os
 
-    with open(os.path.join(path, "_BM25_CONSTS.json")) as f:
-        m = json.load(f)
+    from .dirswap import fs_read_bytes
+
+    m = json.loads(fs_read_bytes(os.path.join(path, "_BM25_CONSTS.json")))
     return int(m["n_docs"]), float(m["avgdl"])
 
 
@@ -439,15 +442,18 @@ class Bm25Index:
         import json
         import os
 
-        from .ledger import _require_local
+        from .dirswap import fs_read_bytes, require_swap_capable
 
         self.spark = spark
-        # the maintenance surface (meta sidecar open(), dirswap staged
+        # the maintenance surface (meta sidecar reads, dirswap staged
         # swaps, u<N> counters, tombstone/keyed-batch dir checks) is
-        # local-FS — same contract as the ledgers; fail loudly on URIs
-        self.path = _require_local(path)
-        with open(os.path.join(path, "_BM25_META.json")) as f:
-            m = json.load(f)
+        # scheme-dispatched — local paths and atomic-rename stores
+        # (hdfs/abfs/...) work; object stores are refused loudly (the
+        # staged-swap contract needs atomic directory rename)
+        self.path = require_swap_capable(path)
+        m = json.loads(
+            fs_read_bytes(os.path.join(path, "_BM25_META.json"), spark)
+        )
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
         self.n_buckets = int(m["n_buckets"])
@@ -471,10 +477,10 @@ class Bm25Index:
         has ≥1 token under the whitespace tokenizer, so distinct (id, dl)
         covers the corpus).  At 100 TB: build once, then every query
         batch reads ~|vocab|/n_buckets of the index and nothing else."""
-        from .ledger import _require_local
+        from .dirswap import require_swap_capable
 
         spark = docs.sparkSession
-        path = _require_local(path)  # same local-FS contract as __init__
+        path = require_swap_capable(path)  # same scheme contract as __init__
         cls._write_batch(
             docs, path, id_col, text_col, n_buckets, cls._BASE_KEY,
             overwrite=True,
@@ -555,6 +561,7 @@ class Bm25Index:
                 "id_col": self.id_col,
                 "id_type": self.id_type,
             },
+            self.spark,
         )
 
     def ingest(
@@ -702,6 +709,21 @@ class Bm25Index:
             .count()
         )
 
+    def prune_tombstones(
+        self, settled_keys=(), include_unreplayable: bool = False
+    ) -> int:
+        """Tombstone retention (see module-level ``prune_tombstones``):
+        drop forget-tombstones for batch keys that can never replay.
+        Run at maintenance cadence beside compaction."""
+        import os
+
+        return prune_tombstones(
+            self.spark,
+            os.path.join(self.path, "tombstones"),
+            settled_keys,
+            include_unreplayable=include_unreplayable,
+        )
+
     # -- search ----------------------------------------------------------
 
     def _buckets_for(self, vocab: list[str]) -> list[int]:
@@ -846,12 +868,9 @@ def _has_parquet_data(path: str) -> bool:
     """True when ``path`` holds at least one parquet data file — a torn
     first write (crash mid-job) leaves a directory with no data files,
     which must read as 'no table', never as an unreadable one."""
-    import glob as _glob
-    import os
+    from .dirswap import fs_listdir
 
-    return os.path.isdir(path) and bool(
-        _glob.glob(os.path.join(path, "*.parquet"))
-    )
+    return any(n.endswith(".parquet") for n in fs_listdir(path))
 
 
 def _tombstoned_ids(spark, ts_dir: str, key: str, id_col: str):
@@ -873,6 +892,75 @@ def _tombstoned_ids(spark, ts_dir: str, key: str, id_col: str):
     )
 
 
+def prune_tombstones(
+    spark,
+    ts_dir: str,
+    settled_keys=(),
+    include_unreplayable: bool = False,
+) -> int:
+    """Retention for the deduped tombstone table (shared by both serving
+    indexes): drop entries whose batch key can never be replayed again.
+
+    ``_merge_tombstones`` deliberately never drops rows — only the caller
+    knows when a key is SETTLED (its upstream checkpoint committed past
+    the batch and the raw batch is retired, so no replay under that key
+    can ever arrive).  This is that caller-side decision, surfaced as a
+    maintenance op.  ``settled_keys`` takes the USER-FACING idempotency
+    keys (exactly what ``ingest``/``add`` were called with); they are
+    validated and mapped to the stored ``k-<key>`` partition values here,
+    so a typo'd key raises instead of silently pruning nothing.
+
+    ``include_unreplayable=True`` additionally drops rows whose ``__bk``
+    is the build's ``base`` partition or an un-keyed ``u<N>`` counter.
+    Those rows are consulted by NO code path — only keyed replays read
+    tombstones — so dropping them is unconditionally safe; they exist
+    because ``forget()`` tombstones every (id, batch) pair of a purged
+    document regardless of how the batch originally landed.
+
+    Contract the caller owns: after pruning a key, a replay of that
+    key's ORIGINAL pre-forget batch would resurrect the purged documents
+    (the stored-subset guard reads the purge as a crashed partial write).
+    Prune only keys that provably cannot replay.
+
+    Crash-safety: the rewrite is a staged + verified swap (the
+    ``_merge_tombstones`` pattern); a prune-to-empty removes the table
+    directory, and a crash mid-removal leaves only SETTLED rows behind —
+    conservative in both directions.  Returns rows pruned (0 when the
+    table does not exist or nothing matched)."""
+    from .dirswap import fs_rmtree, recover, swap_in
+
+    if isinstance(settled_keys, str):
+        # iterating a bare string would "settle" its single CHARACTERS —
+        # each a valid key — and silently prune the wrong rows
+        raise TypeError(
+            "settled_keys must be an iterable of keys, not a single "
+            f"string ({settled_keys!r}); wrap it in a list"
+        )
+    dead_keys = ["k-" + _safe_index_key(k) for k in settled_keys]
+    recover(ts_dir)
+    if (not dead_keys and not include_unreplayable) or not _has_parquet_data(
+        ts_dir
+    ):
+        return 0
+    cur = spark.read.parquet(ts_dir).localCheckpoint(eager=True)
+    settled = F.col("__bk").isin(dead_keys) if dead_keys else F.lit(False)
+    if include_unreplayable:
+        settled = settled | (F.col("__bk") == "base") | F.col(
+            "__bk"
+        ).rlike(r"^u[0-9]+$")
+    pruned = cur.filter(settled).count()
+    if pruned == 0:
+        return 0
+    kept = cur.filter(~settled)
+    if kept.isEmpty():
+        fs_rmtree(ts_dir, spark)
+        return pruned
+    stage = ts_dir + "__merge"
+    kept.coalesce(1).write.mode("overwrite").parquet(stage)
+    swap_in(ts_dir, stage, verify=lambda p: spark.read.parquet(p).first())
+    return pruned
+
+
 def _warn_unkeyed_into_keyed_index(
     index_path: str, table_path: str, level_prefix: str
 ) -> None:
@@ -882,21 +970,25 @@ def _warn_unkeyed_into_keyed_index(
     append beside it reinstates exactly the double-count-on-replay
     foot-gun the keys exist to close.  A warning (not a refusal): offline
     backfills legitimately mix, but the operator should hear about it
-    before a replay does the double counting.  os.listdir is sound here
-    because both index classes _require_local their path at construction
-    (URIs are refused, so the check can never silently no-op on S3)."""
+    before a replay does the double counting.  The directory scan is
+    scheme-dispatched (fs_listdir) because both index classes accept any
+    swap-capable store at construction — a plain os.listdir would
+    silently no-op on hdfs/abfs paths and mute the warning exactly where
+    replays are most likely."""
     import logging
     import os
 
-    root = table_path if os.path.isdir(table_path) else None
+    from .dirswap import fs_isdir, fs_listdir
+
+    root = table_path if fs_isdir(table_path) else None
     if root is None:
         return
-    subdirs = [os.path.join(root, d) for d in os.listdir(root)
+    subdirs = [os.path.join(root, d) for d in fs_listdir(root)
                if d.startswith(level_prefix)] if level_prefix else [root]
     for sub in subdirs or [root]:
-        if not os.path.isdir(sub):
+        if not fs_isdir(sub):
             continue
-        if any(d.startswith("__bk=k-") for d in os.listdir(sub)):
+        if any(d.startswith("__bk=k-") for d in fs_listdir(sub)):
             logging.getLogger(__name__).warning(
                 "un-keyed ingest into %r, which already holds keyed "
                 "(__bk=k-*) batches — this index looks pipeline-maintained "
@@ -919,20 +1011,22 @@ def _unkeyed_batch_name(path: str) -> str:
     import os
     import re as _re
 
+    from .dirswap import fs_isdir, fs_listdir
+
     mx = -1
     lens = os.path.join(path, "doclens")
     posts = os.path.join(path, "postings")
     roots = []
-    if os.path.isdir(lens):
+    if fs_isdir(lens):
         roots.append(lens)
-    if os.path.isdir(posts):
+    if fs_isdir(posts):
         roots.extend(
             os.path.join(posts, d)
-            for d in os.listdir(posts)
+            for d in fs_listdir(posts)
             if d.startswith("__tb=")
         )
     for r in roots:
-        for d in os.listdir(r):
+        for d in fs_listdir(r):
             m = _re.fullmatch(r"__bk=u(\d+)", d)
             if m:
                 mx = max(mx, int(m.group(1)))

@@ -799,3 +799,298 @@ def encode_token_ids(
     return seg.withColumn(
         out_col, pandas_udf(_fn, ArrayType(IntegerType()))("__bpe_syms")
     ).drop("__bpe_syms")
+
+
+# -- versioned tokenizer artifact ------------------------------------------
+#
+# The serving story between a trained tokenizer and everything that
+# consumes it: `save_merges` persists ONE merge table, but a corpus that
+# retrains its tokenizer needs versions — an encode job pinned to v3 must
+# keep reading v3 while maintenance publishes v4, and a crash mid-publish
+# must never leave readers on a torn artifact.  Layout (same sidecar
+# conventions as Bm25Index/_BM25_CONSTS/the Bloom artifact; every FS op
+# scheme-dispatched, so the artifact can live beside the corpus on any
+# swap-capable store):
+#
+#   {path}/v{N}/merges/           one-file parquet (save_merges)
+#   {path}/v{N}/_TOKENIZER_META.json   alphabet + specials + end_token +
+#                                      n_merges + content signature
+#   {path}/_CURRENT.json          atomic pointer {"version": N}
+#
+# Publish order is version-dir-first, pointer-last: readers resolve the
+# pointer then read an IMMUTABLE version directory, so a crash before the
+# pointer flip leaves them on the previous version and the torn v{N} is
+# unreachable (the next save skips past it — max existing + 1).
+
+
+class Tokenizer:
+    """A loaded tokenizer version: frozen (merges, alphabet, specials) and
+    the derived stable vocab.  ``encode`` / ``segment`` are the map-only
+    Arrow passes (`encode_token_ids` / `apply_bpe`) bound to this
+    version's rules."""
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str, int]],
+        base_symbols: list[str],
+        specials: tuple[str, ...],
+        end_token: str,
+        version: int,
+    ):
+        self.merges = merges
+        self.base_symbols = list(base_symbols)
+        self.specials = tuple(specials)
+        self.end_token = end_token
+        self.version = version
+        self.vocab = bpe_vocab(merges, self.base_symbols, self.specials)
+
+    def encode(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        out_col: str = "token_ids",
+        unk_token: str = "<unk>",
+    ) -> DataFrame:
+        return encode_token_ids(
+            docs, self.merges, self.vocab, text_col=text_col,
+            out_col=out_col, end_token=self.end_token, unk_token=unk_token,
+        )
+
+    def segment(
+        self, docs: DataFrame, text_col: str = "text",
+        out_col: str = "bpe_tokens",
+    ) -> DataFrame:
+        return apply_bpe(
+            docs, self.merges, text_col=text_col, out_col=out_col,
+            end_token=self.end_token,
+        )
+
+
+def _tokenizer_sig(
+    merges, base_symbols: list[str], specials, end_token: str
+) -> str:
+    """Deterministic content signature of a tokenizer version — load
+    verifies it so a hand-edited or torn merges table is caught at open
+    time, not as silently shifted token ids three jobs later."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for part in (
+        [end_token, "|specials|", *specials, "|alphabet|", *base_symbols,
+         "|merges|"]
+        + [f"{l}\x00{r}" for l, r, *_ in merges]
+    ):
+        h.update(part.encode())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+def tokenizer_versions(spark, path: str) -> list[int]:
+    """Published (pointer-reachable or superseded) version numbers at
+    ``path``, ascending — torn never-published directories are included
+    only if their meta sidecar exists (the last artifact written)."""
+    import os
+    import re as _re
+
+    from .dirswap import fs_exists, fs_listdir
+
+    out = []
+    for d in fs_listdir(path, spark):
+        m = _re.fullmatch(r"v(\d+)", d)
+        if m and fs_exists(
+            os.path.join(path, d, "_TOKENIZER_META.json"), spark
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def save_tokenizer(
+    spark,
+    path: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    base_symbols: list[str],
+    specials: tuple[str, ...] = ("<unk>",),
+    end_token: str = END_TOKEN,
+) -> int:
+    """Publish a new tokenizer version; returns its number.
+
+    Crash contract: the version directory (merges parquet, then the meta
+    sidecar — meta LAST, so a meta-bearing directory is always complete)
+    is fully written before the ``_CURRENT.json`` pointer flips
+    atomically.  Readers pinned to an old version are untouched
+    (version dirs are immutable once published); a crash anywhere before
+    the pointer flip leaves ``load_tokenizer`` on the previous version."""
+    import os
+    import re as _re
+
+    from .dirswap import atomic_json_write, fs_listdir, fs_mkdirs
+
+    merges3 = [
+        (m[0], m[1], int(m[2]) if len(m) > 2 else 0) for m in merges
+    ]
+    # next free version: max over EVERY v<N> dir (torn ones included —
+    # a crashed save must not be overwritten by the retry, readers may
+    # already hold its path from a races listing)
+    mx = 0
+    for d in fs_listdir(path, spark):
+        m = _re.fullmatch(r"v(\d+)", d)
+        if m:
+            mx = max(mx, int(m.group(1)))
+    version = mx + 1
+    vdir = os.path.join(path, f"v{version}")
+    fs_mkdirs(vdir, spark)
+    save_merges(spark, merges3, os.path.join(vdir, "merges"))
+    atomic_json_write(
+        os.path.join(vdir, "_TOKENIZER_META.json"),
+        {
+            "version": version,
+            "end_token": end_token,
+            "specials": list(specials),
+            "base_symbols": list(base_symbols),
+            "n_merges": len(merges3),
+            "sig": _tokenizer_sig(merges3, base_symbols, specials, end_token),
+        },
+        spark,
+    )
+    atomic_json_write(
+        os.path.join(path, "_CURRENT.json"), {"version": version}, spark
+    )
+    return version
+
+
+def load_tokenizer(spark, path: str, version: int | None = None) -> Tokenizer:
+    """Open a published tokenizer: the CURRENT version by default, or a
+    pinned one (reproducing an old run's exact token ids).  Verifies the
+    content signature against the stored merges so corruption surfaces
+    here, not as shifted ids downstream."""
+    import json
+    import os
+
+    from .dirswap import fs_read_bytes
+
+    if version is None:
+        cur = json.loads(
+            fs_read_bytes(os.path.join(path, "_CURRENT.json"), spark)
+        )
+        version = int(cur["version"])
+    vdir = os.path.join(path, f"v{version}")
+    meta = json.loads(
+        fs_read_bytes(os.path.join(vdir, "_TOKENIZER_META.json"), spark)
+    )
+    merges = load_merges(spark, os.path.join(vdir, "merges"))
+    if len(merges) != int(meta["n_merges"]) or _tokenizer_sig(
+        merges, meta["base_symbols"], meta["specials"], meta["end_token"]
+    ) != meta["sig"]:
+        raise ValueError(
+            f"tokenizer v{version} at {path!r} fails its content "
+            "signature (merges table does not match the published meta); "
+            "the artifact is corrupt or was edited in place — republish "
+            "with save_tokenizer"
+        )
+    return Tokenizer(
+        merges,
+        meta["base_symbols"],
+        tuple(meta["specials"]),
+        meta["end_token"],
+        version,
+    )
+
+
+def export_tokenized_shards(
+    docs: DataFrame,
+    path: str,
+    tok: Tokenizer,
+    n_shards: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "",
+    unk_token: str = "<unk>",
+) -> int:
+    """Corpus → training-ready shards of (key, token_ids) under a PINNED
+    tokenizer version — the composition a pre-training export actually
+    runs, closing the gap between the tokenizer artifact and the shard
+    loader.  Returns rows written.
+
+    Cost shape: the encode is two map-only Arrow passes riding the shard
+    write's single range exchange (no extra corpus scan); the integrity
+    manifest comes from ``write_manifest_from_export`` (one narrow
+    key-column output scan, never the source again).
+
+    The export records WHICH tokenizer produced the ids in a
+    ``_TOKENIZER_PIN.json`` sidecar (version + content signature + vocab
+    size): a loader months later can prove its vocab matches the ids it
+    is about to train on (``verify_tokenized_shards``) — the silent
+    failure this closes is retraining the tokenizer and serving old
+    shards whose ids now decode to different strings."""
+    import os
+
+    from .dirswap import atomic_json_write
+    from .shards import write_manifest_from_export, write_training_shards
+
+    spark = docs.sparkSession
+    encoded = tok.encode(
+        docs.select(key_col, text_col), text_col=text_col,
+        out_col="token_ids", unk_token=unk_token,
+    ).select(key_col, "token_ids")
+    n = write_training_shards(encoded, path, key_col, n_shards, seed)
+    write_manifest_from_export(spark, path, key_col, seed)
+    atomic_json_write(
+        os.path.join(path, "_TOKENIZER_PIN.json"),
+        {
+            "version": tok.version,
+            "sig": _tokenizer_sig(
+                tok.merges, tok.base_symbols, tok.specials, tok.end_token
+            ),
+            "vocab_size": len(tok.vocab),
+            "unk_token": unk_token,
+            "key_col": key_col,
+        },
+        spark,
+    )
+    return n
+
+
+def verify_tokenized_shards(
+    spark, shards_path: str, artifact_path: str, seed: str = ""
+) -> Tokenizer:
+    """Loader-side certification of a tokenized export: (1) the pinned
+    tokenizer version still loads from the artifact store and its content
+    signature matches the pin (so the vocab that will decode these ids is
+    byte-for-byte the one that produced them — republishing v(N+1) does
+    NOT invalidate v(N) exports, version dirs are immutable); (2) the
+    shard integrity audit (``verify_shards``) passes.  Returns the pinned
+    Tokenizer ready for decode/encode; raises on any mismatch."""
+    import json
+    import os
+
+    from .dirswap import fs_read_bytes
+    from .shards import verify_shards
+
+    pin = json.loads(
+        fs_read_bytes(os.path.join(shards_path, "_TOKENIZER_PIN.json"), spark)
+    )
+    tok = load_tokenizer(spark, artifact_path, version=int(pin["version"]))
+    sig = _tokenizer_sig(
+        tok.merges, tok.base_symbols, tok.specials, tok.end_token
+    )
+    if sig != pin["sig"] or len(tok.vocab) != int(pin["vocab_size"]):
+        raise ValueError(
+            f"tokenizer v{pin['version']} at {artifact_path!r} does not "
+            "match the export's pin (signature or vocab size differs); "
+            "these shards' token ids were produced by a different "
+            "tokenizer — re-export or restore the original artifact"
+        )
+    bad = (
+        verify_shards(
+            spark, shards_path,
+            key_col=pin.get("key_col", "doc_id"), seed=seed,
+        )
+        .filter(~F.col("ok"))
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"{bad} shard(s) at {shards_path!r} fail the integrity audit "
+            "(count/checksum mismatch vs the manifest)"
+        )
+    return tok

@@ -812,9 +812,9 @@ class BloomGramFilter:
         the benchmark gram build (tokenize + slice + distinct + pack)."""
         import os
 
-        from .dirswap import atomic_json_write, atomic_write
+        from .dirswap import atomic_json_write, atomic_write, fs_mkdirs
 
-        os.makedirs(path, exist_ok=True)
+        fs_mkdirs(path)
         self.grams.write.mode("overwrite").parquet(
             os.path.join(path, "grams")
         )
@@ -839,17 +839,19 @@ class BloomGramFilter:
         import json
         import os
 
+        from .dirswap import fs_read_bytes
+
         obj = cls.__new__(cls)
-        with open(os.path.join(path, "_BLOOM_META.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            fs_read_bytes(os.path.join(path, "_BLOOM_META.json"), spark)
+        )
         obj.n = int(meta["n"])
         obj.bits_per_gram = int(meta.get("bits_per_gram", 0))
         obj.m = int(meta["m"])
         obj.k = int(meta["k"])
         obj.n_grams = int(meta["n_grams"])
         obj.sig = int(meta["sig"])
-        with open(os.path.join(path, "bits.bin"), "rb") as f:
-            bits = f.read()
+        bits = fs_read_bytes(os.path.join(path, "bits.bin"), spark)
         obj._bc = spark.sparkContext.broadcast(bits)
         obj.grams = spark.read.schema("g string").parquet(
             os.path.join(path, "grams")
@@ -1004,7 +1006,9 @@ def ensure_bloom(
     is detected rather than silently served stale."""
     import os
 
-    if os.path.exists(os.path.join(path, "_BLOOM_META.json")):
+    from .dirswap import fs_exists
+
+    if fs_exists(os.path.join(path, "_BLOOM_META.json"), spark):
         bloom = BloomGramFilter.load(spark, path)
         # EVERY build parameter must match, not just the benchmark: a
         # changed bits_per_gram (FP-rate retune) must rebuild, never

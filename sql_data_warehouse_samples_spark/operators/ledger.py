@@ -46,19 +46,16 @@ LEDGER_SCHEMA = StructType(
 
 
 def _require_local(path: str) -> str:
-    """The ledgers' existence checks and crash-heal (dirswap) run on the
-    LOCAL filesystem: an ``s3://``/``hdfs://`` path would silently read as
-    empty (os.path.exists is always False for URIs) and quietly disable
-    dedup.  Fail loudly instead; remote stores need a Hadoop-FS port of
-    dirswap first."""
-    scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme not in ("", "file"):
-        raise ValueError(
-            f"ledger path must be on the local filesystem, got scheme "
-            f"{scheme!r} ({path}); the dirswap crash-heal machinery is "
-            "local-FS-only"
-        )
-    return path[len("file://"):] if scheme == "file" else path
+    """Validate the ledger path's store: every existence check, dir scan
+    and crash-heal below dispatches on the URI scheme (local ``os`` ops
+    for bare paths, the Hadoop FileSystem API otherwise — the r10
+    dirswap port), so local paths and atomic-rename stores (hdfs/abfs/
+    viewfs/...) both work.  Object-store schemes are still refused
+    LOUDLY: their rename is copy+delete, which breaks the staged-swap
+    crash contract AND would let a torn compact quietly disable dedup."""
+    from .dirswap import require_swap_capable
+
+    return require_swap_capable(path)
 
 
 def _safe_key(key: str) -> str:
@@ -84,8 +81,10 @@ def _own_keyed_rows(spark, root: str, key: str, fallback, own_pred, schema):
     batch_key predicate."""
     import os
 
+    from .dirswap import fs_isdir
+
     sub = os.path.join(root, f"batch-{key}")
-    if os.path.isdir(sub):
+    if fs_isdir(sub, spark):
         return spark.read.schema(schema).parquet(sub)
     return fallback.filter(own_pred)
 
@@ -100,12 +99,10 @@ class ContentHashLedger:
     def hashes(self) -> DataFrame:
         """The ledger as a one-column frame (empty if nothing ingested).
         Self-heals a compact() interrupted mid-swap first (dirswap)."""
-        import os
+        from .dirswap import fs_exists, recover
 
-        from .dirswap import recover
-
-        recover(self.path)
-        if not os.path.exists(self.path):  # nothing ingested yet
+        recover(self.path, self.spark)
+        if not fs_exists(self.path, self.spark):  # nothing ingested yet
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         return (
             self.spark.read.schema(LEDGER_SCHEMA)
@@ -323,12 +320,12 @@ class MinHashSignatureLedger:
         est_jaccard denominators.  The sidecar pins them: first ingest
         writes it, every open/ingest validates it."""
         import json
-        import os
+
+        from .dirswap import fs_exists, fs_read_bytes
 
         pf = self._params_file()
-        if os.path.exists(pf):
-            with open(pf) as f:
-                stored = json.load(f)
+        if fs_exists(pf, self.spark):
+            stored = json.loads(fs_read_bytes(pf, self.spark))
             mine = self._params()
             if stored != mine:
                 raise ValueError(
@@ -338,9 +335,10 @@ class MinHashSignatureLedger:
                     "a new ledger path"
                 )
         elif write:
-            os.makedirs(self.path, exist_ok=True)
-            with open(pf, "w") as f:
-                json.dump(self._params(), f)
+            from .dirswap import atomic_json_write, fs_mkdirs
+
+            fs_mkdirs(self.path, self.spark)
+            atomic_json_write(pf, self._params(), self.spark)
 
     def _sig_schema(self):
         from pyspark.sql.types import (
@@ -377,10 +375,10 @@ class MinHashSignatureLedger:
         scan without parquet partition discovery getting involved."""
         import os
 
-        from .dirswap import recover
+        from .dirswap import fs_exists, recover
 
-        recover(self.path)
-        if not os.path.exists(self.path):  # nothing ingested yet
+        recover(self.path, self.spark)
+        if not fs_exists(self.path, self.spark):  # nothing ingested yet
             return self.spark.createDataFrame([], self._sig_schema())
         return (
             self.spark.read.schema(self._sig_schema())
@@ -678,11 +676,15 @@ class MinHashSignatureLedger:
         # window after the swap in which the ledger exists unpinned (a
         # crash there would let a later reopen with wrong params re-pin
         # them silently — the exact failure the sidecar prevents)
-        import json
         import os
 
-        with open(os.path.join(stage, "_LEDGER_PARAMS.json"), "w") as f:
-            json.dump(self._params(), f)
+        from .dirswap import atomic_json_write
+
+        atomic_json_write(
+            os.path.join(stage, "_LEDGER_PARAMS.json"),
+            self._params(),
+            self.spark,
+        )
         swap_in(
             self.path,
             stage,

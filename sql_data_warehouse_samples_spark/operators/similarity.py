@@ -1362,12 +1362,14 @@ class IvfIndex:
     _BASE_KEY = "base"
 
     def __init__(self, path: str, centroids: list[tuple[int, list[float]]]):
-        from .ledger import _require_local
+        from .dirswap import require_swap_capable
 
         # the maintenance surface (dirswap staged swaps, u<N> counters,
         # tombstone/keyed-batch dir checks, emptied-partition cleanup) is
-        # local-FS — same contract as the ledgers; fail loudly on URIs
-        self.path = _require_local(path)
+        # scheme-dispatched — local paths and atomic-rename stores work;
+        # object stores are refused loudly (the staged-swap contract
+        # needs atomic directory rename)
+        self.path = require_swap_capable(path)
         self.centroids = centroids
 
     @classmethod
@@ -1696,6 +1698,21 @@ class IvfIndex:
             id_col, tombstone_dir=f"{self.path}/tombstones",
         )
 
+    def prune_tombstones(
+        self, spark, settled_keys=(), include_unreplayable: bool = False
+    ) -> int:
+        """Tombstone retention (see ``operators.bm25.prune_tombstones``):
+        drop forget-tombstones for batch keys that can never replay.
+        Run at maintenance cadence beside ``compact``."""
+        from .bm25 import prune_tombstones
+
+        return prune_tombstones(
+            spark,
+            f"{self.path}/tombstones",
+            settled_keys,
+            include_unreplayable=include_unreplayable,
+        )
+
 
 def _ivf_lists_forget(
     spark, lists_path: str, lists: DataFrame, vec_ids: DataFrame,
@@ -1716,8 +1733,7 @@ def _ivf_lists_forget(
     ``add`` replay checks so a crash-replay of the purged batch cannot
     resurrect forgotten vectors (the stored-subset guard alone would
     read the purge as a crashed partial write and re-ingest)."""
-    import os
-    import shutil
+    from .dirswap import fs_isdir, fs_listdir, fs_rmtree
 
     part_cols = ["centroid_id"] + (
         ["__bk"] if "__bk" in lists.columns else []
@@ -1787,13 +1803,13 @@ def _ivf_lists_forget(
         # absent partitions alone), then the centroid directory itself if
         # no sibling batch survives
         sub = "/".join(f"{c}={v}" for c, v in zip(part_cols, t))
-        shutil.rmtree(f"{lists_path}/{sub}", ignore_errors=True)
+        fs_rmtree(f"{lists_path}/{sub}", spark)
         cid_dir = f"{lists_path}/centroid_id={t[0]}"
-        if os.path.isdir(cid_dir) and not any(
+        if fs_isdir(cid_dir, spark) and not any(
             e.startswith("__bk=") or e.endswith(".parquet")
-            for e in os.listdir(cid_dir)
+            for e in fs_listdir(cid_dir, spark)
         ):
-            shutil.rmtree(cid_dir, ignore_errors=True)
+            fs_rmtree(cid_dir, spark)
     return removed
 
 
@@ -1822,15 +1838,17 @@ def _unkeyed_lists_name(lists_path: str) -> str:
     import os
     import re as _re
 
+    from .dirswap import fs_isdir, fs_listdir
+
     mx = -1
-    if os.path.isdir(lists_path):
-        for cd in os.listdir(lists_path):
+    if fs_isdir(lists_path):
+        for cd in fs_listdir(lists_path):
             if not cd.startswith("centroid_id="):
                 continue
             full = os.path.join(lists_path, cd)
-            if not os.path.isdir(full):
+            if not fs_isdir(full):
                 continue
-            for d in os.listdir(full):
+            for d in fs_listdir(full):
                 m = _re.fullmatch(r"__bk=u(\d+)", d)
                 if m:
                     mx = max(mx, int(m.group(1)))
@@ -1868,11 +1886,11 @@ class IvfPqIndex:
         codebooks: list[list[tuple[int, list[float]]]],
         residual: bool = False,
     ) -> None:
-        from .ledger import _require_local
+        from .dirswap import require_swap_capable
 
-        # same local-FS maintenance contract as IvfIndex (dirswap swaps,
-        # u<N> counters, tombstone dir checks)
-        self.path = _require_local(path)
+        # same scheme-dispatched maintenance contract as IvfIndex
+        # (dirswap swaps, u<N> counters, tombstone dir checks)
+        self.path = require_swap_capable(path)
         self.centroids = centroids
         self.codebooks = codebooks
         self.residual = residual
@@ -2205,4 +2223,19 @@ class IvfPqIndex:
         return _ivf_lists_forget(
             spark, f"{self.path}/lists", self._lists(spark), vec_ids,
             id_col, tombstone_dir=f"{self.path}/tombstones",
+        )
+
+    def prune_tombstones(
+        self, spark, settled_keys=(), include_unreplayable: bool = False
+    ) -> int:
+        """Tombstone retention (see ``operators.bm25.prune_tombstones``):
+        drop forget-tombstones for batch keys that can never replay.
+        Run at maintenance cadence beside ``compact``."""
+        from .bm25 import prune_tombstones
+
+        return prune_tombstones(
+            spark,
+            f"{self.path}/tombstones",
+            settled_keys,
+            include_unreplayable=include_unreplayable,
         )

@@ -145,11 +145,23 @@ def _run_scoped_key(checkpoint: str, batch_id: int) -> str:
     import logging
     import os
 
+    from ..operators.dirswap import fs_read_bytes
+
     try:
-        with open(os.path.join(checkpoint, "metadata")) as f:
-            qid = str(json.load(f)["id"])
+        # scheme-dispatched read: a remote checkpoint store (hdfs/abfs)
+        # must yield the scoped key too, not fall into the unscoped-key
+        # warning below (the "exotic checkpoint stores" escape hatch is
+        # now only for stores Hadoop cannot open)
+        qid = str(
+            json.loads(fs_read_bytes(os.path.join(checkpoint, "metadata")))[
+                "id"
+            ]
+        )
         return f"{qid.replace('-', '')[:12]}-{batch_id}"
-    except (OSError, ValueError, KeyError, TypeError) as exc:
+    # broad on purpose: a remote-store miss surfaces as a Py4J-wrapped
+    # java.io exception, not OSError — any unreadable metadata takes the
+    # loud fallback, never aborts the stream here
+    except Exception as exc:
         logging.getLogger(__name__).warning(
             "checkpoint %r has no readable query-id metadata (%s); "
             "falling back to the UNSCOPED batch id %r as the ledger "
@@ -298,6 +310,48 @@ def contamination_gate(
     ).drop("__cg_grams")
 
 
+def _prune_settled_tombstones(
+    spark, index_path: str, current_key: str, batch_id: int, margin: int
+) -> int:
+    """The engine-driven half of tombstone retention: micro-batches this
+    run committed ≥ ``margin`` batches ago can never replay (Spark's
+    commit log gates batch construction on the previous commit), so
+    their forget-tombstones are dead weight — prune them.  Only THIS
+    run's keys are touched (``<qid12>-<n>`` sharing ``current_key``'s
+    prefix): other checkpoint generations' keys are equally unreplayable
+    after a reset, but whether the old checkpoint is retired is operator
+    knowledge, not engine knowledge — those stay for
+    ``maintenance.prune_search_tombstones``.  Cost: one distinct over
+    the tombstone table (deletion-bounded, usually empty)."""
+    import os
+
+    from ..operators.bm25 import _has_parquet_data, prune_tombstones
+
+    ts_dir = os.path.join(index_path, "tombstones")
+    if not _has_parquet_data(ts_dir):
+        return 0
+    sk = str(batch_id)
+    if current_key == sk:
+        prefix = ""  # the unscoped-key fallback (already warned loudly)
+    elif current_key.endswith("-" + sk):
+        prefix = current_key[: -len(sk)]  # keeps the trailing '-'
+    else:  # defensive: unknown key shape — prune nothing
+        return 0
+    settled = []
+    for r in (
+        spark.read.parquet(ts_dir).select("__bk").distinct().collect()
+    ):
+        bk = r["__bk"]
+        if not (isinstance(bk, str) and bk.startswith("k-" + prefix)):
+            continue
+        tail = bk[len("k-" + prefix):]
+        if tail.isdigit() and int(tail) <= batch_id - margin:
+            settled.append(bk[2:])  # user-facing key: drop the "k-"
+    if not settled:
+        return 0
+    return prune_tombstones(spark, ts_dir, settled)
+
+
 def admission_sink(
     stream: DataFrame,
     pipeline,
@@ -313,6 +367,7 @@ def admission_sink(
     ivf_index=None,
     vec_col: str = "embedding",
     bloom_path: str | None = None,
+    prune_settled_after: int | None = None,
 ):
     """The FULL training-corpus admission sink: each micro-batch is
     (1) exactly decontaminated against the benchmark (Bloom prefilter +
@@ -370,6 +425,20 @@ def admission_sink(
     An ``operators.similarity.IvfPqIndex`` satisfies the same
     ``add(batch, id_col, vec_col, idempotency_key)`` interface, so a
     compressed serving index can ride the slot instead.
+
+    ``prune_settled_after`` (optional int) closes the tombstone-retention
+    loop end-to-end: once the sink is processing micro-batch N, Spark's
+    commit log already holds every batch ≤ N-1, so those batches' keys
+    can NEVER replay — they are settled by the engine itself, no operator
+    judgment needed.  With this set to ``m``, each batch prunes both
+    serving indexes' forget-tombstones for this run's keys of batches
+    ≤ N-m (``m=1`` is the tight engine-guaranteed bound; larger adds
+    margin for operators who also replay batches by hand).  Cost per
+    batch: one tombstone-table-sized distinct (usually empty → free);
+    keys from other checkpoint generations are left for
+    ``maintenance.prune_search_tombstones`` (a reset generation's keys
+    are also unreplayable, but only the operator knows the old
+    checkpoint is truly retired).
 
     CONCURRENCY: one admission sink per driver process (see
     ``neardup_admission_sink`` — the shared dedup._HOT_CACHES registry
@@ -431,6 +500,14 @@ def admission_sink(
                     vec_col=vec_col,
                     idempotency_key=_run_scoped_key(checkpoint, batch_id),
                 )
+        if prune_settled_after is not None:
+            key = _run_scoped_key(checkpoint, batch_id)
+            for idx in (bm25_index, ivf_index):
+                if idx is not None:
+                    _prune_settled_tombstones(
+                        batch_df.sparkSession, idx.path, key, batch_id,
+                        prune_settled_after,
+                    )
         if reject_dir is not None:
             dedup_rejects = (
                 clean.join(

@@ -230,20 +230,32 @@ def test_signature_ledger_params_sidecar(spark, tmp_path):
         MinHashSignatureLedger(spark, path, num_hashes=16, bands=8)
 
 
-def test_ledger_rejects_remote_schemes(spark, tmp_path):
+def test_ledger_rejects_object_store_schemes(spark, tmp_path):
+    """r10 contract: atomic-rename stores (hdfs/abfs/file/...) are
+    accepted — every FS op dispatches through the Hadoop FileSystem API
+    — while object stores stay refused loudly (their rename is
+    copy+delete, which breaks the staged-swap crash contract)."""
+    from sql_data_warehouse_samples_spark.operators.dirswap import (
+        require_swap_capable,
+    )
     from sql_data_warehouse_samples_spark.operators.ledger import (
         ContentHashLedger,
         MinHashSignatureLedger,
     )
 
     for cls in (ContentHashLedger, MinHashSignatureLedger):
-        with pytest.raises(ValueError, match="local"):
+        with pytest.raises(ValueError, match="atomic"):
             cls(spark, "s3://bucket/ledger")
-        with pytest.raises(ValueError, match="local"):
-            cls(spark, "hdfs://nn/ledger")
-    # file:// is the local scheme — accepted and normalized
+        with pytest.raises(ValueError, match="atomic"):
+            cls(spark, "gs://bucket/ledger")
+    # atomic-rename schemes pass validation (no FS touch at validate time)
+    assert require_swap_capable("hdfs://nn/ledger") == "hdfs://nn/ledger"
+    assert require_swap_capable("abfss://c@a.dfs.example/x").startswith("abfss")
+    # file:// is swap-capable and kept AS A URI — it runs through the
+    # Hadoop LocalFileSystem backend (full-stack coverage of the remote
+    # code path lives in test_round10_hardening)
     led = ContentHashLedger(spark, f"file://{tmp_path}/ok")
-    assert led.path == str(tmp_path / "ok")
+    assert led.path == f"file://{tmp_path}/ok"
 
 
 def test_content_ledger_keyed_replay_idempotent(spark, tmp_path):
