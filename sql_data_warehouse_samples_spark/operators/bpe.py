@@ -865,6 +865,40 @@ class Tokenizer:
             end_token=self.end_token,
         )
 
+    def decode(
+        self, df: DataFrame, ids_col: str = "token_ids",
+        out_col: str = "text_decoded",
+    ) -> DataFrame:
+        """Token-id arrays → text, map-only (the vocab list rides the udf
+        closure).  Inverse of ``encode`` up to whitespace normalization:
+        symbols concatenate and every end-of-word token becomes one
+        space, so ``decode(encode(t)) == ' '.join(tokens(t))`` whenever
+        no symbol fell to ``<unk>`` (OOV ids decode to their special's
+        literal string — lossy by construction, like any frozen vocab).
+        An id outside the vocab decodes to U+FFFD rather than crashing an
+        executor: corrupted shards surface as replacement characters AND
+        should be caught upstream by ``verify_tokenized_shards``."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        vocab, end = self.vocab, self.end_token
+
+        def _fn(col):
+            out = []
+            for ids in col:
+                if ids is None:
+                    out.append(None)
+                    continue
+                s = "".join(
+                    vocab[i] if 0 <= i < len(vocab) else "�"
+                    for i in ids
+                )
+                out.append(s.replace(end, " ").rstrip())
+            return pd.Series(out)
+
+        return df.withColumn(out_col, pandas_udf(_fn, StringType())(ids_col))
+
 
 def _tokenizer_sig(
     merges, base_symbols: list[str], specials, end_token: str

@@ -515,3 +515,43 @@ def test_tokenized_shard_export_pins_tokenizer_version(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(ValueError, match="integrity"):
         bpe.verify_tokenized_shards(spark, spath, apath)
+
+
+def test_tokenizer_decode_roundtrip(spark, tmp_path):
+    """decode is encode's inverse up to whitespace normalization when the
+    vocab covers the text; OOV round-trips to the unk special's literal;
+    a corrupt (out-of-vocab-range) id decodes to U+FFFD instead of
+    killing the executor."""
+    from sql_data_warehouse_samples_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower  lowest"), (2, "new newer newest"), (3, None)],
+        "doc_id: long, text: string",
+    )
+    alpha = bpe.corpus_base_symbols(docs)
+    merges = bpe.bpe_train_collected(docs, 6, min_count=1)
+    path = f"file://{tmp_path}/tok"
+    bpe.save_tokenizer(spark, path, merges, alpha)
+    tok = bpe.load_tokenizer(spark, path)
+
+    got = {
+        r["doc_id"]: r["text_decoded"]
+        for r in tok.decode(tok.encode(docs))
+        .select("doc_id", "text_decoded")
+        .collect()
+    }
+    # whitespace-normalized round-trip; NULL text stays NULL
+    assert got == {1: "low lower lowest", 2: "new newer newest", 3: None}
+
+    # OOV character: 'z' is not in the training alphabet
+    oov = spark.createDataFrame([(9, "zap low")], "doc_id: long, text: string")
+    dec = tok.decode(tok.encode(oov)).select("text_decoded").first()[0]
+    assert "low" in dec and "<unk>" in dec
+
+    # corrupt id -> replacement char, no crash
+    import pyspark.sql.functions as SF
+
+    frame = spark.createDataFrame([(1,)], "doc_id: long").withColumn(
+        "token_ids", SF.array(SF.lit(10 ** 6))
+    )
+    assert tok.decode(frame).select("text_decoded").first()[0] == "�"
