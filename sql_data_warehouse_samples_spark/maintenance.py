@@ -387,3 +387,74 @@ def prune_search_tombstones(
         settled_keys,
         include_unreplayable=include_unreplayable,
     )
+
+
+def corpus_maintenance_window(
+    spark: SparkSession,
+    pipeline=None,
+    ledger_files: int | None = 8,
+    docs: DataFrame | None = None,
+    consts_path: str | None = None,
+    text_col: str = "text",
+    indexes=(),
+    index_files_per_list: int | None = None,
+    settled_keys=(),
+    prune_unreplayable: bool = True,
+) -> dict:
+    """The worked maintenance runbook, as one call — everything a corpus
+    under an ``admission_sink`` needs at maintenance cadence, in the
+    order that keeps each step's invariants intact:
+
+    1. **Compact the admission ledgers** (``pipeline.compact`` — verified
+       staged dirswap each): folds ``batch-<key>/`` subdirs into
+       ``ledger_files`` files; keyed-replay exclusion survives via the
+       ``batch_key`` data column.
+    2. **Compact the serving indexes** (entries in ``indexes`` exposing
+       ``compact(spark, files_per_list)`` — the IVF family; ``Bm25Index``
+       has no small-file problem at bucket grain and is skipped): the
+       ``__bk`` layout is preserved, so later keyed replays stay sound.
+    3. **Prune forget-tombstones** (``prune_search_tombstones`` per
+       index): drops ``settled_keys`` and — by default — the
+       ``base``/``u<N>`` rows no replay ever consults.  Keys the
+       admission sink itself settles per-batch
+       (``prune_settled_after=``) are already gone; this pass is for
+       retired checkpoint generations the operator vouches for.
+    4. **Refresh the batch-scorer corpus constants**
+       (``refresh_search_constants`` when ``docs``+``consts_path`` are
+       given): one scalar aggregate re-pins (n_docs, avgdl) so the
+       large-vocabulary ``bm25_topk_batch`` path keeps its one-scan
+       property against the CURRENT corpus.
+
+    The decontamination Bloom is deliberately NOT here: it is pinned to
+    the benchmark (not the corpus) and ``ensure_bloom`` staleness-checks
+    it at stream (re)start — refreshing it mid-window would invalidate a
+    running sink's broadcast.
+
+    Returns a report dict (one entry per step that ran)."""
+    report: dict = {}
+    if pipeline is not None:
+        exact_rows, near_rows = pipeline.compact(ledger_files)
+        report["ledger_exact_rows"] = exact_rows
+        report["ledger_near_rows"] = near_rows
+    for idx in indexes:
+        name = f"{type(idx).__name__}:{idx.path}"
+        if hasattr(idx, "compact"):
+            kw = (
+                {"files_per_list": index_files_per_list}
+                if index_files_per_list is not None
+                else {}
+            )
+            report[f"compacted[{name}]"] = idx.compact(spark, **kw)
+        report[f"tombstones_pruned[{name}]"] = prune_search_tombstones(
+            spark,
+            idx.path,
+            settled_keys,
+            include_unreplayable=prune_unreplayable,
+        )
+    if docs is not None and consts_path is not None:
+        n_docs, avgdl = refresh_search_constants(
+            docs, consts_path, text_col=text_col
+        )
+        report["consts_n_docs"] = n_docs
+        report["consts_avgdl"] = avgdl
+    return report

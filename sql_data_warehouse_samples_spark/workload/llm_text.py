@@ -2829,3 +2829,36 @@ def t23_token_ids(spark, sf_dir):
     return enc.select(
         "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
     ).select("doc_id", F.col("pos").cast("int"), "token_id")
+
+
+# ---------------------------------------------------------------------------
+# t24 — tokenizer round-trip certification (operators/bpe.Tokenizer.decode):
+# encode under a corpus-covering vocabulary then decode, and the output is
+# the whitespace-normalized source text EXACTLY — the property a serving
+# stack must hold before token ids are worth shipping (id drift, vocab
+# truncation or a broken merge replay all break it).  The oracle is the
+# identity the property reduces to: TRIM + single-space re-join.  Merge
+# rules are irrelevant to the round-trip (decode concatenates whatever
+# segmentation encode produced), so the data-dependent trainer stays out
+# of the oracle on purpose; full merge semantics are t16/t17/t23's job.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t24_decode_roundtrip",
+    oracle=r"""
+SELECT doc_id,
+       array_to_string(string_split_regex(TRIM(text), '\s+'), ' ')
+         AS text_decoded
+FROM documents WHERE doc_id < 200
+""",
+)
+def t24_decode_roundtrip(spark, sf_dir):
+    from ..operators import bpe as B
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = [("e", "</w>")]
+    tok = B.Tokenizer(
+        merges, B.corpus_base_symbols(d), ("<unk>",), B.END_TOKEN, version=0
+    )
+    return tok.decode(tok.encode(d)).select("doc_id", "text_decoded")

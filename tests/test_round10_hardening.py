@@ -555,3 +555,76 @@ def test_tokenizer_decode_roundtrip(spark, tmp_path):
         "token_ids", SF.array(SF.lit(10 ** 6))
     )
     assert tok.decode(frame).select("text_decoded").first()[0] == "�"
+
+
+def test_corpus_maintenance_window_composition(spark, tmp_path):
+    """The one-call maintenance runbook: ledger compaction, IVF list
+    compaction, tombstone retention and the batch-scorer constants
+    refresh compose in the documented order and report each effect —
+    with every underlying invariant (keyed-replay exclusion after
+    compaction, __bk preservation, prune contract) already locked by
+    the per-piece tests."""
+    import json
+
+    from sql_data_warehouse_samples_spark import maintenance
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta one"),
+         (2, "iota kappa lambda mu nu xi omicron pi two")],
+        "doc_id: long, text: string",
+    )
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    pipe.admit(docs, idempotency_key="b0")
+
+    bm25 = Bm25Index.build(docs, str(tmp_path / "bm25"), n_buckets=4)
+    bm25.ingest(
+        spark.createDataFrame([(10, "rho sigma")], "doc_id: long, text: string"),
+        idempotency_key="k1",
+    )
+    bm25.forget(spark.createDataFrame([(10,), (1,)], "doc_id: long"))
+
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(6)], "vec_id: long, embedding: array<double>"
+    )
+    ivf = IvfIndex.build(emb, str(tmp_path / "ivf"), nlist=2)
+    ivf.add(
+        spark.createDataFrame(
+            [(50, _vec(50))], "vec_id: long, embedding: array<double>"
+        ),
+        idempotency_key="k1",
+    )
+    ivf.forget(spark, spark.createDataFrame([(50,)], "vec_id: long"))
+
+    report = maintenance.corpus_maintenance_window(
+        spark,
+        pipeline=pipe,
+        ledger_files=1,
+        docs=docs,
+        consts_path=str(tmp_path / "consts"),
+        indexes=(bm25, ivf),
+        settled_keys=["k1"],
+    )
+    # ledgers compacted and still hold both admitted docs
+    assert report["ledger_exact_rows"] == 2
+    assert report["ledger_near_rows"] == 2
+    # bm25: (10,k-k1)+(1,base) tombstones -> k1 settled + base unreplayable
+    assert report[f"tombstones_pruned[Bm25Index:{bm25.path}]"] == 2
+    assert not os.path.exists(tmp_path / "bm25" / "tombstones")
+    # ivf: compacted (report carries list count) + its k1 tombstone pruned
+    assert f"compacted[IvfIndex:{ivf.path}]" in report
+    assert report[f"tombstones_pruned[IvfIndex:{ivf.path}]"] == 1
+    assert not os.path.exists(tmp_path / "ivf" / "tombstones")
+    # constants snapshot pinned from the CURRENT corpus
+    assert report["consts_n_docs"] == 2
+    got = json.load(open(tmp_path / "consts" / "_BM25_CONSTS.json"))
+    assert got["n_docs"] == 2 and got["avgdl"] == 9.0
+    # keyed-replay exclusion survives ledger compaction (the step-1
+    # invariant): re-admitting b0 converges instead of rejecting its rows
+    assert pipe.admit(docs, idempotency_key="b0").count() == 2
