@@ -409,10 +409,12 @@ def corpus_maintenance_window(
        staged dirswap each): folds ``batch-<key>/`` subdirs into
        ``ledger_files`` files; keyed-replay exclusion survives via the
        ``batch_key`` data column.
-    2. **Compact the serving indexes** (entries in ``indexes`` exposing
-       ``compact(spark, files_per_list)`` — the IVF family; ``Bm25Index``
-       has no small-file problem at bucket grain and is skipped): the
-       ``__bk`` layout is preserved, so later keyed replays stay sound.
+    2. **Compact the serving indexes**: the IVF family's
+       ``compact(spark, files_per_list)`` preserves the ``__bk`` layout
+       so later keyed replays stay sound; ``Bm25Index.compact`` folds
+       ``base``/``u<N>``/settled-key subpartitions into ``base``
+       (``settled_keys`` is shared with step 3 — a key the operator
+       vouches as settled is safe to fold AND to prune).
     3. **Prune forget-tombstones** (``prune_search_tombstones`` per
        index): drops ``settled_keys`` and — by default — the
        ``base``/``u<N>`` rows no replay ever consults.  Keys the
@@ -436,15 +438,23 @@ def corpus_maintenance_window(
         exact_rows, near_rows = pipeline.compact(ledger_files)
         report["ledger_exact_rows"] = exact_rows
         report["ledger_near_rows"] = near_rows
+    import inspect
+
     for idx in indexes:
         name = f"{type(idx).__name__}:{idx.path}"
         if hasattr(idx, "compact"):
-            kw = (
-                {"files_per_list": index_files_per_list}
-                if index_files_per_list is not None
-                else {}
-            )
-            report[f"compacted[{name}]"] = idx.compact(spark, **kw)
+            params = inspect.signature(idx.compact).parameters
+            if "files_per_list" in params:  # IVF family
+                kw = (
+                    {"files_per_list": index_files_per_list}
+                    if index_files_per_list is not None
+                    else {}
+                )
+                report[f"compacted[{name}]"] = idx.compact(spark, **kw)
+            else:  # Bm25Index: fold settled/un-keyed batches into base
+                report[f"compacted[{name}]"] = idx.compact(
+                    settled_keys=settled_keys
+                )
         report[f"tombstones_pruned[{name}]"] = prune_search_tombstones(
             spark,
             idx.path,

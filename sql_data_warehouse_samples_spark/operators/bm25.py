@@ -724,6 +724,86 @@ class Bm25Index:
             include_unreplayable=include_unreplayable,
         )
 
+    def compact(
+        self, settled_keys=(), include_unkeyed: bool = True
+    ) -> int:
+        """Fold batch subpartitions into the ``base`` partition — the
+        small-file maintenance a long-running incremental ingest needs:
+        every micro-batch leaves one file per touched (term-bucket,
+        batch) pair, so after thousands of batches a bucket read opens
+        thousands of small files.  Folds the build's ``base``, the
+        un-keyed ``u<N>`` appends (``include_unkeyed`` — they have no
+        replay contract to preserve) and any SETTLED keyed batches;
+        LIVE keyed batches keep their ``__bk`` so their replay guard
+        keeps working.  The settled contract is ``prune_tombstones``'s:
+        fold only keys that provably cannot replay — a replay of a
+        folded key reads empty stored state and would re-ingest
+        (double count).  Full staged + verified rewrite of both tables,
+        ~one file per surviving partition (same cost class as
+        ``forget``; batch at maintenance cadence — see
+        ``maintenance.corpus_maintenance_window``).  Search results are
+        value-identical before/after (df/tf/doclens don't depend on
+        which batch a posting landed in).  Returns postings rows."""
+        import os
+
+        from .dirswap import recover, swap_in
+
+        if isinstance(settled_keys, str):
+            raise TypeError(
+                "settled_keys must be an iterable of keys, not a single "
+                f"string ({settled_keys!r}); wrap it in a list"
+            )
+        dead = ["k-" + _safe_index_key(k) for k in settled_keys]
+        fold = F.col("__bk") == self._BASE_KEY
+        if include_unkeyed:
+            fold = fold | F.col("__bk").rlike(r"^u[0-9]+$")
+        if dead:
+            fold = fold | F.col("__bk").isin(dead)
+        folded = F.when(fold, F.lit(self._BASE_KEY)).otherwise(
+            F.col("__bk")
+        )
+        posts_p = os.path.join(self.path, "postings")
+        lens_p = os.path.join(self.path, "doclens")
+        recover(posts_p, self.spark)
+        recover(lens_p, self.spark)
+        posts = (
+            self.spark.read.schema(self._posts_schema())
+            .parquet(posts_p)
+            .withColumn("__bk", folded)
+            # one task -> one file per surviving (__tb, __bk) partition
+            .repartition("__tb", "__bk")
+        )
+        stage = posts_p + "__compact"
+        posts.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(
+            stage
+        )
+        swap_in(
+            posts_p, stage,
+            verify=lambda p: self.spark.read.schema(self._posts_schema())
+            .parquet(p).first(),
+            spark=self.spark,
+        )
+        lens = (
+            self.spark.read.schema(self._lens_schema())
+            .parquet(lens_p)
+            .withColumn("__bk", folded)
+            .repartition("__bk")
+        )
+        stage_l = lens_p + "__compact"
+        lens.write.mode("overwrite").partitionBy("__bk").parquet(stage_l)
+        swap_in(
+            lens_p, stage_l,
+            verify=lambda p: self.spark.read.schema(self._lens_schema())
+            .parquet(p).first(),
+            spark=self.spark,
+        )
+        self._refresh_consts()
+        return (
+            self.spark.read.schema(self._posts_schema())
+            .parquet(posts_p)
+            .count()
+        )
+
     # -- search ----------------------------------------------------------
 
     def _buckets_for(self, vocab: list[str]) -> list[int]:

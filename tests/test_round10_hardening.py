@@ -617,6 +617,16 @@ def test_corpus_maintenance_window_composition(spark, tmp_path):
     # bm25: (10,k-k1)+(1,base) tombstones -> k1 settled + base unreplayable
     assert report[f"tombstones_pruned[Bm25Index:{bm25.path}]"] == 2
     assert not os.path.exists(tmp_path / "bm25" / "tombstones")
+    # bm25 compacted: the settled k1 batch folded into base (its two docs
+    # were forgotten, so base carries the surviving build doc)
+    assert report[f"compacted[Bm25Index:{bm25.path}]"] > 0
+    posts = tmp_path / "bm25" / "postings"
+    folded = {
+        d
+        for tb in os.listdir(posts) if tb.startswith("__tb=")
+        for d in os.listdir(posts / tb) if d.startswith("__bk=")
+    }
+    assert folded == {"__bk=base"}
     # ivf: compacted (report carries list count) + its k1 tombstone pruned
     assert f"compacted[IvfIndex:{ivf.path}]" in report
     assert report[f"tombstones_pruned[IvfIndex:{ivf.path}]"] == 1
@@ -628,3 +638,171 @@ def test_corpus_maintenance_window_composition(spark, tmp_path):
     # keyed-replay exclusion survives ledger compaction (the step-1
     # invariant): re-admitting b0 converges instead of rejecting its rows
     assert pipe.admit(docs, idempotency_key="b0").count() == 2
+
+
+def test_admission_sink_end_to_end_on_hadoop_uris(spark, tmp_path):
+    """The WHOLE admission surface on scheme-dispatched paths: ledgers,
+    corpus, reject audit, Bloom artifact, BOTH serving indexes and the
+    settled-key prune all addressed as file:// URIs (the Hadoop backend)
+    — a canary that would catch any remaining bare-os call on the sink
+    path the moment it silently no-ops on a URI."""
+    import datetime
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_round8_hardening import _text
+    from tests.test_streaming import _write_doc_batches
+
+    base = f"file://{tmp_path}"
+    ext_schema = SI.DOC_SCHEMA + ", embedding array<double>"
+
+    def row(doc_id, text):
+        return (
+            doc_id, text, "en", "web", len(text),
+            datetime.datetime(2024, 1, 1, 0, 0, int(doc_id) % 60),
+            _vec(doc_id),
+        )
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dup = _text("tok")
+    _write_doc_batches(
+        spark, src,
+        [
+            [row(21, dup), row(23, f"bad {bench_gram} bad")],
+            [row(30, dup), row(32, _text("alpha"))],
+        ],
+        ext_schema,
+    )
+    pipe = AdmissionPipeline(spark, base + "/ledgers")
+    seed = spark.createDataFrame(
+        [(0, _vec(90)), (1, _vec(91))], "vec_id: long, embedding: array<double>"
+    )
+    ivf = IvfIndex.build(seed, base + "/ivf", nlist=2)
+    bm25 = Bm25Index.build(
+        spark.createDataFrame([], "doc_id: long, text: string"),
+        base + "/bm25", n_buckets=8,
+    )
+
+    def run():
+        SI.admission_sink(
+            spark.readStream.schema(ext_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pipe,
+            base + "/corpus",
+            checkpoint=str(tmp_path / "ckpt"),
+            benchmark=bench,
+            reject_dir=base + "/rejects",
+            bm25_index=bm25,
+            ivf_index=ivf,
+            bloom_path=base + "/bloom",
+            prune_settled_after=1,
+        ).awaitTermination()
+
+    run()
+    # admitted: 21 (b0) + 32 (b1); 23 contaminated, 30 exact dup
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(base + "/corpus").collect()
+    ) == [21, 32]
+    reasons = {
+        (r.doc_id, r.reason)
+        for r in spark.read.parquet(base + "/rejects").collect()
+    }
+    assert reasons == {(23, "contaminated"), (30, "rejected_dedup")}
+    assert bm25.n_docs == 2
+    ivf_ids = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(base + "/ivf/lists")
+        .select("neighbor_id")
+        .collect()
+    )
+    assert ivf_ids == [0, 1, 21, 32]
+    # Bloom artifact persisted at the URI and reloadable
+    from sql_data_warehouse_samples_spark.operators.dedup import (
+        BloomGramFilter,
+    )
+
+    assert BloomGramFilter.load(spark, base + "/bloom").n_grams > 0
+    # replay converges on every URI surface
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(base + "/corpus").collect()
+    ) == [21, 32]
+    assert bm25.n_docs == 2 and ivf_ids == sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(base + "/ivf/lists")
+        .select("neighbor_id")
+        .collect()
+    )
+
+
+def test_bm25_index_compact_folds_batches(spark, tmp_path):
+    """Bm25Index.compact: base/u<N>/settled-key subpartitions fold into
+    base (small-file maintenance), LIVE keyed batches keep their __bk and
+    their replay guard, results are value-identical, and the documented
+    hazard — a folded key's replay re-ingests — is exactly the settled
+    contract."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id: long, text: string"
+    )
+    idx = Bm25Index.build(docs, str(tmp_path / "bm25"), n_buckets=4)
+    idx.ingest(
+        spark.createDataFrame([(10, "epsilon zeta")], "doc_id: long, text: string")
+    )  # u0
+    b_k1 = spark.createDataFrame(
+        [(20, "iota kappa")], "doc_id: long, text: string"
+    )
+    b_k2 = spark.createDataFrame(
+        [(30, "mu nu")], "doc_id: long, text: string"
+    )
+    idx.ingest(b_k1, idempotency_key="k1")
+    idx.ingest(b_k2, idempotency_key="k2")
+
+    def hits():
+        return {
+            (r["doc_id"], round(r["bm25"], 6))
+            for q in ("alpha", "epsilon", "iota", "mu")
+            for r in idx.topk(q, k=5).collect()
+        }
+
+    def bks():
+        posts = tmp_path / "bm25" / "postings"
+        out = set()
+        for tb in os.listdir(posts):
+            if tb.startswith("__tb="):
+                out |= {
+                    d for d in os.listdir(posts / tb)
+                    if d.startswith("__bk=")
+                }
+        return out
+
+    before = hits()
+    assert bks() == {"__bk=base", "__bk=u0", "__bk=k-k1", "__bk=k-k2"}
+    n = idx.compact(settled_keys=["k1"])
+    assert n == 10  # 5 docs x 2 terms
+    assert bks() == {"__bk=base", "__bk=k-k2"}
+    assert hits() == before
+    assert idx.n_docs == 5
+    # reopen from disk agrees (meta re-settled)
+    assert Bm25Index(spark, str(tmp_path / "bm25")).n_docs == 5
+
+    # LIVE key k2: replay still converges (its stored rows survived)
+    idx.ingest(b_k2, idempotency_key="k2")
+    assert idx.n_docs == 5
+    # folded key k1: replay re-ingests — the settled-keys-only contract
+    idx.ingest(b_k1, idempotency_key="k1")
+    assert idx.n_docs == 6
