@@ -432,6 +432,12 @@ def corpus_maintenance_window(
     it at stream (re)start — refreshing it mid-window would invalidate a
     running sink's broadcast.
 
+    QUIESCE FIRST: run this while the admission sink is stopped (between
+    ``availableNow`` triggers, or after ``query.stop()``).  The compacts
+    staged-swap whole tables; a micro-batch ingesting concurrently could
+    land files in a directory that is about to be swapped away.  Same
+    single-writer assumption as every ledger/index maintenance op.
+
     Returns a report dict (one entry per step that ran)."""
     report: dict = {}
     if pipeline is not None:

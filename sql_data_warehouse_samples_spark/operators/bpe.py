@@ -953,7 +953,12 @@ def save_tokenizer(
     is fully written before the ``_CURRENT.json`` pointer flips
     atomically.  Readers pinned to an old version are untouched
     (version dirs are immutable once published); a crash anywhere before
-    the pointer flip leaves ``load_tokenizer`` on the previous version."""
+    the pointer flip leaves ``load_tokenizer`` on the previous version.
+
+    Single PUBLISHER at a time (readers are unrestricted): two
+    concurrent saves can race the version scan onto one v{N}.  Publish
+    from the same maintenance window that owns the other single-writer
+    ops."""
     import os
     import re as _re
 

@@ -31,6 +31,17 @@ Alluxio, local.  Object stores (s3/gs/wasb/oss/cos) fake rename as
 copy+delete — non-atomic and O(data) — and are refused LOUDLY; at
 production scale those use a manifest/pointer object instead of renames
 (the standard table-format approach), which is out of scope here.
+
+Note the refusal applies to the DIRECTORY-SWAP surfaces (ledgers,
+serving indexes) — they are what ``require_swap_capable`` guards.  The
+single-file artifact surfaces (the tokenizer version store, the BM25
+corpus-constants snapshot, the Bloom artifact) never swap directories:
+they write immutable version/artifact trees plus a small pointer/meta
+object, which is exactly the manifest/pointer shape object stores
+support — on such stores ``atomic_write``'s tmp+rename degrades to
+copy+delete of one small object (readers see old or new; the tmp is
+transient), an acceptable contract for those surfaces.  They
+deliberately do NOT call ``require_swap_capable``.
 """
 
 from __future__ import annotations

@@ -501,6 +501,15 @@ def admission_sink(
                     idempotency_key=_run_scoped_key(checkpoint, batch_id),
                 )
         if prune_settled_after is not None:
+            # margin < 1 would prune THIS batch's own key while its
+            # commit is still pending — a crash here replays it and the
+            # replay would resurrect forgotten docs; 1 is the engine-
+            # guaranteed floor (batch N runs only after N-1 committed)
+            if prune_settled_after < 1:
+                raise ValueError(
+                    "prune_settled_after must be >= 1: the current "
+                    "batch's key is not settled until its commit lands"
+                )
             key = _run_scoped_key(checkpoint, batch_id)
             for idx in (bm25_index, ivf_index):
                 if idx is not None:
