@@ -1133,3 +1133,50 @@ def verify_tokenized_shards(
             "(count/checksum mismatch vs the manifest)"
         )
     return tok
+
+
+def prune_tokenizer_versions(
+    spark, path: str, keep_latest: int = 2, pinned=()
+) -> list[int]:
+    """Retention for the version store (the tombstone-prune analogue for
+    tokenizer artifacts): drop published versions beyond the newest
+    ``keep_latest``, NEVER the ``_CURRENT`` pointer's target and never a
+    version in ``pinned`` — pass every version live exports still pin
+    (their ``_TOKENIZER_PIN.json``'s ``version``); pruning a pinned
+    version would turn those shards' ids undecodable, exactly the
+    failure ``verify_tokenized_shards`` exists to catch.  Torn
+    never-published directories older than the keep set are dropped too
+    (they are unreachable by construction).  Returns dropped versions."""
+    import json
+    import os
+    import re as _re
+
+    from .dirswap import fs_listdir, fs_read_bytes, fs_rmtree
+
+    if isinstance(pinned, (str, int)):
+        raise TypeError(
+            "pinned must be an iterable of version numbers, not "
+            f"{pinned!r}; wrap it in a list"
+        )
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    cur = int(
+        json.loads(fs_read_bytes(os.path.join(path, "_CURRENT.json"), spark))[
+            "version"
+        ]
+    )
+    keep = set(int(v) for v in pinned) | {cur}
+    all_dirs = sorted(
+        int(m.group(1))
+        for d in fs_listdir(path, spark)
+        if (m := _re.fullmatch(r"v(\d+)", d))
+    )
+    published = tokenizer_versions(spark, path)
+    keep |= set(published[-keep_latest:])
+    dropped = []
+    for v in all_dirs:
+        if v in keep:
+            continue
+        fs_rmtree(os.path.join(path, f"v{v}"), spark)
+        dropped.append(v)
+    return dropped

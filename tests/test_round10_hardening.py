@@ -806,3 +806,103 @@ def test_bm25_index_compact_folds_batches(spark, tmp_path):
     # folded key k1: replay re-ingests — the settled-keys-only contract
     idx.ingest(b_k1, idempotency_key="k1")
     assert idx.n_docs == 6
+
+
+def test_ivf_retrain_preserves_keyed_replay_and_tombstones(spark, tmp_path):
+    """The last maintenance/replay composition: retrain() rebuilds the
+    quantizer and re-lists every vector, but __bk rides along — so a
+    keyed replay AFTER a retrain still converges (its stored rows
+    re-assign under the same new quantizer the guard uses), key reuse
+    for different content is still refused, and a forget's tombstone
+    still blocks resurrection across the retrain."""
+    import pytest as _pytest
+
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], "vec_id: long, embedding: array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(50, _vec(50)), (51, _vec(51))],
+        "vec_id: long, embedding: array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(base, path, nlist=2)
+    idx.add(batch, idempotency_key="k1")
+    idx.forget(spark, spark.createDataFrame([(50,)], "vec_id: long"))
+
+    idx.retrain(spark, train_iters=2)
+
+    def ids():
+        return sorted(
+            r.neighbor_id
+            for r in spark.read.parquet(f"{path}/lists")
+            .select("neighbor_id")
+            .collect()
+        )
+
+    want = sorted(list(range(8)) + [51])
+    assert ids() == want
+    # keyed replay after retrain: converges, and the pre-retrain
+    # tombstone still blocks the forgotten vector
+    idx.add(batch, idempotency_key="k1")
+    assert ids() == want
+    # key reuse for DIFFERENT content is still refused post-retrain
+    with _pytest.raises(ValueError, match="different batch"):
+        idx.add(base.limit(2), idempotency_key="k1")
+    # the __bk layout survived the retrain (spot-check the partition dirs)
+    bks = {
+        d
+        for cd in os.listdir(f"{path}/lists") if cd.startswith("centroid_id=")
+        for d in os.listdir(f"{path}/lists/{cd}") if d.startswith("__bk=")
+    }
+    assert "__bk=k-k1" in bks and any(b == "__bk=base" for b in bks)
+
+
+def test_prune_tokenizer_versions_retention(spark, tmp_path):
+    """Version-store retention mirrors tombstone retention: the newest
+    keep_latest versions, the CURRENT target and every pinned version
+    survive; everything else (torn dirs included) drops — and a pinned
+    export keeps verifying after the prune."""
+    from sql_data_warehouse_samples_spark.operators import bpe
+    from sql_data_warehouse_samples_spark.operators.dirswap import (
+        atomic_json_write,
+        fs_mkdirs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower lowest doc{i}") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    alpha = bpe.corpus_base_symbols(docs)
+    path = f"file://{tmp_path}/tok"
+    for n in (2, 3, 4, 5):
+        bpe.save_tokenizer(
+            spark, path, bpe.bpe_train_collected(docs, n, min_count=1), alpha
+        )
+    # export pinned to v2
+    spath = str(tmp_path / "shards")
+    bpe.export_tokenized_shards(
+        docs, spath, bpe.load_tokenizer(spark, path, version=2), n_shards=2
+    )
+    # a torn dir (meta-less) below the keep set
+    fs_mkdirs(path + "/v0", spark)
+
+    with pytest.raises(ValueError):
+        bpe.prune_tokenizer_versions(spark, path, keep_latest=0)
+    with pytest.raises(TypeError):
+        bpe.prune_tokenizer_versions(spark, path, pinned=2)
+
+    dropped = bpe.prune_tokenizer_versions(
+        spark, path, keep_latest=1, pinned=[2]
+    )
+    # keep: v4 (CURRENT + newest), v2 (pinned); drop: v0 (torn), v1, v3
+    assert dropped == [0, 1, 3]
+    assert bpe.tokenizer_versions(spark, path) == [2, 4]
+    assert bpe.load_tokenizer(spark, path).version == 4
+    # the pinned export still certifies end-to-end
+    assert bpe.verify_tokenized_shards(spark, spath, path).version == 2
+    with pytest.raises(Exception):
+        bpe.load_tokenizer(spark, path, version=3)
