@@ -2191,6 +2191,125 @@ class IvfPqIndex:
             .parquet(f"{self.path}/lists")
         )
 
+    def retrain(
+        self,
+        spark,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        nlist: int | None = None,
+        train_iters: int = 2,
+        pq_iters: int = 0,
+        round_to: int = 6,
+    ) -> "IvfPqIndex":
+        """Coarse-quantizer + codebook re-training for the compressed
+        index — the drift remediation the frozen ``add()`` path defers,
+        completing the maintenance story ``IvfIndex.retrain`` already
+        has.  PQ lists store CODES, not vectors, so the caller supplies
+        the RAW corpus (normally the admitted corpus the sink
+        maintains); every INDEXED id is re-encoded under the new
+        quantizer and codebooks with its ``__bk`` riding along, so a
+        keyed replay after the retrain still converges and forget
+        tombstones keep blocking (the IvfIndex.retrain composition
+        contract, test-locked for both classes).  Indexed ids MISSING
+        from ``corpus`` abort loudly — they cannot be re-encoded, and
+        silently dropping them would un-serve admitted documents (fix
+        the corpus/forget mismatch first).  ``m``/``k_pq`` stay fixed
+        (they define the stored code layout; changing them is a
+        ``build``).  Single-writer: quiesce the sink first; the lists
+        swap in verified, then centroids/codebooks overwrite — the same
+        brief new-lists/old-constants window as IvfIndex.retrain."""
+        from .dirswap import swap_in
+
+        lists = self._lists(spark)
+        _require_bk_layout(lists, self.path, "IvfPqIndex", "retrain()")
+        src = (
+            lists.select("neighbor_id", "__bk")
+            .join(
+                _spread(
+                    corpus.select(
+                        F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("__cvec"),
+                    )
+                ),
+                "neighbor_id",
+                "left",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if src.filter(F.col("__cvec").isNull()).limit(1).count():
+            raise ValueError(
+                f"index at {self.path!r} holds vector ids absent from the "
+                "supplied corpus; PQ lists store codes, not vectors, so "
+                "those rows cannot be re-encoded — forget() them or "
+                "supply the full admitted corpus"
+            )
+        m = len(self.codebooks)
+        k_pq = max(len(b) for b in self.codebooks)
+        new_cents = kmeans_centroids(
+            src, id_col="neighbor_id", vec_col="__cvec",
+            nlist=nlist or len(self.centroids), iters=train_iters,
+            round_to=round_to,
+        )
+        assigned = assign_centroids(
+            src.select("neighbor_id", "__cvec"), "__cvec", new_cents,
+            round_to,
+        )
+        if self.residual:
+            cents_df = spark.createDataFrame(
+                list(new_cents), "centroid_id long, __cent array<double>"
+            )
+            enc_src = assigned.join(
+                F.broadcast(cents_df), "centroid_id"
+            ).withColumn(
+                "__evec",
+                F.zip_with("__cvec", "__cent", lambda a, b: a.cast("double") - b),
+            )
+        else:
+            enc_src = assigned.withColumn("__evec", F.col("__cvec"))
+        train_frame = enc_src.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("__evec").alias("embedding"),
+        )
+        if pq_iters > 0:
+            books = pq_train(train_frame, m=m, k=k_pq, iters=pq_iters,
+                             round_to=round_to)
+        else:
+            books = pq_codebooks(train_frame, m=m, k=k_pq)
+        encoded = pq_encode(
+            enc_src, books, id_col="neighbor_id", vec_col="__evec",
+            round_to=round_to,
+        ).select(
+            "neighbor_id",
+            F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
+        )
+        rows = (
+            encoded.join(
+                assigned.select("neighbor_id", "centroid_id"), "neighbor_id"
+            )
+            .join(src.select("neighbor_id", "__bk"), "neighbor_id")
+        )
+        stage = f"{self.path}/lists__retrain"
+        rows.write.partitionBy("centroid_id", "__bk").mode(
+            "overwrite"
+        ).parquet(stage)
+        live = f"{self.path}/lists"
+        swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
+        spark.createDataFrame(
+            list(new_cents), "centroid_id long, __cent array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/centroids"
+        )
+        spark.createDataFrame(
+            [(j, c, v) for j, b in enumerate(books) for c, v in b],
+            "j long, code long, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/codebooks"
+        )
+        self.centroids = list(new_cents)
+        self.codebooks = books
+        return self
+
     def compact(self, spark, files_per_list: int = 1) -> int:
         """Rebuild accumulated add() batches into ``files_per_list``
         files per (centroid, batch) partition via the verified staged

@@ -906,3 +906,61 @@ def test_prune_tokenizer_versions_retention(spark, tmp_path):
     assert bpe.verify_tokenized_shards(spark, spath, path).version == 2
     with pytest.raises(Exception):
         bpe.load_tokenizer(spark, path, version=3)
+
+
+def test_ivfpq_retrain_reencodes_under_keyed_contract(spark, tmp_path):
+    """IvfPqIndex.retrain: codes re-encode under the new quantizer +
+    codebooks with __bk riding along — keyed replay converges across the
+    retrain, reuse stays refused, search serves the re-encoded lists,
+    and an indexed id missing from the supplied corpus aborts loudly."""
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfPqIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(8)],
+        "vec_id: long, embedding: array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(50, _vec(50, 8)), (51, _vec(51, 8))],
+        "vec_id: long, embedding: array<double>",
+    )
+    path = str(tmp_path / "pq")
+    idx = IvfPqIndex.build(base, path, nlist=2, m=4, k_pq=4)
+    idx.add(batch, idempotency_key="k1")
+    idx.forget(spark, spark.createDataFrame([(50,)], "vec_id: long"))
+
+    # indexed ids missing from the corpus → loud abort, index untouched
+    with pytest.raises(ValueError, match="absent"):
+        idx.retrain(spark, base.limit(2))
+
+    corpus = base.unionByName(batch)  # extra (forgotten) ids are fine
+    idx.retrain(spark, corpus, train_iters=2, pq_iters=1)
+
+    def ids():
+        return sorted(
+            r.neighbor_id
+            for r in spark.read.parquet(f"{path}/lists")
+            .select("neighbor_id")
+            .collect()
+        )
+
+    want = sorted(list(range(8)) + [51])
+    assert ids() == want
+    # keyed replay post-retrain converges; tombstone still blocks 50
+    idx.add(batch, idempotency_key="k1")
+    assert ids() == want
+    with pytest.raises(ValueError, match="different batch"):
+        idx.add(base.limit(2), idempotency_key="k1")
+    # search serves the re-encoded lists (ADC under the NEW codebooks)
+    q = spark.createDataFrame(
+        [(777, _vec(51, 8))], "vec_id: long, embedding: array<double>"
+    )
+    got = idx.search(q, k=1, nprobe=2).collect()
+    # _vec(51) == _vec(0) (51 = 3*17 -> same mod-17 coordinates), so the
+    # exact-distance tie may resolve to either id; both prove the
+    # re-encoded lists serve correctly
+    assert got and got[0].neighbor_id in (0, 51) and got[0].adc_d2 == 0.0
+    # a reopened handle sees the new quantizer/codebooks
+    re = IvfPqIndex.load(spark, path)
+    assert re.centroids == idx.centroids and re.codebooks == idx.codebooks
