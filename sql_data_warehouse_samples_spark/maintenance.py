@@ -474,3 +474,68 @@ def corpus_maintenance_window(
         report["consts_n_docs"] = n_docs
         report["consts_avgdl"] = avgdl
     return report
+
+
+def remediate_index_drift(
+    spark: SparkSession,
+    index,
+    max_count_ratio: float = 4.0,
+    corpus: DataFrame | None = None,
+    train_iters: int = 2,
+) -> dict:
+    """Monitoring → remediation for a served vector index, closing the
+    loop ``balance()``/``snapshot_balance()`` only observes: compute the
+    list-population skew (max/median vector count over the inverted
+    lists — skewed ``add()`` batches pile near-copies onto few lists,
+    degrading both probe recall and partition pruning), and when it
+    exceeds ``max_count_ratio``, ``retrain()`` the quantizer and report
+    the before/after ratios.  ``IvfPqIndex.retrain`` re-encodes from raw
+    vectors, so pass ``corpus`` (the admitted corpus) for a compressed
+    index — omitting it raises BEFORE any rewrite rather than after.
+
+    Threshold-gated rather than cadence-gated on purpose: a retrain
+    rewrites every list, so it should run when drift is REAL, not every
+    window.  Run from the same quiesced single-writer context as
+    ``corpus_maintenance_window``.  Returns
+    {ratio, retrained, ratio_after?}."""
+    import inspect
+
+    def _skew() -> tuple[float, int, int]:
+        counts = sorted(
+            r["n"]
+            for r in index._lists(spark)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not counts:
+            return 0.0, 0, 0
+        # LOWER median: for an even list count the upper-median index
+        # can BE the max (n=2 → ratio 1.0 however skewed), silently
+        # muting detection exactly where few lists make skew worst
+        median = counts[(len(counts) - 1) // 2]
+        return counts[-1] / max(median, 1), counts[-1], median
+
+    ratio, mx, med = _skew()
+    report = {
+        "ratio": ratio,
+        "max_count": mx,
+        "median_count": med,
+        "threshold": max_count_ratio,
+        "retrained": False,
+    }
+    if ratio <= max_count_ratio:
+        return report
+    needs_corpus = "corpus" in inspect.signature(index.retrain).parameters
+    if needs_corpus:
+        if corpus is None:
+            raise ValueError(
+                "a compressed (PQ) index re-encodes from raw vectors: "
+                "pass corpus= (the admitted corpus) to remediate its drift"
+            )
+        index.retrain(spark, corpus, train_iters=train_iters)
+    else:
+        index.retrain(spark, train_iters=train_iters)
+    report["retrained"] = True
+    report["ratio_after"], report["max_count_after"], _ = _skew()
+    return report

@@ -964,3 +964,47 @@ def test_ivfpq_retrain_reencodes_under_keyed_contract(spark, tmp_path):
     # a reopened handle sees the new quantizer/codebooks
     re = IvfPqIndex.load(spark, path)
     assert re.centroids == idx.centroids and re.codebooks == idx.codebooks
+
+
+def test_remediate_index_drift_threshold_gated(spark, tmp_path):
+    """The monitoring→remediation loop: skew below the threshold is
+    observed but NOT acted on; above it, retrain fires and the reported
+    ratio drops.  A PQ index without a corpus refuses before any
+    rewrite."""
+    from sql_data_warehouse_samples_spark import maintenance
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        IvfPqIndex,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex.build(e, str(tmp_path / "ivf"), nlist=8, train_iters=1)
+    r0 = maintenance.remediate_index_drift(spark, idx, max_count_ratio=50.0)
+    assert r0["retrained"] is False and r0["ratio"] >= 1.0
+
+    # skewed batch: many near-copies of one vector pile onto few lists
+    seed_vec = e.filter("vec_id = 3").select("embedding").first()["embedding"]
+    skew = spark.createDataFrame(
+        [(10_000 + i, [float(x) * (1.0 + 0.001 * (i % 3)) for x in seed_vec])
+         for i in range(200)],
+        "vec_id: long, embedding: array<double>",
+    )
+    idx.add(skew)
+    r1 = maintenance.remediate_index_drift(spark, idx, max_count_ratio=3.0)
+    assert r1["retrained"] is True
+    assert r1["ratio"] > 3.0 and r1["ratio_after"] < r1["ratio"]
+
+    # PQ: corpus required BEFORE any rewrite
+    base8 = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(8)],
+        "vec_id: long, embedding: array<double>",
+    )
+    pq = IvfPqIndex.build(base8, str(tmp_path / "pq"), nlist=2, m=4, k_pq=4)
+    pq.add(
+        spark.createDataFrame(
+            [(100 + i, _vec(3, 8)) for i in range(30)],
+            "vec_id: long, embedding: array<double>",
+        )
+    )
+    with pytest.raises(ValueError, match="corpus"):
+        maintenance.remediate_index_drift(spark, pq, max_count_ratio=1.5)
