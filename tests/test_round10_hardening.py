@@ -1008,3 +1008,49 @@ def test_remediate_index_drift_threshold_gated(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="corpus"):
         maintenance.remediate_index_drift(spark, pq, max_count_ratio=1.5)
+
+
+def test_prune_settled_tombstones_key_shapes(spark, tmp_path):
+    """Unit-level lock on the settled-key parser: only THIS run's keys
+    (prefix + all-digit tail ≤ batch_id - margin) prune; the unscoped
+    fallback prunes bare-digit keys only; unknown current-key shapes
+    prune nothing (defensive)."""
+    from sql_data_warehouse_samples_spark.operators.bm25 import (
+        _merge_tombstones,
+    )
+    from sql_data_warehouse_samples_spark.streaming.ingest import (
+        _prune_settled_tombstones,
+    )
+
+    idx_path = str(tmp_path / "idx")
+    ts = spark.createDataFrame(
+        [
+            (1, "k-abc-0"),      # this run, settled (0 <= 4)
+            (2, "k-abc-4"),      # this run, settled too (4 <= 5-1)
+            (3, "k-abc-5x"),     # non-digit tail -> never
+            (4, "k-other-0"),    # foreign generation -> never
+            (5, "k-3"),          # bare-digit (unscoped generation)
+            (6, "base"),         # unreplayable grain, not this helper's job
+        ],
+        "doc_id: long, __bk: string",
+    )
+    _merge_tombstones(f"{idx_path}/tombstones", ts)
+
+    # scoped key: prefix 'abc-', batch 5, margin 1 -> batches 0 and 4 go
+    assert _prune_settled_tombstones(spark, idx_path, "abc-5", 5, 1) == 2
+    left = {
+        r["__bk"]
+        for r in spark.read.parquet(f"{idx_path}/tombstones").collect()
+    }
+    assert left == {"k-abc-5x", "k-other-0", "k-3", "base"}
+
+    # unknown current-key shape -> defensive no-op
+    assert _prune_settled_tombstones(spark, idx_path, "weird", 5, 1) == 0
+
+    # unscoped fallback (current_key == str(batch_id)): bare digits only
+    assert _prune_settled_tombstones(spark, idx_path, "5", 5, 1) == 1
+    left2 = {
+        r["__bk"]
+        for r in spark.read.parquet(f"{idx_path}/tombstones").collect()
+    }
+    assert left2 == {"k-abc-5x", "k-other-0", "base"}
