@@ -135,6 +135,10 @@ HEADLINE = [
     # round-9: corpus -> token-id export (two map-only Arrow passes with a
     # per-worker word memo; the alphabet aggregate is the only shuffle)
     "t23_token_ids",
+    # r9 session 2: the decode half of the serving loop — t23's encode
+    # plus one map-only vocab-lookup pass; the delta vs t23 IS the
+    # decode throughput
+    "t24_decode_roundtrip",
 ]
 
 
@@ -262,6 +266,9 @@ SF1_SUBSET = [
     # sf1 ratio shows the memo amortization (repeated words segment once
     # per worker)
     "t23_token_ids",
+    # r9 session 2: encode+decode round trip — the decode term rides the
+    # same memo, so the sf1 ratio should track t23's
+    "t24_decode_roundtrip",
 ]
 
 
