@@ -2862,3 +2862,70 @@ def t24_decode_roundtrip(spark, sf_dir):
         merges, B.corpus_base_symbols(d), ("<unk>",), B.END_TOKEN, version=0
     )
     return tok.decode(tok.encode(d)).select("doc_id", "text_decoded")
+
+
+# ---------------------------------------------------------------------------
+# t25 — tokenizer fertility (tokens per word), the standard tokenizer-eval
+# metric a vocab decision is made on: a fertility near 1 means whole-word
+# tokens, near avg-word-length+1 means the tokenizer degraded to characters.
+# Exact oracle via t23's closed form: under the single explicit merge
+# ('e','</w>'), a word of L characters costs L+1 symbols unless it ends in
+# 'e' (the merge absorbs the end token) — so per-doc token counts are
+# computable in SQL without replaying BPE.  Whitespace-only/empty docs are
+# excluded on BOTH sides (the one place engine tokenize-empty conventions
+# diverge).  The data-dependent merge semantics stay t16/t17/t23's job.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t25_tokenizer_fertility",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws
+  FROM documents
+  WHERE doc_id < 200 AND LEN(TRIM(text)) > 0
+),
+words AS (
+  SELECT d.doc_id, d.ws[CAST(u.i AS INT) + 1] AS w
+  FROM docs d, UNNEST(range(0, LEN(d.ws))) AS u(i)
+),
+per_word AS (
+  SELECT doc_id,
+         LEN(regexp_extract_all(w, '.'))
+           + CASE WHEN w LIKE '%e' THEN 0 ELSE 1 END AS n_syms
+  FROM words WHERE w <> ''
+)
+SELECT doc_id,
+       CAST(SUM(n_syms) AS INT) AS n_tokens,
+       CAST(COUNT(*) AS INT) AS n_words,
+       ROUND(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 6) AS fertility
+FROM per_word
+GROUP BY doc_id
+""",
+)
+def t25_tokenizer_fertility(spark, sf_dir):
+    from ..operators import bpe as B
+    from ..operators.text import tokens
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    merges = [("e", "</w>")]
+    vocab = B.bpe_vocab(merges, B.corpus_base_symbols(d))
+    enc = B.encode_token_ids(d, merges, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").alias("n_tokens"),
+        F.size(F.filter(tokens("text"), lambda x: x != F.lit(""))).alias(
+            "n_words"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_words",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+    )
