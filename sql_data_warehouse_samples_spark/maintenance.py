@@ -539,3 +539,30 @@ def remediate_index_drift(
     report["retrained"] = True
     report["ratio_after"], report["max_count_after"], _ = _skew()
     return report
+
+
+def run_quiesced(maintenance_fn, query=None, restart_fn=None):
+    """The single-writer maintenance contract as code instead of
+    docstring: stop the active streaming sink (if any), run the
+    maintenance closure, restart.  Returns ``(result, new_query)``.
+
+    Safe at any stop point BECAUSE of the exactly-once keying: stopping
+    mid-micro-batch abandons a partially-applied batch, and the restart
+    replays it under the same run-scoped key — ledger appends, corpus
+    partitions and index subpartitions all converge (the replay
+    contracts every sink component carries).  Typical use::
+
+        report, query = run_quiesced(
+            lambda: corpus_maintenance_window(spark, pipeline=pipe,
+                                              indexes=(bm25, ivf), ...),
+            query=query,
+            restart_fn=lambda: admission_sink(stream, pipe, out, ckpt,
+                                              bm25_index=bm25, ...),
+        )
+    """
+    if query is not None and query.isActive:
+        query.stop()
+        query.awaitTermination()
+    result = maintenance_fn()
+    new_q = restart_fn() if restart_fn is not None else None
+    return result, new_q

@@ -651,3 +651,17 @@ def test_t20_auc_window_runs_over_distinct_scores_not_corpus(spark):
     assert "HashAggregate" in window_child
     # shuffles: score-agg exchange + the single-partition window + final agg
     assert count_exchanges(df) <= 3
+
+
+def test_t24_t25_tokenizer_rows_are_map_only(spark):
+    """t24 (decode round-trip) and t25 (fertility) must be pure map
+    passes over the documents scan — the encode/decode Arrow UDFs and
+    the size/division projections add ZERO exchanges (the corpus
+    alphabet is a control-plane collect that happens before the plan is
+    built, so it never appears as a shuffle in the result plan).  At
+    100 TB these are single-scan, no-shuffle jobs."""
+    for name in ("t24_decode_roundtrip", "t25_tokenizer_fertility"):
+        df = workload.QUERIES[name](spark, SF)
+        plan = plan_str(df)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name

@@ -1054,3 +1054,35 @@ def test_prune_settled_tombstones_key_shapes(spark, tmp_path):
         for r in spark.read.parquet(f"{idx_path}/tombstones").collect()
     }
     assert left2 == {"k-abc-5x", "k-other-0", "base"}
+
+
+def test_run_quiesced_stops_runs_restarts(spark):
+    """The quiesce helper: an ACTIVE query is stopped before the closure
+    runs, the closure's result comes back, and the restart closure's
+    query is returned; an already-terminated (or absent) query is a
+    no-op to stop."""
+    from sql_data_warehouse_samples_spark import maintenance
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    assert q.isActive
+    seen = {}
+
+    def maint():
+        seen["was_active_during_maint"] = q.isActive
+        return 42
+
+    res, q2 = maintenance.run_quiesced(
+        maint, query=q, restart_fn=lambda: "restarted"
+    )
+    assert res == 42 and q2 == "restarted"
+    assert seen["was_active_during_maint"] is False
+    assert not q.isActive
+    # absent / already-stopped query: plain pass-through
+    res2, q3 = maintenance.run_quiesced(lambda: "ok", query=q)
+    assert res2 == "ok" and q3 is None
