@@ -875,6 +875,13 @@ class Tokenizer:
         space, so ``decode(encode(t)) == ' '.join(tokens(t))`` whenever
         no symbol fell to ``<unk>`` (OOV ids decode to their special's
         literal string — lossy by construction, like any frozen vocab).
+        Known delimiter collision: the replacement scans the CONCATENATED
+        string, so source text containing the literal end-token substring
+        (``</w>`` by default — four base chars that concatenate back into
+        the delimiter) decodes those chars to a space, breaking the
+        round-trip identity on such corpora.  Pick an ``end_token`` that
+        cannot appear in the corpus (any unused codepoint works) when
+        training over text that may contain the default literally.
         An id outside the vocab decodes to U+FFFD rather than crashing an
         executor: corrupted shards surface as replacement characters AND
         should be caught upstream by ``verify_tokenized_shards``."""

@@ -69,8 +69,16 @@ def require_swap_capable(path: str) -> str:
     indexes) stands on.  Object-store schemes are refused LOUDLY: their
     rename is copy+delete (non-atomic, O(data)), so a crash mid-"rename"
     would leave exactly the torn state the swap exists to prevent, and
-    an unknown scheme is refused rather than assumed safe.  Returns the
-    path unchanged (URIs stay URIs — every filesystem op downstream
+    an unknown scheme is refused rather than assumed safe.  CAVEAT
+    (abfs/abfss): directory rename is atomic only on
+    HIERARCHICAL-NAMESPACE accounts (ADLS Gen2 with HNS enabled) — a
+    flat-namespace blob account mounted via abfs renames as copy+delete
+    and re-opens the torn-swap window this check exists to refuse.  The
+    scheme alone cannot distinguish the two (account capability, not URI
+    shape), so accepting abfs encodes the operator's assertion that the
+    account is HNS; on flat-namespace accounts use the manifest/pointer
+    layout (``generations`` backend) instead.  Returns the path
+    unchanged (URIs stay URIs — every filesystem op downstream
     dispatches on the scheme)."""
     s = _scheme(path)
     if s not in _ATOMIC_RENAME_SCHEMES:

@@ -2223,8 +2223,21 @@ class IvfPqIndex:
 
         lists = self._lists(spark)
         _require_bk_layout(lists, self.path, "IvfPqIndex", "retrain()")
-        src = (
+        # An id may legally live under MULTIPLE __bk batches (repeated
+        # unkeyed or differently-keyed add()), so the id→batch pairs and
+        # the id→vector frame are kept SEPARATE: training/assignment/
+        # encoding run once per distinct id, and the (id, __bk) pairs
+        # join back at the end — joining the multi-batch frame to itself
+        # on neighbor_id alone would fan d source rows out to d^3,
+        # writing d^2 duplicate codes per batch partition.
+        pairs = (
             lists.select("neighbor_id", "__bk")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        src = (
+            pairs.select("neighbor_id")
+            .distinct()
             .join(
                 _spread(
                     corpus.select(
@@ -2235,6 +2248,7 @@ class IvfPqIndex:
                 "neighbor_id",
                 "left",
             )
+            .dropDuplicates(["neighbor_id"])
             .localCheckpoint(eager=True)
         )
         if src.filter(F.col("__cvec").isNull()).limit(1).count():
@@ -2283,11 +2297,14 @@ class IvfPqIndex:
             "neighbor_id",
             F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
         )
+        # encoded and assigned are one row per id here (src was deduped
+        # above), so this chain is 1×1×|batches-per-id| — each (id, __bk)
+        # pair gets exactly one code row
         rows = (
             encoded.join(
                 assigned.select("neighbor_id", "centroid_id"), "neighbor_id"
             )
-            .join(src.select("neighbor_id", "__bk"), "neighbor_id")
+            .join(pairs, "neighbor_id")
         )
         stage = f"{self.path}/lists__retrain"
         rows.write.partitionBy("centroid_id", "__bk").mode(

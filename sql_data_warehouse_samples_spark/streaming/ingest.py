@@ -332,7 +332,15 @@ def _prune_settled_tombstones(
         return 0
     sk = str(batch_id)
     if current_key == sk:
-        prefix = ""  # the unscoped-key fallback (already warned loudly)
+        # Unscoped-key fallback (already warned loudly at key
+        # construction): with no run-scoped prefix, an all-digit __bk is
+        # indistinguishable from an operator-chosen numeric idempotency
+        # key (e.g. '20240101') or a PRIOR unscoped generation's batch —
+        # neither is provably settled by THIS run's commit log, and
+        # pruning one brings back the pruned-key-replay-resurrects
+        # hazard.  Engine-driven pruning stays off entirely; those keys
+        # belong to operator-driven maintenance.prune_search_tombstones.
+        return 0
     elif current_key.endswith("-" + sk):
         prefix = current_key[: -len(sk)]  # keeps the trailing '-'
     else:  # defensive: unknown key shape — prune nothing

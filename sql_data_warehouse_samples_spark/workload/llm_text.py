@@ -2841,6 +2841,10 @@ def t23_token_ids(spark, sf_dir):
 # rules are irrelevant to the round-trip (decode concatenates whatever
 # segmentation encode produced), so the data-dependent trainer stays out
 # of the oracle on purpose; full merge semantics are t16/t17/t23's job.
+# The exact-equality check additionally depends on the corpus never
+# containing the literal end-token substring '</w>' (decode's documented
+# delimiter collision — such chars would decode to a space and the oracle
+# identity would not hold); the synthetic documents table satisfies this.
 # ---------------------------------------------------------------------------
 
 

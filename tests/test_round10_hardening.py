@@ -1013,8 +1013,9 @@ def test_remediate_index_drift_threshold_gated(spark, tmp_path):
 def test_prune_settled_tombstones_key_shapes(spark, tmp_path):
     """Unit-level lock on the settled-key parser: only THIS run's keys
     (prefix + all-digit tail ≤ batch_id - margin) prune; the unscoped
-    fallback prunes bare-digit keys only; unknown current-key shapes
-    prune nothing (defensive)."""
+    fallback prunes NOTHING (an all-digit __bk could be an
+    operator-chosen key or a prior generation's — r9 ADVICE); unknown
+    current-key shapes prune nothing (defensive)."""
     from sql_data_warehouse_samples_spark.operators.bm25 import (
         _merge_tombstones,
     )
@@ -1047,13 +1048,17 @@ def test_prune_settled_tombstones_key_shapes(spark, tmp_path):
     # unknown current-key shape -> defensive no-op
     assert _prune_settled_tombstones(spark, idx_path, "weird", 5, 1) == 0
 
-    # unscoped fallback (current_key == str(batch_id)): bare digits only
-    assert _prune_settled_tombstones(spark, idx_path, "5", 5, 1) == 1
+    # unscoped fallback (current_key == str(batch_id)): engine-driven
+    # pruning is OFF entirely — 'k-3' could equally be an operator-chosen
+    # numeric idempotency key (e.g. '20240101') or a prior unscoped
+    # generation's batch; neither is provably settled by THIS run's
+    # commit log.  Those keys stay for maintenance.prune_search_tombstones.
+    assert _prune_settled_tombstones(spark, idx_path, "5", 5, 1) == 0
     left2 = {
         r["__bk"]
         for r in spark.read.parquet(f"{idx_path}/tombstones").collect()
     }
-    assert left2 == {"k-abc-5x", "k-other-0", "base"}
+    assert left2 == {"k-abc-5x", "k-other-0", "k-3", "base"}
 
 
 def test_run_quiesced_stops_runs_restarts(spark):
