@@ -476,6 +476,27 @@ def corpus_maintenance_window(
     return report
 
 
+def index_skew(spark: SparkSession, index) -> tuple[float, int, int]:
+    """List-population skew of a served vector index: (max/lower-median
+    vector count over the inverted lists, max, median) — the drift
+    signal ``remediate_index_drift`` gates on and the
+    ``IndexMaintenanceScheduler`` polls.  One nlist-row aggregate."""
+    counts = sorted(
+        r["n"]
+        for r in index._lists(spark)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not counts:
+        return 0.0, 0, 0
+    # LOWER median: for an even list count the upper-median index
+    # can BE the max (n=2 → ratio 1.0 however skewed), silently
+    # muting detection exactly where few lists make skew worst
+    median = counts[(len(counts) - 1) // 2]
+    return counts[-1] / max(median, 1), counts[-1], median
+
+
 def remediate_index_drift(
     spark: SparkSession,
     index,
@@ -501,20 +522,7 @@ def remediate_index_drift(
     import inspect
 
     def _skew() -> tuple[float, int, int]:
-        counts = sorted(
-            r["n"]
-            for r in index._lists(spark)
-            .groupBy("centroid_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        if not counts:
-            return 0.0, 0, 0
-        # LOWER median: for an even list count the upper-median index
-        # can BE the max (n=2 → ratio 1.0 however skewed), silently
-        # muting detection exactly where few lists make skew worst
-        median = counts[(len(counts) - 1) // 2]
-        return counts[-1] / max(median, 1), counts[-1], median
+        return index_skew(spark, index)
 
     ratio, mx, med = _skew()
     report = {
@@ -541,7 +549,8 @@ def remediate_index_drift(
     return report
 
 
-def run_quiesced(maintenance_fn, query=None, restart_fn=None):
+def run_quiesced(maintenance_fn, query=None, restart_fn=None, lease=None,
+                 owner: str = "maintenance"):
     """The single-writer maintenance contract as code instead of
     docstring: stop the active streaming sink (if any), run the
     maintenance closure, restart.  Returns ``(result, new_query)``.
@@ -559,10 +568,297 @@ def run_quiesced(maintenance_fn, query=None, restart_fn=None):
             restart_fn=lambda: admission_sink(stream, pipe, out, ckpt,
                                               bm25_index=bm25, ...),
         )
-    """
+
+    ``lease`` (a ``WriterLease``): after the quiesce, the maintenance
+    TAKES OVER the writer lease (force-acquire is legitimate here — the
+    previous holder was just stopped), holds it for the window, and
+    releases before restarting, so the restarted sink re-acquires
+    cleanly.  Any still-running foreign writer fails its next
+    ``require`` loudly instead of racing the compaction."""
     if query is not None and query.isActive:
         query.stop()
         query.awaitTermination()
-    result = maintenance_fn()
+    token = None
+    if lease is not None:
+        token = lease.acquire(owner, force=True)
+    try:
+        result = maintenance_fn()
+    finally:
+        if lease is not None:
+            lease.release(token)
     new_q = restart_fn() if restart_fn is not None else None
     return result, new_q
+
+
+class WriterLease:
+    """The single-writer contract as a CHECKED lock instead of a
+    docstring: one small ``_WRITER_LEASE.json`` beside the guarded
+    surfaces (pipeline root, index root), written via the same
+    scheme-dispatched atomic primitives as every sidecar.
+
+    Semantics are fencing-token-lite: ``acquire`` stores a fresh token
+    and returns it; ``require(token)`` verifies the stored token still
+    matches — so when maintenance (or a misconfigured second writer)
+    takes the lease over, the displaced writer's NEXT batch fails loudly
+    instead of silently racing a compaction.  ``acquire(force=False)``
+    refuses while another holder's lease is on disk (the
+    concurrent-second-writer refusal); ``force=True`` is for legitimate
+    takeover — ``run_quiesced`` after stopping the holder, or crash
+    recovery when the holder is known dead.
+
+    ADVISORY, not mutual exclusion: with no compare-and-swap primitive
+    on plain stores, two simultaneous force-acquires both "succeed" and
+    the loser only finds out at its next ``require``.  That converts
+    silent double-writer corruption into a loud failure — the contract
+    this class exists to check — but true fencing needs a coordination
+    service, which is out of scope by design."""
+
+    FILE = "_WRITER_LEASE.json"
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        from .operators.dirswap import require_swap_capable
+
+        self.spark = spark
+        self.root = require_swap_capable(root)
+
+    def _file(self) -> str:
+        import os
+
+        return os.path.join(self.root, self.FILE)
+
+    def holder(self) -> dict | None:
+        """The current lease record ({owner, token}) or None."""
+        import json
+
+        from .operators.dirswap import fs_exists, fs_read_bytes
+
+        if not fs_exists(self._file(), self.spark):
+            return None
+        return json.loads(fs_read_bytes(self._file(), self.spark))
+
+    def acquire(self, owner: str, force: bool = False) -> str:
+        """Take the lease; returns the fencing token ``require`` checks.
+        Refuses while a DIFFERENT owner's lease exists unless
+        ``force=True`` (quiesced takeover / crash recovery).  The same
+        owner re-acquires freely — a crashed sink restarting under its
+        own identity must not be blocked by its own stale lease; the
+        token rotation still fences out a zombie instance of it."""
+        import uuid
+
+        from .operators.dirswap import atomic_json_write, fs_mkdirs
+
+        cur = self.holder()
+        if cur is not None and cur.get("owner") != owner and not force:
+            raise RuntimeError(
+                f"writer lease at {self._file()} is held by "
+                f"{cur['owner']!r}; stop that writer first (run_quiesced "
+                "takes the lease over for you), or force=True if it is "
+                "known dead"
+            )
+        token = uuid.uuid4().hex
+        fs_mkdirs(self.root, self.spark)
+        atomic_json_write(self._file(), {"owner": owner, "token": token},
+                          self.spark)
+        return token
+
+    def require(self, token: str) -> None:
+        """Assert this writer still holds the lease — called per
+        micro-batch by a lease-guarded sink (one small read).  A
+        mismatch means the lease was taken over; fail BEFORE writing."""
+        cur = self.holder()
+        if cur is None or cur.get("token") != token:
+            raise RuntimeError(
+                f"writer lease at {self._file()} was "
+                + ("released" if cur is None else
+                   f"taken over by {cur['owner']!r}")
+                + " — this writer must stop (quiesce contract)"
+            )
+
+    def release(self, token: str) -> None:
+        """Release the lease if this token still holds it (idempotent:
+        releasing an already-displaced or missing lease is a no-op for
+        the displaced holder — the new holder keeps it)."""
+        import os as _os
+
+        from .operators.dirswap import _hfs, fs_exists
+
+        cur = self.holder()
+        if cur is None or cur.get("token") != token:
+            return
+        f = self._file()
+        h = _hfs(f, self.spark)
+        if h is None:
+            if _os.path.exists(f):
+                _os.remove(f)
+        elif fs_exists(f, self.spark):
+            h.rmtree(f)
+
+
+class IndexMaintenanceScheduler:
+    """Trigger-driven ops loop for the serving-corpus maintenance story —
+    the wlm/ops ladder pattern (``FleetAutoScale``'s tag-gated tick with
+    decision-log rows) applied to ``run_quiesced`` +
+    ``corpus_maintenance_window`` + ``remediate_index_drift``.
+
+    Triggers, each optional:
+
+    * ``settled_every``: fire when the sink's Spark commit log
+      (``<checkpoint>/commits``) shows ≥ N batches committed since the
+      last maintenance window — the "enough small files accumulated"
+      cadence.  Progress persists in a ``_MAINT_STATE.json`` sidecar at
+      ``state_path`` so restarts do not re-trigger or lose cadence.
+    * ``drift_threshold``: fire when any registered vector index's
+      list-population skew (``index_skew``) exceeds it — the
+      "quantizer went stale" signal.  The fired window then runs
+      ``remediate_index_drift`` per vector index (PQ indexes re-encode
+      from raw vectors: supply ``corpus_fn`` or their drift is reported
+      but deferred, loudly, in the decision row).
+
+    Each ``tick`` evaluates the triggers and either logs a ``none`` row
+    (with what it observed) or runs ONE quiesced maintenance window —
+    stop the sink, take the writer lease, compact ledgers + indexes,
+    prune settled tombstones, drift-remediate, release, restart — and
+    logs a ``maintain`` row carrying the window's full report.  Drive it
+    from whatever scheduler owns cadence (the reference runs these as
+    scheduled Logic Apps / SQL Agent jobs — arm-templates/
+    sqlDwLogicAppAutoScale; tick == one recurrence firing)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pipeline=None,
+        indexes=(),
+        checkpoint: str | None = None,
+        settled_every: int | None = None,
+        drift_threshold: float | None = None,
+        corpus_fn=None,
+        state_path: str | None = None,
+        lease: WriterLease | None = None,
+        window_kwargs: dict | None = None,
+    ) -> None:
+        if settled_every is not None:
+            if checkpoint is None or state_path is None:
+                raise ValueError(
+                    "settled_every needs checkpoint= (the sink's commit "
+                    "log) and state_path= (cadence progress sidecar)"
+                )
+            if settled_every < 1:
+                raise ValueError("settled_every must be >= 1")
+        self.spark = spark
+        self.pipeline = pipeline
+        self.indexes = tuple(indexes)
+        self.checkpoint = checkpoint
+        self.settled_every = settled_every
+        self.drift_threshold = drift_threshold
+        self.corpus_fn = corpus_fn
+        self.state_path = state_path
+        self.lease = lease
+        self.window_kwargs = dict(window_kwargs or {})
+        self.decisions: list[dict] = []
+
+    # -- observations ----------------------------------------------------
+
+    def committed_batches(self) -> int:
+        """Highest batch id the sink's commit log proves settled (-1
+        before the first commit) — one small dir listing."""
+        import os
+
+        from .operators.dirswap import fs_listdir
+
+        names = fs_listdir(os.path.join(self.checkpoint, "commits"),
+                           self.spark)
+        ids = [int(n) for n in names if n.isdigit()]
+        return max(ids) if ids else -1
+
+    def _state(self) -> dict:
+        import json
+
+        from .operators.dirswap import fs_exists, fs_read_bytes
+
+        if self.state_path is None or not fs_exists(self.state_path,
+                                                    self.spark):
+            return {"last_batch": -1, "windows": 0}
+        return json.loads(fs_read_bytes(self.state_path, self.spark))
+
+    def _save_state(self, state: dict) -> None:
+        from .operators.dirswap import atomic_json_write
+
+        atomic_json_write(self.state_path, state, self.spark)
+
+    def _vector_indexes(self):
+        return [i for i in self.indexes if hasattr(i, "centroids")]
+
+    def due(self) -> list[str]:
+        """The trigger reasons that currently fire (empty = nothing due).
+        Pure observation — cheap enough to poll every tick."""
+        reasons = []
+        if self.settled_every is not None:
+            n = self.committed_batches()
+            last = self._state()["last_batch"]
+            if n - last >= self.settled_every:
+                reasons.append(f"settled_batches:{n - last}")
+        if self.drift_threshold is not None:
+            for idx in self._vector_indexes():
+                ratio, _, _ = index_skew(self.spark, idx)
+                if ratio > self.drift_threshold:
+                    reasons.append(
+                        f"drift[{type(idx).__name__}]:{round(ratio, 2)}"
+                    )
+        return reasons
+
+    # -- the loop ----------------------------------------------------------
+
+    def _log(self, action: str, detail) -> dict:
+        row = {"action": action, "detail": detail}
+        self.decisions.append(row)
+        return row
+
+    def tick(self, query=None, restart_fn=None):
+        """One recurrence firing.  Returns ``(decision_row, new_query)``
+        — ``new_query`` is the restarted sink when a window ran (else
+        the passed ``query``, unchanged)."""
+        import inspect
+
+        reasons = self.due()
+        if not reasons:
+            return self._log("none", "no trigger due"), query
+
+        def _window():
+            report = corpus_maintenance_window(
+                self.spark, self.pipeline, indexes=self.indexes,
+                **self.window_kwargs,
+            )
+            if self.drift_threshold is not None:
+                for idx in self._vector_indexes():
+                    name = f"{type(idx).__name__}:{idx.path}"
+                    needs_corpus = "corpus" in inspect.signature(
+                        idx.retrain
+                    ).parameters
+                    if needs_corpus and self.corpus_fn is None:
+                        report[f"drift[{name}]"] = {
+                            "deferred": "PQ retrain needs corpus_fn="
+                        }
+                        continue
+                    report[f"drift[{name}]"] = remediate_index_drift(
+                        self.spark, idx,
+                        max_count_ratio=self.drift_threshold,
+                        corpus=self.corpus_fn() if needs_corpus else None,
+                    )
+            return report
+
+        report, new_q = run_quiesced(
+            _window, query=query, restart_fn=restart_fn, lease=self.lease,
+            owner="maintenance_scheduler",
+        )
+        if self.settled_every is not None:
+            state = self._state()
+            self._save_state(
+                {
+                    "last_batch": self.committed_batches(),
+                    "windows": state["windows"] + 1,
+                }
+            )
+        return (
+            self._log("maintain", {"reasons": reasons, "report": report}),
+            new_q if new_q is not None else query,
+        )

@@ -448,8 +448,10 @@ class Bm25Index:
         # the maintenance surface (meta sidecar reads, dirswap staged
         # swaps, u<N> counters, tombstone/keyed-batch dir checks) is
         # scheme-dispatched — local paths and atomic-rename stores
-        # (hdfs/abfs/...) work; object stores are refused loudly (the
-        # staged-swap contract needs atomic directory rename)
+        # (hdfs/abfs/...) run the staged-swap protocol; object stores run
+        # the pointer-file generations protocol (reads and in-place
+        # writes resolve through dirswap.read_path, rewrites publish via
+        # a _CURRENT pointer); only unknown schemes are refused
         self.path = require_swap_capable(path)
         m = json.loads(
             fs_read_bytes(os.path.join(path, "_BM25_META.json"), spark)
@@ -526,9 +528,14 @@ class Bm25Index:
         # ingest: DYNAMIC overwrite touches only the batch's own
         # (__tb, __bk=key) partitions — a keyed replay converges
         ovm = "static" if overwrite else "dynamic"
+        from .dirswap import read_path
+
+        # in-place batch writes land in the CURRENT generation (dirswap)
         posts.write.mode("overwrite").option(
             "partitionOverwriteMode", ovm
-        ).partitionBy("__tb", "__bk").parquet(os.path.join(path, "postings"))
+        ).partitionBy("__tb", "__bk").parquet(
+            read_path(os.path.join(path, "postings"))
+        )
         lens = (
             postings.select(id_col, "dl")
             .distinct()
@@ -536,15 +543,19 @@ class Bm25Index:
         )
         lens.write.mode("overwrite").option(
             "partitionOverwriteMode", ovm
-        ).partitionBy("__bk").parquet(os.path.join(path, "doclens"))
+        ).partitionBy("__bk").parquet(
+            read_path(os.path.join(path, "doclens"))
+        )
 
     def _refresh_consts(self) -> None:
         """Recompute (n_docs, avgdl) from the doclens table and pin them in
         the meta sidecar — idempotent, so ingest replays converge."""
         import os
 
+        from .dirswap import read_path
+
         stats = self.spark.read.schema(self._lens_schema()).parquet(
-            os.path.join(self.path, "doclens")
+            read_path(os.path.join(self.path, "doclens"), self.spark)
         ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
         self.n_docs = int(stats.n)
         self.avgdl = float(stats.a) if stats.a is not None else 0.0
@@ -600,9 +611,13 @@ class Bm25Index:
             if idempotency_key is not None
             else None
         )
+        from .dirswap import read_path
+
         if key is None:
             _warn_unkeyed_into_keyed_index(
-                self.path, os.path.join(self.path, "postings"), "__tb="
+                self.path,
+                read_path(os.path.join(self.path, "postings"), self.spark),
+                "__tb=",
             )
         bposts = None
         if key is not None:
@@ -621,7 +636,9 @@ class Bm25Index:
             # materialize the batch postings ONCE: the guard and the
             # write both consume them (batch-sized)
             bposts = bposts.localCheckpoint(eager=True)
-            posts_p = os.path.join(self.path, "postings")
+            posts_p = read_path(
+                os.path.join(self.path, "postings"), self.spark
+            )
             stored = (
                 self.spark.read.schema(self._posts_schema()).parquet(posts_p)
                 .filter(F.col("__bk") == key)
@@ -653,7 +670,7 @@ class Bm25Index:
         remaining."""
         import os
 
-        from .dirswap import swap_in
+        from .dirswap import read_path, stage_path, swap_in
 
         idc = id_col or self.id_col
         purge = F.broadcast(
@@ -662,7 +679,7 @@ class Bm25Index:
         posts_p = os.path.join(self.path, "postings")
         lens_p = os.path.join(self.path, "doclens")
         pre_posts = self.spark.read.schema(self._posts_schema()).parquet(
-            posts_p
+            read_path(posts_p, self.spark)
         )
         # tombstone the purged (id, batch) pairs BEFORE the rewrite: the
         # record a later keyed ingest REPLAY checks, so a crash-replay of
@@ -680,7 +697,7 @@ class Bm25Index:
         if not pairs.isEmpty():
             _merge_tombstones(os.path.join(self.path, "tombstones"), pairs)
         kept = pre_posts.join(purge, self.id_col, "left_anti")
-        stage = posts_p + "__forget"
+        stage = stage_path(posts_p, "forget", self.spark)
         kept.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(stage)
         # REAL verify (the ledger/IVF pattern): an unreadable staged tree
         # must raise so swap_in keeps the live index, never promote junk
@@ -691,9 +708,11 @@ class Bm25Index:
             .parquet(p)
             .first(),
         )
-        pre_lens = self.spark.read.schema(self._lens_schema()).parquet(lens_p)
+        pre_lens = self.spark.read.schema(self._lens_schema()).parquet(
+            read_path(lens_p, self.spark)
+        )
         kept_lens = pre_lens.join(purge, self.id_col, "left_anti")
-        stage_l = lens_p + "__forget"
+        stage_l = stage_path(lens_p, "forget", self.spark)
         kept_lens.write.mode("overwrite").partitionBy("__bk").parquet(stage_l)
         swap_in(
             lens_p,
@@ -705,7 +724,7 @@ class Bm25Index:
         self._refresh_consts()
         return (
             self.spark.read.schema(self._posts_schema())
-            .parquet(posts_p)
+            .parquet(read_path(posts_p, self.spark))  # re-resolve post-swap
             .count()
         )
 
@@ -746,7 +765,7 @@ class Bm25Index:
         which batch a posting landed in).  Returns postings rows."""
         import os
 
-        from .dirswap import recover, swap_in
+        from .dirswap import read_path, stage_path, swap_in
 
         if isinstance(settled_keys, str):
             raise TypeError(
@@ -764,16 +783,14 @@ class Bm25Index:
         )
         posts_p = os.path.join(self.path, "postings")
         lens_p = os.path.join(self.path, "doclens")
-        recover(posts_p, self.spark)
-        recover(lens_p, self.spark)
         posts = (
             self.spark.read.schema(self._posts_schema())
-            .parquet(posts_p)
+            .parquet(read_path(posts_p, self.spark))
             .withColumn("__bk", folded)
             # one task -> one file per surviving (__tb, __bk) partition
             .repartition("__tb", "__bk")
         )
-        stage = posts_p + "__compact"
+        stage = stage_path(posts_p, "compact", self.spark)
         posts.write.mode("overwrite").partitionBy("__tb", "__bk").parquet(
             stage
         )
@@ -785,11 +802,11 @@ class Bm25Index:
         )
         lens = (
             self.spark.read.schema(self._lens_schema())
-            .parquet(lens_p)
+            .parquet(read_path(lens_p, self.spark))
             .withColumn("__bk", folded)
             .repartition("__bk")
         )
-        stage_l = lens_p + "__compact"
+        stage_l = stage_path(lens_p, "compact", self.spark)
         lens.write.mode("overwrite").partitionBy("__bk").parquet(stage_l)
         swap_in(
             lens_p, stage_l,
@@ -800,7 +817,7 @@ class Bm25Index:
         self._refresh_consts()
         return (
             self.spark.read.schema(self._posts_schema())
-            .parquet(posts_p)
+            .parquet(read_path(posts_p, self.spark))  # re-resolve post-swap
             .count()
         )
 
@@ -843,10 +860,13 @@ class Bm25Index:
         )
         if not vocab:
             raise ValueError("no query has any terms")
+        from .dirswap import read_path
+
         buckets = self._buckets_for(vocab)
         pruned = (
             self.spark.read.schema(self._posts_schema())
-            .parquet(os.path.join(self.path, "postings"))
+            .parquet(read_path(os.path.join(self.path, "postings"),
+                               self.spark))
             .filter(F.col("__tb").isin(buckets))
         )
         if len(vocab) <= max_literal_terms:
@@ -923,13 +943,13 @@ def _merge_tombstones(ts_dir: str, pairs: DataFrame) -> None:
     Entries are never dropped here: only the CALLER knows when a batch
     key can no longer be replayed (its checkpoint committed past it), so
     retention is a caller-side decision."""
-    from .dirswap import recover, swap_in
+    from .dirswap import read_path, stage_path, swap_in
 
     spark = pairs.sparkSession
-    recover(ts_dir)
+    live = read_path(ts_dir)
     if _has_parquet_data(ts_dir):
-        merged = spark.read.parquet(ts_dir).unionByName(pairs).distinct()
-        stage = ts_dir + "__merge"
+        merged = spark.read.parquet(live).unionByName(pairs).distinct()
+        stage = stage_path(ts_dir, "merge")
         merged.coalesce(1).write.mode("overwrite").parquet(stage)
         swap_in(
             ts_dir, stage, verify=lambda p: spark.read.parquet(p).first()
@@ -941,16 +961,16 @@ def _merge_tombstones(ts_dir: str, pairs: DataFrame) -> None:
         # overwrite heals it.  Safe ordering-wise: forget() tombstones
         # BEFORE it purges, so a torn tombstone write means the purge
         # never happened — there is nothing to resurrect yet.
-        pairs.distinct().coalesce(1).write.mode("overwrite").parquet(ts_dir)
+        pairs.distinct().coalesce(1).write.mode("overwrite").parquet(live)
 
 
 def _has_parquet_data(path: str) -> bool:
     """True when ``path`` holds at least one parquet data file — a torn
     first write (crash mid-job) leaves a directory with no data files,
     which must read as 'no table', never as an unreadable one."""
-    from .dirswap import fs_listdir
+    from .dirswap import fs_listdir, read_path
 
-    return any(n.endswith(".parquet") for n in fs_listdir(path))
+    return any(n.endswith(".parquet") for n in fs_listdir(read_path(path)))
 
 
 def _tombstoned_ids(spark, ts_dir: str, key: str, id_col: str):
@@ -959,13 +979,13 @@ def _tombstoned_ids(spark, ts_dir: str, key: str, id_col: str):
     against.  Heals a crashed merge swap before reading; a torn FIRST
     write also reads as no-tombstones, which is sound because forget()
     tombstones before it purges (nothing was purged yet)."""
-    from .dirswap import recover
+    from .dirswap import read_path
 
-    recover(ts_dir)
+    live = read_path(ts_dir)
     if not _has_parquet_data(ts_dir):
         return None
     return (
-        spark.read.parquet(ts_dir)
+        spark.read.parquet(live)
         .filter(F.col("__bk") == key)
         .select(id_col)
         .distinct()
@@ -1007,7 +1027,7 @@ def prune_tombstones(
     directory, and a crash mid-removal leaves only SETTLED rows behind —
     conservative in both directions.  Returns rows pruned (0 when the
     table does not exist or nothing matched)."""
-    from .dirswap import fs_rmtree, recover, swap_in
+    from .dirswap import read_path, remove_surface, stage_path, swap_in
 
     if isinstance(settled_keys, str):
         # iterating a bare string would "settle" its single CHARACTERS —
@@ -1017,12 +1037,12 @@ def prune_tombstones(
             f"string ({settled_keys!r}); wrap it in a list"
         )
     dead_keys = ["k-" + _safe_index_key(k) for k in settled_keys]
-    recover(ts_dir)
+    live = read_path(ts_dir)
     if (not dead_keys and not include_unreplayable) or not _has_parquet_data(
         ts_dir
     ):
         return 0
-    cur = spark.read.parquet(ts_dir).localCheckpoint(eager=True)
+    cur = spark.read.parquet(live).localCheckpoint(eager=True)
     settled = F.col("__bk").isin(dead_keys) if dead_keys else F.lit(False)
     if include_unreplayable:
         settled = settled | (F.col("__bk") == "base") | F.col(
@@ -1033,9 +1053,9 @@ def prune_tombstones(
         return 0
     kept = cur.filter(~settled)
     if kept.isEmpty():
-        fs_rmtree(ts_dir, spark)
+        remove_surface(ts_dir, spark)
         return pruned
-    stage = ts_dir + "__merge"
+    stage = stage_path(ts_dir, "merge")
     kept.coalesce(1).write.mode("overwrite").parquet(stage)
     swap_in(ts_dir, stage, verify=lambda p: spark.read.parquet(p).first())
     return pruned
@@ -1091,11 +1111,11 @@ def _unkeyed_batch_name(path: str) -> str:
     import os
     import re as _re
 
-    from .dirswap import fs_isdir, fs_listdir
+    from .dirswap import fs_isdir, fs_listdir, read_path
 
     mx = -1
-    lens = os.path.join(path, "doclens")
-    posts = os.path.join(path, "postings")
+    lens = read_path(os.path.join(path, "doclens"))
+    posts = read_path(os.path.join(path, "postings"))
     roots = []
     if fs_isdir(lens):
         roots.append(lens)

@@ -1,11 +1,18 @@
-"""Crash-safe staged-directory swap for parquet rewriters — local-FS
-and Hadoop-FS backends behind one scheme-dispatched surface.
+"""Crash-safe commit protocols for parquet rewriters — a RENAME
+strategy (staged-directory swap) for atomic-rename stores and a
+GENERATIONS strategy (immutable generation dirs behind a pointer file)
+for object stores, selected by URI scheme, over local-FS and Hadoop-FS
+backends behind one scheme-dispatched surface.
 
-The ledger and the persisted serving indexes compact by writing a staged
-directory and swapping it into place.  A directory swap is two renames —
-``mv live old; mv stage live`` — and a crash between them leaves NO live
-directory.  The recovery contract here keeps the live path always
-restorable:
+The ledger and the persisted serving indexes rewrite by writing a
+staged directory (``stage_path``) and publishing it (``swap_in``);
+readers resolve the current physical directory with ``read_path``.
+What publishing means depends on the store:
+
+RENAME strategy (local, HDFS, ADLS-Gen2/HNS, ViewFs, Ozone, Alluxio —
+stores with atomic directory rename).  A swap is two renames —
+``mv live old; mv stage live`` — and a crash between them leaves NO
+live directory.  The recovery contract keeps the live path restorable:
 
 * ``swap_in`` verifies the STAGED directory (caller-supplied check,
   called with the directory to check) BEFORE touching the live path —
@@ -16,32 +23,57 @@ restorable:
   and the displaced ``__old`` copy is restored as live — so the caller
   never observes a live path holding unverified data.
 * ``recover`` heals the one non-atomic window (crash between the two
-  renames): live missing + ``__old`` present → move it back.  Readers
-  call it before opening the path, so a crashed compact self-heals on
-  the next read instead of erroring until manual surgery.
+  renames): live missing + ``__old`` present → move it back.
+  ``read_path`` calls it before returning, so a crashed compact
+  self-heals on the next read instead of erroring until manual surgery.
+
+GENERATIONS strategy (s3/gs/wasb/oss/... — object stores, whose
+"rename" is copy+delete: non-atomic and O(data), so the swap contract
+cannot stand on it).  This is the manifest/pointer pattern every table
+format uses on blob storage, and the same ``_CURRENT`` pattern the
+tokenizer version store proved out:
+
+* ``stage_path`` allocates a FRESH numbered generation directory under
+  ``<live>__gens/`` — numbers are monotone over every directory ever
+  created there (torn publishes included), so a generation name is
+  NEVER reused.
+* ``swap_in`` verifies the staged generation, then commits by
+  atomically writing the ``<live>__gens/_CURRENT.json`` pointer (one
+  small object; object-store PUT is atomic on close — readers see the
+  old pointer or the new, never a torn one).  No data moves at publish
+  time.  A crash BEFORE the pointer write leaves the staged generation
+  unreferenced — invisible to every reader and reaped by the next
+  publish's GC — and the numbering guarantees its name is not reused.
+* ``read_path`` resolves the pointer to the current generation (or the
+  plain live directory before the first publish).
+* After the pointer commit, the previous generation and any
+  unreferenced stages are garbage-collected (best-effort; a crash
+  mid-GC leaves invisible garbage, reaped next publish).
+
+In-place mutation paths (keyed-batch dynamic overwrite, appends) are
+NOT swaps: they write into the CURRENT generation via ``read_path`` and
+carry their own crash story — keyed replays converge by overwriting
+exactly their own subpartitions, forget re-runs are idempotent.  On a
+real object store those Spark writes additionally need a cloud-safe
+output committer (e.g. the S3A "magic" committer) — that is Spark
+configuration, not this module's protocol.  Single-writer discipline is
+the caller's contract for BOTH strategies (``maintenance.run_quiesced``).
 
 Backend dispatch is by URI scheme: a bare path runs on ``os``/``shutil``
 exactly as before; a ``scheme://`` path runs through the Hadoop
 FileSystem API of the active SparkSession (``file://`` included — the
-LocalFileSystem backend, which is also how the Hadoop code path stays
-fully testable without a cluster).  The swap contract REQUIRES atomic
-directory rename, so only stores that provide it are accepted
-(``require_swap_capable``): HDFS, ABFS/ADLS-Gen2, ViewFs, Ozone,
-Alluxio, local.  Object stores (s3/gs/wasb/oss/cos) fake rename as
-copy+delete — non-atomic and O(data) — and are refused LOUDLY; at
-production scale those use a manifest/pointer object instead of renames
-(the standard table-format approach), which is out of scope here.
+LocalFileSystem backend, which is also how both strategies stay fully
+testable without a cluster).  ``set_swap_strategy`` overrides the
+per-scheme default — e.g. force ``generations`` for ``abfs`` on a
+flat-namespace (non-HNS) account, whose rename is secretly copy+delete.
 
-Note the refusal applies to the DIRECTORY-SWAP surfaces (ledgers,
-serving indexes) — they are what ``require_swap_capable`` guards.  The
-single-file artifact surfaces (the tokenizer version store, the BM25
-corpus-constants snapshot, the Bloom artifact) never swap directories:
-they write immutable version/artifact trees plus a small pointer/meta
-object, which is exactly the manifest/pointer shape object stores
-support — on such stores ``atomic_write``'s tmp+rename degrades to
-copy+delete of one small object (readers see old or new; the tmp is
-transient), an acceptable contract for those surfaces.  They
-deliberately do NOT call ``require_swap_capable``.
+The single-file artifact surfaces (the tokenizer version store, the
+BM25 corpus-constants snapshot, the Bloom artifact) never swap
+directories: they write immutable version/artifact trees plus a small
+pointer/meta object via ``atomic_write``, which commits by tmp+rename
+on rename-capable stores and by direct overwrite-PUT on object stores
+(PUT is atomic on close).  They deliberately do NOT call
+``require_swap_capable``.
 """
 
 from __future__ import annotations
@@ -56,39 +88,80 @@ def _scheme(path: str) -> str:
     return path.split("://", 1)[0] if "://" in path else ""
 
 
-#: schemes whose directory rename is atomic — the property the swap
-#: contract stands on.  '' = bare local path (os.rename).
+#: schemes whose directory rename is atomic — the property the rename
+#: strategy stands on.  '' = bare local path (os.rename).
 _ATOMIC_RENAME_SCHEMES = frozenset(
     {"", "file", "hdfs", "viewfs", "abfs", "abfss", "ofs", "alluxio"}
 )
 
+#: object-store schemes: "rename" is copy+delete (non-atomic, O(data)),
+#: single-object PUT is atomic on close — the generations strategy's
+#: exact shape.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "gcs", "wasb", "wasbs", "oss", "cos",
+     "swift"}
+)
+
+#: per-scheme strategy overrides (set_swap_strategy).  The load-bearing
+#: case: abfs on a FLAT-NAMESPACE (non-HNS) account renames as
+#: copy+delete despite the scheme — force 'generations' there.  Tests
+#: use it to run the generations protocol over file:// without a cloud.
+_FORCED_STRATEGY: dict[str, str] = {}
+
+
+def set_swap_strategy(scheme: str, strategy: str | None) -> None:
+    """Override the commit strategy for a URI scheme: ``'rename'``,
+    ``'generations'``, or ``None`` to restore the default.  The operator
+    knob for capability the scheme alone cannot express — abfs/abfss is
+    atomic-rename ONLY on hierarchical-namespace (ADLS Gen2 HNS)
+    accounts; on a flat-namespace blob account call
+    ``set_swap_strategy('abfs', 'generations')`` before opening any
+    ledger/index there."""
+    if strategy is None:
+        _FORCED_STRATEGY.pop(scheme, None)
+        return
+    if strategy not in ("rename", "generations"):
+        raise ValueError(
+            f"strategy must be 'rename' or 'generations', got {strategy!r}"
+        )
+    _FORCED_STRATEGY[scheme] = strategy
+
+
+def swap_strategy(path: str) -> str:
+    """The commit strategy for ``path``: ``'rename'`` (staged-directory
+    swap, atomic-rename stores) or ``'generations'`` (pointer-file
+    commit, object stores).  Unknown schemes are refused loudly rather
+    than assumed safe."""
+    s = _scheme(path)
+    forced = _FORCED_STRATEGY.get(s)
+    if forced is not None:
+        return forced
+    if s in _ATOMIC_RENAME_SCHEMES:
+        return "rename"
+    if s in _OBJECT_STORE_SCHEMES:
+        return "generations"
+    raise ValueError(
+        f"path scheme {s!r} ({path}) has no known commit strategy "
+        f"(atomic-rename stores: {sorted(_ATOMIC_RENAME_SCHEMES - {''})}; "
+        f"object stores: {sorted(_OBJECT_STORE_SCHEMES)}); declare one "
+        "with set_swap_strategy(scheme, 'rename'|'generations')"
+    )
+
 
 def require_swap_capable(path: str) -> str:
-    """Validate that ``path`` lives on a store whose directory rename is
-    atomic — the property every dirswap caller (ledgers, serving
-    indexes) stands on.  Object-store schemes are refused LOUDLY: their
-    rename is copy+delete (non-atomic, O(data)), so a crash mid-"rename"
-    would leave exactly the torn state the swap exists to prevent, and
-    an unknown scheme is refused rather than assumed safe.  CAVEAT
+    """Validate that ``path`` lives on a store with a known commit
+    strategy — a strategy PICK now, not an atomic-rename refusal:
+    atomic-rename stores get the staged-directory swap, object stores
+    get the pointer-file generations protocol, and only an UNKNOWN
+    scheme (no safe default either way) is refused.  CAVEAT
     (abfs/abfss): directory rename is atomic only on
     HIERARCHICAL-NAMESPACE accounts (ADLS Gen2 with HNS enabled) — a
-    flat-namespace blob account mounted via abfs renames as copy+delete
-    and re-opens the torn-swap window this check exists to refuse.  The
-    scheme alone cannot distinguish the two (account capability, not URI
-    shape), so accepting abfs encodes the operator's assertion that the
-    account is HNS; on flat-namespace accounts use the manifest/pointer
-    layout (``generations`` backend) instead.  Returns the path
-    unchanged (URIs stay URIs — every filesystem op downstream
+    flat-namespace blob account mounted via abfs renames as copy+delete;
+    the scheme alone cannot distinguish the two, so on such accounts
+    declare ``set_swap_strategy('abfs', 'generations')`` first.  Returns
+    the path unchanged (URIs stay URIs — every filesystem op downstream
     dispatches on the scheme)."""
-    s = _scheme(path)
-    if s not in _ATOMIC_RENAME_SCHEMES:
-        raise ValueError(
-            f"path scheme {s!r} ({path}) does not provide atomic directory "
-            "rename; the dirswap crash-heal contract requires it "
-            f"(supported: bare local paths and {sorted(_ATOMIC_RENAME_SCHEMES - {''})}). "
-            "Object stores need a manifest/pointer layout instead of "
-            "directory swaps."
-        )
+    swap_strategy(path)  # raises on unknown schemes
     return path
 
 
@@ -145,7 +218,16 @@ class _HadoopFs:
     def move(self, src: str, dst: str) -> None:
         """Directory rename with shutil.move's fail-loudly contract:
         Hadoop rename() signals failure by RETURNING false (dst exists,
-        src missing, cross-FS), which silent-corrupts a swap — raise."""
+        src missing, cross-FS), which silent-corrupts a swap — raise.
+        Refused outright on object-store schemes (their rename is
+        copy+delete — a caller reaching here bypassed the strategy
+        dispatch)."""
+        if _scheme(src) in _OBJECT_STORE_SCHEMES:
+            raise OSError(
+                f"directory rename on object-store scheme "
+                f"{_scheme(src)!r} is copy+delete — use the generations "
+                f"commit protocol ({src} -> {dst})"
+            )
         if not self._fs.rename(self.jpath(src), self.jpath(dst)):
             raise OSError(f"hadoop rename failed: {src} -> {dst}")
 
@@ -233,6 +315,136 @@ def fs_read_bytes(path: str, spark=None) -> bytes:
     return h.read_bytes(path)
 
 
+# -- the generations (pointer-file) commit protocol -----------------------
+
+#: generation store suffix + pointer object name.  The pointer is the
+#: ONLY mutable object in the layout; everything else is written once.
+_GENS_SUFFIX = "__gens"
+_POINTER = "_CURRENT.json"
+
+
+def _gens_dir(live: str) -> str:
+    return live + _GENS_SUFFIX
+
+
+def _gen_number(name: str) -> int | None:
+    """Generation number of a child name, or None for non-generation
+    entries (the pointer, tmp files)."""
+    if not name.startswith("gen-"):
+        return None
+    tail = name.split("-", 1)[1]
+    return int(tail) if tail.isdigit() else None
+
+
+def _pointer_write(path: str, data: bytes, spark=None) -> None:
+    """Commit the pointer object.  Object stores: direct overwrite-PUT —
+    atomic on close (the store's native commit primitive; a tmp+rename
+    would be the copy+delete this protocol exists to avoid).  Bare local
+    paths (tests forcing the strategy): tmp + os.replace."""
+    h = _hfs(path, spark)
+    if h is None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    else:
+        h.write_bytes(path, data)
+
+
+def _current_generation(live: str, spark=None) -> str | None:
+    """Name of the generation the pointer references, or None before the
+    first publish.  A pointer referencing a missing directory is loud —
+    that is manual-surgery corruption, not a crash state this protocol
+    can produce (the pointer is written only after the generation
+    verifies)."""
+    import json
+
+    ptr = os.path.join(_gens_dir(live), _POINTER)
+    if not fs_exists(ptr, spark):
+        return None
+    name = json.loads(fs_read_bytes(ptr, spark))["gen"]
+    if not fs_exists(os.path.join(_gens_dir(live), name), spark):
+        raise RuntimeError(
+            f"generation pointer at {ptr} references missing generation "
+            f"{name!r} — the store was modified outside this protocol"
+        )
+    return name
+
+
+def read_path(live: str, spark=None) -> str:
+    """The physical directory to read (or mutate in place) for logical
+    path ``live`` — THE resolver every reader and in-place writer of a
+    swap surface goes through.  Rename strategy: heals a crashed swap
+    (``recover``) and returns ``live`` itself.  Generations strategy:
+    resolves the ``_CURRENT`` pointer to the published generation, or
+    ``live`` before the first publish."""
+    if swap_strategy(live) == "rename":
+        recover(live, spark)
+        return live
+    cur = _current_generation(live, spark)
+    return live if cur is None else os.path.join(_gens_dir(live), cur)
+
+
+def stage_path(live: str, tag: str, spark=None) -> str:
+    """Where a rewriter should WRITE its staged replacement for ``live``
+    before publishing it with ``swap_in``.  Rename strategy:
+    ``<live>__<tag>`` (the historical stage names).  Generations
+    strategy: a FRESH ``<live>__gens/gen-<N>`` — N is one past the
+    highest number ever allocated there, torn/abandoned stages included,
+    so a generation name is never reused even across crashes."""
+    if swap_strategy(live) == "rename":
+        return f"{live}__{tag}"
+    gens = _gens_dir(live)
+    fs_mkdirs(gens, spark)
+    taken = [
+        n for n in (_gen_number(c) for c in fs_listdir(gens, spark))
+        if n is not None
+    ]
+    return os.path.join(gens, f"gen-{(max(taken) + 1 if taken else 0):09d}")
+
+
+def gc_generations(live: str, spark=None) -> list[str]:
+    """Reap every generation except the current one (unreferenced stages
+    from torn publishes, the displaced previous generation) plus the
+    pre-first-publish plain directory once a pointer exists.  Runs
+    automatically after each publish; callable at maintenance cadence.
+    Returns the removed paths."""
+    cur = _current_generation(live, spark)
+    if cur is None:
+        return []
+    gens = _gens_dir(live)
+    removed = []
+    for child in fs_listdir(gens, spark):
+        if _gen_number(child) is not None and child != cur:
+            fs_rmtree(os.path.join(gens, child), spark)
+            removed.append(os.path.join(gens, child))
+    if fs_exists(live, spark):
+        fs_rmtree(live, spark)
+        removed.append(live)
+    return removed
+
+
+def remove_surface(live: str, spark=None) -> None:
+    """Delete a swap surface entirely (e.g. a tombstone table pruned to
+    empty), under either strategy.  Generations order is pointer-first:
+    readers stop resolving before any data disappears, and a crash
+    mid-removal leaves only invisible garbage."""
+    if swap_strategy(live) == "rename":
+        fs_rmtree(live, spark)
+        return
+    gens = _gens_dir(live)
+    ptr = os.path.join(gens, _POINTER)
+    h = _hfs(ptr, spark)
+    if h is None:
+        if os.path.exists(ptr):
+            os.remove(ptr)
+    else:
+        if h.exists(ptr):
+            h.rmtree(ptr)  # single object; Hadoop delete handles files
+    fs_rmtree(gens, spark)
+    fs_rmtree(live, spark)
+
+
 # -- the swap/heal contract ----------------------------------------------
 
 
@@ -258,8 +470,10 @@ def swap_in(
     verify: Callable[[str], None] | None = None,
     spark=None,
 ) -> None:
-    """Replace directory ``live`` with ``stage``.
+    """Publish ``stage`` as the new content of logical path ``live`` —
+    the strategy-dispatched commit.
 
+    Rename strategy: replace the live directory with the stage.
     ``verify`` (e.g. a 1-row read of the given directory) is called with
     ``stage`` before any rename — an exception there aborts with the
     previous data still live — and with ``live`` after the swap; a
@@ -267,7 +481,36 @@ def swap_in(
     ``<live>__bad``, previous data restored as live) and re-raises.
     Either way the caller never sees unverified data at the live path,
     and the last good copy is never deleted on a failure path.
+
+    Generations strategy (``stage`` must come from ``stage_path``):
+    verify the staged generation, atomically commit the ``_CURRENT``
+    pointer (no data moves), then GC displaced/unreferenced generations.
+    A verify failure aborts with the pointer — and therefore every
+    reader — untouched; the abandoned stage is invisible and reaped
+    later.  No post-commit verify is needed: the published bytes ARE the
+    verified ones (nothing was renamed).
     """
+    if swap_strategy(live) == "generations":
+        import json
+
+        gens = _gens_dir(live)
+        name = os.path.basename(stage.rstrip("/"))
+        if os.path.dirname(stage.rstrip("/")) != gens or _gen_number(
+            name
+        ) is None:
+            raise ValueError(
+                f"generations publish requires a stage allocated by "
+                f"stage_path({live!r}, ...); got {stage!r}"
+            )
+        if verify is not None:
+            verify(stage)  # raises -> pointer (and every reader) untouched
+        _pointer_write(
+            os.path.join(gens, _POINTER),
+            json.dumps({"gen": name}).encode(),
+            spark,
+        )
+        gc_generations(live, spark)
+        return
     old = f"{live}__old"
     bad = f"{live}__bad"
     h = _hfs(live, spark)
@@ -295,9 +538,18 @@ def atomic_write(path: str, data: bytes, spark=None) -> None:
     """Crash-safe small-artifact write: write to a same-directory temp
     file, then atomically replace (``os.replace`` locally; FileContext
     rename-with-OVERWRITE on Hadoop stores) — readers see the old content
-    or the new, never a torn file."""
-    tmp = path + ".tmp"
+    or the new, never a torn file.  On object-store schemes (and schemes
+    forced to the generations strategy) the commit is a direct
+    overwrite-PUT instead — the store's native atomic primitive; its
+    "rename" is the copy+delete this call exists to avoid."""
     h = _hfs(path, spark)
+    s = _scheme(path)
+    if h is not None and (
+        s in _OBJECT_STORE_SCHEMES or _FORCED_STRATEGY.get(s) == "generations"
+    ):
+        h.write_bytes(path, data)
+        return
+    tmp = path + ".tmp"
     if h is None:
         with open(tmp, "wb") as f:
             f.write(data)

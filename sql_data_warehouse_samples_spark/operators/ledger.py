@@ -50,9 +50,11 @@ def _require_local(path: str) -> str:
     and crash-heal below dispatches on the URI scheme (local ``os`` ops
     for bare paths, the Hadoop FileSystem API otherwise — the r10
     dirswap port), so local paths and atomic-rename stores (hdfs/abfs/
-    viewfs/...) both work.  Object-store schemes are still refused
-    LOUDLY: their rename is copy+delete, which breaks the staged-swap
-    crash contract AND would let a torn compact quietly disable dedup."""
+    viewfs/...) both work; object-store schemes run the pointer-file
+    generations commit protocol instead of directory swaps (the r10
+    dirswap strategy pick — reads and in-place writes resolve through
+    ``dirswap.read_path``, rewrites publish via a ``_CURRENT`` pointer).
+    Only a scheme with NO known strategy is refused loudly."""
     from .dirswap import require_swap_capable
 
     return require_swap_capable(path)
@@ -96,18 +98,25 @@ class ContentHashLedger:
         self.spark = spark
         self.path = _require_local(path)
 
+    def _live(self) -> str:
+        """The physical ledger directory — heals a crashed swap (rename
+        strategy) or resolves the generation pointer (object stores)."""
+        from .dirswap import read_path
+
+        return read_path(self.path, self.spark)
+
     def hashes(self) -> DataFrame:
         """The ledger as a one-column frame (empty if nothing ingested).
         Self-heals a compact() interrupted mid-swap first (dirswap)."""
-        from .dirswap import fs_exists, recover
+        from .dirswap import fs_exists
 
-        recover(self.path, self.spark)
-        if not fs_exists(self.path, self.spark):  # nothing ingested yet
+        live = self._live()
+        if not fs_exists(live, self.spark):  # nothing ingested yet
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         return (
             self.spark.read.schema(LEDGER_SCHEMA)
             .option("recursiveFileLookup", "true")
-            .parquet(self.path)
+            .parquet(live)
         )
 
     def ingest(
@@ -166,7 +175,8 @@ class ContentHashLedger:
                 F.md5(normalized_text(text_col)).alias("content_hash")
             )
             stored_own = _own_keyed_rows(
-                self.spark, self.path, key, corpus_hashes, own, LEDGER_SCHEMA
+                self.spark, self._live(), key, corpus_hashes, own,
+                LEDGER_SCHEMA,
             )
             foreign = stored_own.join(
                 batch_hashes, "content_hash", "left_anti"
@@ -190,10 +200,11 @@ class ContentHashLedger:
         out = fresh.select(
             "content_hash", F.lit(key).cast("string").alias("batch_key")
         )
+        live = self._live()  # in-place writes land in the CURRENT generation
         if key is None:
-            out.write.mode("append").parquet(self.path)
+            out.write.mode("append").parquet(live)
         else:
-            out.write.mode("overwrite").parquet(f"{self.path}/batch-{key}")
+            out.write.mode("overwrite").parquet(f"{live}/batch-{key}")
         return fresh
 
     def compact(self, n_files: int | None = None) -> int:
@@ -232,11 +243,11 @@ class ContentHashLedger:
         return self._rewrite(kept, None)
 
     def _rewrite(self, frame: DataFrame, n_files: int | None) -> int:
-        from .dirswap import swap_in
+        from .dirswap import stage_path, swap_in
 
         if n_files:
             frame = frame.repartition(n_files)
-        stage = f"{self.path}__compact"
+        stage = stage_path(self.path, "compact", self.spark)
         frame.write.mode("overwrite").parquet(stage)
         # explicit schema: a forget() purging every row writes an EMPTY
         # parquet dir, which schemaless reads cannot infer
@@ -305,13 +316,21 @@ class MinHashSignatureLedger:
             "shingle_n": self.shingle_n,
         }
 
+    def _live(self) -> str:
+        """Physical ledger directory (crash-heal / generation-pointer
+        resolution — see ContentHashLedger._live)."""
+        from .dirswap import read_path
+
+        return read_path(self.path, self.spark)
+
     def _params_file(self) -> str:
         # "_"-prefixed: Spark/Hadoop file listings treat it as hidden, so
         # it never collides with the parquet scan (same convention as
-        # _SUCCESS markers)
+        # _SUCCESS markers).  Lives INSIDE the (resolved) data directory
+        # so a staged rewrite carries it with the generation/stage.
         import os
 
-        return os.path.join(self.path, "_LEDGER_PARAMS.json")
+        return os.path.join(self._live(), "_LEDGER_PARAMS.json")
 
     def _check_params(self, write: bool) -> None:
         """Stored signatures are only interpretable under the EXACT
@@ -337,7 +356,9 @@ class MinHashSignatureLedger:
         elif write:
             from .dirswap import atomic_json_write, fs_mkdirs
 
-            fs_mkdirs(self.path, self.spark)
+            import os
+
+            fs_mkdirs(os.path.dirname(pf), self.spark)
             atomic_json_write(pf, self._params(), self.spark)
 
     def _sig_schema(self):
@@ -373,17 +394,15 @@ class MinHashSignatureLedger:
         idempotent keyed appends (one ``batch-<key>/`` subdirectory per
         micro-batch — see ``ingest(idempotency_key=...)``) coexist in one
         scan without parquet partition discovery getting involved."""
-        import os
+        from .dirswap import fs_exists
 
-        from .dirswap import fs_exists, recover
-
-        recover(self.path, self.spark)
-        if not fs_exists(self.path, self.spark):  # nothing ingested yet
+        live = self._live()
+        if not fs_exists(live, self.spark):  # nothing ingested yet
             return self.spark.createDataFrame([], self._sig_schema())
         return (
             self.spark.read.schema(self._sig_schema())
             .option("recursiveFileLookup", "true")
-            .parquet(self.path)
+            .parquet(live)
         )
 
     def _signed(self, batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -571,7 +590,7 @@ class MinHashSignatureLedger:
             # Targeted batch-<key>/ read pre-compaction; ledger-filter
             # fallback after (see _own_keyed_rows).
             stored_own = _own_keyed_rows(
-                self.spark, self.path, key, lsig, own, self._sig_schema()
+                self.spark, self._live(), key, lsig, own, self._sig_schema()
             )
             foreign = stored_own.join(
                 signed.select("doc_id", F.col("sig").alias("__bsig")),
@@ -626,11 +645,12 @@ class MinHashSignatureLedger:
             survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "semi"
         ).withColumn("batch_key", F.lit(key).cast("string"))
         self._check_params(write=True)
+        live = self._live()  # in-place writes land in the CURRENT generation
         if key is None:
-            sig_out.write.mode("append").parquet(self.path)
+            sig_out.write.mode("append").parquet(live)
         else:
             sig_out.write.mode("overwrite").parquet(
-                f"{self.path}/batch-{key}"
+                f"{live}/batch-{key}"
             )
         return survivors
 
@@ -662,11 +682,11 @@ class MinHashSignatureLedger:
         return self._rewrite(kept, None)
 
     def _rewrite(self, frame: DataFrame, n_files: int | None) -> int:
-        from .dirswap import swap_in
+        from .dirswap import stage_path, swap_in
 
         if n_files:
             frame = frame.repartition(n_files)
-        stage = f"{self.path}__compact"
+        stage = stage_path(self.path, "compact", self.spark)
         frame.write.mode("overwrite").parquet(stage)
         # explicit schema: forgetting every row writes an empty dir
         n = (

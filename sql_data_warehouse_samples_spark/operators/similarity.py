@@ -1516,15 +1516,16 @@ class IvfIndex:
         if idempotency_key is None:
             from .bm25 import _warn_unkeyed_into_keyed_index
 
+            lists_dir = self._lists_dir(spark)
             _warn_unkeyed_into_keyed_index(
-                self.path, f"{self.path}/lists", "centroid_id="
+                self.path, lists_dir, "centroid_id="
             )
-            key = _unkeyed_lists_name(f"{self.path}/lists")
+            key = _unkeyed_lists_name(lists_dir)
             (
                 assigned.withColumn("__bk", F.lit(key))
                 .write.partitionBy("centroid_id", "__bk")
                 .mode("append")
-                .parquet(f"{self.path}/lists")
+                .parquet(lists_dir)
             )
             return
         from .bm25 import _safe_index_key
@@ -1564,16 +1565,20 @@ class IvfIndex:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("centroid_id", "__bk")
-            .parquet(f"{self.path}/lists")
+            .parquet(self._lists_dir(spark))
         )
 
     def _lists(self, spark) -> DataFrame:
-        """Open the inverted lists, healing a compact() interrupted
-        mid-swap first (dirswap.recover)."""
-        from .dirswap import recover
+        """Open the inverted lists — heals a crashed swap (rename
+        strategy) / resolves the generation pointer (object stores)."""
+        return spark.read.parquet(self._lists_dir(spark))
 
-        recover(f"{self.path}/lists")
-        return spark.read.parquet(f"{self.path}/lists")
+    def _lists_dir(self, spark) -> str:
+        """Physical lists directory (dirswap.read_path) — the target for
+        in-place keyed/unkeyed writes and partition-pruned purges."""
+        from .dirswap import read_path
+
+        return read_path(f"{self.path}/lists", spark)
 
     def balance(self, spark) -> DataFrame:
         """Per-list health: vector count + mean/max assigned distance to
@@ -1627,7 +1632,9 @@ class IvfIndex:
             iters=train_iters,
             round_to=round_to,
         )
-        stage = f"{self.path}/lists__retrain"
+        from .dirswap import stage_path
+
+        stage = stage_path(f"{self.path}/lists", "retrain", spark)
         # rows move to their NEW nearest list but keep their __bk (the
         # assignment is a map-only annotation, __bk rides along): a keyed
         # replay after a retrain still finds its stored rows (re-assigned
@@ -1659,9 +1666,11 @@ class IvfIndex:
         indexed-vector count."""
         from .dirswap import swap_in
 
+        from .dirswap import stage_path
+
         lists = self._lists(spark)
         _require_bk_layout(lists, self.path, "IvfIndex", "compact()")
-        stage = f"{self.path}/lists__compact"
+        stage = stage_path(f"{self.path}/lists", "compact", spark)
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),
                               "centroid_id")
@@ -1694,7 +1703,7 @@ class IvfIndex:
         batch cannot resurrect them (forget-then-crash-replay).  Returns
         the number of purged index entries."""
         return _ivf_lists_forget(
-            spark, f"{self.path}/lists", self._lists(spark), vec_ids,
+            spark, self._lists_dir(spark), self._lists(spark), vec_ids,
             id_col, tombstone_dir=f"{self.path}/tombstones",
         )
 
@@ -2061,10 +2070,7 @@ class IvfPqIndex:
         probed = sorted(
             r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
         )
-        from .dirswap import recover
-
-        recover(f"{self.path}/lists")
-        lists = spark.read.parquet(f"{self.path}/lists").filter(
+        lists = spark.read.parquet(self._lists_dir(spark)).filter(
             F.col("centroid_id").isin(probed)
         )
         adc = F.aggregate(
@@ -2089,10 +2095,12 @@ class IvfPqIndex:
         )
 
     def _lists(self, spark) -> DataFrame:
-        from .dirswap import recover
+        return spark.read.parquet(self._lists_dir(spark))
 
-        recover(f"{self.path}/lists")
-        return spark.read.parquet(f"{self.path}/lists")
+    def _lists_dir(self, spark) -> str:
+        from .dirswap import read_path
+
+        return read_path(f"{self.path}/lists", spark)
 
     def add(self, batch: DataFrame, id_col: str = "vec_id",
             vec_col: str = "embedding", round_to: int = 6,
@@ -2149,15 +2157,16 @@ class IvfPqIndex:
         if idempotency_key is None:
             from .bm25 import _warn_unkeyed_into_keyed_index
 
+            lists_dir = self._lists_dir(spark)
             _warn_unkeyed_into_keyed_index(
-                self.path, f"{self.path}/lists", "centroid_id="
+                self.path, lists_dir, "centroid_id="
             )
-            key = _unkeyed_lists_name(f"{self.path}/lists")
+            key = _unkeyed_lists_name(lists_dir)
             (
                 rows.withColumn("__bk", F.lit(key))
                 .write.partitionBy("centroid_id", "__bk")
                 .mode("append")
-                .parquet(f"{self.path}/lists")
+                .parquet(lists_dir)
             )
             return
         from .bm25 import _safe_index_key, _tombstoned_ids
@@ -2188,7 +2197,7 @@ class IvfPqIndex:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("centroid_id", "__bk")
-            .parquet(f"{self.path}/lists")
+            .parquet(self._lists_dir(spark))
         )
 
     def retrain(
@@ -2306,7 +2315,9 @@ class IvfPqIndex:
             )
             .join(pairs, "neighbor_id")
         )
-        stage = f"{self.path}/lists__retrain"
+        from .dirswap import stage_path
+
+        stage = stage_path(f"{self.path}/lists", "retrain", spark)
         rows.write.partitionBy("centroid_id", "__bk").mode(
             "overwrite"
         ).parquet(stage)
@@ -2334,9 +2345,11 @@ class IvfPqIndex:
         ``__bk`` level is preserved so keyed replays stay sound)."""
         from .dirswap import swap_in
 
+        from .dirswap import stage_path
+
         lists = self._lists(spark)
         _require_bk_layout(lists, self.path, "IvfPqIndex", "compact()")
-        stage = f"{self.path}/lists__compact"
+        stage = stage_path(f"{self.path}/lists", "compact", spark)
         (
             lists.repartition(files_per_list * max(len(self.centroids), 1),
                               "centroid_id")
@@ -2357,7 +2370,7 @@ class IvfPqIndex:
         so a keyed add replay cannot resurrect them).  Returns purged
         entry count."""
         return _ivf_lists_forget(
-            spark, f"{self.path}/lists", self._lists(spark), vec_ids,
+            spark, self._lists_dir(spark), self._lists(spark), vec_ids,
             id_col, tombstone_dir=f"{self.path}/tombstones",
         )
 

@@ -345,9 +345,14 @@ def _prune_settled_tombstones(
         prefix = current_key[: -len(sk)]  # keeps the trailing '-'
     else:  # defensive: unknown key shape — prune nothing
         return 0
+    from ..operators.dirswap import read_path
+
     settled = []
     for r in (
-        spark.read.parquet(ts_dir).select("__bk").distinct().collect()
+        spark.read.parquet(read_path(ts_dir))
+        .select("__bk")
+        .distinct()
+        .collect()
     ):
         bk = r["__bk"]
         if not (isinstance(bk, str) and bk.startswith("k-" + prefix)):
@@ -376,6 +381,7 @@ def admission_sink(
     vec_col: str = "embedding",
     bloom_path: str | None = None,
     prune_settled_after: int | None = None,
+    lease=None,
 ):
     """The FULL training-corpus admission sink: each micro-batch is
     (1) exactly decontaminated against the benchmark (Bloom prefilter +
@@ -452,9 +458,24 @@ def admission_sink(
     ``neardup_admission_sink`` — the shared dedup._HOT_CACHES registry
     assumes a single top-level admission op in flight).
 
+    ``lease`` (a ``maintenance.WriterLease``): makes the single-writer
+    contract CHECKED — the sink acquires the lease under the identity
+    ``admission_sink:<checkpoint>`` at start (refused loudly while a
+    different writer holds it; a crash-restart of the same sink
+    re-acquires its own identity) and re-verifies its fencing token at
+    every micro-batch, so a maintenance takeover (``run_quiesced``) or a
+    misconfigured second writer fails THIS stream before it can race a
+    compaction, instead of double-writing.
+
     Returns the started StreamingQuery; callers own awaitTermination.
     """
     from ..operators.dedup import BloomGramFilter, ensure_bloom
+
+    lease_token = (
+        lease.acquire(f"admission_sink:{checkpoint}")
+        if lease is not None
+        else None
+    )
 
     if benchmark is None:
         bloom = None
@@ -468,6 +489,8 @@ def admission_sink(
                                 bits_per_gram=bits_per_gram)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.require(lease_token)  # fail BEFORE writing if displaced
         if batch_df.isEmpty():
             return
         clean = batch_df

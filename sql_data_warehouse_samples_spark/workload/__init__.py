@@ -90,9 +90,12 @@ DRIVER_PRIORITY: list[str] = [
     "q37_q39_events_battery",  # tumbling + session windows (folds q37 + q39)
     "q40_json_props",
     "q48_grouped_map_summary",
-    # LLM text pipeline — every mandate op in-window
-    "t01_t04_text_battery",  # map-only text ops (folds t01 + t04)
-    "t02_t03_t05_quality_battery",  # folds t02 + t03 + t05 (round-9)
+    # LLM text pipeline — every mandate op in-window.  Round-10 fold:
+    # t01_t04 + t02_t03_t05 join into ONE per-document text-analysis
+    # battery (both one-row-per-doc over the same table; constituents
+    # stay registered + locally oracle-checked post-window) — freeing a
+    # slot for t24 (the tokenizer-serving flagship, exact oracle).
+    "t01_t05_text_battery",  # folds t01+t04 and t02+t03+t05 (round-10)
     "t07_pii_redaction",
     "d01_dedup_exact",
     "d24_simhash_identical_groups",  # d04's machinery under an EXACT oracle
@@ -182,6 +185,11 @@ DRIVER_PRIORITY: list[str] = [
     "d25_corpus_drift",
     "s13_hard_negatives_batch",
     "t22_langid_backoff",
+    # round-10 rotation: the t01_t04 + t02_t03_t05 fold frees one slot —
+    # seated by t24 (tokenizer decode∘encode round-trip, exact oracle):
+    # the tokenizer family's first driver-window row, closing the
+    # train→publish→pin→decode serving loop with driver evidence.
+    "t24_decode_roundtrip",
 ]
 
 

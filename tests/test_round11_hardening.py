@@ -3,6 +3,8 @@ multi-batch ids, unscoped-key prune fallback — the latter locked in
 test_round10_hardening's key-shape test) plus this round's new surfaces.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -71,3 +73,450 @@ def test_ivfpq_retrain_no_fanout_on_multibatch_ids(spark, tmp_path):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# The generations (pointer-file) commit protocol — the object-store story.
+# ``objstore`` simulates a store with NO atomic rename: the strategy for
+# file:// is forced to 'generations' and the Hadoop backend's rename
+# methods are replaced with ones that raise, so any code path that still
+# tried to rename a directory (or tmp+rename a pointer) fails the test
+# instead of silently depending on a primitive object stores don't have.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def objstore(monkeypatch):
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+
+    def _forbidden(self, src, dst):
+        raise AssertionError(
+            f"rename on simulated object store: {src} -> {dst}"
+        )
+
+    D.set_swap_strategy("file", "generations")
+    monkeypatch.setattr(D._HadoopFs, "move", _forbidden)
+    monkeypatch.setattr(D._HadoopFs, "rename_overwrite", _forbidden)
+    try:
+        yield
+    finally:
+        D.set_swap_strategy("file", None)
+
+
+def test_generations_crash_recovery_properties(spark, tmp_path, objstore):
+    """The pointer-commit crash contract: a torn publish (staged
+    generation, no pointer flip) is invisible to readers and its number
+    is never reused; a verify failure aborts with the pointer untouched;
+    publish-time GC reaps displaced and abandoned generations."""
+    import os as _os
+
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+
+    live = f"file://{tmp_path}/tbl"
+    lpath = str(tmp_path / "tbl")  # same dir, bare-path view for asserts
+
+    spark.range(3).write.parquet(D.read_path(live))  # pre-publish plain dir
+    assert D.read_path(live) == live
+
+    s1 = D.stage_path(live, "compact")
+    spark.range(4).write.parquet(s1)
+    D.swap_in(live, s1, verify=lambda p: spark.read.parquet(p).first())
+    assert D.read_path(live) == s1
+    assert spark.read.parquet(D.read_path(live)).count() == 4
+    assert _os.path.exists(str(tmp_path / "tbl__gens/_CURRENT.json"))
+    assert not _os.path.exists(lpath)  # plain dir GC'd after first publish
+
+    # torn publish: stage written, crash before the pointer flip
+    s2 = D.stage_path(live, "compact")
+    spark.range(5).write.parquet(s2)
+    assert D.read_path(live) == s1  # readers unchanged
+    # next allocation skips the torn number — never reused
+    s3 = D.stage_path(live, "compact")
+    assert s3 not in (s1, s2)
+    spark.range(6).write.parquet(s3)
+    D.swap_in(live, s3, verify=lambda p: spark.read.parquet(p).first())
+    assert spark.read.parquet(D.read_path(live)).count() == 6
+    # GC reaped both the displaced generation and the torn stage
+    assert not _os.path.exists(s1.replace("file://", ""))
+    assert not _os.path.exists(s2.replace("file://", ""))
+
+    # verify failure: pointer (and readers) untouched
+    s4 = D.stage_path(live, "compact")
+    spark.range(1).write.parquet(s4)
+    with pytest.raises(ZeroDivisionError):
+        D.swap_in(live, s4, verify=lambda p: 1 / 0)
+    assert D.read_path(live) == s3
+
+    D.remove_surface(live)
+    assert D.read_path(live) == live
+    assert not _os.path.exists(str(tmp_path / "tbl__gens"))
+
+
+def test_full_stack_on_simulated_object_store(spark, tmp_path, objstore):
+    """Ledger + BM25 + IVF on the generations protocol end-to-end: the
+    keyed-replay, forget-tombstone, prune and compaction contracts must
+    hold identically to the rename backend — with zero directory renames
+    (the fixture turns any into a failure)."""
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        ContentHashLedger,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    base = f"file://{tmp_path}/stack"
+
+    led = ContentHashLedger(spark, base + "/ledger")
+    b = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id: long, text: string"
+    )
+    assert led.ingest(b, idempotency_key="b0").count() == 2
+    assert led.ingest(b, idempotency_key="b0").count() == 2  # replay
+    led.compact(1)  # first pointer publish
+    assert led.hashes().count() == 2
+    # post-publish ingest lands in the CURRENT generation and replays
+    b2 = spark.createDataFrame([(3, "third doc")], "doc_id: long, text: string")
+    assert led.ingest(b2, idempotency_key="b1").count() == 1
+    assert led.ingest(b2, idempotency_key="b1").count() == 1
+    assert led.hashes().count() == 3
+    led.compact(1)  # second publish: generation advances
+    assert led.hashes().count() == 3
+    assert led.forget(b2) == 2
+    assert led.ingest(b2).count() == 1  # re-admission after forget
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id: long, text: string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "epsilon zeta")], "doc_id: long, text: string"
+    )
+    idx = Bm25Index.build(docs, base + "/bm25", n_buckets=4)
+    idx.ingest(batch, idempotency_key="k1")
+    assert idx.topk("epsilon", k=5).count() == 1
+    idx.forget(spark.createDataFrame([(10,)], "doc_id: long"))  # 2 publishes
+    idx.ingest(batch, idempotency_key="k1")  # replay: tombstone blocks
+    assert idx.topk("epsilon", k=5).count() == 0
+    assert idx.prune_tombstones(settled_keys=["k1"]) == 1
+    assert idx.compact() > 0
+    assert Bm25Index(spark, base + "/bm25").n_docs == 2  # reopen
+    assert idx.topk("alpha", k=5).count() == 1
+
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(6)],
+        "vec_id: long, embedding: array<double>",
+    )
+    vbatch = spark.createDataFrame(
+        [(50, _vec(50)), (51, _vec(51))],
+        "vec_id: long, embedding: array<double>",
+    )
+    ivf = IvfIndex.build(emb, base + "/ivf", nlist=2)
+    ivf.add(vbatch, idempotency_key="k1")
+    assert ivf.forget(spark, spark.createDataFrame([(50,)], "vec_id: long")) == 1
+    ivf.add(vbatch, idempotency_key="k1")  # replay: tombstone blocks
+
+    def ivf_ids():
+        return sorted(
+            r.neighbor_id
+            for r in ivf._lists(spark).select("neighbor_id").collect()
+        )
+
+    assert ivf_ids() == [0, 1, 2, 3, 4, 5, 51]
+    ivf.compact(spark)  # pointer publish for the lists surface
+    assert ivf_ids() == [0, 1, 2, 3, 4, 5, 51]
+    ivf.add(vbatch, idempotency_key="k1")  # replay ACROSS the publish
+    assert ivf_ids() == [0, 1, 2, 3, 4, 5, 51]
+    ivf.retrain(spark, train_iters=1)
+    assert ivf_ids() == [0, 1, 2, 3, 4, 5, 51]
+    q = spark.createDataFrame(
+        [(777, _vec(51))], "vec_id: long, embedding: array<double>"
+    )
+    assert ivf.search(q, k=1, nprobe=2).count() == 1
+
+
+def test_admission_sink_on_simulated_object_store(spark, tmp_path, objstore):
+    """The WHOLE streaming admission surface on the generations protocol:
+    ledgers, corpus, reject audit, Bloom artifact, both serving-index
+    maintenance ops and the settled-key prune — zero directory renames.
+    (The corpus/reject dynamic-overwrite partitions are Spark committer
+    territory; what this locks is OUR layer's commit protocol.)"""
+    import datetime
+
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_round8_hardening import _text
+    from tests.test_streaming import _write_doc_batches
+
+    base = f"file://{tmp_path}"
+    ext_schema = SI.DOC_SCHEMA + ", embedding array<double>"
+
+    def row(doc_id, text):
+        return (
+            doc_id, text, "en", "web", len(text),
+            datetime.datetime(2024, 1, 1, 0, 0, int(doc_id) % 60),
+            _vec(doc_id, 4),
+        )
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(100, f"eval question {bench_gram} answer choices")],
+        "doc_id: long, text: string",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dup = _text("tok")
+    _write_doc_batches(
+        spark, src,
+        [
+            [row(21, dup), row(23, f"bad {bench_gram} bad")],
+            [row(30, dup), row(32, _text("alpha"))],
+        ],
+        ext_schema,
+    )
+    pipe = AdmissionPipeline(spark, base + "/ledgers")
+    seed = spark.createDataFrame(
+        [(0, _vec(90, 4)), (1, _vec(91, 4))],
+        "vec_id: long, embedding: array<double>",
+    )
+    ivf = IvfIndex.build(seed, base + "/ivf", nlist=2)
+    bm25 = Bm25Index.build(
+        spark.createDataFrame([], "doc_id: long, text: string"),
+        base + "/bm25", n_buckets=8,
+    )
+
+    def run():
+        SI.admission_sink(
+            spark.readStream.schema(ext_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pipe,
+            base + "/corpus",
+            checkpoint=str(tmp_path / "ckpt"),
+            benchmark=bench,
+            reject_dir=base + "/rejects",
+            bm25_index=bm25,
+            ivf_index=ivf,
+            bloom_path=base + "/bloom",
+            prune_settled_after=1,
+        ).awaitTermination()
+
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(base + "/corpus").collect()
+    ) == [21, 32]
+    reasons = {
+        (r.doc_id, r.reason)
+        for r in spark.read.parquet(base + "/rejects").collect()
+    }
+    assert reasons == {(23, "contaminated"), (30, "rejected_dedup")}
+    assert bm25.n_docs == 2
+    assert sorted(
+        r.neighbor_id
+        for r in ivf._lists(spark).select("neighbor_id").collect()
+    ) == [0, 1, 21, 32]
+    # maintenance window over pointer-committed surfaces, then replay
+    from sql_data_warehouse_samples_spark import maintenance as M
+
+    M.corpus_maintenance_window(spark, pipe, indexes=(bm25, ivf))
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(base + "/corpus").collect()
+    ) == [21, 32]
+    assert bm25.n_docs == 2
+
+
+# ---------------------------------------------------------------------------
+# The single-writer lease + the scheduled index-maintenance ops loop
+# (wlm/ops ladder pattern applied to corpus/index maintenance).
+# ---------------------------------------------------------------------------
+
+
+def test_writer_lease_contract(spark, tmp_path):
+    """The lease turns the documented single-publisher contract into a
+    checked one: a different concurrent writer is refused loudly, a
+    crash-restart of the SAME owner re-acquires (token rotation fences
+    out its zombie), a quiesced takeover displaces the holder, and the
+    displaced holder's require()/release() fail safe."""
+    from sql_data_warehouse_samples_spark.maintenance import WriterLease
+
+    lease = WriterLease(spark, str(tmp_path / "root"))
+    assert lease.holder() is None
+    t1 = lease.acquire("sink:A")
+    lease.require(t1)
+    with pytest.raises(RuntimeError, match="held by"):
+        lease.acquire("sink:B")  # concurrent second writer refused
+    t1b = lease.acquire("sink:A")  # same-owner crash-restart
+    with pytest.raises(RuntimeError, match="taken over"):
+        lease.require(t1)  # the zombie instance is fenced out
+    t2 = lease.acquire("maintenance", force=True)  # quiesced takeover
+    with pytest.raises(RuntimeError, match="taken over"):
+        lease.require(t1b)
+    lease.release(t1b)  # displaced release: no-op, holder keeps it
+    lease.require(t2)
+    lease.release(t2)
+    assert lease.holder() is None
+    with pytest.raises(RuntimeError, match="released"):
+        lease.require(t2)
+
+
+def test_maintenance_scheduler_end_to_end(spark, tmp_path):
+    """The ops loop end-to-end: live lease-guarded admission sink →
+    settled-batch trigger fires → quiesce + lease takeover + maintenance
+    window → resume via restart_fn → replay convergence holds, the
+    cadence sidecar advances, decision rows record both the fired and
+    the idle ticks, and a second writer stays refused while the sink
+    identity holds the lease."""
+    import datetime
+
+    from sql_data_warehouse_samples_spark.maintenance import (
+        IndexMaintenanceScheduler,
+        WriterLease,
+    )
+    from sql_data_warehouse_samples_spark.operators.bm25 import Bm25Index
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_round8_hardening import _text
+
+    base = str(tmp_path)
+    ckpt = f"{base}/ckpt"
+    src = f"{base}/src"
+    os.makedirs(src)
+
+    def row(doc_id, text):
+        return (
+            doc_id, text, "en", "web", len(text),
+            datetime.datetime(2024, 1, 1, 0, 0, int(doc_id) % 60),
+        )
+
+    def write_batches(parts, offset):
+        # unique file names across calls — the file source tracks seen
+        # paths, so re-using b0/b1 would make later drops invisible
+        import glob
+        import shutil
+
+        for i, part in enumerate(parts):
+            staged = os.path.join(src, f"_stage{offset + i}")
+            spark.createDataFrame(part, SI.DOC_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            shutil.move(
+                glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+                os.path.join(src, f"b{offset + i}.parquet"),
+            )
+            shutil.rmtree(staged)
+
+    pipe = AdmissionPipeline(spark, f"{base}/ledgers")
+    bm25 = Bm25Index.build(
+        spark.createDataFrame([], "doc_id: long, text: string"),
+        f"{base}/bm25", n_buckets=4,
+    )
+    lease = WriterLease(spark, f"{base}/ledgers")
+
+    def run_sink():
+        return SI.admission_sink(
+            spark.readStream.schema(SI.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pipe,
+            f"{base}/corpus",
+            checkpoint=ckpt,
+            bm25_index=bm25,
+            lease=lease,
+        )
+
+    write_batches([[row(1, _text("alpha"))], [row(2, _text("beta"))]], 0)
+    q = run_sink()
+    q.awaitTermination()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
+    ) == [1, 2]
+
+    # while the sink identity holds the lease, a different writer is out
+    with pytest.raises(RuntimeError, match="held by"):
+        lease.acquire("rogue-backfill")
+
+    sched = IndexMaintenanceScheduler(
+        spark, pipe, indexes=(bm25,), checkpoint=ckpt,
+        settled_every=2, state_path=f"{base}/_MAINT_STATE.json",
+        lease=lease,
+    )
+    # 2 committed batches since last window (-1) -> due
+    assert any(r.startswith("settled_batches") for r in sched.due())
+    row1, q2 = sched.tick(query=q, restart_fn=run_sink)
+    assert row1["action"] == "maintain"
+    assert "ledger_exact_rows" in row1["detail"]["report"]
+    q2.awaitTermination()  # restarted sink: no new data, replays nothing
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
+    ) == [1, 2]
+    assert bm25.n_docs == 2 and bm25.topk("alpha1", k=5).count() == 1
+
+    # idle tick: trigger not due again until settled_every MORE batches
+    row2, _ = sched.tick(query=q2, restart_fn=run_sink)
+    assert row2["action"] == "none"
+    st = sched._state()
+    assert st["windows"] == 1 and st["last_batch"] == 1
+
+    # two more batches -> due again; the restarted sink re-acquired the
+    # lease (same owner), the window takes it over and releases it back
+    write_batches([[row(3, _text("gamma"))], [row(4, _text("delta"))]], 2)
+    q3 = run_sink()
+    q3.awaitTermination()
+    row3, q4 = sched.tick(query=q3, restart_fn=run_sink)
+    assert row3["action"] == "maintain"
+    q4.awaitTermination()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
+    ) == [1, 2, 3, 4]
+    assert sched._state() == {"last_batch": 3, "windows": 2}
+    assert [r["action"] for r in sched.decisions] == [
+        "maintain", "none", "maintain",
+    ]
+
+
+def test_maintenance_scheduler_drift_trigger(spark, tmp_path):
+    """The drift trigger: a skewed add pushes list-population skew over
+    the threshold — due() names it, tick retrains inside the window and
+    the decision row carries the before/after ratios."""
+    from sql_data_warehouse_samples_spark.maintenance import (
+        IndexMaintenanceScheduler,
+        index_skew,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex.build(e, str(tmp_path / "ivf"), nlist=8, train_iters=1)
+    seed_vec = e.filter("vec_id = 3").select("embedding").first()["embedding"]
+    skew = spark.createDataFrame(
+        [(10_000 + i, [float(x) * (1.0 + 0.001 * (i % 3)) for x in seed_vec])
+         for i in range(200)],
+        "vec_id: long, embedding: array<double>",
+    )
+    idx.add(skew)
+
+    sched = IndexMaintenanceScheduler(
+        spark, indexes=(idx,), drift_threshold=3.0,
+    )
+    due = sched.due()
+    assert any(r.startswith("drift[IvfIndex]") for r in due)
+    row, _ = sched.tick()
+    assert row["action"] == "maintain"
+    drift = row["detail"]["report"][f"drift[IvfIndex:{idx.path}]"]
+    assert drift["retrained"] is True
+    assert drift["ratio_after"] < drift["ratio"]
+    ratio_now, _, _ = index_skew(spark, idx)
+    assert ratio_now <= 3.0 or ratio_now < drift["ratio"]
+    # settled drift -> idle tick
+    row2, _ = sched.tick()
+    assert row2["action"] == "none"

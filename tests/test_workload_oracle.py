@@ -45,7 +45,7 @@ def test_driver_priority_window_pinned():
     # events + pandas-UDF + EVERY LLM-mandate op must be inside
     for must in [
         "q37_q39_events_battery", "q48_grouped_map_summary",
-        "t01_t04_text_battery", "t02_t03_t05_quality_battery",
+        "t01_t05_text_battery",
         "t07_pii_redaction",
         "d01_dedup_exact", "d24_simhash_identical_groups",
         "d05_embedding_neardup",
@@ -63,7 +63,7 @@ def test_driver_priority_window_pinned():
         "s10_pq_refine_topk", "t19_c4_line_clean",
         "t21_langid_trained", "s12_hard_negatives", "t20_filter_auc",
         "d25_corpus_drift", "s13_hard_negatives_batch",
-        "t22_langid_backoff",
+        "t22_langid_backoff", "t24_decode_roundtrip",
     ]:
         assert must in window, must
     # round-8: every in-window row carries an exact oracle (the rows-only
@@ -85,6 +85,9 @@ def test_driver_priority_window_pinned():
         "t02_t03_quality_langid_battery",
         "t05_repetition_filters",
         "s06_pq_codes",
+        # round-10 rotation: the folded text batteries stay registered
+        "t01_t04_text_battery",
+        "t02_t03_t05_quality_battery",
     ):
         assert post_window in workload.QUERIES, post_window
 
