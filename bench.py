@@ -279,6 +279,15 @@ SF1_SUBSET = [
     # r9 session 2: encode+decode round trip — the decode term rides the
     # same memo, so the sf1 ratio should track t23's
     "t24_decode_roundtrip",
+    # r10 (round-boundary additions per the standing protocol): the
+    # fertility scalar rides t23's closed form (ratio should track
+    # t23's); the index-backed search's ratio vs the 10x corpus is the
+    # serving-scale claim at the first rung (the sf10 section carries
+    # the 100x point).  The one-time per-sf-dir index build is paid on
+    # the first rep and cached under /tmp; min-of-reps measures the warm
+    # partition-pruned search.
+    "t25_tokenizer_fertility",
+    "s14_bm25_index_serving",
 ]
 
 

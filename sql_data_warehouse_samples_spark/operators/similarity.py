@@ -351,6 +351,29 @@ def kmeans_centroids(
     if max_train is None:
         max_train = max(10_000, 50 * nlist)
     cents = seed_centroids(corpus, id_col, vec_col, nlist)
+    if len(cents) < nlist:
+        # seed_centroids takes ids < nlist (semantics the s04-family
+        # oracles pin, so they stay untouched) — but a RETRAIN corpus
+        # has arbitrary ids: the low ids may have been forgotten, or the
+        # id space may not start at 0 at all (doc ids from an admission
+        # pipeline).  Fall back to the nlist lowest ids PRESENT,
+        # re-keyed 0..n-1 — still deterministic, and Lloyd refinement
+        # does the rest.  An empty corpus is a caller error, loudly.
+        rows = (
+            corpus.select(F.col(id_col).alias("__sid"),
+                          F.col(vec_col).alias("__svec"))
+            .dropDuplicates(["__sid"])
+            .orderBy("__sid")
+            .limit(nlist)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                "kmeans_centroids: corpus has no vectors to seed from"
+            )
+        cents = [
+            (i, [float(x) for x in r["__svec"]]) for i, r in enumerate(rows)
+        ]
     train = corpus.select(id_col, vec_col)
     if max_train:
         # TakeOrderedAndProject: each partition ships only its k best
@@ -942,6 +965,20 @@ def pq_codebooks(
         .orderBy("i")
         .collect()
     )
+    if len(rows) < k:
+        # ids < k is the oracle-pinned seeding (s06-family corpora always
+        # have ids 0..k-1, so their path is byte-identical) — but a
+        # RETRAIN corpus has arbitrary ids: the low ids may have been
+        # forgotten, or the id space may not start at 0.  Fall back to
+        # the k lowest ids PRESENT (still deterministic; codes re-index
+        # densely below either way).
+        rows = (
+            corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .dropDuplicates(["i"])
+            .orderBy("i")
+            .limit(k)
+            .collect()
+        )
     if not rows:
         raise ValueError("empty corpus: cannot seed PQ codebooks")
     dim = len(rows[0]["v"])

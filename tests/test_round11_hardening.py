@@ -520,3 +520,69 @@ def test_maintenance_scheduler_drift_trigger(spark, tmp_path):
     # settled drift -> idle tick
     row2, _ = sched.tick()
     assert row2["action"] == "none"
+
+
+def test_retrain_after_forgetting_low_ids(spark, tmp_path):
+    """Found by the r10 maintenance probe: seed_centroids takes ids <
+    nlist (semantics the s04-family oracles pin), so a retrain AFTER the
+    low ids were forgotten — or over any corpus whose id space does not
+    start at 0 — used to seed an empty quantizer and crash in numpy.
+    kmeans_centroids now falls back to the nlist lowest ids present."""
+    from sql_data_warehouse_samples_spark.maintenance import (
+        remediate_index_drift,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+        kmeans_centroids,
+    )
+
+    nlist = 4
+    emb = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), nlist=nlist,
+                         train_iters=1)
+    # forget EVERY id < nlist — the old seed set
+    idx.forget(
+        spark, spark.createDataFrame([(i,) for i in range(nlist)],
+                                     "vec_id: long")
+    )
+    idx.retrain(spark, train_iters=1)  # used to crash (empty seed)
+    assert len(idx.centroids) >= 1
+    assert idx._lists(spark).count() == 40 - nlist
+    q = spark.createDataFrame(
+        [(777, _vec(20, 8))], "vec_id: long, embedding: array<double>"
+    )
+    assert idx.search(q, k=1, nprobe=nlist).count() == 1
+
+    # an id space that starts nowhere near 0 seeds fine too
+    offset = spark.createDataFrame(
+        [(1_000_000 + i, _vec(i, 8)) for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = kmeans_centroids(offset, nlist=nlist, iters=1)
+    assert len(cents) == nlist
+
+    # empty corpus: loud, not a numpy axis error
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_centroids(emb.limit(0), nlist=nlist, iters=1)
+
+    # the drift-remediation path (what the probe actually ran) composes
+    remediate_index_drift(spark, idx, max_count_ratio=0.5)
+
+    # same hole in the PQ codebook seeding (ids < k, oracle-pinned):
+    # retrain from a corpus whose low ids were forgotten must re-seed
+    # from the k lowest ids PRESENT instead of dying on an empty seed
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfPqIndex,
+    )
+
+    pq = IvfPqIndex.build(emb, str(tmp_path / "pq"), nlist=2, m=4, k_pq=4)
+    pq.forget(
+        spark, spark.createDataFrame([(i,) for i in range(8)],
+                                     "vec_id: long")
+    )
+    pq.retrain(spark, emb, train_iters=1)  # used to crash (empty seed)
+    assert pq._lists(spark).count() == 32
+    assert pq.search(q, k=1, nprobe=2).count() == 1
