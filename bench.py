@@ -63,7 +63,10 @@ HEADLINE = [
     "d05_embedding_neardup",
     "s01_cosine_topk",
     "s04_ivf_topk",
-    "t02_quality_score",
+    # t02_quality_score retired from the headline in r10 to keep the
+    # compact stdout line under the driver's ~2000-char tail capture as
+    # s15 joined: it is a sub-0.2 s map-only projection whose cost story
+    # is carried by t05 here and by the t01_t05 battery driver row.
     "t05_repetition_filters",
     "t06_corpus_quantiles",
     "t08_curation_funnel",
@@ -149,6 +152,10 @@ HEADLINE = [
     # section so the ~|vocab|/n_buckets pruned-read claim is measured at
     # 100x, not just plan-locked.
     "s14_bm25_index_serving",
+    # r10 late: the vector-serving twin — s04's exact queries answered
+    # from the persisted IVF lists (probed centroid partitions only);
+    # same build-once /tmp caching as s14
+    "s15_ivf_index_serving",
 ]
 
 
@@ -288,6 +295,10 @@ SF1_SUBSET = [
     # partition-pruned search.
     "t25_tokenizer_fertility",
     "s14_bm25_index_serving",
+    # r10 late: the vector-serving twin — s04's exact queries answered
+    # from the persisted inverted lists (probed-partition reads only);
+    # same /tmp build-once caching as s14
+    "s15_ivf_index_serving",
 ]
 
 
@@ -306,6 +317,7 @@ SF10_SUBSET = [
     # warm partition-pruned searches, expected strongly sub-linear
     # (~|query vocab|/n_buckets of the postings, corpus never read).
     "s14_bm25_index_serving",
+    "s15_ivf_index_serving",
 ]
 
 

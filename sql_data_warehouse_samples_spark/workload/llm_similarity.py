@@ -314,6 +314,49 @@ def s04_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# s15 — INDEX-BACKED IVF serving (operators/similarity.IvfIndex): s04's
+# exact queries and exact oracle, answered from the PERSISTED inverted
+# lists instead of re-assigning the corpus per call — the vector-serving
+# cost story (s14 is the lexical twin).  The index builds once per
+# sf_dir (cached under /tmp; build = s04's one assignment pass) with the
+# same deterministic seed quantizer, so search() is value-identical to
+# ivf_topk by construction and the oracle is shared verbatim.  Each
+# search opens only the probed centroid partitions (~nprobe/nlist of the
+# lists, statically pruned) — the claim the standing sf10 section
+# measures at 100x.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_serving_index(spark, sf_dir):
+    import hashlib
+    import os as _os
+
+    from ..operators.similarity import IvfIndex
+
+    key = hashlib.md5(
+        ("v1:" + _os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    path = _os.path.join("/tmp", f"spark_graft_ivf_serving_{key}")
+    if _os.path.exists(_os.path.join(path, "centroids")):
+        return IvfIndex.load(spark, path)
+    e = tbl(spark, sf_dir, "embeddings")
+    return IvfIndex.build(e, path, nlist=16)  # s04's seed quantizer
+
+
+def _s15_oracle() -> str:
+    from . import ORACLES
+
+    return ORACLES["s04_ivf_topk"]
+
+
+@query("s15_ivf_index_serving", oracle=_s15_oracle())
+def s15_ivf_index_serving(spark, sf_dir):
+    idx = _ivf_serving_index(spark, sf_dir)
+    e = tbl(spark, sf_dir, "embeddings")
+    return idx.search(e.filter(F.col("vec_id") < 10), k=5, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
 # s05 — int8 embedding quantization (operators/similarity.quantize_embeddings):
 # the 4x storage/shuffle compression path for a 100 TB embedding corpus.
 # Map-only; all math in float64 so the oracle reproduces it exactly.
