@@ -586,3 +586,49 @@ def test_retrain_after_forgetting_low_ids(spark, tmp_path):
     pq.retrain(spark, emb, train_iters=1)  # used to crash (empty seed)
     assert pq._lists(spark).count() == 32
     assert pq.search(q, k=1, nprobe=2).count() == 1
+
+
+def test_maintenance_scheduler_pq_drift_deferred_without_corpus(
+    spark, tmp_path
+):
+    """A PQ index re-encodes from raw vectors, so when the drift trigger
+    fires and no corpus_fn was supplied the scheduler must DEFER the
+    retrain loudly in the decision row (never guess, never rewrite) —
+    and remediate it when corpus_fn is provided."""
+    from sql_data_warehouse_samples_spark.maintenance import (
+        IndexMaintenanceScheduler,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfPqIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(8)],
+        "vec_id: long, embedding: array<double>",
+    )
+    skew = spark.createDataFrame(
+        [(100 + i, _vec(3, 8)) for i in range(30)],
+        "vec_id: long, embedding: array<double>",
+    )
+    pq = IvfPqIndex.build(base, str(tmp_path / "pq"), nlist=2, m=4, k_pq=4)
+    pq.add(skew)
+
+    sched = IndexMaintenanceScheduler(
+        spark, indexes=(pq,), drift_threshold=1.5,
+    )
+    assert any(r.startswith("drift[IvfPqIndex]") for r in sched.due())
+    row, _ = sched.tick()
+    drift = row["detail"]["report"][f"drift[IvfPqIndex:{pq.path}]"]
+    assert "deferred" in drift  # loud, not silent, not a rewrite
+    # still due: the deferral did not consume the trigger
+    assert any(r.startswith("drift[IvfPqIndex]") for r in sched.due())
+
+    # with corpus_fn the same trigger remediates
+    corpus = base.unionByName(skew)
+    sched2 = IndexMaintenanceScheduler(
+        spark, indexes=(pq,), drift_threshold=1.5,
+        corpus_fn=lambda: corpus,
+    )
+    row2, _ = sched2.tick()
+    drift2 = row2["detail"]["report"][f"drift[IvfPqIndex:{pq.path}]"]
+    assert drift2["retrained"] is True
