@@ -846,10 +846,22 @@ class IndexMaintenanceScheduler:
                     )
             return report
 
-        report, new_q = run_quiesced(
-            _window, query=query, restart_fn=restart_fn, lease=self.lease,
-            owner="maintenance_scheduler",
-        )
+        try:
+            report, new_q = run_quiesced(
+                _window, query=query, restart_fn=restart_fn,
+                lease=self.lease, owner="maintenance_scheduler",
+            )
+        except Exception as e:
+            # ops-log parity: a failed window leaves a decision row (the
+            # sink is stopped and the lease released — run_quiesced's
+            # finally — so the operator sees WHY the stream is down);
+            # the cadence sidecar is NOT advanced, so the next tick
+            # re-fires the same trigger after remediation.
+            self._log(
+                "failed",
+                {"reasons": reasons, "error": f"{type(e).__name__}: {e}"[:300]},
+            )
+            raise
         if self.settled_every is not None:
             state = self._state()
             self._save_state(

@@ -428,9 +428,14 @@ def remove_surface(live: str, spark=None) -> None:
     """Delete a swap surface entirely (e.g. a tombstone table pruned to
     empty), under either strategy.  Generations order is pointer-first:
     readers stop resolving before any data disappears, and a crash
-    mid-removal leaves only invisible garbage."""
+    mid-removal leaves only invisible garbage.  Rename strategy: the
+    crash-parked ``__old``/``__bad`` siblings go too — removing the live
+    table makes them unreferenced (recover() must NOT resurrect a
+    deliberately removed surface from its ``__old``)."""
     if swap_strategy(live) == "rename":
         fs_rmtree(live, spark)
+        fs_rmtree(f"{live}__old", spark)
+        fs_rmtree(f"{live}__bad", spark)
         return
     gens = _gens_dir(live)
     ptr = os.path.join(gens, _POINTER)

@@ -632,3 +632,54 @@ def test_maintenance_scheduler_pq_drift_deferred_without_corpus(
     row2, _ = sched2.tick()
     drift2 = row2["detail"]["report"][f"drift[IvfPqIndex:{pq.path}]"]
     assert drift2["retrained"] is True
+
+
+def test_maintenance_scheduler_logs_failed_window(spark, tmp_path):
+    """Ops-log parity on the failure path: a maintenance window that
+    raises leaves a 'failed' decision row (reasons + error) and does NOT
+    advance the cadence — the next tick re-fires the same trigger."""
+    from sql_data_warehouse_samples_spark.maintenance import (
+        IndexMaintenanceScheduler,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex.build(e, str(tmp_path / "ivf"), nlist=8, train_iters=1)
+    seed_vec = e.filter("vec_id = 3").select("embedding").first()["embedding"]
+    idx.add(
+        spark.createDataFrame(
+            [(10_000 + i, [float(x) for x in seed_vec]) for i in range(100)],
+            "vec_id: long, embedding: array<double>",
+        )
+    )
+    sched = IndexMaintenanceScheduler(
+        spark, indexes=(idx,), drift_threshold=2.0,
+    )
+    assert sched.due()
+    idx.compact = lambda *a, **k: 1 / 0  # the window step blows up
+    with pytest.raises(ZeroDivisionError):
+        sched.tick()
+    assert sched.decisions[-1]["action"] == "failed"
+    assert "ZeroDivisionError" in sched.decisions[-1]["detail"]["error"]
+    assert sched.due()  # trigger still live after remediation
+
+
+def test_remove_surface_clears_crash_siblings(spark, tmp_path):
+    """Rename strategy: removing a surface must also take its crash-parked
+    __old/__bad siblings — otherwise the next reader's recover() would
+    resurrect a deliberately removed table from its __old copy (latent
+    pre-r10 bug in the prune-to-empty path)."""
+    import os as _os
+
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+
+    live = str(tmp_path / "tbl")
+    for p in (live, live + "__old", live + "__bad"):
+        _os.makedirs(p)
+        open(_os.path.join(p, "x"), "w").write("d")
+    D.remove_surface(live)
+    assert D.read_path(live) == live  # recover() resurrects nothing
+    for p in (live, live + "__old", live + "__bad"):
+        assert not _os.path.exists(p)
