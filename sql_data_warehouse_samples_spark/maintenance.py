@@ -611,15 +611,27 @@ class WriterLease:
     the loser only finds out at its next ``require``.  That converts
     silent double-writer corruption into a loud failure — the contract
     this class exists to check — but true fencing needs a coordination
-    service, which is out of scope by design."""
+    service, which is out of scope by design.
+
+    TTL/HEARTBEAT (r11): with ``ttl_s`` set, the lease record carries a
+    ``renewed_at`` stamp that the holder refreshes on every ``require``
+    (the per-micro-batch call — one small atomic write), and ``acquire``
+    treats a lease whose stamp is older than ``ttl_s`` as ABANDONED:
+    it succeeds without ``force``, making crashed-foreign-owner recovery
+    self-service instead of a human ``force=True``.  A zombie instance
+    of the expired holder is still fenced — its token no longer matches
+    at its next ``require``.  ``ttl_s=None`` (default) keeps the
+    no-expiry contract: a foreign holder's crash needs explicit force."""
 
     FILE = "_WRITER_LEASE.json"
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str,
+                 ttl_s: float | None = None) -> None:
         from .operators.dirswap import require_swap_capable
 
         self.spark = spark
         self.root = require_swap_capable(root)
+        self.ttl_s = ttl_s
 
     def _file(self) -> str:
         import os
@@ -636,19 +648,44 @@ class WriterLease:
             return None
         return json.loads(fs_read_bytes(self._file(), self.spark))
 
+    def _expired(self, cur: dict | None) -> bool:
+        """True when the stored lease is older than the TTL — only with
+        ``ttl_s`` configured AND a ``renewed_at`` stamp present (a
+        pre-TTL record's age is unknown; treating it as expired would
+        let a takeover race a live legacy holder)."""
+        if self.ttl_s is None or cur is None:
+            return False
+        stamp = cur.get("renewed_at")
+        return stamp is not None and (time.time() - stamp) > self.ttl_s
+
+    def _write_record(self, owner: str, token: str) -> None:
+        from .operators.dirswap import atomic_json_write, fs_mkdirs
+
+        fs_mkdirs(self.root, self.spark)
+        atomic_json_write(
+            self._file(),
+            {"owner": owner, "token": token, "renewed_at": time.time()},
+            self.spark,
+        )
+
     def acquire(self, owner: str, force: bool = False) -> str:
         """Take the lease; returns the fencing token ``require`` checks.
-        Refuses while a DIFFERENT owner's lease exists unless
-        ``force=True`` (quiesced takeover / crash recovery).  The same
-        owner re-acquires freely — a crashed sink restarting under its
-        own identity must not be blocked by its own stale lease; the
+        Refuses while a DIFFERENT owner's live lease exists unless
+        ``force=True`` (quiesced takeover / crash recovery) or the lease
+        is EXPIRED (ttl_s elapsed since its last heartbeat — the holder
+        is dead or wedged; its zombie is fenced by token rotation).  The
+        same owner re-acquires freely — a crashed sink restarting under
+        its own identity must not be blocked by its own stale lease; the
         token rotation still fences out a zombie instance of it."""
         import uuid
 
-        from .operators.dirswap import atomic_json_write, fs_mkdirs
-
         cur = self.holder()
-        if cur is not None and cur.get("owner") != owner and not force:
+        if (
+            cur is not None
+            and cur.get("owner") != owner
+            and not force
+            and not self._expired(cur)
+        ):
             raise RuntimeError(
                 f"writer lease at {self._file()} is held by "
                 f"{cur['owner']!r}; stop that writer first (run_quiesced "
@@ -656,15 +693,15 @@ class WriterLease:
                 "known dead"
             )
         token = uuid.uuid4().hex
-        fs_mkdirs(self.root, self.spark)
-        atomic_json_write(self._file(), {"owner": owner, "token": token},
-                          self.spark)
+        self._write_record(owner, token)
         return token
 
     def require(self, token: str) -> None:
         """Assert this writer still holds the lease — called per
         micro-batch by a lease-guarded sink (one small read).  A
-        mismatch means the lease was taken over; fail BEFORE writing."""
+        mismatch means the lease was taken over; fail BEFORE writing.
+        With ``ttl_s`` set this is also the HEARTBEAT: a successful
+        check refreshes ``renewed_at`` so a live holder never expires."""
         cur = self.holder()
         if cur is None or cur.get("token") != token:
             raise RuntimeError(
@@ -673,6 +710,8 @@ class WriterLease:
                    f"taken over by {cur['owner']!r}")
                 + " — this writer must stop (quiesce contract)"
             )
+        if self.ttl_s is not None:
+            self._write_record(cur["owner"], token)
 
     def release(self, token: str) -> None:
         """Release the lease if this token still holds it (idempotent:
@@ -713,6 +752,15 @@ class IndexMaintenanceScheduler:
       ``remediate_index_drift`` per vector index (PQ indexes re-encode
       from raw vectors: supply ``corpus_fn`` or their drift is reported
       but deferred, loudly, in the decision row).
+    * ``consts_every`` (r11): fire when ≥ N batches have committed since
+      the last window that REFRESHED the BM25 corpus constants sidecar —
+      covers a deployment where windows ran without the consts step (or
+      the sink stopped after un-refreshed commits) so staleness stays
+      bounded by this trigger rather than only by the settled cadence.
+      Needs ``checkpoint``/``state_path`` like ``settled_every``, plus
+      ``docs``+``consts_path`` in ``window_kwargs`` for the window to
+      actually refresh (without them the trigger is unremediable and is
+      deferred, loudly — see below).
 
     Each ``tick`` evaluates the triggers and either logs a ``none`` row
     (with what it observed) or runs ONE quiesced maintenance window —
@@ -721,7 +769,18 @@ class IndexMaintenanceScheduler:
     logs a ``maintain`` row carrying the window's full report.  Drive it
     from whatever scheduler owns cadence (the reference runs these as
     scheduled Logic Apps / SQL Agent jobs — arm-templates/
-    sqlDwLogicAppAutoScale; tick == one recurrence firing)."""
+    sqlDwLogicAppAutoScale; tick == one recurrence firing).
+
+    BACKOFF for unremediable triggers (r11, ADVICE): a window cannot fix
+    a PQ drift with no ``corpus_fn``, a drift a previous retrain already
+    failed to bring under threshold (until NEW drift accrues beyond that
+    retrain's residual ratio), or a consts-age with no ``docs``/
+    ``consts_path`` configured.  When every due reason is such a blocked
+    one, ``tick`` logs a ``deferred`` decision row WITHOUT quiescing —
+    re-firing a full stop/compact/restart cycle that accomplishes
+    nothing toward its trigger would cost availability every recurrence.
+    A mixed tick (any remediable reason due) still runs the window, but
+    blocked drift rows inside it skip their pointless retrain."""
 
     def __init__(
         self,
@@ -731,30 +790,39 @@ class IndexMaintenanceScheduler:
         checkpoint: str | None = None,
         settled_every: int | None = None,
         drift_threshold: float | None = None,
+        consts_every: int | None = None,
         corpus_fn=None,
         state_path: str | None = None,
         lease: WriterLease | None = None,
         window_kwargs: dict | None = None,
     ) -> None:
-        if settled_every is not None:
+        for name, every in (("settled_every", settled_every),
+                            ("consts_every", consts_every)):
+            if every is None:
+                continue
             if checkpoint is None or state_path is None:
                 raise ValueError(
-                    "settled_every needs checkpoint= (the sink's commit "
+                    f"{name} needs checkpoint= (the sink's commit "
                     "log) and state_path= (cadence progress sidecar)"
                 )
-            if settled_every < 1:
-                raise ValueError("settled_every must be >= 1")
+            if every < 1:
+                raise ValueError(f"{name} must be >= 1")
         self.spark = spark
         self.pipeline = pipeline
         self.indexes = tuple(indexes)
         self.checkpoint = checkpoint
         self.settled_every = settled_every
         self.drift_threshold = drift_threshold
+        self.consts_every = consts_every
         self.corpus_fn = corpus_fn
         self.state_path = state_path
         self.lease = lease
         self.window_kwargs = dict(window_kwargs or {})
         self.decisions: list[dict] = []
+        # ratio a failed-to-converge retrain left behind, per index name
+        # — the drift-backoff memory (persisted in the state sidecar when
+        # one is configured, so restarts keep the hysteresis)
+        self._unremediated: dict[str, float] = {}
 
     # -- observations ----------------------------------------------------
 
@@ -777,8 +845,17 @@ class IndexMaintenanceScheduler:
 
         if self.state_path is None or not fs_exists(self.state_path,
                                                     self.spark):
-            return {"last_batch": -1, "windows": 0}
-        return json.loads(fs_read_bytes(self.state_path, self.spark))
+            state = {"last_batch": -1, "windows": 0}
+        else:
+            state = json.loads(fs_read_bytes(self.state_path, self.spark))
+        state.setdefault("consts_batch", -1)
+        state.setdefault("unremediated", {})
+        # restart-safe backoff memory: the sidecar is authoritative
+        if self.state_path is not None:
+            self._unremediated = dict(state["unremediated"])
+        else:
+            state["unremediated"] = dict(self._unremediated)
+        return state
 
     def _save_state(self, state: dict) -> None:
         from .operators.dirswap import atomic_json_write
@@ -788,23 +865,83 @@ class IndexMaintenanceScheduler:
     def _vector_indexes(self):
         return [i for i in self.indexes if hasattr(i, "centroids")]
 
-    def due(self) -> list[str]:
-        """The trigger reasons that currently fire (empty = nothing due).
-        Pure observation — cheap enough to poll every tick."""
-        reasons = []
+    def _idx_name(self, idx) -> str:
+        return f"{type(idx).__name__}:{idx.path}"
+
+    def _consts_configured(self) -> bool:
+        return (
+            self.window_kwargs.get("docs") is not None
+            and self.window_kwargs.get("consts_path") is not None
+        )
+
+    def _drift_blocked(self, idx, ratio: float) -> str | None:
+        """Why a due drift trigger for ``idx`` cannot be remediated right
+        now (None = remediable): a PQ retrain with no corpus source, or
+        hysteresis — a previous retrain already failed to bring this
+        index under threshold and no NEW drift has accrued beyond the
+        ratio it left behind, so re-running it would rewrite every list
+        to land in the same place."""
+        import inspect
+
+        if ("corpus" in inspect.signature(idx.retrain).parameters
+                and self.corpus_fn is None):
+            return "PQ retrain needs corpus_fn="
+        left = self._unremediated.get(self._idx_name(idx))
+        if left is not None and ratio <= left + 1e-9:
+            return (
+                f"retrain already left ratio {round(left, 2)} > threshold; "
+                "no new drift since"
+            )
+        return None
+
+    def _due_rows(self) -> list[dict]:
+        """Due triggers with their remediability — the decision inputs.
+        Each row: {reason, remediable, blocked?, index?}."""
+        rows: list[dict] = []
+        self._state()  # refresh the backoff memory from the sidecar
         if self.settled_every is not None:
             n = self.committed_batches()
             last = self._state()["last_batch"]
             if n - last >= self.settled_every:
-                reasons.append(f"settled_batches:{n - last}")
+                rows.append(
+                    {"reason": f"settled_batches:{n - last}",
+                     "remediable": True}
+                )
         if self.drift_threshold is not None:
             for idx in self._vector_indexes():
                 ratio, _, _ = index_skew(self.spark, idx)
                 if ratio > self.drift_threshold:
-                    reasons.append(
-                        f"drift[{type(idx).__name__}]:{round(ratio, 2)}"
+                    blocked = self._drift_blocked(idx, ratio)
+                    row = {
+                        "reason":
+                            f"drift[{type(idx).__name__}]:{round(ratio, 2)}",
+                        "remediable": blocked is None,
+                        "index": self._idx_name(idx),
+                    }
+                    if blocked is not None:
+                        row["blocked"] = blocked
+                    rows.append(row)
+        if self.consts_every is not None:
+            n = self.committed_batches()
+            last = self._state()["consts_batch"]
+            if n - last >= self.consts_every:
+                row = {"reason": f"consts_age:{n - last}",
+                       "remediable": self._consts_configured()}
+                if not row["remediable"]:
+                    row["blocked"] = (
+                        "consts refresh needs docs= and consts_path= in "
+                        "window_kwargs"
                     )
-        return reasons
+                rows.append(row)
+        return rows
+
+    def due(self) -> list[str]:
+        """The trigger reasons that currently fire (empty = nothing due).
+        Pure observation — cheap enough to poll every tick.  Blocked
+        (unremediable) reasons are still LISTED — the operator should
+        see them — but an all-blocked tick defers instead of quiescing
+        (see the class docstring)."""
+        return [r["reason"] for r in self._due_rows()]
 
     # -- the loop ----------------------------------------------------------
 
@@ -816,12 +953,30 @@ class IndexMaintenanceScheduler:
     def tick(self, query=None, restart_fn=None):
         """One recurrence firing.  Returns ``(decision_row, new_query)``
         — ``new_query`` is the restarted sink when a window ran (else
-        the passed ``query``, unchanged)."""
+        the passed ``query``, unchanged).  When every due reason is
+        blocked (unremediable — see the class docstring), logs a
+        ``deferred`` row WITHOUT stopping the sink: the trigger stays
+        armed and re-evaluates next tick, but no full quiesce/compact/
+        restart cycle is burned on a window that cannot move it."""
         import inspect
 
-        reasons = self.due()
-        if not reasons:
+        due_rows = self._due_rows()
+        reasons = [r["reason"] for r in due_rows]
+        if not due_rows:
             return self._log("none", "no trigger due"), query
+        if all(not r["remediable"] for r in due_rows):
+            return (
+                self._log(
+                    "deferred",
+                    {
+                        "reasons": reasons,
+                        "blocked": {
+                            r["reason"]: r["blocked"] for r in due_rows
+                        },
+                    },
+                ),
+                query,
+            )
 
         def _window():
             report = corpus_maintenance_window(
@@ -830,20 +985,33 @@ class IndexMaintenanceScheduler:
             )
             if self.drift_threshold is not None:
                 for idx in self._vector_indexes():
-                    name = f"{type(idx).__name__}:{idx.path}"
+                    name = self._idx_name(idx)
+                    ratio, _, _ = index_skew(self.spark, idx)
+                    if ratio <= self.drift_threshold:
+                        self._unremediated.pop(name, None)
+                        continue
+                    blocked = self._drift_blocked(idx, ratio)
+                    if blocked is not None:
+                        report[f"drift[{name}]"] = {"deferred": blocked}
+                        continue
                     needs_corpus = "corpus" in inspect.signature(
                         idx.retrain
                     ).parameters
-                    if needs_corpus and self.corpus_fn is None:
-                        report[f"drift[{name}]"] = {
-                            "deferred": "PQ retrain needs corpus_fn="
-                        }
-                        continue
-                    report[f"drift[{name}]"] = remediate_index_drift(
+                    res = remediate_index_drift(
                         self.spark, idx,
                         max_count_ratio=self.drift_threshold,
                         corpus=self.corpus_fn() if needs_corpus else None,
                     )
+                    report[f"drift[{name}]"] = res
+                    # backoff memory: a retrain that could not reach the
+                    # threshold arms the hysteresis for this index
+                    after = res.get("ratio_after")
+                    if res.get("retrained") and after is not None and (
+                        after > self.drift_threshold
+                    ):
+                        self._unremediated[name] = after
+                    else:
+                        self._unremediated.pop(name, None)
             return report
 
         try:
@@ -862,12 +1030,27 @@ class IndexMaintenanceScheduler:
                 {"reasons": reasons, "error": f"{type(e).__name__}: {e}"[:300]},
             )
             raise
-        if self.settled_every is not None:
+        if self.state_path is not None:
+            # snapshot the window's backoff updates BEFORE _state(),
+            # which reloads self._unremediated from the (stale) sidecar
+            unrem = dict(self._unremediated)
             state = self._state()
+            self._unremediated = unrem
+            n = (
+                self.committed_batches()
+                if self.checkpoint is not None
+                else state["last_batch"]
+            )
             self._save_state(
                 {
-                    "last_batch": self.committed_batches(),
+                    "last_batch": n,
                     "windows": state["windows"] + 1,
+                    "consts_batch": (
+                        n
+                        if "consts_n_docs" in report
+                        else state["consts_batch"]
+                    ),
+                    "unremediated": unrem,
                 }
             )
         return (

@@ -37,13 +37,53 @@ from pyspark.sql import functions as F
 END_TOKEN = "</w>"
 
 
-def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+#: escape codepoint for the end-token literal (private-use area).  Text
+#: that CONTAINS the end-of-word delimiter as a literal substring would
+#: otherwise round-trip wrong: its characters concatenate back into the
+#: delimiter at decode time (the pre-r11 documented caveat).  Every
+#: text→symbol entry point therefore escapes the corpus first — a no-op
+#: on corpora free of the delimiter and of U+E000 (so every pinned
+#: oracle is byte-identical) — and ``Tokenizer.decode`` unescapes.
+_ESC = "\ue000"
+
+
+def escape_end_literal(text, end_token: str = END_TOKEN) -> Column:
+    """Make the end-of-word delimiter UNCONSTRUCTIBLE from corpus text:
+    double every literal U+E000, then interrupt every literal occurrence
+    of ``end_token`` with one U+E000 after its first character.  Identity
+    on text containing neither (the overwhelmingly common case — and the
+    one the SQL oracles pin).  Single-character end tokens cannot be
+    interrupted; pick an unused codepoint for those (they only collide
+    when that codepoint appears in the corpus at all)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.replace(c, F.lit(_ESC), F.lit(_ESC + _ESC))
+    if len(end_token) >= 2:
+        marked = end_token[0] + _ESC + end_token[1:]
+        c = F.replace(c, F.lit(end_token), F.lit(marked))
+    return c
+
+
+def unescape_end_literal(s: str, end_token: str = END_TOKEN) -> str:
+    """Python-side inverse of ``escape_end_literal`` for decoded text
+    (inverts the two replacements in reverse order)."""
+    if len(end_token) >= 2:
+        s = s.replace(end_token[0] + _ESC + end_token[1:], end_token)
+    return s.replace(_ESC + _ESC, _ESC)
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", end_token: str = END_TOKEN
+) -> DataFrame:
     """``(word, wcount)`` over whitespace tokens — the ONE corpus-sized
-    pass of the whole trainer."""
+    pass of the whole trainer.  The text is end-token-escaped first (a
+    no-op unless the corpus contains the delimiter literally)."""
     from .text import tokens
 
     return (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
+        docs.select(
+            F.explode(tokens(escape_end_literal(text_col, end_token)))
+            .alias("word")
+        )
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
@@ -230,7 +270,7 @@ def bpe_train(
     sequential trainer on random corpora); per round it collects only
     the small candidate window (≤ ~4·batch_size rows) instead of 1.
     """
-    words = word_frequencies(docs, text_col).withColumn(
+    words = word_frequencies(docs, text_col, end_token).withColumn(
         "symbols", char_symbols("word", end_token)
     )
     words = words.localCheckpoint(eager=True)
@@ -305,7 +345,7 @@ def bpe_train_collected(
     ``apply_bpe`` still segments them at inference via the learned rules.
     """
     rows = (
-        word_frequencies(docs, text_col)
+        word_frequencies(docs, text_col, end_token)
         .orderBy(F.desc("wcount"), F.asc("word"))
         .limit(max_words)
         .collect()
@@ -712,7 +752,9 @@ def apply_bpe(
     from .text import tokens
 
     seg = pandas_udf(_fn, ArrayType(StringType()))
-    return docs.withColumn(out_col, seg(tokens(text_col)))
+    return docs.withColumn(
+        out_col, seg(tokens(escape_end_literal(text_col, end_token)))
+    )
 
 
 def corpus_base_symbols(
@@ -726,7 +768,10 @@ def corpus_base_symbols(
     from .text import tokens
 
     rows = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
+        docs.select(
+            F.explode(tokens(escape_end_literal(text_col, end_token)))
+            .alias("w")
+        )
         .filter(F.col("w") != "")
         .select(F.explode(F.split("w", "")).alias("c"))
         .filter(F.col("c") != "")
@@ -871,20 +916,21 @@ class Tokenizer:
     ) -> DataFrame:
         """Token-id arrays → text, map-only (the vocab list rides the udf
         closure).  Inverse of ``encode`` up to whitespace normalization:
-        symbols concatenate and every end-of-word token becomes one
-        space, so ``decode(encode(t)) == ' '.join(tokens(t))`` whenever
-        no symbol fell to ``<unk>`` (OOV ids decode to their special's
-        literal string — lossy by construction, like any frozen vocab).
-        Known delimiter collision: the replacement scans the CONCATENATED
-        string, so source text containing the literal end-token substring
-        (``</w>`` by default — four base chars that concatenate back into
-        the delimiter) decodes those chars to a space, breaking the
-        round-trip identity on such corpora.  Pick an ``end_token`` that
-        cannot appear in the corpus (any unused codepoint works) when
-        training over text that may contain the default literally.
-        An id outside the vocab decodes to U+FFFD rather than crashing an
-        executor: corrupted shards surface as replacement characters AND
-        should be caught upstream by ``verify_tokenized_shards``."""
+        every end-of-word-suffixed token closes a word with one space, so
+        ``decode(encode(t)) == ' '.join(tokens(t))`` whenever no symbol
+        fell to ``<unk>`` (OOV ids decode to their special's literal
+        string — lossy by construction, like any frozen vocab).  The
+        pre-r11 delimiter collision is CLOSED: the encode side escapes
+        literal end-token substrings in the corpus
+        (``escape_end_literal`` — identity on clean corpora, so every
+        pinned oracle is unchanged), the word boundary is detected at the
+        SYMBOL level (merges only ever attach the end token as a suffix,
+        so suffix-match is exact), and decode unescapes — the round-trip
+        identity holds even for text containing ``</w>`` or U+E000
+        literally (test-locked).  An id outside the vocab decodes to
+        U+FFFD rather than crashing an executor: corrupted shards surface
+        as replacement characters AND should be caught upstream by
+        ``verify_tokenized_shards``."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import StringType
@@ -897,11 +943,17 @@ class Tokenizer:
                 if ids is None:
                     out.append(None)
                     continue
-                s = "".join(
-                    vocab[i] if 0 <= i < len(vocab) else "�"
-                    for i in ids
+                parts = []
+                for i in ids:
+                    s = vocab[i] if 0 <= i < len(vocab) else "�"
+                    if s.endswith(end):
+                        parts.append(s[: -len(end)])
+                        parts.append(" ")
+                    else:
+                        parts.append(s)
+                out.append(
+                    unescape_end_literal("".join(parts), end).rstrip()
                 )
-                out.append(s.replace(end, " ").rstrip())
             return pd.Series(out)
 
         return df.withColumn(out_col, pandas_udf(_fn, StringType())(ids_col))

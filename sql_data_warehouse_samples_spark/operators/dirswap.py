@@ -46,9 +46,32 @@ tokenizer version store proved out:
   publish's GC — and the numbering guarantees its name is not reused.
 * ``read_path`` resolves the pointer to the current generation (or the
   plain live directory before the first publish).
-* After the pointer commit, the previous generation and any
-  unreferenced stages are garbage-collected (best-effort; a crash
-  mid-GC leaves invisible garbage, reaped next publish).
+* After the pointer commit, unreferenced stages (torn publishes) are
+  garbage-collected and published generations are RETAINED per the
+  reader-grace rule below (best-effort; a crash mid-GC leaves invisible
+  garbage, reaped next publish).
+
+READER GRACE / GENERATION RETENTION.  A reader that resolved
+``read_path`` just before a publish holds a physical directory the
+publisher no longer references; reaping it immediately would delete
+files out from under an in-flight scan (at scale a long scan
+overlapping a compact is routine — every table format on blob storage
+retains snapshots for exactly this).  The pointer file therefore
+carries the publish LINEAGE (``history``), and ``gc_generations``
+keeps the newest ``GENERATION_RETAIN`` published generations (the
+current one plus its predecessors; default 2 = one full publish cycle
+of grace) while still reaping torn stages promptly — a stage that
+never published is invisible to every reader and gets no grace.  The
+pre-first-publish plain directory participates as the implicit first
+predecessor.  Call ``gc_generations(live, keep=1)`` at maintenance
+cadence to reclaim the grace copy once no reader can hold it.  The
+RENAME strategy follows the same rule with its one-slot layout: a
+successful swap RETAINS the displaced ``<live>__old`` copy until the
+next publish displaces it.  Note the grace is weaker there — rename
+readers resolve the live path itself, so only already-open file
+handles survive a swap (POSIX rename semantics); path-based re-listing
+sees the new data.  The generations strategy is the snapshot-isolated
+one: readers hold immutable ``gen-<N>`` paths.
 
 In-place mutation paths (keyed-batch dynamic overwrite, appends) are
 NOT swaps: they write into the CURRENT generation via ``read_path`` and
@@ -322,6 +345,17 @@ def fs_read_bytes(path: str, spark=None) -> bytes:
 _GENS_SUFFIX = "__gens"
 _POINTER = "_CURRENT.json"
 
+#: how many PUBLISHED generations gc_generations keeps by default — the
+#: current one plus (N-1) predecessors, giving in-flight readers one
+#: full publish cycle of grace (see the module docstring).  The pointer
+#: records the lineage, so torn stages are never confused with
+#: retained predecessors.
+GENERATION_RETAIN = 2
+
+#: the history token for the pre-first-publish plain live directory —
+#: the implicit generation readers resolved before any pointer existed.
+_PLAIN = "."
+
 
 def _gens_dir(live: str) -> str:
     return live + _GENS_SUFFIX
@@ -351,21 +385,32 @@ def _pointer_write(path: str, data: bytes, spark=None) -> None:
         h.write_bytes(path, data)
 
 
+def _pointer_read(live: str, spark=None) -> dict | None:
+    """The pointer record ({gen, history}) or None before the first
+    publish.  ``history`` is the publish lineage, newest first (may be
+    absent on pre-retention pointers)."""
+    import json
+
+    ptr = os.path.join(_gens_dir(live), _POINTER)
+    if not fs_exists(ptr, spark):
+        return None
+    return json.loads(fs_read_bytes(ptr, spark))
+
+
 def _current_generation(live: str, spark=None) -> str | None:
     """Name of the generation the pointer references, or None before the
     first publish.  A pointer referencing a missing directory is loud —
     that is manual-surgery corruption, not a crash state this protocol
     can produce (the pointer is written only after the generation
     verifies)."""
-    import json
-
-    ptr = os.path.join(_gens_dir(live), _POINTER)
-    if not fs_exists(ptr, spark):
+    rec = _pointer_read(live, spark)
+    if rec is None:
         return None
-    name = json.loads(fs_read_bytes(ptr, spark))["gen"]
+    name = rec["gen"]
     if not fs_exists(os.path.join(_gens_dir(live), name), spark):
         raise RuntimeError(
-            f"generation pointer at {ptr} references missing generation "
+            f"generation pointer at {os.path.join(_gens_dir(live), _POINTER)}"
+            f" references missing generation "
             f"{name!r} — the store was modified outside this protocol"
         )
     return name
@@ -403,22 +448,31 @@ def stage_path(live: str, tag: str, spark=None) -> str:
     return os.path.join(gens, f"gen-{(max(taken) + 1 if taken else 0):09d}")
 
 
-def gc_generations(live: str, spark=None) -> list[str]:
-    """Reap every generation except the current one (unreferenced stages
-    from torn publishes, the displaced previous generation) plus the
-    pre-first-publish plain directory once a pointer exists.  Runs
-    automatically after each publish; callable at maintenance cadence.
-    Returns the removed paths."""
-    cur = _current_generation(live, spark)
-    if cur is None:
+def gc_generations(live: str, spark=None, keep: int | None = None) -> list[str]:
+    """Reap unreferenced generations — torn stages immediately (no
+    reader ever resolved them), PUBLISHED predecessors beyond the
+    ``keep`` newest (current + keep−1 lineage entries; default
+    ``GENERATION_RETAIN`` — the in-flight-reader grace, see the module
+    docstring) — plus the pre-first-publish plain directory once it
+    leaves the retained lineage.  Runs automatically after each publish;
+    call with ``keep=1`` at maintenance cadence to reclaim the grace
+    copies once no reader can hold them.  Returns the removed paths."""
+    if keep is None:
+        keep = GENERATION_RETAIN
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the current generation)")
+    rec = _pointer_read(live, spark)
+    if rec is None:
         return []
+    cur = rec["gen"]
+    retained = {cur, *rec.get("history", [])[: keep - 1]}
     gens = _gens_dir(live)
     removed = []
     for child in fs_listdir(gens, spark):
-        if _gen_number(child) is not None and child != cur:
+        if _gen_number(child) is not None and child not in retained:
             fs_rmtree(os.path.join(gens, child), spark)
             removed.append(os.path.join(gens, child))
-    if fs_exists(live, spark):
+    if _PLAIN not in retained and fs_exists(live, spark):
         fs_rmtree(live, spark)
         removed.append(live)
     return removed
@@ -485,15 +539,21 @@ def swap_in(
     post-swap failure rolls back automatically (bad tree parked at
     ``<live>__bad``, previous data restored as live) and re-raises.
     Either way the caller never sees unverified data at the live path,
-    and the last good copy is never deleted on a failure path.
+    and the last good copy is never deleted on a failure path.  A
+    successful swap RETAINS the displaced copy at ``<live>__old`` (the
+    one-slot reader-grace rule — see the module docstring); the NEXT
+    publish reclaims it.  A missing live directory is a FIRST publish:
+    the stage simply becomes live (so builds can bootstrap through the
+    same crash-safe commit).
 
     Generations strategy (``stage`` must come from ``stage_path``):
     verify the staged generation, atomically commit the ``_CURRENT``
-    pointer (no data moves), then GC displaced/unreferenced generations.
-    A verify failure aborts with the pointer — and therefore every
-    reader — untouched; the abandoned stage is invisible and reaped
-    later.  No post-commit verify is needed: the published bytes ARE the
-    verified ones (nothing was renamed).
+    pointer (no data moves; the pointer carries the publish lineage for
+    the retention rule), then GC torn stages and out-of-grace
+    predecessors.  A verify failure aborts with the pointer — and
+    therefore every reader — untouched; the abandoned stage is invisible
+    and reaped later.  No post-commit verify is needed: the published
+    bytes ARE the verified ones (nothing was renamed).
     """
     if swap_strategy(live) == "generations":
         import json
@@ -509,9 +569,18 @@ def swap_in(
             )
         if verify is not None:
             verify(stage)  # raises -> pointer (and every reader) untouched
+        prev = _pointer_read(live, spark)
+        # lineage, newest first; the plain pre-publish dir is the
+        # implicit first predecessor.  Trimmed to the retention depth —
+        # entries beyond it are already reapable.
+        history = (
+            [prev["gen"], *prev.get("history", [])]
+            if prev is not None
+            else [_PLAIN]
+        )[: max(GENERATION_RETAIN - 1, 0)]
         _pointer_write(
             os.path.join(gens, _POINTER),
-            json.dumps({"gen": name}).encode(),
+            json.dumps({"gen": name, "history": history}).encode(),
             spark,
         )
         gc_generations(live, spark)
@@ -521,10 +590,13 @@ def swap_in(
     h = _hfs(live, spark)
     _rmtree = (lambda p: shutil.rmtree(p, ignore_errors=True)) if h is None else h.rmtree
     _move = shutil.move if h is None else h.move
+    _exists = os.path.exists if h is None else h.exists
     if verify is not None:
         verify(stage)  # raises -> live path untouched
-    _rmtree(old)
-    _move(live, old)
+    had_live = _exists(live)
+    if had_live:
+        _rmtree(old)  # reclaim the previous publish's grace copy
+        _move(live, old)
     _move(stage, live)
     if verify is not None:
         try:
@@ -534,9 +606,11 @@ def swap_in(
             # displaced good copy as live, then surface the failure
             _rmtree(bad)
             _move(live, bad)
-            _move(old, live)
+            if had_live:
+                _move(old, live)
             raise
-    _rmtree(old)
+    # the displaced __old copy is RETAINED (reader grace) — the next
+    # publish's _rmtree(old) above reclaims it
 
 
 def atomic_write(path: str, data: bytes, spark=None) -> None:

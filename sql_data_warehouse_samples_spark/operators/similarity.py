@@ -318,6 +318,38 @@ def seed_centroids(
     return [(int(r["cid"]), [float(x) for x in r["vec"]]) for r in rows]
 
 
+def _seed_or_lowest_present(
+    corpus: DataFrame, id_col: str, vec_col: str, nlist: int
+) -> list[tuple[int, list[float]]]:
+    """``seed_centroids`` with the arbitrary-id-space fallback (r10
+    probe fix, r11: shared by the index builds too): seed_centroids
+    takes ids < nlist (semantics the s04-family oracles pin, so they
+    stay untouched on dense-from-0 corpora) — but a retrain or REBUILD
+    corpus has arbitrary ids: the low ids may have been forgotten, or
+    the id space may not start at 0 at all (doc ids from an admission
+    pipeline).  Fall back to the nlist lowest ids PRESENT, re-keyed
+    0..n-1 — still deterministic.  An empty corpus is a caller error,
+    loudly."""
+    cents = seed_centroids(corpus, id_col, vec_col, nlist)
+    if len(cents) >= nlist:
+        return cents
+    rows = (
+        corpus.select(F.col(id_col).alias("__sid"),
+                      F.col(vec_col).alias("__svec"))
+        .dropDuplicates(["__sid"])
+        .orderBy("__sid")
+        .limit(nlist)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "centroid seeding: corpus has no vectors to seed from"
+        )
+    return [
+        (i, [float(x) for x in r["__svec"]]) for i, r in enumerate(rows)
+    ]
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -350,30 +382,7 @@ def kmeans_centroids(
     """
     if max_train is None:
         max_train = max(10_000, 50 * nlist)
-    cents = seed_centroids(corpus, id_col, vec_col, nlist)
-    if len(cents) < nlist:
-        # seed_centroids takes ids < nlist (semantics the s04-family
-        # oracles pin, so they stay untouched) — but a RETRAIN corpus
-        # has arbitrary ids: the low ids may have been forgotten, or the
-        # id space may not start at 0 at all (doc ids from an admission
-        # pipeline).  Fall back to the nlist lowest ids PRESENT,
-        # re-keyed 0..n-1 — still deterministic, and Lloyd refinement
-        # does the rest.  An empty corpus is a caller error, loudly.
-        rows = (
-            corpus.select(F.col(id_col).alias("__sid"),
-                          F.col(vec_col).alias("__svec"))
-            .dropDuplicates(["__sid"])
-            .orderBy("__sid")
-            .limit(nlist)
-            .collect()
-        )
-        if not rows:
-            raise ValueError(
-                "kmeans_centroids: corpus has no vectors to seed from"
-            )
-        cents = [
-            (i, [float(x) for x in r["__svec"]]) for i, r in enumerate(rows)
-        ]
+    cents = _seed_or_lowest_present(corpus, id_col, vec_col, nlist)
     train = corpus.select(id_col, vec_col)
     if max_train:
         # TakeOrderedAndProject: each partition ships only its k best
@@ -1370,6 +1379,72 @@ def rrf_fuse(
     return fused.select("query_id", "doc_id", "rrf", "n_lists", "fused_rank")
 
 
+#: hidden subdirectory of the lists surface holding the quantizer
+#: sidecars (centroids, and for PQ: codebooks + params).  Spark's file
+#: listing skips '_'-prefixed paths, so the lists scan never sees it —
+#: but it RIDES THE SAME COMMIT as the lists: one pointer flip (object
+#: stores) / directory rename (rename stores) publishes quantizer and
+#: lists together, so a crash can never leave new lists served under an
+#: old quantizer or vice versa (the r10 ADVICE finding: the previous
+#: layout overwrote {path}/centroids in place AFTER the lists swap).
+_QUANT = "_quantizer"
+
+
+def _write_quantizer(spark, lists_dir, centroids, books=None, params=None):
+    """Write the quantizer sidecars INTO a lists directory — normally a
+    stage about to be published, so the single crash-safe commit that
+    publishes the lists publishes the quantizer that produced them."""
+    q = f"{lists_dir}/{_QUANT}"
+    spark.createDataFrame(
+        list(centroids), "centroid_id long, __cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{q}/centroids")
+    if books is not None:
+        spark.createDataFrame(
+            [(j, c, v) for j, b in enumerate(books) for c, v in b],
+            "j long, code long, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{q}/codebooks")
+    if params is not None:
+        residual, m, k_pq = params
+        spark.createDataFrame(
+            [(bool(residual), m, k_pq)],
+            "residual boolean, m long, k_pq long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{q}/params")
+
+
+def _quant_path(spark, path: str, name: str) -> str:
+    """Physical path of quantizer sidecar ``name``: the in-generation
+    ``_quantizer/`` copy of the CURRENT lists directory when present
+    (resolved through dirswap.read_path — the pointer/heal-aware
+    resolver), else the legacy ``{path}/<name>`` sidecar (read-only
+    back-compat; any rewrite migrates to the in-generation layout)."""
+    from .dirswap import fs_exists, read_path
+
+    lists_dir = read_path(f"{path}/lists", spark)
+    new = f"{lists_dir}/{_QUANT}/{name}"
+    return new if fs_exists(new, spark) else f"{path}/{name}"
+
+
+def _drop_legacy_quantizer(spark, path: str) -> None:
+    """Best-effort removal of the pre-r11 plain quantizer sidecars after
+    a publish wrote the in-generation copy — a crash before this leaves
+    stale-but-never-read files (``_quant_path`` prefers the new layout)."""
+    from .dirswap import fs_rmtree
+
+    for name in ("centroids", "codebooks", "params"):
+        fs_rmtree(f"{path}/{name}", spark)
+
+
+def _verify_index_dir(spark):
+    """``swap_in`` verify for an IVF lists directory: the lists AND the
+    in-directory quantizer must both open — they are one atomic unit."""
+
+    def _v(p):
+        spark.read.parquet(p).first()
+        spark.read.parquet(f"{p}/{_QUANT}/centroids").first()
+
+    return _v
+
+
 class IvfIndex:
     """Persisted IVF-flat index: the inverted lists as a parquet table
     PARTITIONED BY centroid_id, plus the coarse quantizer alongside.
@@ -1385,7 +1460,10 @@ class IvfIndex:
     Layout under ``path``:
       lists/centroid_id=<cid>/__bk=<batch>/part-*.parquet
                                                (neighbor_id, __cvec)
-      centroids/part-*.parquet                 (centroid_id, __cent)
+      lists/_quantizer/centroids/part-*.parquet (centroid_id, __cent —
+          inside the lists swap surface, so quantizer + lists commit in
+          ONE atomic publish; a pre-r11 plain {path}/centroids sidecar
+          is still readable and migrates on the next rewrite)
 
     ``__bk`` is the ingest-batch subpartition (the Bm25Index pattern):
     ``build`` writes ``__bk=base``, a keyed ``add`` lands in
@@ -1423,14 +1501,22 @@ class IvfIndex:
         """Assign every corpus vector to its nearest centroid (the same
         map-only argmin fold ivf_topk uses) and write the lists partitioned
         by centroid_id — one distributed write, no shuffle beyond the
-        partitioned-write split."""
+        partitioned-write split.  The write PUBLISHES through the
+        strategy-dispatched commit (stage + ``swap_in``): on a surface
+        that already carries a generation pointer the rebuild lands in a
+        NEW generation readers actually resolve (the r10 ADVICE finding —
+        a plain write there was invisible to ``read_path`` and reaped by
+        the next GC), and the quantizer commits atomically with its
+        lists."""
+        from .dirswap import stage_path, swap_in
+
         spark = corpus.sparkSession
         if train_iters > 0:
             centroids = kmeans_centroids(
                 corpus, id_col, vec_col, nlist, iters=train_iters, round_to=round_to
             )
         else:
-            centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+            centroids = _seed_or_lowest_present(corpus, id_col, vec_col, nlist)
         assigned = assign_centroids(
             _spread(
                 corpus.select(
@@ -1442,19 +1528,23 @@ class IvfIndex:
             centroids,
             round_to,
         )
+        live = f"{path}/lists"
+        stage = stage_path(live, "build", spark)
         assigned.withColumn("__bk", F.lit(cls._BASE_KEY)).write.partitionBy(
             "centroid_id", "__bk"
-        ).mode("overwrite").parquet(f"{path}/lists")
-        spark.createDataFrame(
-            list(centroids), "centroid_id long, __cent array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        ).mode("overwrite").parquet(stage)
+        _write_quantizer(spark, stage, centroids)
+        swap_in(live, stage, verify=_verify_index_dir(spark))
+        _drop_legacy_quantizer(spark, path)
         return cls(path, list(centroids))
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
         cents = [
             (r["centroid_id"], list(r["__cent"]))
-            for r in spark.read.parquet(f"{path}/centroids").collect()
+            for r in spark.read.parquet(
+                _quant_path(spark, path, "centroids")
+            ).collect()
         ]
         return cls(path, sorted(cents))
 
@@ -1657,8 +1747,12 @@ class IvfIndex:
         vectors (kmeans_centroids: map-only assignment + ~nlist×dim-row
         shuffles), then rewrites the lists through the same verified
         staged swap as ``compact()`` — searches keep working against the
-        old lists until the swap lands, and a crash self-heals."""
-        from .dirswap import swap_in
+        old lists until the swap lands, and a crash self-heals.  The new
+        quantizer rides INSIDE the staged lists directory, so the one
+        commit publishes both — no window where new lists are served
+        under the old centroids (r10 ADVICE: the previous in-place
+        centroids overwrite was delete-then-write on object stores)."""
+        from .dirswap import stage_path, swap_in
 
         corpus = self._lists(spark).select("neighbor_id", "__cvec", "__bk")
         new_cents = kmeans_centroids(
@@ -1669,8 +1763,6 @@ class IvfIndex:
             iters=train_iters,
             round_to=round_to,
         )
-        from .dirswap import stage_path
-
         stage = stage_path(f"{self.path}/lists", "retrain", spark)
         # rows move to their NEW nearest list but keep their __bk (the
         # assignment is a map-only annotation, __bk rides along): a keyed
@@ -1680,11 +1772,10 @@ class IvfIndex:
         assigned.write.partitionBy("centroid_id", "__bk").mode(
             "overwrite"
         ).parquet(stage)
+        _write_quantizer(spark, stage, new_cents)
         live = f"{self.path}/lists"
-        swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
-        spark.createDataFrame(
-            list(new_cents), "centroid_id long, __cent array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        swap_in(live, stage, verify=_verify_index_dir(spark))
+        _drop_legacy_quantizer(spark, self.path)
         self.centroids = list(new_cents)
         return self
 
@@ -1700,10 +1791,10 @@ class IvfIndex:
         them together would make a later keyed replay see an empty
         ``__bk=k-<key>`` and re-ingest (double count), so per-list footer
         cost floors at one file per live batch.  Returns the
-        indexed-vector count."""
-        from .dirswap import swap_in
-
-        from .dirswap import stage_path
+        indexed-vector count.  The (unchanged) quantizer is re-written
+        into the stage so it stays inside the swapped directory — this
+        is also the migration path off the legacy plain sidecar."""
+        from .dirswap import stage_path, swap_in
 
         lists = self._lists(spark)
         _require_bk_layout(lists, self.path, "IvfIndex", "compact()")
@@ -1715,11 +1806,11 @@ class IvfIndex:
             .mode("overwrite")
             .parquet(stage)
         )
+        _write_quantizer(spark, stage, self.centroids)
         n = spark.read.parquet(stage).count()
         live = f"{self.path}/lists"
-        swap_in(
-            live, stage, verify=lambda p: spark.read.parquet(p).first()
-        )
+        swap_in(live, stage, verify=_verify_index_dir(spark))
+        _drop_legacy_quantizer(spark, self.path)
         return n
 
     def forget(self, spark, vec_ids: DataFrame, id_col: str = "vec_id") -> int:
@@ -1921,8 +2012,11 @@ class IvfPqIndex:
     swappable via retrain()-style rebuilds.  Layout under ``path``:
 
       lists/centroid_id=<cid>/part-*.parquet   (neighbor_id, pq codes)
-      centroids/part-*.parquet                 (coarse quantizer)
-      codebooks/part-*.parquet                 (j, code, vec)
+      lists/_quantizer/{centroids,codebooks,params}/part-*.parquet
+          (coarse quantizer + PQ codebooks + layout params — inside the
+          lists swap surface so all four commit in ONE atomic publish;
+          pre-r11 plain {path}/{centroids,codebooks,params} sidecars
+          stay readable and migrate on the next rewrite)
     """
 
     def __init__(
@@ -1969,7 +2063,7 @@ class IvfPqIndex:
                 corpus, id_col, vec_col, nlist, iters=train_iters, round_to=round_to
             )
         else:
-            centroids = seed_centroids(corpus, id_col, vec_col, nlist)
+            centroids = _seed_or_lowest_present(corpus, id_col, vec_col, nlist)
         assigned = assign_centroids(
             _spread(
                 corpus.select(
@@ -2008,39 +2102,47 @@ class IvfPqIndex:
             F.col("neighbor_id"),
             F.transform("pq", lambda s: s["code"].cast("int")).alias("codes"),
         )
+        from .dirswap import stage_path, swap_in
+
+        live = f"{path}/lists"
+        stage = stage_path(live, "build", spark)
         (
             encoded.join(assigned.select("neighbor_id", "centroid_id"), "neighbor_id")
             .withColumn("__bk", F.lit(IvfIndex._BASE_KEY))
             .write.partitionBy("centroid_id", "__bk")
             .mode("overwrite")
-            .parquet(f"{path}/lists")
+            .parquet(stage)
         )
-        spark.createDataFrame(
-            list(centroids), "centroid_id long, __cent array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        spark.createDataFrame(
-            [(j, c, v) for j, b in enumerate(books) for c, v in b],
-            "j long, code long, vec array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-        spark.createDataFrame(
-            [(bool(residual), m, k_pq)], "residual boolean, m long, k_pq long"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+        _write_quantizer(
+            spark, stage, centroids, books=books, params=(residual, m, k_pq)
+        )
+        # one commit publishes lists + quantizer + codebooks + params —
+        # and lands in a generation readers resolve even when the surface
+        # already carries a pointer (r10 ADVICE findings, both)
+        swap_in(live, stage, verify=_verify_index_dir(spark))
+        _drop_legacy_quantizer(spark, path)
         return cls(path, list(centroids), books, residual=residual)
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
         cents = sorted(
             (r["centroid_id"], list(r["__cent"]))
-            for r in spark.read.parquet(f"{path}/centroids").collect()
+            for r in spark.read.parquet(
+                _quant_path(spark, path, "centroids")
+            ).collect()
         )
-        rows = spark.read.parquet(f"{path}/codebooks").collect()
+        rows = spark.read.parquet(
+            _quant_path(spark, path, "codebooks")
+        ).collect()
         m = max(r["j"] for r in rows) + 1
         books: list[list] = [[] for _ in range(m)]
         for r in rows:
             books[r["j"]].append((int(r["code"]), [float(x) for x in r["vec"]]))
         try:
             residual = bool(
-                spark.read.parquet(f"{path}/params").first()["residual"]
+                spark.read.parquet(
+                    _quant_path(spark, path, "params")
+                ).first()["residual"]
             )
         except Exception:  # pre-residual layout
             residual = False
@@ -2262,11 +2364,12 @@ class IvfPqIndex:
         silently dropping them would un-serve admitted documents (fix
         the corpus/forget mismatch first).  ``m``/``k_pq`` stay fixed
         (they define the stored code layout; changing them is a
-        ``build``).  Single-writer: quiesce the sink first; the lists
-        swap in verified, then centroids/codebooks overwrite — the same
-        brief new-lists/old-constants window as IvfIndex.retrain."""
-        from .dirswap import swap_in
-
+        ``build``).  Single-writer: quiesce the sink first.  The new
+        quantizer AND codebooks ride inside the staged lists directory,
+        so the one verified swap publishes all of them atomically — no
+        window where new lists are served under the old quantizer (r10
+        ADVICE: the previous in-place sidecar overwrites were
+        delete-then-write on object stores)."""
         lists = self._lists(spark)
         _require_bk_layout(lists, self.path, "IvfPqIndex", "retrain()")
         # An id may legally live under MULTIPLE __bk batches (repeated
@@ -2352,25 +2455,19 @@ class IvfPqIndex:
             )
             .join(pairs, "neighbor_id")
         )
-        from .dirswap import stage_path
+        from .dirswap import stage_path, swap_in
 
         stage = stage_path(f"{self.path}/lists", "retrain", spark)
         rows.write.partitionBy("centroid_id", "__bk").mode(
             "overwrite"
         ).parquet(stage)
+        _write_quantizer(
+            spark, stage, new_cents, books=books,
+            params=(self.residual, m, k_pq),
+        )
         live = f"{self.path}/lists"
-        swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
-        spark.createDataFrame(
-            list(new_cents), "centroid_id long, __cent array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{self.path}/centroids"
-        )
-        spark.createDataFrame(
-            [(j, c, v) for j, b in enumerate(books) for c, v in b],
-            "j long, code long, vec array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{self.path}/codebooks"
-        )
+        swap_in(live, stage, verify=_verify_index_dir(spark))
+        _drop_legacy_quantizer(spark, self.path)
         self.centroids = list(new_cents)
         self.codebooks = books
         return self
@@ -2379,10 +2476,11 @@ class IvfPqIndex:
         """Rebuild accumulated add() batches into ``files_per_list``
         files per (centroid, batch) partition via the verified staged
         swap (same crash contract as IvfIndex.compact / the ledger; the
-        ``__bk`` level is preserved so keyed replays stay sound)."""
-        from .dirswap import swap_in
-
-        from .dirswap import stage_path
+        ``__bk`` level is preserved so keyed replays stay sound; the
+        unchanged quantizer/codebooks/params re-write into the stage so
+        they stay inside the swapped directory — also the migration
+        path off the legacy plain sidecars)."""
+        from .dirswap import stage_path, swap_in
 
         lists = self._lists(spark)
         _require_bk_layout(lists, self.path, "IvfPqIndex", "compact()")
@@ -2394,9 +2492,18 @@ class IvfPqIndex:
             .mode("overwrite")
             .parquet(stage)
         )
+        _write_quantizer(
+            spark, stage, self.centroids, books=self.codebooks,
+            params=(
+                self.residual,
+                len(self.codebooks),
+                max(len(b) for b in self.codebooks),
+            ),
+        )
         n = spark.read.parquet(stage).count()
         live = f"{self.path}/lists"
-        swap_in(live, stage, verify=lambda p: spark.read.parquet(p).first())
+        swap_in(live, stage, verify=_verify_index_dir(spark))
+        _drop_legacy_quantizer(spark, self.path)
         return n
 
     def forget(self, spark, vec_ids: DataFrame, id_col: str = "vec_id") -> int:

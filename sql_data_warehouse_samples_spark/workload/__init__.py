@@ -112,7 +112,13 @@ DRIVER_PRIORITY: list[str] = [
     # round-9: the PQ family keeps s10_pq_refine_topk — encode + ADC +
     # refine, a strict superset of s06's machinery — in-window)
     "s01_s03_embed_battery",  # cosine top-k + stats (folds s01 + s03)
-    "s04_ivf_topk",
+    # round-11 rotation: the serving-index flagships take their scan-twin
+    # seats — s15 replaces s04 and s14 replaces s07 (each shares its
+    # twin's EXACT oracle verbatim and is a strict machinery superset:
+    # build = the twin's one corpus pass, search = value-identical,
+    # test-locked).  s04/s07 stay registered + locally oracle-checked
+    # post-window; window density stays 50/50 exact.
+    "s15_ivf_index_serving",
     "m01_media_meta",
     # round-4 rotation: the two slots freed by the q03+q05 and t01+t04
     # folds go to the round-3 flagships that only had local oracles
@@ -121,7 +127,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-5 rotation: the four slots freed by the t02+t03 fold, the
     # q28-rownum W1 fold and the q06/q19 post-window moves go to the
     # round-4 flagships that only had local oracles
-    "s07_bm25_topk",
+    "s14_bm25_index_serving",  # r11: seated in s07's slot (shared oracle)
     "q58_asof_attribution",
     "t14_curation_pipeline",
     # round-5 late rotation: q02 (TOP-k; the ordering+limit family stays

@@ -41,6 +41,32 @@ def davg(c: str | Column, alias: str, scale: int = 4) -> Column:
     return (F.sum(dec(col, scale)).cast("double") / F.count(col)).alias(alias)
 
 
+def serving_cache_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Scratch directory for a serving index built over one dataset —
+    keyed by the dataset's CONTENT, not just its path: the key folds in
+    a cheap fingerprint of the source table's parquet files (relative
+    name + size + mtime), so regenerating the dataset at the same path
+    gets a FRESH index instead of silently serving the stale one (r10
+    ADVICE), and two hosts' differing /tmp trees cannot collide on a
+    predictable fixed name."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5(
+        ("v2:" + os.path.abspath(sf_dir) + "|" + ";".join(parts)).encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp", f"spark_graft_{kind}_{key}")
+
+
 # SQL-side fragments mirroring the helpers above (for DuckDB oracles).
 def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"

@@ -328,16 +328,15 @@ def s04_ivf_topk(spark, sf_dir):
 
 
 def _ivf_serving_index(spark, sf_dir):
-    import hashlib
     import os as _os
 
     from ..operators.similarity import IvfIndex
+    from ._util import serving_cache_dir
 
-    key = hashlib.md5(
-        ("v1:" + _os.path.abspath(sf_dir)).encode()
-    ).hexdigest()[:12]
-    path = _os.path.join("/tmp", f"spark_graft_ivf_serving_{key}")
-    if _os.path.exists(_os.path.join(path, "centroids")):
+    # content-fingerprinted cache key (r10 ADVICE): a regenerated
+    # dataset at the same path gets a fresh index, never a stale one
+    path = serving_cache_dir(sf_dir, "ivf_serving", "embeddings")
+    if _os.path.isdir(_os.path.join(path, "lists")):
         return IvfIndex.load(spark, path)
     e = tbl(spark, sf_dir, "embeddings")
     return IvfIndex.build(e, path, nlist=16)  # s04's seed quantizer

@@ -1932,15 +1932,14 @@ def s07_bm25_topk(spark, sf_dir):
 
 
 def _bm25_serving_index(spark, sf_dir):
-    import hashlib
     import os as _os
 
     from ..operators.bm25 import Bm25Index
+    from ._util import serving_cache_dir
 
-    key = hashlib.md5(
-        ("v1:" + _os.path.abspath(sf_dir)).encode()
-    ).hexdigest()[:12]
-    path = _os.path.join("/tmp", f"spark_graft_bm25_serving_{key}")
+    # content-fingerprinted cache key (r10 ADVICE): a regenerated
+    # dataset at the same path gets a fresh index, never a stale one
+    path = serving_cache_dir(sf_dir, "bm25_serving", "documents")
     if _os.path.exists(_os.path.join(path, "_BM25_META.json")):
         return Bm25Index(spark, path)
     d = tbl(spark, sf_dir, "documents")

@@ -131,10 +131,14 @@ def test_dirswap_crash_matrix(tmp_path):
     def readback(path):
         return open(os.path.join(path, "data.txt")).read()
 
-    # clean swap: new data live, __old gone
+    # clean swap: new data live, displaced copy RETAINED at __old (the
+    # r11 reader-grace rule) until the next publish reclaims it
     live, stage = mk("a", "old"), mk("a__stage", "new")
     swap_in(live, stage)
-    assert readback(live) == "new" and not os.path.exists(f"{live}__old")
+    assert readback(live) == "new" and readback(f"{live}__old") == "old"
+    stage2 = mk("a__stage", "newer")
+    swap_in(live, stage2)
+    assert readback(live) == "newer" and readback(f"{live}__old") == "new"
 
     # crash BETWEEN the renames: live missing, __old holds the old data
     live, stage = mk("b", "old"), mk("b__stage", "new")

@@ -696,7 +696,10 @@ def test_ledger_compact_crash_mid_swap_self_heals(spark, tmp_path):
         )
     )
     assert led.compact(n_files=1) == 2
-    # simulate the crash window: live moved aside, stage never moved in
+    # simulate the crash window exactly as a publish produces it: the
+    # retained __old grace copy is reclaimed first, then the crash lands
+    # between the two renames (live moved aside, stage never moved in)
+    shutil.rmtree(f"{path}__old")
     shutil.move(path, f"{path}__old")
     assert led.hashes().count() == 2  # recovered, not empty/error
     # and the recovered ledger still dedups
@@ -719,6 +722,10 @@ def test_ivf_compact_crash_mid_swap_self_heals(spark, tmp_path):
         for r in idx.search(q, k=3).collect()
     }
     idx.compact(spark)
+    # simulate the torn swap state exactly as a crash produces it: the
+    # next publish first reclaims the retained __old grace copy, then
+    # crashes between its two renames (live at __old, nothing live)
+    shutil.rmtree(f"{path}/lists__old")
     shutil.move(f"{path}/lists", f"{path}/lists__old")
     got = {
         (r["query_id"], r["neighbor_id"])

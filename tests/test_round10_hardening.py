@@ -212,7 +212,13 @@ def test_dirswap_hadoop_backend_swap_recover_rollback(spark, tmp_path):
     assert json.loads(dw.fs_read_bytes(base + "/live/_META.json", spark)) == {
         "v": 3
     }
-    # crash between the two renames: live missing, __old present → heal
+    # the swap RETAINED the displaced copy as the reader-grace slot (r11)
+    assert json.loads(
+        dw.fs_read_bytes(base + "/live__old/_META.json", spark)
+    ) == {"v": 2}
+    # crash between the two renames exactly as a publish produces it:
+    # grace copy reclaimed first, then live moved aside → heal
+    dw.fs_rmtree(base + "/live__old", spark)
     dw._HadoopFs(base, spark).move(base + "/live", base + "/live__old")
     assert dw.recover(base + "/live", spark) is True
     assert json.loads(dw.fs_read_bytes(base + "/live/_META.json", spark)) == {

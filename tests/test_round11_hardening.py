@@ -124,7 +124,10 @@ def test_generations_crash_recovery_properties(spark, tmp_path, objstore):
     assert D.read_path(live) == s1
     assert spark.read.parquet(D.read_path(live)).count() == 4
     assert _os.path.exists(str(tmp_path / "tbl__gens/_CURRENT.json"))
-    assert not _os.path.exists(lpath)  # plain dir GC'd after first publish
+    # r11 reader grace: the plain pre-publish dir is the retained
+    # predecessor after the FIRST publish — a reader that resolved it
+    # just before the flip still reads its files
+    assert spark.read.parquet(lpath).count() == 3
 
     # torn publish: stage written, crash before the pointer flip
     s2 = D.stage_path(live, "compact")
@@ -136,9 +139,16 @@ def test_generations_crash_recovery_properties(spark, tmp_path, objstore):
     spark.range(6).write.parquet(s3)
     D.swap_in(live, s3, verify=lambda p: spark.read.parquet(p).first())
     assert spark.read.parquet(D.read_path(live)).count() == 6
-    # GC reaped both the displaced generation and the torn stage
-    assert not _os.path.exists(s1.replace("file://", ""))
+    # GC retained the displaced PUBLISHED generation (reader grace) but
+    # reaped the torn stage (no reader ever resolved it — no grace) and
+    # the plain dir (now out of the retained lineage)
+    assert spark.read.parquet(s1).count() == 4
     assert not _os.path.exists(s2.replace("file://", ""))
+    assert not _os.path.exists(lpath)
+    # maintenance-cadence reclamation: keep=1 reaps the grace copy too
+    assert D.gc_generations(live, keep=1) == [s1]
+    assert not _os.path.exists(s1.replace("file://", ""))
+    assert spark.read.parquet(D.read_path(live)).count() == 6
 
     # verify failure: pointer (and readers) untouched
     s4 = D.stage_path(live, "compact")
@@ -592,9 +602,11 @@ def test_maintenance_scheduler_pq_drift_deferred_without_corpus(
     spark, tmp_path
 ):
     """A PQ index re-encodes from raw vectors, so when the drift trigger
-    fires and no corpus_fn was supplied the scheduler must DEFER the
-    retrain loudly in the decision row (never guess, never rewrite) —
-    and remediate it when corpus_fn is provided."""
+    fires and no corpus_fn was supplied the scheduler cannot remediate —
+    r11 (ADVICE): an ALL-blocked tick must log a 'deferred' decision row
+    WITHOUT quiescing (no stop/compact/restart cycle burned on a window
+    that cannot move its trigger), the reason stays visibly due, and
+    providing corpus_fn remediates."""
     from sql_data_warehouse_samples_spark.maintenance import (
         IndexMaintenanceScheduler,
     )
@@ -616,12 +628,18 @@ def test_maintenance_scheduler_pq_drift_deferred_without_corpus(
     sched = IndexMaintenanceScheduler(
         spark, indexes=(pq,), drift_threshold=1.5,
     )
+    # the blocked reason is still VISIBLE in due() (pure observation)
     assert any(r.startswith("drift[IvfPqIndex]") for r in sched.due())
     row, _ = sched.tick()
-    drift = row["detail"]["report"][f"drift[IvfPqIndex:{pq.path}]"]
-    assert "deferred" in drift  # loud, not silent, not a rewrite
+    # ...but the tick deferred without running a window (no quiesce)
+    assert row["action"] == "deferred"
+    assert "corpus_fn" in str(row["detail"]["blocked"])
+    assert "report" not in row["detail"]  # no window ran
     # still due: the deferral did not consume the trigger
     assert any(r.startswith("drift[IvfPqIndex]") for r in sched.due())
+    # repeated ticks keep deferring cheaply, never quiescing
+    row_b, _ = sched.tick()
+    assert row_b["action"] == "deferred"
 
     # with corpus_fn the same trigger remediates
     corpus = base.unionByName(skew)
@@ -630,6 +648,7 @@ def test_maintenance_scheduler_pq_drift_deferred_without_corpus(
         corpus_fn=lambda: corpus,
     )
     row2, _ = sched2.tick()
+    assert row2["action"] == "maintain"
     drift2 = row2["detail"]["report"][f"drift[IvfPqIndex:{pq.path}]"]
     assert drift2["retrained"] is True
 

@@ -91,7 +91,9 @@ def test_dirswap_success_path_still_swaps(tmp_path):
     swap_in(live, stage, verify=lambda p: seen.append(os.path.basename(p)))
     with open(os.path.join(live, "data")) as f:
         assert f.read() == "new"
-    assert not os.path.exists(f"{live}__old")
+    # displaced copy retained as the reader-grace slot (r11)
+    with open(os.path.join(f"{live}__old", "data")) as f:
+        assert f.read() == "old"
     # stage verified BEFORE the swap, live after
     assert seen == ["stage", "live"]
 
@@ -479,7 +481,9 @@ def test_minhash_ledger_compact_and_crash_heal(spark, tmp_path):
             )
         )
     assert led.compact(n_files=1) == 3
-    # crash window: live moved aside, stage never moved in → self-heals
+    # crash window exactly as a publish produces it: the retained __old
+    # grace copy reclaimed first, then live moved aside → self-heals
+    sh.rmtree(f"{led.path}__old")
     sh.move(led.path, f"{led.path}__old")
     assert led.signatures().count() == 3
 

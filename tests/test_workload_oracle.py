@@ -51,10 +51,12 @@ def test_driver_priority_window_pinned():
         "d05_embedding_neardup",
         "d06_t06_split_quantiles", "d07_d19_decontamination_battery",
         "d08_incremental_dedup", "d09_duplicate_clusters",
-        "p03_packing_closed_form", "s01_s03_embed_battery", "s04_ivf_topk",
+        "p03_packing_closed_form", "s01_s03_embed_battery",
+        "s15_ivf_index_serving",  # r11: s04's seat (shared exact oracle)
         "m01_media_meta", "q52_scalar_battery",
         "d12_semantic_dedup", "q60_scd2_dimension",
-        "s07_bm25_topk", "q58_asof_attribution",
+        "s14_bm25_index_serving",  # r11: s07's seat (shared exact oracle)
+        "q58_asof_attribution",
         "t14_curation_pipeline", "s09_knn_join", "t16_bpe_pair_counts",
         "d21_incremental_neardup_ledger", "t18_heavy_hitter_tokens",
         "d22_admission_pipeline", "q04_q17_semi_battery",
