@@ -487,7 +487,9 @@ def test_maintenance_scheduler_end_to_end(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
     ) == [1, 2, 3, 4]
-    assert sched._state() == {"last_batch": 3, "windows": 2}
+    # r11: the sidecar also carries consts_batch + the backoff memory
+    state = sched._state()
+    assert state["last_batch"] == 3 and state["windows"] == 2
     assert [r["action"] for r in sched.decisions] == [
         "maintain", "none", "maintain",
     ]
