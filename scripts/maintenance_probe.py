@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from sql_data_warehouse_samples_spark import maintenance as M
@@ -33,15 +32,12 @@ def main() -> None:
         IvfPqIndex,
     )
 
+    from sql_data_warehouse_samples_spark.session import build_session
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # the tuned factory, not a raw builder: the default-1g local JVM heap
+    # OOMed the r11 sf10 probe (500k docs) in the signature-ledger window
+    spark = build_session(app_name="maintenance-probe")
     base = tempfile.mkdtemp(prefix="maint_probe_")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
