@@ -71,7 +71,11 @@ next publish displaces it.  Note the grace is weaker there — rename
 readers resolve the live path itself, so only already-open file
 handles survive a swap (POSIX rename semantics); path-based re-listing
 sees the new data.  The generations strategy is the snapshot-isolated
-one: readers hold immutable ``gen-<N>`` paths.
+one: readers hold immutable ``gen-<N>`` paths.  The grace covers
+PUBLISHES only — the in-place mutation paths (keyed-batch dynamic
+overwrite, appends) rewrite exactly their own subpartitions of the
+CURRENT generation, so a reader racing a keyed replay of that one batch
+can see its files churn; every other partition stays byte-stable.
 
 In-place mutation paths (keyed-batch dynamic overwrite, appends) are
 NOT swaps: they write into the CURRENT generation via ``read_path`` and
@@ -352,6 +356,13 @@ _POINTER = "_CURRENT.json"
 #: retained predecessors.
 GENERATION_RETAIN = 2
 
+#: lineage depth RECORDED in the pointer (record > policy: the pointer
+#: keeps more history than the default GC uses, so an operator can raise
+#: GENERATION_RETAIN — or call gc_generations(keep=N) — without the
+#: record having already forgotten the predecessors; entries beyond the
+#: GC policy refer to already-reaped names, which is harmless).
+_LINEAGE_DEPTH = 16
+
 #: the history token for the pre-first-publish plain live directory —
 #: the implicit generation readers resolved before any pointer existed.
 _PLAIN = "."
@@ -571,13 +582,13 @@ def swap_in(
             verify(stage)  # raises -> pointer (and every reader) untouched
         prev = _pointer_read(live, spark)
         # lineage, newest first; the plain pre-publish dir is the
-        # implicit first predecessor.  Trimmed to the retention depth —
-        # entries beyond it are already reapable.
+        # implicit first predecessor.  Recorded to _LINEAGE_DEPTH —
+        # deeper than the GC policy, which picks its own keep at GC time.
         history = (
             [prev["gen"], *prev.get("history", [])]
             if prev is not None
             else [_PLAIN]
-        )[: max(GENERATION_RETAIN - 1, 0)]
+        )[:_LINEAGE_DEPTH]
         _pointer_write(
             os.path.join(gens, _POINTER),
             json.dumps({"gen": name, "history": history}).encode(),

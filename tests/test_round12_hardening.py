@@ -490,3 +490,31 @@ def test_bpe_escape_is_identity_on_clean_text(spark):
     ]
     assert all(("</w>" not in e) for e in esc)
     assert [unescape_end_literal(e) for e in esc] == hostile
+
+
+def test_generation_lineage_supports_deeper_retention(spark, tmp_path, objstore):
+    """The pointer records lineage deeper than the default GC policy
+    (record > policy): gc_generations(keep=3) retains two predecessors
+    even though publish-time GC runs at the default keep=2."""
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+
+    live = f"file://{tmp_path}/tbl"
+    paths = []
+    for n in (3, 4, 5, 6):
+        s = D.stage_path(live, "compact")
+        spark.range(n).write.parquet(s)
+        D.swap_in(live, s, verify=lambda p: spark.read.parquet(p).first())
+        paths.append(s)
+    # publish-time GC (keep=2) left exactly current + one predecessor
+    import os as _os
+    exists = [
+        _os.path.exists(p.replace("file://", "")) for p in paths
+    ]
+    assert exists == [False, False, True, True]
+    rec = D._pointer_read(live)
+    # ...but the lineage remembers more than the policy retained
+    assert len(rec["history"]) >= 2
+    # a deeper keep at GC time retains what still exists, reaps nothing new
+    assert D.gc_generations(live, keep=3) == []
+    assert D.gc_generations(live, keep=1) == [paths[2]]
+    assert spark.read.parquet(D.read_path(live)).count() == 6
