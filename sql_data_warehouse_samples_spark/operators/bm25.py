@@ -666,7 +666,15 @@ class Bm25Index:
         O(corpus text); df needs no maintenance (derived at query time).
         A purged doc's terms hash across ~all buckets, so this is a
         full-index rewrite (staged + verified swap per table); batch
-        forget requests at compaction cadence.  Returns postings rows
+        forget requests at compaction cadence.  Cross-table crash
+        contract (postings and doclens are SEPARATE swap surfaces, so
+        their two commits cannot be atomic together the way the IVF
+        quantizer+lists are): a crash between them leaves purged docs
+        already unservable (no postings) with doclens/meta counting them
+        for one more window — the constants drift smoothly (the
+        documented stale-statistics class, never wrong results) and
+        RE-RUNNING the same forget converges (both rewrites and the
+        constants refresh are idempotent).  Returns postings rows
         remaining."""
         import os
 

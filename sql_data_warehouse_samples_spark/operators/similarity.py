@@ -2004,8 +2004,9 @@ class IvfPqIndex:
     another ~190×.  Search ranks candidates by ADC lookup without ever
     touching a stored vector; the standard trade is a re-rank of the top
     candidates against raw vectors, which stays partition-pruned too
-    (``search(rerank=...)`` re-reads ONLY the probed lists of the raw
-    IvfIndex layout when one is kept alongside).
+    (``pq_refine_topk`` composes the ADC shortlist with an exact re-rank
+    over ONLY the shortlisted rows — keep a raw IvfIndex alongside when
+    refined serving is needed).
 
     This variant encodes RAW vectors (not residuals): encoding stays
     SQL-expressible/exactly testable, and the coarse quantizer remains

@@ -518,3 +518,35 @@ def test_generation_lineage_supports_deeper_retention(spark, tmp_path, objstore)
     assert D.gc_generations(live, keep=3) == []
     assert D.gc_generations(live, keep=1) == [paths[2]]
     assert spark.read.parquet(D.read_path(live)).count() == 6
+
+
+def test_first_publish_swap_on_hadoop_rename_backend(spark, tmp_path):
+    """swap_in's r11 first-publish path (no live directory yet) on the
+    Hadoop-FS rename backend: an IvfIndex.build over a fresh file://
+    path (rename strategy) bootstraps through the same crash-safe
+    commit, and a second build swaps normally with the grace copy
+    retained."""
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    path = f"file://{tmp_path}/ivf"
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)],
+        "vec_id: long, embedding: array<double>",
+    )
+    idx = IvfIndex.build(emb, path, nlist=2)  # first publish: live absent
+    assert idx.search(emb.limit(1), k=2, nprobe=2).count() == 2
+    assert not D.fs_exists(path + "/lists__old", spark)  # nothing displaced
+    emb2 = spark.createDataFrame(
+        [(100 + i, _vec(100 + i)) for i in range(6)],
+        "vec_id: long, embedding: array<double>",
+    )
+    idx2 = IvfIndex.build(emb2, path, nlist=2)  # rebuild: normal swap
+    assert sorted(
+        r.neighbor_id for r in idx2._lists(spark).select("neighbor_id").collect()
+    ) == [100 + i for i in range(6)]
+    # the displaced first build is the retained grace copy
+    assert D.fs_exists(path + "/lists__old", spark)
+    assert spark.read.parquet(path + "/lists__old").count() == 8
