@@ -76,12 +76,18 @@ DRIVER_PRIORITY: list[str] = [
     "q03_q05_star_battery",  # J1 + J13 stars (folds q03 + q05)
     "q04_q17_semi_battery",  # J10 EXISTS + J12 IN semi (folds q04 + q17)
     "q07_q15_pairs_battery",  # O4 DISTINCT + J8 self-join (folds q07 + q15)
-    "q55_union_battery",  # U1 + U4 (folds q08 + q43)
+    # round-11 fold: q55 (U1+U4) + q53 (U2+U3) join into ONE set-op
+    # battery — all four set operators in one slot, one exact oracle;
+    # constituents stay registered + locally oracle-checked post-window.
+    "q53_q55_setop_battery",
     "q11_q54_outer_battery",  # J4 left-isnull + J5/J6 (folds q11 + q54)
     "q18_q21_q22_agg_battery",  # A5/A9/A10/A11/M7 skew% + count-distinct
     # + agg-of-agg (round-9 fold of q18 into the q21+q22 battery)
     "q44_composite_key_join",
-    "q53_setop_all_battery",  # U2 + U3 (folds q49 + q50)
+    # the slot the round-11 q53+q55 fold freed seats s11 — the rrf_fuse
+    # hybrid-retrieval family's first driver row (BM25 + cosine top-k +
+    # reciprocal-rank fusion end-to-end, exact oracle)
+    "s11_hybrid_rrf",
     # window functions (q28 carries W2 RANK + W3 lag/moving + W4 frames)
     "q28_moving_revenue",
     # scalar families (q52 = combined battery; stat aggs ride in q01)

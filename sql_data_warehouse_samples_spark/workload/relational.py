@@ -1261,6 +1261,53 @@ def q55_union_battery(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q53_q55 — the COMBINED set-operator battery (round-11 fold): U1 UNION ALL
+# + U4 UNION (q55) and U2 INTERSECT ALL + U3 EXCEPT ALL (q53) in one driver
+# slot — all four set operators behind one exact oracle.  The constituent
+# batteries stay registered (and locally oracle-checked) post-window; this
+# fold freed the seat s11_hybrid_rrf took (the rrf_fuse family's first
+# driver row).  q53's two-column rows ride q55's five-column schema the
+# same way q55's own dedup arm does (n=1, NULL total_bal).
+# ---------------------------------------------------------------------------
+
+
+def _q53_q55_oracle() -> str:
+    from . import ORACLES
+
+    return (
+        ORACLES["q55_union_battery"]
+        + """
+UNION ALL
+SELECT 'intersect' AS mode, 'either' AS side, c_nationkey AS nationkey,
+       CAST(1 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+  INTERSECT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'except' AS mode, 'either' AS side, c_nationkey AS nationkey,
+       CAST(1 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 7000
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+    )
+
+
+@query("q53_q55_setop_battery", oracle=_q53_q55_oracle())
+def q53_q55_setop_battery(spark, sf_dir):
+    setops = q53_setop_all_battery(spark, sf_dir).select(
+        F.col("op").alias("mode"),
+        F.lit("either").alias("side"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("total_bal"),
+    )
+    return q55_union_battery(spark, sf_dir).unionByName(setops)
+
+
+# ---------------------------------------------------------------------------
 # q51 — Date-dimension generation (dimension.date.sql: the WWI calendar
 # dimension; DW engines materialize it rather than compute date parts per
 # query).  Pure JVM: sequence + explode + date-part functions.
