@@ -342,6 +342,16 @@ def fs_read_bytes(path: str, spark=None) -> bytes:
     return h.read_bytes(path)
 
 
+def fs_mtime(path: str, spark=None) -> float:
+    """Modification time of ``path`` in epoch seconds (directory mtime on
+    the local backend; Hadoop getFileStatus().getModificationTime() —
+    milliseconds — elsewhere)."""
+    h = _hfs(path, spark)
+    if h is None:
+        return os.stat(path).st_mtime
+    return h._fs.getFileStatus(h.jpath(path)).getModificationTime() / 1000.0
+
+
 # -- the generations (pointer-file) commit protocol -----------------------
 
 #: generation store suffix + pointer object name.  The pointer is the
@@ -459,7 +469,12 @@ def stage_path(live: str, tag: str, spark=None) -> str:
     return os.path.join(gens, f"gen-{(max(taken) + 1 if taken else 0):09d}")
 
 
-def gc_generations(live: str, spark=None, keep: int | None = None) -> list[str]:
+def gc_generations(
+    live: str,
+    spark=None,
+    keep: int | None = None,
+    min_age_s: float | None = None,
+) -> list[str]:
     """Reap unreferenced generations — torn stages immediately (no
     reader ever resolved them), PUBLISHED predecessors beyond the
     ``keep`` newest (current + keep−1 lineage entries; default
@@ -467,7 +482,17 @@ def gc_generations(live: str, spark=None, keep: int | None = None) -> list[str]:
     docstring) — plus the pre-first-publish plain directory once it
     leaves the retained lineage.  Runs automatically after each publish;
     call with ``keep=1`` at maintenance cadence to reclaim the grace
-    copies once no reader can hold them.  Returns the removed paths."""
+    copies once no reader can hold them.
+
+    ``min_age_s`` is the TIME-based grace alternative (the table-format
+    retention knob): any reapable directory younger than this many
+    seconds is kept for now — e.g. ``gc_generations(p, keep=1,
+    min_age_s=3600)`` reclaims everything no reader that started within
+    the last hour could hold, without counting publish cycles.  Age is
+    the directory's mtime (its creation for write-once generation dirs).
+    Returns the removed paths."""
+    import time as _time
+
     if keep is None:
         keep = GENERATION_RETAIN
     if keep < 1:
@@ -477,13 +502,31 @@ def gc_generations(live: str, spark=None, keep: int | None = None) -> list[str]:
         return []
     cur = rec["gen"]
     retained = {cur, *rec.get("history", [])[: keep - 1]}
+
+    def _too_young(p: str) -> bool:
+        if min_age_s is None:
+            return False
+        try:
+            return (_time.time() - fs_mtime(p, spark)) < min_age_s
+        except OSError:
+            return False  # raced away already — reapable by definition
+
     gens = _gens_dir(live)
     removed = []
     for child in fs_listdir(gens, spark):
-        if _gen_number(child) is not None and child not in retained:
-            fs_rmtree(os.path.join(gens, child), spark)
-            removed.append(os.path.join(gens, child))
-    if _PLAIN not in retained and fs_exists(live, spark):
+        p = os.path.join(gens, child)
+        if (
+            _gen_number(child) is not None
+            and child not in retained
+            and not _too_young(p)
+        ):
+            fs_rmtree(p, spark)
+            removed.append(p)
+    if (
+        _PLAIN not in retained
+        and fs_exists(live, spark)
+        and not _too_young(live)
+    ):
         fs_rmtree(live, spark)
         removed.append(live)
     return removed

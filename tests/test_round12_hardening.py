@@ -550,3 +550,32 @@ def test_first_publish_swap_on_hadoop_rename_backend(spark, tmp_path):
     # the displaced first build is the retained grace copy
     assert D.fs_exists(path + "/lists__old", spark)
     assert spark.read.parquet(path + "/lists__old").count() == 8
+
+
+def test_gc_generations_min_age_grace(spark, tmp_path, objstore):
+    """Time-based retention: gc_generations(keep=1, min_age_s=N) keeps
+    reapable generations younger than N seconds (a reader that started
+    within the window may still hold them) and reaps them once aged."""
+    import time
+
+    from sql_data_warehouse_samples_spark.operators import dirswap as D
+
+    live = f"file://{tmp_path}/tbl"
+    s1 = D.stage_path(live, "compact")
+    spark.range(3).write.parquet(s1)
+    D.swap_in(live, s1, verify=lambda p: spark.read.parquet(p).first())
+    s2 = D.stage_path(live, "compact")
+    spark.range(4).write.parquet(s2)
+    D.swap_in(live, s2, verify=lambda p: spark.read.parquet(p).first())
+
+    p1 = s1.replace("file://", "")
+    assert os.path.exists(p1)  # keep=2 retained the predecessor
+    # young predecessor: kept under the min-age grace
+    assert D.gc_generations(live, keep=1, min_age_s=3600) == []
+    assert os.path.exists(p1)
+    # age it past the window: now reclaimable
+    old = time.time() - 7200
+    os.utime(p1, (old, old))
+    assert D.gc_generations(live, keep=1, min_age_s=3600) == [s1]
+    assert not os.path.exists(p1)
+    assert spark.read.parquet(D.read_path(live)).count() == 4
