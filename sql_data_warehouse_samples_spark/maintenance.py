@@ -621,7 +621,13 @@ class WriterLease:
     self-service instead of a human ``force=True``.  A zombie instance
     of the expired holder is still fenced — its token no longer matches
     at its next ``require``.  ``ttl_s=None`` (default) keeps the
-    no-expiry contract: a foreign holder's crash needs explicit force."""
+    no-expiry contract: a foreign holder's crash needs explicit force.
+    SIZE ttl_s WELL ABOVE the longest gap between the holder's
+    ``require`` calls — for a sink that is the micro-batch interval, but
+    a ``run_quiesced`` maintenance window heartbeats only at
+    acquire/release, so the TTL must comfortably exceed the longest
+    window (see the measured window costs in PERFORMANCE.md) or another
+    writer could self-serve the lease mid-window."""
 
     FILE = "_WRITER_LEASE.json"
 
