@@ -700,6 +700,19 @@ class WriterLease:
             )
         token = uuid.uuid4().hex
         self._write_record(owner, token)
+        # read-back: with no CAS primitive, two near-simultaneous
+        # (force-)acquires can both write; re-reading catches the loser
+        # at ACQUIRE time in most interleavings instead of at its next
+        # require.  Still advisory — a write landing between this read
+        # and the caller's first require is caught there instead.
+        cur = self.holder()
+        if cur is None or cur.get("token") != token:
+            raise RuntimeError(
+                f"writer lease at {self._file()} was concurrently "
+                + ("released" if cur is None else
+                   f"taken by {cur['owner']!r}")
+                + " during acquire — two writers raced; back off"
+            )
         return token
 
     def require(self, token: str) -> None:

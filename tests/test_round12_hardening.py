@@ -579,3 +579,30 @@ def test_gc_generations_min_age_grace(spark, tmp_path, objstore):
     assert D.gc_generations(live, keep=1, min_age_s=3600) == [s1]
     assert not os.path.exists(p1)
     assert spark.read.parquet(D.read_path(live)).count() == 4
+
+
+def test_writer_lease_acquire_readback_catches_race(spark, tmp_path, monkeypatch):
+    """Two near-simultaneous force-acquires have no CAS to serialize
+    them; the r11 read-back makes the LOSER fail at acquire time (not at
+    its next require) when the competing write lands in between."""
+    from sql_data_warehouse_samples_spark import maintenance as M
+
+    root = str(tmp_path / "guarded")
+    lease = M.WriterLease(spark, root)
+
+    real_write = M.WriterLease._write_record
+
+    def write_then_lose(self, owner, token):
+        real_write(self, owner, token)
+        if owner == "loser":  # the competing acquire lands just after
+            real_write(self, "winner", "deadbeef")
+
+    monkeypatch.setattr(M.WriterLease, "_write_record", write_then_lose)
+    with pytest.raises(RuntimeError, match="concurrently .*taken by 'winner'"):
+        lease.acquire("loser", force=True)
+    monkeypatch.setattr(M.WriterLease, "_write_record", real_write)
+    # the surviving record still works for its holder path
+    assert lease.holder()["owner"] == "winner"
+    t = lease.acquire("sink", force=True)
+    lease.require(t)
+    lease.release(t)
