@@ -389,6 +389,50 @@ def prune_search_tombstones(
     )
 
 
+def parquet_file_census(spark: SparkSession, live: str) -> int:
+    """Number of parquet data files under the CURRENT view of a swap
+    surface (``dirswap.read_path``-resolved, so retained grace
+    generations are NOT counted; ``_``-prefixed children — quantizer
+    sidecars, Spark markers — are skipped like the scan skips them).
+    Pure metadata listing: the same O(#files) cost a compaction's own
+    planning pays, used to decide whether to pay the rest."""
+    import os
+
+    from .operators.dirswap import fs_isdir, fs_listdir, read_path
+
+    def _count(d: str) -> int:
+        n = 0
+        for child in fs_listdir(d, spark):
+            # Spark's hidden-path rule: '_'/'.' prefixes are invisible
+            # UNLESS the name is a partition dir (contains '='), which
+            # is how the __bk=<batch> level stays visible to scans
+            if child.startswith(("_", ".")) and "=" not in child:
+                continue
+            p = os.path.join(d, child)
+            if fs_isdir(p, spark):
+                n += _count(p)
+            elif child.endswith(".parquet"):
+                n += 1
+        return n
+
+    return _count(read_path(live, spark))
+
+
+def _compact_surfaces(idx) -> list[str]:
+    """The live data surfaces whose file counts gate ``idx``'s compact
+    step (logical paths — ``parquet_file_census`` resolves them)."""
+    import os
+
+    from .operators.bm25 import Bm25Index
+
+    if isinstance(idx, Bm25Index):
+        return [
+            os.path.join(idx.path, "postings"),
+            os.path.join(idx.path, "doclens"),
+        ]
+    return [os.path.join(idx.path, "lists")]
+
+
 def corpus_maintenance_window(
     spark: SparkSession,
     pipeline=None,
@@ -400,6 +444,7 @@ def corpus_maintenance_window(
     index_files_per_list: int | None = None,
     settled_keys=(),
     prune_unreplayable: bool = True,
+    skip_compact_below: int | None = None,
 ) -> dict:
     """The worked maintenance runbook, as one call — everything a corpus
     under an ``admission_sink`` needs at maintenance cadence, in the
@@ -438,29 +483,55 @@ def corpus_maintenance_window(
     land files in a directory that is about to be swapped away.  Same
     single-writer assumption as every ledger/index maintenance op.
 
+    ``skip_compact_below`` (r11 — the census gate): a surface already at
+    ≤ N parquet files skips its compact step (reported as
+    ``compact_skipped[...]`` carrying the census), paying only the
+    metadata listing instead of a full staged rewrite.  The sf10 probe
+    measured the window at ~40 s dominated by per-surface rewrite floors
+    — most windows after a settled-batch trigger only have ONE surface
+    that actually accumulated files, and this knob makes the others
+    near-free.  Tombstone pruning and the consts refresh still run for
+    skipped surfaces (they are not file-count problems).
+
     Returns a report dict (one entry per step that ran)."""
     report: dict = {}
+
+    def _skip(surfaces) -> int | None:
+        """The census when it is at-or-under the gate, else None."""
+        if skip_compact_below is None:
+            return None
+        n = sum(parquet_file_census(spark, s) for s in surfaces)
+        return n if n <= skip_compact_below else None
+
     if pipeline is not None:
-        exact_rows, near_rows = pipeline.compact(ledger_files)
-        report["ledger_exact_rows"] = exact_rows
-        report["ledger_near_rows"] = near_rows
+        census = _skip([pipeline.exact.path, pipeline.near.path])
+        if census is not None:
+            report["compact_skipped[ledgers]"] = census
+        else:
+            exact_rows, near_rows = pipeline.compact(ledger_files)
+            report["ledger_exact_rows"] = exact_rows
+            report["ledger_near_rows"] = near_rows
     import inspect
 
     for idx in indexes:
         name = f"{type(idx).__name__}:{idx.path}"
         if hasattr(idx, "compact"):
-            params = inspect.signature(idx.compact).parameters
-            if "files_per_list" in params:  # IVF family
-                kw = (
-                    {"files_per_list": index_files_per_list}
-                    if index_files_per_list is not None
-                    else {}
-                )
-                report[f"compacted[{name}]"] = idx.compact(spark, **kw)
-            else:  # Bm25Index: fold settled/un-keyed batches into base
-                report[f"compacted[{name}]"] = idx.compact(
-                    settled_keys=settled_keys
-                )
+            census = _skip(_compact_surfaces(idx))
+            if census is not None:
+                report[f"compact_skipped[{name}]"] = census
+            else:
+                params = inspect.signature(idx.compact).parameters
+                if "files_per_list" in params:  # IVF family
+                    kw = (
+                        {"files_per_list": index_files_per_list}
+                        if index_files_per_list is not None
+                        else {}
+                    )
+                    report[f"compacted[{name}]"] = idx.compact(spark, **kw)
+                else:  # Bm25Index: fold settled/un-keyed batches into base
+                    report[f"compacted[{name}]"] = idx.compact(
+                        settled_keys=settled_keys
+                    )
         report[f"tombstones_pruned[{name}]"] = prune_search_tombstones(
             spark,
             idx.path,
@@ -799,7 +870,10 @@ class IndexMaintenanceScheduler:
     re-firing a full stop/compact/restart cycle that accomplishes
     nothing toward its trigger would cost availability every recurrence.
     A mixed tick (any remediable reason due) still runs the window, but
-    blocked drift rows inside it skip their pointless retrain."""
+    blocked drift rows inside it skip their pointless retrain.  Pass
+    ``skip_compact_below`` in ``window_kwargs`` to census-gate the
+    per-surface compact steps inside fired windows (see
+    ``corpus_maintenance_window``)."""
 
     def __init__(
         self,

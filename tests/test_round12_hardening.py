@@ -606,3 +606,56 @@ def test_writer_lease_acquire_readback_catches_race(spark, tmp_path, monkeypatch
     t = lease.acquire("sink", force=True)
     lease.require(t)
     lease.release(t)
+
+
+def test_maintenance_window_census_gate_skips_compact(spark, tmp_path):
+    """skip_compact_below: surfaces already at <= N parquet files skip
+    their staged rewrite (the sf10 probe showed the window cost is
+    per-surface rewrite floors) while tombstone pruning still runs; a
+    zero gate compacts as before.  The census reads the LIVE view only
+    (grace generations and _quantizer sidecars excluded)."""
+    from sql_data_warehouse_samples_spark import maintenance as M
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id: long, text: string",
+    )
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(6)],
+        "vec_id: long, embedding: array<double>",
+    )
+    pipe = AdmissionPipeline(spark, str(tmp_path / "ledgers"))
+    pipe.admit(docs, idempotency_key="b0")
+    ivf = IvfIndex.build(emb, str(tmp_path / "ivf"), nlist=2)
+
+    # census sees the live lists files, not the _quantizer sidecar
+    n_lists = M.parquet_file_census(spark, str(tmp_path / "ivf" / "lists"))
+    assert n_lists >= 2  # one+ file per populated centroid partition
+
+    report = M.corpus_maintenance_window(
+        spark, pipe, indexes=(ivf,), skip_compact_below=10_000
+    )
+    name = f"IvfIndex:{ivf.path}"
+    assert report[f"compact_skipped[{name}]"] == n_lists
+    assert "compact_skipped[ledgers]" in report
+    assert f"compacted[{name}]" not in report
+    assert f"tombstones_pruned[{name}]" in report  # still runs
+
+    # gate at zero: everything compacts exactly as before
+    report2 = M.corpus_maintenance_window(
+        spark, pipe, indexes=(ivf,), skip_compact_below=0
+    )
+    assert report2["ledger_exact_rows"] == 2
+    assert report2[f"compacted[{name}]"] == 6
+    # after compaction to 1 file/list the same gate at its census skips
+    n_after = M.parquet_file_census(spark, str(tmp_path / "ivf" / "lists"))
+    report3 = M.corpus_maintenance_window(
+        spark, pipe, indexes=(ivf,), skip_compact_below=n_after
+    )
+    assert report3[f"compact_skipped[{name}]"] == n_after
