@@ -98,6 +98,12 @@ def main() -> None:
     timed("window_one_call_total", lambda: M.corpus_maintenance_window(
         spark, pipe, indexes=(bm25, ivf, pq)
     ))
+    # the census-gated window right after a compaction: every surface is
+    # at its floor, so this measures the skip path's metadata-only cost
+    timed("window_one_call_census_gated", lambda: M.corpus_maintenance_window(
+        spark, pipe, indexes=(bm25, ivf, pq),
+        skip_compact_below=10_000,
+    ))
     # drift remediation (the expensive, threshold-gated step)
     timed("retrain_ivf", lambda: ivf.retrain(spark, train_iters=1))
     timed("retrain_pq_from_corpus", lambda: pq.retrain(

@@ -47,6 +47,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._frames import small_df
+
 from .text import tokens
 
 #: Above this many distinct terms in one batch, the literal-array token
@@ -172,8 +174,11 @@ def _bm25_scores(
             eager=True
         )
         consts_df = (
-            spark.createDataFrame(
-                [(int(consts[0]), float(consts[1]))], "n_docs: long, avgdl: double"
+            small_df(
+                spark,
+                [(int(consts[0]), float(consts[1]))],
+                "n_docs: long, avgdl: double",
+                ["n_docs", "avgdl"],
             )
             if consts is not None
             else base.agg(
@@ -189,7 +194,7 @@ def _bm25_scores(
     else:
         toks = tokens(text_col)
         vocab_df = F.broadcast(
-            spark.createDataFrame([(t,) for t in vocab], "term: string")
+            small_df(spark, [(t,) for t in vocab], "term: string", ["term"])
         )
         tok_rows = docs.select(
             F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
@@ -207,8 +212,11 @@ def _bm25_scores(
             .localCheckpoint(eager=True)
         )
         consts_df = (
-            spark.createDataFrame(
-                [(int(consts[0]), float(consts[1]))], "n_docs: long, avgdl: double"
+            small_df(
+                spark,
+                [(int(consts[0]), float(consts[1]))],
+                "n_docs: long, avgdl: double",
+                ["n_docs", "avgdl"],
             )
             if consts is not None
             else docs.select(F.size(toks).alias("dl")).agg(
@@ -283,8 +291,9 @@ def bm25_topk(
     if not terms:
         raise ValueError("query has no terms")
     spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [(0, t) for t in terms], "query_id: long, term: string"
+    qterms = small_df(
+        spark, [(0, t) for t in terms], "query_id: long, term: string",
+        ["query_id", "term"],
     )
     scored = _bm25_scores(
         docs, qterms, terms, id_col, text_col, k1, b,
@@ -834,7 +843,9 @@ class Bm25Index:
     def _buckets_for(self, vocab: list[str]) -> list[int]:
         """Bucket ids for the query vocabulary — computed with the SAME
         engine hash that bucketed the index (one vocab-sized local job)."""
-        vdf = self.spark.createDataFrame([(t,) for t in vocab], "term: string")
+        vdf = small_df(
+            self.spark, [(t,) for t in vocab], "term: string", ["term"]
+        )
         rows = vdf.select(
             F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).alias("b")
         ).distinct().collect()
@@ -881,15 +892,17 @@ class Bm25Index:
             hits = pruned.filter(F.col("term").isin(vocab))
         else:
             vocab_df = F.broadcast(
-                self.spark.createDataFrame(
-                    [(t,) for t in vocab], "term: string"
+                small_df(
+                    self.spark, [(t,) for t in vocab], "term: string",
+                    ["term"],
                 )
             )
             hits = pruned.join(vocab_df, "term")
         hits = hits.drop("__tb", "__bk")
         dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-        consts_df = self.spark.createDataFrame(
-            [(self.n_docs, self.avgdl)], "n_docs: long, avgdl: double"
+        consts_df = small_df(
+            self.spark, [(self.n_docs, self.avgdl)],
+            "n_docs: long, avgdl: double", ["n_docs", "avgdl"],
         )
         scored = _score_hits(
             hits, qterms, dfreq, consts_df, k1, b, self.id_col
@@ -898,8 +911,9 @@ class Bm25Index:
 
     def topk(self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         """Single-query convenience over ``topk_batch`` (drops query_id)."""
-        q = self.spark.createDataFrame(
-            [(0, query)], "query_id: long, query: string"
+        q = small_df(
+            self.spark, [(0, query)], "query_id: long, query: string",
+            ["query_id", "query"],
         )
         return (
             self.topk_batch(q, k=k, k1=k1, b=b)

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._frames import small_df
+
 try:  # the Arrow fast paths need the full numpy/pandas/pyarrow stack;
     import numpy as _np  # noqa: F401 - probe only
     import pandas as _pd  # noqa: F401
@@ -289,9 +291,11 @@ def assign_centroids(
         return df.withColumn(out_col, _argmin_cid(vec, cent_list, round_to))
     spark = df.sparkSession
     packed = (
-        spark.createDataFrame(
+        small_df(
+            spark,
             [(int(c), [float(x) for x in v]) for c, v in cent_list],
             "cid: long, vec: array<double>",
+            ["cid", "vec"],
         )
         .agg(F.sort_array(F.collect_list(F.struct("cid", "vec"))).alias("__cents"))
     )
@@ -457,9 +461,11 @@ def ivf_topk(
         else:
             centroids = seed_centroids(corpus, id_col, vec_col, nlist)
 
-    cents = corpus.sparkSession.createDataFrame(
+    cents = small_df(
+        corpus.sparkSession,
         [(cid, vec) for cid, vec in centroids],
         "centroid_id long, __cent array<double>",
+        ["centroid_id", "__cent"],
     )
 
     c = _spread(
@@ -1395,19 +1401,26 @@ def _write_quantizer(spark, lists_dir, centroids, books=None, params=None):
     stage about to be published, so the single crash-safe commit that
     publishes the lists publishes the quantizer that produced them."""
     q = f"{lists_dir}/{_QUANT}"
-    spark.createDataFrame(
-        list(centroids), "centroid_id long, __cent array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{q}/centroids")
+    small_df(
+        spark,
+        list(centroids),
+        "centroid_id long, __cent array<double>",
+        ["centroid_id", "__cent"],
+        ).coalesce(1).write.mode("overwrite").parquet(f"{q}/centroids")
     if books is not None:
-        spark.createDataFrame(
+        small_df(
+            spark,
             [(j, c, v) for j, b in enumerate(books) for c, v in b],
             "j long, code long, vec array<double>",
+            ["j", "code", "vec"],
         ).coalesce(1).write.mode("overwrite").parquet(f"{q}/codebooks")
     if params is not None:
         residual, m, k_pq = params
-        spark.createDataFrame(
+        small_df(
+            spark,
             [(bool(residual), m, k_pq)],
             "residual boolean, m long, k_pq long",
+            ["residual", "m", "k_pq"],
         ).coalesce(1).write.mode("overwrite").parquet(f"{q}/params")
 
 
@@ -1564,9 +1577,12 @@ class IvfIndex:
         from pyspark.sql import Window
 
         spark = queries.sparkSession
-        cents = spark.createDataFrame(
-            list(self.centroids), "centroid_id long, __cent array<double>"
-        )
+        cents = small_df(
+            spark,
+            list(self.centroids),
+            "centroid_id long, __cent array<double>",
+            ["centroid_id", "__cent"],
+            )
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         )
@@ -1716,9 +1732,12 @@ class IvfIndex:
         ``{path}/meta/balance`` and compare across ingests; when the
         max/median count ratio or the distance trend crosses your
         threshold, ``retrain()``."""
-        cents = spark.createDataFrame(
-            list(self.centroids), "centroid_id long, __cent array<double>"
-        )
+        cents = small_df(
+            spark,
+            list(self.centroids),
+            "centroid_id long, __cent array<double>",
+            ["centroid_id", "__cent"],
+            )
         d2 = F.round(l2sq(F.col("__cvec"), F.col("__cent")), 6)
         return (
             self._lists(spark)
@@ -1904,7 +1923,7 @@ def _ivf_lists_forget(
         f"{c} {'string' if c == '__bk' else 'long'}" for c in part_cols
     )
     touched_df = F.broadcast(
-        spark.createDataFrame(touched, part_schema)
+        small_df(spark, touched, part_schema, part_cols)
     )
     cids = sorted({t[0] for t in touched})
     kept = (
@@ -2077,9 +2096,12 @@ class IvfPqIndex:
             round_to,
         )
         if residual:
-            cents_df = spark.createDataFrame(
-                list(centroids), "centroid_id long, __cent array<double>"
-            )
+            cents_df = small_df(
+                spark,
+                list(centroids),
+                "centroid_id long, __cent array<double>",
+                ["centroid_id", "__cent"],
+                )
             enc_src = assigned.join(F.broadcast(cents_df), "centroid_id").withColumn(
                 "__evec",
                 F.zip_with(
@@ -2171,9 +2193,12 @@ class IvfPqIndex:
         spark = queries.sparkSession
         m = len(self.codebooks)
         d_sub = len(self.codebooks[0][0][1])
-        cents = spark.createDataFrame(
-            list(self.centroids), "centroid_id long, __cent array<double>"
-        )
+        cents = small_df(
+            spark,
+            list(self.centroids),
+            "centroid_id long, __cent array<double>",
+            ["centroid_id", "__cent"],
+            )
         qvec = F.col(vec_col)
 
         def _table(j: int, base: Column) -> Column:
@@ -2273,9 +2298,12 @@ class IvfPqIndex:
             round_to,
         )
         if self.residual:
-            cents_df = spark.createDataFrame(
-                list(self.centroids), "centroid_id long, __cent array<double>"
-            )
+            cents_df = small_df(
+                spark,
+                list(self.centroids),
+                "centroid_id long, __cent array<double>",
+                ["centroid_id", "__cent"],
+                )
             enc_src = assigned.join(
                 F.broadcast(cents_df), "centroid_id"
             ).withColumn(
@@ -2420,9 +2448,12 @@ class IvfPqIndex:
             round_to,
         )
         if self.residual:
-            cents_df = spark.createDataFrame(
-                list(new_cents), "centroid_id long, __cent array<double>"
-            )
+            cents_df = small_df(
+                spark,
+                list(new_cents),
+                "centroid_id long, __cent array<double>",
+                ["centroid_id", "__cent"],
+                )
             enc_src = assigned.join(
                 F.broadcast(cents_df), "centroid_id"
             ).withColumn(
