@@ -445,6 +445,7 @@ def corpus_maintenance_window(
     settled_keys=(),
     prune_unreplayable: bool = True,
     skip_compact_below: int | None = None,
+    reclaim_grace_after_s: float | None = None,
 ) -> dict:
     """The worked maintenance runbook, as one call — everything a corpus
     under an ``admission_sink`` needs at maintenance cadence, in the
@@ -483,25 +484,49 @@ def corpus_maintenance_window(
     land files in a directory that is about to be swapped away.  Same
     single-writer assumption as every ledger/index maintenance op.
 
-    ``skip_compact_below`` (r11 — the census gate): a surface already at
-    ≤ N parquet files skips its compact step (reported as
-    ``compact_skipped[...]`` carrying the census), paying only the
-    metadata listing instead of a full staged rewrite.  The sf10 probe
-    measured the window at ~40 s dominated by per-surface rewrite floors
-    — most windows after a settled-batch trigger only have ONE surface
-    that actually accumulated files, and this knob makes the others
-    near-free.  Tombstone pruning and the consts refresh still run for
-    skipped surfaces (they are not file-count problems).
+    ``skip_compact_below`` (r11 — the census gate): a compact step is
+    skipped when EVERY surface it would rewrite is already at ≤ N
+    parquet files (reported as ``compact_skipped[...]`` carrying the
+    per-surface censuses), paying only the metadata listing instead of
+    a full staged rewrite.  The gate is per STEP, because each compact
+    API rewrites its whole surface set in one call (``pipeline.compact``
+    does both ledgers, ``Bm25Index.compact`` postings+doclens) — so one
+    surface of a pair over the gate re-compacts its healthy sibling
+    too; the per-surface MAX comparison (r12, ADVICE) at least never
+    FIRES a step whose every surface is individually at floor, which
+    the old summed census did.  The sf10 probe measured the window at
+    ~40 s dominated by per-surface rewrite floors — most windows after
+    a settled-batch trigger only have ONE surface that actually
+    accumulated files, and this knob makes the others near-free.
+    Tombstone pruning and the consts refresh still run for skipped
+    surfaces (they are not file-count problems).
+
+    ``reclaim_grace_after_s`` (r12 — grace reclamation): when set, a
+    final step runs ``dirswap.reclaim_grace`` over every swap surface
+    this window touches (both ledgers, each index's compact surfaces
+    and its tombstone table), reclaiming reader-grace copies older than
+    this many seconds — generations lineage beyond the current one, and
+    the rename strategy's ``__old`` copies, which otherwise persist
+    until the surface's NEXT publish (a full second copy of every
+    rarely-published ledger/index).  Size it above the longest scan a
+    reader could hold across a publish; ``0.0`` reclaims everything
+    (quiesced-cluster semantics).  Reported as ``grace_reclaimed``
+    (list of removed paths).
 
     Returns a report dict (one entry per step that ran)."""
     report: dict = {}
 
-    def _skip(surfaces) -> int | None:
-        """The census when it is at-or-under the gate, else None."""
+    def _skip(surfaces) -> dict | None:
+        """Per-surface censuses when ALL are at-or-under the gate, else
+        None (any surface over the gate → the step runs)."""
         if skip_compact_below is None:
             return None
-        n = sum(parquet_file_census(spark, s) for s in surfaces)
-        return n if n <= skip_compact_below else None
+        census = {s: parquet_file_census(spark, s) for s in surfaces}
+        return (
+            census
+            if max(census.values()) <= skip_compact_below
+            else None
+        )
 
     if pipeline is not None:
         census = _skip([pipeline.exact.path, pipeline.near.path])
@@ -544,6 +569,23 @@ def corpus_maintenance_window(
         )
         report["consts_n_docs"] = n_docs
         report["consts_avgdl"] = avgdl
+    if reclaim_grace_after_s is not None:
+        import os
+
+        from .operators.dirswap import reclaim_grace
+
+        surfaces: list[str] = []
+        if pipeline is not None:
+            surfaces += [pipeline.exact.path, pipeline.near.path]
+        for idx in indexes:
+            surfaces += _compact_surfaces(idx)
+            surfaces.append(os.path.join(idx.path, "tombstones"))
+        removed: list[str] = []
+        for s in surfaces:
+            removed += reclaim_grace(
+                s, spark, min_age_s=reclaim_grace_after_s or None
+            )
+        report["grace_reclaimed"] = removed
     return report
 
 
@@ -681,8 +723,18 @@ class WriterLease:
     on plain stores, two simultaneous force-acquires both "succeed" and
     the loser only finds out at its next ``require``.  That converts
     silent double-writer corruption into a loud failure — the contract
-    this class exists to check — but true fencing needs a coordination
-    service, which is out of scope by design.
+    this class exists to check — but true fencing needs a CAS-capable
+    store or a coordination service.
+
+    FENCED on conditional stores (r12): when a conditional-write
+    adapter is registered for the root's scheme
+    (``dirswap.register_conditional_store`` — S3 conditional writes,
+    GCS generation preconditions, Azure ETags), every lease write is a
+    conditional PUT against the tag of the record it read: racing
+    acquires lose atomically at the store, the zombie-heartbeat race
+    below closes, and release can never delete a successor's lease.
+    The advisory caveats in this docstring then apply only to stores
+    without such an adapter.
 
     TTL/HEARTBEAT (r11): with ``ttl_s`` set, the lease record carries a
     ``renewed_at`` stamp that the holder refreshes on every ``require``
@@ -698,7 +750,19 @@ class WriterLease:
     a ``run_quiesced`` maintenance window heartbeats only at
     acquire/release, so the TTL must comfortably exceed the longest
     window (see the measured window costs in PERFORMANCE.md) or another
-    writer could self-serve the lease mid-window."""
+    writer could self-serve the lease mid-window.
+
+    Note the heartbeat WIDENS the advisory race window versus the
+    read-only pre-TTL ``require``: the refresh is a non-atomic
+    read-then-write, so a zombie holder whose ``require`` read raced an
+    expiry takeover (stored token still its own at read time) can land
+    its heartbeat write AFTER the new holder's acquire read-back passed
+    — for one batch window both writers believe they hold the lease,
+    until the new holder's next ``require`` fails loudly on the
+    rewritten token.  Acceptable under the documented no-CAS contract
+    (the failure is still loud, just one check later); on a conditional
+    store the race is CLOSED — the zombie's refresh is a conditional
+    put against the tag it read, which the takeover invalidated."""
 
     FILE = "_WRITER_LEASE.json"
 
@@ -717,13 +781,30 @@ class WriterLease:
 
     def holder(self) -> dict | None:
         """The current lease record ({owner, token}) or None."""
+        return self._holder_tagged()[0]
+
+    def _holder_tagged(self):
+        """(record, tag): the current lease record plus the conditional
+        store's tag for it — (None, None) when absent, tag None when no
+        conditional store is registered for the root's scheme (the
+        advisory blind-overwrite mode)."""
         import json
 
-        from .operators.dirswap import fs_exists, fs_read_bytes
+        from .operators.dirswap import (
+            conditional_store,
+            fs_exists,
+            fs_read_bytes,
+        )
 
+        store = conditional_store(self.root)
+        if store is not None:
+            cur = store.read(self._file())
+            if cur is None:
+                return None, None
+            return json.loads(cur[0]), cur[1]
         if not fs_exists(self._file(), self.spark):
-            return None
-        return json.loads(fs_read_bytes(self._file(), self.spark))
+            return None, None
+        return json.loads(fs_read_bytes(self._file(), self.spark)), None
 
     def _expired(self, cur: dict | None) -> bool:
         """True when the stored lease is older than the TTL — only with
@@ -753,10 +834,21 @@ class WriterLease:
         is dead or wedged; its zombie is fenced by token rotation).  The
         same owner re-acquires freely — a crashed sink restarting under
         its own identity must not be blocked by its own stale lease; the
-        token rotation still fences out a zombie instance of it."""
+        token rotation still fences out a zombie instance of it.
+
+        With a conditional store registered for the root's scheme
+        (``dirswap.register_conditional_store``), the write is a
+        CONDITIONAL PUT against the tag of the record this acquire
+        read (create-if-absent when none existed) — two racing
+        (force-)acquires then lose ATOMICALLY at the store instead of
+        by read-back luck, upgrading the lease from advisory to
+        fenced."""
+        import json
         import uuid
 
-        cur = self.holder()
+        from .operators.dirswap import CasConflict, conditional_store
+
+        cur, tag = self._holder_tagged()
         if (
             cur is not None
             and cur.get("owner") != owner
@@ -770,6 +862,23 @@ class WriterLease:
                 "known dead"
             )
         token = uuid.uuid4().hex
+        store = conditional_store(self.root)
+        if store is not None:
+            try:
+                store.put(
+                    self._file(),
+                    json.dumps(
+                        {"owner": owner, "token": token,
+                         "renewed_at": time.time()}
+                    ).encode(),
+                    tag,
+                )
+            except CasConflict as e:
+                raise RuntimeError(
+                    f"writer lease at {self._file()} was concurrently "
+                    "written during acquire — two writers raced; back off"
+                ) from e
+            return token
         self._write_record(owner, token)
         # read-back: with no CAS primitive, two near-simultaneous
         # (force-)acquires can both write; re-reading catches the loser
@@ -791,8 +900,17 @@ class WriterLease:
         micro-batch by a lease-guarded sink (one small read).  A
         mismatch means the lease was taken over; fail BEFORE writing.
         With ``ttl_s`` set this is also the HEARTBEAT: a successful
-        check refreshes ``renewed_at`` so a live holder never expires."""
-        cur = self.holder()
+        check refreshes ``renewed_at`` so a live holder never expires.
+        On a conditional store the heartbeat is a conditional put
+        against the tag this check read, which CLOSES the documented
+        zombie-heartbeat race: a takeover landing between the read and
+        the refresh fails the refresh (the zombie fences immediately)
+        instead of clobbering the new holder's record for a batch."""
+        import json
+
+        from .operators.dirswap import CasConflict, conditional_store
+
+        cur, tag = self._holder_tagged()
         if cur is None or cur.get("token") != token:
             raise RuntimeError(
                 f"writer lease at {self._file()} was "
@@ -801,20 +919,53 @@ class WriterLease:
                 + " — this writer must stop (quiesce contract)"
             )
         if self.ttl_s is not None:
-            self._write_record(cur["owner"], token)
+            store = conditional_store(self.root)
+            if store is not None:
+                try:
+                    store.put(
+                        self._file(),
+                        json.dumps(
+                            {"owner": cur["owner"], "token": token,
+                             "renewed_at": time.time()}
+                        ).encode(),
+                        tag,
+                    )
+                except CasConflict as e:
+                    raise RuntimeError(
+                        f"writer lease at {self._file()} was taken over "
+                        "during the heartbeat — this writer must stop "
+                        "(quiesce contract)"
+                    ) from e
+            else:
+                self._write_record(cur["owner"], token)
 
     def release(self, token: str) -> None:
         """Release the lease if this token still holds it (idempotent:
         releasing an already-displaced or missing lease is a no-op for
-        the displaced holder — the new holder keeps it)."""
+        the displaced holder — the new holder keeps it).  On a
+        conditional store the delete is conditional on the record this
+        release read, so a takeover racing the release keeps the NEW
+        holder's lease instead of being deleted by the old one."""
         import os as _os
 
-        from .operators.dirswap import _hfs, fs_exists
+        from .operators.dirswap import (
+            CasConflict,
+            _hfs,
+            conditional_store,
+            fs_exists,
+        )
 
-        cur = self.holder()
+        cur, tag = self._holder_tagged()
         if cur is None or cur.get("token") != token:
             return
         f = self._file()
+        store = conditional_store(self.root)
+        if store is not None:
+            try:
+                store.delete(f, tag)
+            except CasConflict:
+                pass  # taken over since the read — the new holder keeps it
+            return
         h = _hfs(f, self.spark)
         if h is None:
             if _os.path.exists(f):

@@ -77,6 +77,19 @@ overwrite, appends) rewrite exactly their own subpartitions of the
 CURRENT generation, so a reader racing a keyed replay of that one batch
 can see its files churn; every other partition stays byte-stable.
 
+CONDITIONAL (compare-and-swap) COMMITS.  Both mutable control objects
+— the generations ``_CURRENT`` pointer and the ``_WRITER_LEASE`` record
+— are read-modify-write, which on a plain store is last-writer-wins
+(the documented advisory mode: violations surface loudly one check
+late).  Stores with conditional writes (S3 If-None-Match/If-Match, GCS
+generation preconditions, Azure ETags) can close those races for real:
+register an adapter with ``register_conditional_store(scheme, store)``
+and the pointer commit becomes a conditional PUT against the tag read
+at publish start (a concurrent publish raises instead of silently
+orphaning the winner's generation), while ``maintenance.WriterLease``
+upgrades to true fencing.  ``LocalConditionalStore`` implements the
+adapter contract over local files for tests and single-process runs.
+
 In-place mutation paths (keyed-batch dynamic overwrite, appends) are
 NOT swaps: they write into the CURRENT generation via ``read_path`` and
 carry their own crash story — keyed replays converge by overwriting
@@ -352,6 +365,126 @@ def fs_mtime(path: str, spark=None) -> float:
     return h._fs.getFileStatus(h.jpath(path)).getModificationTime() / 1000.0
 
 
+# -- conditional (compare-and-swap) writes --------------------------------
+#
+# Modern object stores expose CONDITIONAL writes on single objects:
+# S3 PutObject with If-None-Match:* (create-if-absent) / If-Match:<etag>
+# (replace-if-unchanged), GCS generation preconditions
+# (x-goog-if-generation-match), Azure Blob ETag If-Match.  With that
+# primitive the two documented advisory races close for real:
+# a concurrent generations publish loses ATOMICALLY at the pointer PUT
+# instead of last-writer-wins, and the WriterLease upgrades from
+# advisory to FENCED (see maintenance.WriterLease).  The Hadoop
+# FileSystem API exposes no portable precondition, so this is a
+# registered adapter per scheme, not a backend method — deployments
+# plug in a thin client over their store's native preconditions;
+# everything here consumes the three-method protocol below.
+
+
+class CasConflict(RuntimeError):
+    """A conditional put/delete lost its race: the object changed (or
+    appeared) since its tag was read.  The caller's read-modify-write
+    must be abandoned — the store holds the WINNER's value, nothing is
+    torn."""
+
+
+class LocalConditionalStore:
+    """File-backed conditional store with the object stores' conditional
+    -write semantics — ``tag=None`` in ``put`` means create-if-absent
+    (If-None-Match:*), a non-None tag means replace-if-unchanged
+    (If-Match) — for SINGLE-PROCESS use (tests, local runs): the tag is
+    the current content's digest and an in-process lock makes the
+    read-compare-write atomic.  A real deployment registers an adapter
+    whose ``put`` maps the tag to the store's native precondition
+    (the etag/generation returned by ``read``) so the compare happens
+    server-side."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _tag(data: bytes) -> str:
+        import hashlib
+
+        return hashlib.sha256(data).hexdigest()
+
+    @staticmethod
+    def _local(path: str) -> str:
+        return path.split("://", 1)[1] if path.startswith("file://") else path
+
+    def read(self, path: str):
+        """(bytes, tag) of the current object, or None when absent."""
+        p = self._local(path)
+        with self._lock:
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as f:
+                data = f.read()
+            return data, self._tag(data)
+
+    def put(self, path: str, data: bytes, expected_tag) -> None:
+        """Conditional PUT: requires the object absent (``expected_tag
+        is None``) or unchanged since its tag was read.  Raises
+        ``CasConflict`` when the precondition fails."""
+        p = self._local(path)
+        with self._lock:
+            cur = None
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    cur = f.read()
+            if expected_tag is None:
+                if cur is not None:
+                    raise CasConflict(f"object exists: {path}")
+            elif cur is None or self._tag(cur) != expected_tag:
+                raise CasConflict(f"object changed since read: {path}")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".cas_tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, p)
+
+    def delete(self, path: str, expected_tag) -> None:
+        """Conditional delete: removes the object only while unchanged;
+        absent is a no-op (idempotent release).  Raises ``CasConflict``
+        when the object changed since its tag was read."""
+        p = self._local(path)
+        with self._lock:
+            if not os.path.exists(p):
+                return
+            with open(p, "rb") as f:
+                cur = f.read()
+            if self._tag(cur) != expected_tag:
+                raise CasConflict(f"object changed since read: {path}")
+            os.remove(p)
+
+
+#: per-scheme conditional-store adapters (register_conditional_store).
+_CONDITIONAL_STORES: dict[str, object] = {}
+
+
+def register_conditional_store(scheme: str, store) -> None:
+    """Register a conditional-write adapter for a URI scheme (None to
+    clear).  With one registered, the generations pointer commit and the
+    ``WriterLease`` record go through ``store.put(path, data,
+    expected_tag)`` instead of blind overwrites — concurrent publishers
+    and lease writers then lose ATOMICALLY (``CasConflict``) rather than
+    last-writer-wins.  The adapter contract is ``LocalConditionalStore``'s
+    three methods; implement them over the store's native preconditions
+    (S3 conditional writes, GCS generation preconditions, Azure ETags)."""
+    if store is None:
+        _CONDITIONAL_STORES.pop(scheme, None)
+    else:
+        _CONDITIONAL_STORES[scheme] = store
+
+
+def conditional_store(path: str):
+    """The registered conditional-write adapter for ``path``'s scheme,
+    or None (blind-overwrite commit, the documented advisory mode)."""
+    return _CONDITIONAL_STORES.get(_scheme(path))
+
+
 # -- the generations (pointer-file) commit protocol -----------------------
 
 #: generation store suffix + pointer object name.  The pointer is the
@@ -489,8 +622,12 @@ def gc_generations(
     seconds is kept for now — e.g. ``gc_generations(p, keep=1,
     min_age_s=3600)`` reclaims everything no reader that started within
     the last hour could hold, without counting publish cycles.  Age is
-    the directory's mtime (its creation for write-once generation dirs).
-    Returns the removed paths."""
+    the directory's mtime AS THE BACKEND REPORTS IT (its creation for
+    write-once generation dirs) — local and HDFS mtimes are faithful,
+    but object stores synthesize directory entries and their "mtime"
+    may be epoch-zero or the listing time; where mtime fidelity is
+    unknown, prefer the count-based ``keep`` grace, which needs no
+    clock.  Returns the removed paths."""
     import time as _time
 
     if keep is None:
@@ -508,8 +645,13 @@ def gc_generations(
             return False
         try:
             return (_time.time() - fs_mtime(p, spark)) < min_age_s
-        except OSError:
-            return False  # raced away already — reapable by definition
+        except Exception:
+            # raced away already — reapable by definition.  Broad catch
+            # on purpose: the local backend raises OSError here, but the
+            # Hadoop/object-store backends surface Py4J-wrapped Java
+            # exceptions (FileNotFoundException et al.) for the same
+            # raced-away condition.
+            return False
 
     gens = _gens_dir(live)
     removed = []
@@ -530,6 +672,49 @@ def gc_generations(
         fs_rmtree(live, spark)
         removed.append(live)
     return removed
+
+
+def reclaim_grace(
+    live: str,
+    spark=None,
+    min_age_s: float | None = None,
+) -> list[str]:
+    """Reclaim a swap surface's reader-grace copies at maintenance
+    cadence — the strategy-dispatched form of the module docstring's
+    retention rule, so callers (``corpus_maintenance_window``) need not
+    know which strategy a surface runs on.
+
+    * Generations strategy: ``gc_generations(live, keep=1,
+      min_age_s=...)`` — collapse the retained lineage to the current
+      generation (subject to the time grace).
+    * Rename strategy: delete the ``<live>__old`` copy the last publish
+      retained, once it is older than ``min_age_s`` (unconditionally
+      when ``min_age_s`` is None) — without this, rename backends keep
+      a full second copy of every ledger/index until the NEXT publish
+      reclaims it, roughly doubling storage for surfaces that publish
+      rarely.  ``<live>__bad`` post-mortem trees are NOT touched (they
+      exist only after a failed verify and are operator evidence);
+      ``remove_surface`` reaps those with the table.  Safe alongside
+      ``recover()``: the grace copy is only removed while ``live``
+      itself exists, so the crash-heal path never loses its restore
+      source.
+
+    Returns the removed paths."""
+    if swap_strategy(live) == "generations":
+        return gc_generations(live, spark, keep=1, min_age_s=min_age_s)
+    old = f"{live}__old"
+    if not fs_exists(old, spark) or not fs_exists(live, spark):
+        return []
+    if min_age_s is not None:
+        import time as _time
+
+        try:
+            if (_time.time() - fs_mtime(old, spark)) < min_age_s:
+                return []
+        except Exception:
+            return []  # raced away — nothing to reclaim
+    fs_rmtree(old, spark)
+    return [old]
 
 
 def remove_surface(live: str, spark=None) -> None:
@@ -623,7 +808,15 @@ def swap_in(
             )
         if verify is not None:
             verify(stage)  # raises -> pointer (and every reader) untouched
-        prev = _pointer_read(live, spark)
+        ptr = os.path.join(gens, _POINTER)
+        store = conditional_store(live)
+        tag = None
+        if store is None:
+            prev = _pointer_read(live, spark)
+        else:
+            cur = store.read(ptr)
+            prev = json.loads(cur[0]) if cur is not None else None
+            tag = cur[1] if cur is not None else None
         # lineage, newest first; the plain pre-publish dir is the
         # implicit first predecessor.  Recorded to _LINEAGE_DEPTH —
         # deeper than the GC policy, which picks its own keep at GC time.
@@ -632,11 +825,23 @@ def swap_in(
             if prev is not None
             else [_PLAIN]
         )[:_LINEAGE_DEPTH]
-        _pointer_write(
-            os.path.join(gens, _POINTER),
-            json.dumps({"gen": name, "history": history}).encode(),
-            spark,
-        )
+        data = json.dumps({"gen": name, "history": history}).encode()
+        if store is None:
+            _pointer_write(ptr, data, spark)
+        else:
+            # conditional commit: a concurrent publish loses ATOMICALLY
+            # here (the store holds the winner's pointer; this stage
+            # stays invisible and is reaped by the winner's GC) instead
+            # of last-writer-wins silently orphaning the winner's data
+            try:
+                store.put(ptr, data, tag)
+            except CasConflict as e:
+                raise RuntimeError(
+                    f"concurrent publish detected at {ptr}: another "
+                    f"writer committed a pointer since this publish "
+                    "read it — single-writer contract violated; this "
+                    f"stage ({name}) was NOT published"
+                ) from e
         gc_generations(live, spark)
         return
     old = f"{live}__old"

@@ -44,25 +44,35 @@ def davg(c: str | Column, alias: str, scale: int = 4) -> Column:
 def serving_cache_dir(sf_dir: str, kind: str, table: str) -> str:
     """Scratch directory for a serving index built over one dataset —
     keyed by the dataset's CONTENT, not just its path: the key folds in
-    a cheap fingerprint of the source table's parquet files (relative
-    name + size + mtime), so regenerating the dataset at the same path
-    gets a FRESH index instead of silently serving the stale one (r10
-    ADVICE), and two hosts' differing /tmp trees cannot collide on a
-    predictable fixed name."""
+    a cheap fingerprint of the source table's parquet files (path
+    relative to the table root + size + mtime), so regenerating the
+    dataset at the same path gets a FRESH index instead of silently
+    serving the stale one (r10 ADVICE), and two hosts' differing /tmp
+    trees cannot collide on a predictable fixed name.  Entries are
+    keyed by full RELATIVE PATH and the list is sorted as a whole (r11
+    ADVICE: ``os.walk`` traversal order is arbitrary and basenames
+    repeat across subdirectories, so a walk-order/basename key could
+    hash identical data differently across runs or filesystems — a
+    spurious-miss-only defect, but every miss strands a stale /tmp
+    index dir)."""
     import hashlib
 
     src = os.path.join(sf_dir, f"{table}.parquet")
     parts = []
     if os.path.isdir(src):
         for root, _dirs, files in os.walk(src):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+        parts.sort()
     elif os.path.exists(src):
         st = os.stat(src)
         parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        ("v2:" + os.path.abspath(sf_dir) + "|" + ";".join(parts)).encode()
+        ("v3:" + os.path.abspath(sf_dir) + "|" + ";".join(parts)).encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp", f"spark_graft_{kind}_{key}")
 

@@ -642,7 +642,10 @@ def test_maintenance_window_census_gate_skips_compact(spark, tmp_path):
         spark, pipe, indexes=(ivf,), skip_compact_below=10_000
     )
     name = f"IvfIndex:{ivf.path}"
-    assert report[f"compact_skipped[{name}]"] == n_lists
+    lists_path = str(tmp_path / "ivf" / "lists")
+    # r12: the skip report carries the PER-SURFACE censuses (the gate
+    # compares each surface to the threshold, not their sum)
+    assert report[f"compact_skipped[{name}]"] == {lists_path: n_lists}
     assert "compact_skipped[ledgers]" in report
     assert f"compacted[{name}]" not in report
     assert f"tombstones_pruned[{name}]" in report  # still runs
@@ -654,8 +657,8 @@ def test_maintenance_window_census_gate_skips_compact(spark, tmp_path):
     assert report2["ledger_exact_rows"] == 2
     assert report2[f"compacted[{name}]"] == 6
     # after compaction to 1 file/list the same gate at its census skips
-    n_after = M.parquet_file_census(spark, str(tmp_path / "ivf" / "lists"))
+    n_after = M.parquet_file_census(spark, lists_path)
     report3 = M.corpus_maintenance_window(
         spark, pipe, indexes=(ivf,), skip_compact_below=n_after
     )
-    assert report3[f"compact_skipped[{name}]"] == n_after
+    assert report3[f"compact_skipped[{name}]"] == {lists_path: n_after}
