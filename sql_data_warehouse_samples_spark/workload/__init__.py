@@ -183,9 +183,13 @@ DRIVER_PRIORITY: list[str] = [
     # exact).  The three freed slots seat the round-7 flagships t21
     # (trained language-ID), s12 (hard-negative mining) and t20 (exact
     # ROC-AUC).  Window oracle density: 47 → 50 of 50 — every driver row
-    # now hash-compares against an exact DuckDB oracle.
-    "t21_langid_trained",
-    "s12_hard_negatives",
+    # now hash-compares against an exact DuckDB oracle.  (round-12
+    # rotation: t21 and s12 moved post-window — each family keeps its
+    # strict-superset exemplar in-window: t22 trains BOTH 2- and 3-gram
+    # profiles and classifies with back-off, subsuming t21's single-n
+    # train+classify; s13 is the batched generalization of s12's
+    # single-query mining, same operator module — the freed slots seat
+    # the two remaining exact-oracle tokenizer flagships t23/t25.)
     "t20_filter_auc",
     # round-9 rotation: q18 folds into the agg battery, t05 into the
     # quality battery, and s06 moves post-window (PQ family keeps s10
@@ -202,6 +206,14 @@ DRIVER_PRIORITY: list[str] = [
     # the tokenizer family's first driver-window row, closing the
     # train→publish→pin→decode serving loop with driver evidence.
     "t24_decode_roundtrip",
+    # round-12 rotation (see the t20 comment above for the freed seats):
+    # the tokenizer family's remaining exact-oracle flagships take
+    # driver rows — t23 (corpus → training-ready token-ID arrays, the
+    # export a trainer actually reads) and t25 (tokenizer fertility,
+    # the standard tokens/word serving metric).  Window density stays
+    # 50/50 exact.
+    "t23_token_ids",
+    "t25_tokenizer_fertility",
 ]
 
 

@@ -63,9 +63,12 @@ def test_driver_priority_window_pinned():
         "q07_q15_pairs_battery", "q11_q54_outer_battery",
         "q18_q21_q22_agg_battery", "d23_bloom_decontamination",
         "s10_pq_refine_topk", "t19_c4_line_clean",
-        "t21_langid_trained", "s12_hard_negatives", "t20_filter_auc",
+        "t20_filter_auc",
         "d25_corpus_drift", "s13_hard_negatives_batch",
         "t22_langid_backoff", "t24_decode_roundtrip",
+        # round-12 rotation: t21→t22 / s12→s13 superset seats freed two
+        # slots for the tokenizer flagships
+        "t23_token_ids", "t25_tokenizer_fertility",
     ]:
         assert must in window, must
     # round-8: every in-window row carries an exact oracle (the rows-only
@@ -90,6 +93,10 @@ def test_driver_priority_window_pinned():
         # round-10 rotation: the folded text batteries stay registered
         "t01_t04_text_battery",
         "t02_t03_t05_quality_battery",
+        # round-12 rotation: superseded-by-superset exemplars stay
+        # registered + locally oracle-checked post-window
+        "t21_langid_trained",
+        "s12_hard_negatives",
     ):
         assert post_window in workload.QUERIES, post_window
 
