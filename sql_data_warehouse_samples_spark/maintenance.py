@@ -1023,8 +1023,9 @@ class IndexMaintenanceScheduler:
     A mixed tick (any remediable reason due) still runs the window, but
     blocked drift rows inside it skip their pointless retrain.  Pass
     ``skip_compact_below`` in ``window_kwargs`` to census-gate the
-    per-surface compact steps inside fired windows (see
-    ``corpus_maintenance_window``)."""
+    per-surface compact steps inside fired windows, and
+    ``reclaim_grace_after_s`` to reclaim reader-grace copies at the
+    same cadence (see ``corpus_maintenance_window``)."""
 
     def __init__(
         self,
