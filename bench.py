@@ -115,13 +115,15 @@ HEADLINE = [
     # decode pass via m02, the banded Hamming machinery (with star caps)
     # via d04.
     "t19_c4_line_clean",
-    # round-7 new operators: hard-negative mining (BM25 + false-negative
-    # cosine guard; the corpus cost is the term-filtered BM25 pass) and
-    # exact ROC-AUC (distinct-score-sized rank window).  p03 is an
-    # oracle-gate row (the d22/m03 precedent): it re-runs p01's packing
-    # loop on a synthesized restricted instance purely for the exact
-    # value check, so its cost story is p01's.
-    "s12_hard_negatives",
+    # round-7 new operators: exact ROC-AUC (distinct-score-sized rank
+    # window).  p03 is an oracle-gate row (the d22/m03 precedent): it
+    # re-runs p01's packing loop on a synthesized restricted instance
+    # purely for the exact value check, so its cost story is p01's.
+    # r12: s12 retired from HEADLINE to keep the compact line inside the
+    # driver tail capture as s16 joins (the t02 precedent) — its cost
+    # story rides s13 (s12 is a thin wrapper over s13's batch path;
+    # measured near-identical every round) and the batch-vs-single
+    # comparison stays a standing sf10 measurement below.
     "t20_filter_auc",
     # round-8: batched hard-negative mining — one corpus pass for a query
     # TABLE (tracked alongside s12 so the batch-vs-single cost ratio is a
@@ -156,6 +158,10 @@ HEADLINE = [
     # from the persisted IVF lists (probed centroid partitions only);
     # same build-once /tmp caching as s14
     "s15_ivf_index_serving",
+    # r12: the compressed-serving third of the index triple — s10's exact
+    # two-stage retrieval answered from the persisted IVF-PQ code lists
+    # (stored m-byte codes; raw vectors touched only for the shortlist)
+    "s16_ivfpq_index_serving",
 ]
 
 
@@ -299,6 +305,8 @@ SF1_SUBSET = [
     # from the persisted inverted lists (probed-partition reads only);
     # same /tmp build-once caching as s14
     "s15_ivf_index_serving",
+    # r12: the IVF-PQ refined-serving third of the triple
+    "s16_ivfpq_index_serving",
 ]
 
 
@@ -318,6 +326,9 @@ SF10_SUBSET = [
     # (~|query vocab|/n_buckets of the postings, corpus never read).
     "s14_bm25_index_serving",
     "s15_ivf_index_serving",
+    # r12: the compressed (IVF-PQ) serving path at 100x — code-list scan
+    # + shortlist-only raw fetch; the build is paid once and cached
+    "s16_ivfpq_index_serving",
 ]
 
 

@@ -2179,6 +2179,7 @@ class IvfPqIndex:
         k: int = 5,
         nprobe: int = 4,
         round_to: int = 6,
+        exact_decimal: bool = False,
     ) -> DataFrame:
         """Probe-pruned ADC search: the scan opens only the probed lists
         (static partition filter), candidates rank by the per-query
@@ -2187,7 +2188,12 @@ class IvfPqIndex:
         Residual indexes compute the lookup tables per (query, probed
         centroid) from ``q − c`` instead of per query — nprobe× more
         table math on the broadcast side (still m×k doubles per probe
-        row, driver/broadcast-sized), identical list-side cost."""
+        row, driver/broadcast-sized), identical list-side cost.
+
+        ``exact_decimal`` accumulates the ADC fold as DECIMAL (the
+        ``pq_topk`` convention) so the served distances are
+        bit-identical to the scan scorer's — required when sharing an
+        exact oracle with it."""
         from pyspark.sql import Window
 
         spark = queries.sparkSession
@@ -2238,15 +2244,33 @@ class IvfPqIndex:
         lists = spark.read.parquet(self._lists_dir(spark)).filter(
             F.col("centroid_id").isin(probed)
         )
-        adc = F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, j: acc
-            + F.element_at(
-                F.element_at(F.col("__tabs"), j + 1),
-                F.element_at(F.col("codes"), j + 1) + 1,
-            ),
-        )
+        if exact_decimal:
+            # order-independent ADC (the pq_topk convention): the table
+            # entries are already rounded, so a DECIMAL accumulation is
+            # bit-identical across engines/plans — what an exact oracle
+            # shared with the scan scorer needs
+            adc = F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("decimal(28,10)"),
+                lambda acc, j: (
+                    acc
+                    + F.element_at(
+                        F.element_at(F.col("__tabs"), j + 1),
+                        F.element_at(F.col("codes"), j + 1) + 1,
+                    ).cast("decimal(28,10)")
+                ).cast("decimal(28,10)"),
+                lambda acc: acc.cast("double"),
+            )
+        else:
+            adc = F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("__tabs"), j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.asc("adc_d2"), F.asc("neighbor_id")
         )
@@ -2257,6 +2281,65 @@ class IvfPqIndex:
             .withColumn("nbr_rank", F.row_number().over(w))
             .filter(F.col("nbr_rank") <= k)
             .select("query_id", "neighbor_id", "adc_d2", "nbr_rank")
+        )
+
+    def search_refined(
+        self,
+        queries: DataFrame,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 4,
+        candidates: int | None = None,
+        round_to: int = 6,
+        exact_decimal: bool = False,
+    ) -> DataFrame:
+        """Index-served two-stage retrieval (the FAISS ``IndexRefineFlat``
+        pattern this class's docstring defers to ``pq_refine_topk`` for,
+        now first-class on the PERSISTED index): stage 1 is ``search`` —
+        probe-pruned ADC over the stored m-byte codes selecting
+        ``candidates`` ≥ k per query — and stage 2 re-ranks ONLY those
+        rows by exact cosine against ``vectors`` (the raw admitted
+        corpus, or a raw ``IvfIndex``'s lists frame).
+
+        Scale shape: stage 1 opens ~nprobe/nlist of the code lists and
+        never reads a raw vector; stage 2 broadcasts the |Q|·candidates
+        skinny frame against the vector table — a broadcast-hash
+        semi-fetch touching full vectors for the shortlist only.  At
+        dim-768 float32 / m=16 the probed-list IO is ~190× under raw,
+        with the exact final ordering ADC alone cannot give.  Same
+        output contract as ``pq_refine_topk`` (query_id, neighbor_id,
+        adc_d2, cos, nbr_rank)."""
+        from pyspark.sql import Window
+
+        c = candidates if candidates is not None else max(4 * k, 32)
+        if c < k:
+            raise ValueError(f"candidates={c} < k={k}")
+        cand = self.search(
+            queries, id_col, vec_col, k=c, nprobe=nprobe,
+            round_to=round_to, exact_decimal=exact_decimal,
+        ).select("query_id", "neighbor_id", "adc_d2")
+        nbr = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__nv"),
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            nbr.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn(
+                "cos", F.round(cosine(F.col("__qv"), F.col("__nv")), round_to)
+            )
+            .withColumn("nbr_rank", F.row_number().over(w))
+            .filter(F.col("nbr_rank") <= k)
+            .select("query_id", "neighbor_id", "adc_d2", "cos", "nbr_rank")
         )
 
     def _lists(self, spark) -> DataFrame:

@@ -687,6 +687,57 @@ def s10_pq_refine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# s16 — IVF-PQ index-backed refined serving (r12): the third serving-index
+# flagship, completing the triple (s14 BM25, s15 IVF-flat, s16 IVF-PQ).
+# Shares s10's EXACT oracle verbatim: with the deterministic seed
+# quantizer+codebooks (train_iters=0, pq_iters=0, residual=False) the
+# persisted codes are value-identical to s10's scan-path encode, and with
+# nprobe=nlist the probe-pruned ADC candidate set equals the exhaustive
+# scan's (the oracle demands exhaustive ADC; recall-trading nprobe<nlist
+# pruning is the same machinery, test-locked separately).  exact_decimal
+# makes the served distances bit-identical to pq_topk's decimal fold.
+# Serving cost story: stage 1 reads STORED m-byte codes (never a raw
+# vector — the ~190x IO cut at dim-768/m=16); stage 2 re-ranks only the
+# |Q|*candidates shortlist against raw vectors, broadcast-pruned.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_serving_index(spark, sf_dir):
+    import os as _os
+
+    from ..operators.similarity import IvfPqIndex
+    from ._util import serving_cache_dir
+
+    path = serving_cache_dir(sf_dir, "ivfpq_serving", "embeddings")
+    if _os.path.isdir(_os.path.join(path, "lists")):
+        return IvfPqIndex.load(spark, path)
+    e = tbl(spark, sf_dir, "embeddings")
+    # s10's deterministic codebooks (pq_codebooks seed, m=8, k=16); seed
+    # coarse quantizer so the layout is reproducible
+    return IvfPqIndex.build(e, path, nlist=16, m=8, k_pq=16)
+
+
+def _s16_oracle() -> str:
+    from . import ORACLES
+
+    return ORACLES["s10_pq_refine_topk"]
+
+
+@query("s16_ivfpq_index_serving", oracle=_s16_oracle())
+def s16_ivfpq_index_serving(spark, sf_dir):
+    idx = _ivfpq_serving_index(spark, sf_dir)
+    e = tbl(spark, sf_dir, "embeddings")
+    return idx.search_refined(
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        nprobe=16,
+        candidates=20,
+        exact_decimal=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # s11 — hybrid lexical+vector retrieval via reciprocal-rank fusion
 # (Cormack 2009): the BM25 top-10 for a term query and the cosine top-10
 # for an embedding query fuse as score = Σ 1/(60 + rank).  Both input

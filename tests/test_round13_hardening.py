@@ -390,3 +390,49 @@ def test_lease_is_fenced_on_conditional_store(spark, tmp_path, casstore):
     lease_b.require(token_b)
     lease_b.release(token_b)
     assert lease_b.holder() is None
+
+
+# ---------------------------------------------------------------------------
+# s16: IVF-PQ index-backed refined serving ≡ the scan-path refine (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_search_refined_matches_scan_refine(spark, tmp_path):
+    """The persisted index's two-stage serving path (search_refined,
+    exact_decimal) is value-identical to pq_refine_topk over the same
+    deterministic codebooks when every list is probed — the identity
+    s16's shared oracle stands on."""
+    from sql_data_warehouse_samples_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, _vec(i, 8)) for i in range(24)],
+        "vec_id: long, embedding: array<double>",
+    )
+    queries = emb.filter("vec_id < 3")
+
+    books = S.pq_codebooks(emb, m=4, k=8)
+    codes = S.pq_encode(emb, books).select("vec_id", "pq")
+    scan = S.pq_refine_topk(
+        codes, emb, queries, books, k=3, candidates=8, exact_decimal=True
+    )
+
+    idx = S.IvfPqIndex.build(
+        emb, str(tmp_path / "ivfpq"), nlist=4, m=4, k_pq=8
+    )
+    served = idx.search_refined(
+        queries, emb, k=3, nprobe=4, candidates=8, exact_decimal=True
+    )
+
+    key = lambda r: (r["query_id"], r["nbr_rank"])  # noqa: E731
+    a = sorted(scan.collect(), key=key)
+    b = sorted(served.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # a reopened handle serves the same values (load path agreement)
+    reopened = S.IvfPqIndex.load(spark, str(tmp_path / "ivfpq"))
+    c = sorted(
+        reopened.search_refined(
+            queries, emb, k=3, nprobe=4, candidates=8, exact_decimal=True
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in b] == [tuple(r) for r in c]
