@@ -472,7 +472,34 @@ def register_conditional_store(scheme: str, store) -> None:
     and lease writers then lose ATOMICALLY (``CasConflict``) rather than
     last-writer-wins.  The adapter contract is ``LocalConditionalStore``'s
     three methods; implement them over the store's native preconditions
-    (S3 conditional writes, GCS generation preconditions, Azure ETags)."""
+    (S3 conditional writes, GCS generation preconditions, Azure ETags).
+    An S3 adapter is ~15 lines over the public API — the tag is the
+    ETag returned alongside the read::
+
+        class S3ConditionalStore:                     # sketch, not shipped
+            def read(self, path):
+                bucket, key = _split(path)
+                try:
+                    r = s3.get_object(Bucket=bucket, Key=key)
+                except s3.exceptions.NoSuchKey:
+                    return None
+                return r["Body"].read(), r["ETag"]
+
+            def put(self, path, data, expected_tag):
+                bucket, key = _split(path)
+                cond = ({"IfNoneMatch": "*"} if expected_tag is None
+                        else {"IfMatch": expected_tag})
+                try:
+                    s3.put_object(Bucket=bucket, Key=key, Body=data, **cond)
+                except ClientError as e:  # PreconditionFailed / 409
+                    raise CasConflict(path) from e
+
+            def delete(self, path, expected_tag):
+                # conditional DELETE where the store offers it; else
+                # read-verify + delete (narrows, not closes, the race)
+                ...
+
+        register_conditional_store("s3a", S3ConditionalStore())"""
     if store is None:
         _CONDITIONAL_STORES.pop(scheme, None)
     else:

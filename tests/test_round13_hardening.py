@@ -436,3 +436,82 @@ def test_ivfpq_search_refined_matches_scan_refine(spark, tmp_path):
         key=key,
     )
     assert [tuple(r) for r in b] == [tuple(r) for r in c]
+
+
+def test_admission_sink_fenced_lease_on_conditional_store(
+    spark, tmp_path, objstore, casstore, monkeypatch
+):
+    """The composed path: a lease-guarded admission sink running the
+    generations commit protocol on a conditional store.  A foreign
+    takeover (conditional-PUT force-acquire) between micro-batches
+    fences the sink BEFORE its next batch writes; while the foreign
+    holder lives, the sink cannot re-acquire; after release, a restart
+    replays the abandoned batch to convergence (the exactly-once
+    contract across a fencing event)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sql_data_warehouse_samples_spark.maintenance import WriterLease
+    from sql_data_warehouse_samples_spark.operators.ledger import (
+        AdmissionPipeline,
+    )
+    from sql_data_warehouse_samples_spark.streaming import ingest as SI
+    from tests.test_round8_hardening import _text
+    from tests.test_streaming import _doc_row, _write_doc_batches
+
+    base = f"file://{tmp_path}"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_doc_batches(
+        spark, src,
+        [[_doc_row(1, _text("alpha"))], [_doc_row(2, _text("beta"))]],
+        SI.DOC_SCHEMA,
+    )
+    pipe = AdmissionPipeline(spark, base + "/ledgers")
+    lease = WriterLease(spark, base + "/guarded", ttl_s=3600.0)
+    foreign = WriterLease(spark, base + "/guarded", ttl_s=3600.0)
+
+    # a takeover lands between the two micro-batches: wrap require so the
+    # SECOND check runs after a foreign conditional-PUT force-acquire
+    calls = {"n": 0}
+    foreign_token = {}
+    real_require = lease.require
+
+    def require_with_takeover(token):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            foreign_token["t"] = foreign.acquire("maintenance", force=True)
+        real_require(token)
+
+    monkeypatch.setattr(lease, "require", require_with_takeover)
+
+    def run():
+        SI.admission_sink(
+            spark.readStream.schema(SI.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pipe,
+            base + "/corpus",
+            checkpoint=str(tmp_path / "ckpt"),
+            lease=lease,
+        ).awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="taken over"):
+        run()
+    # batch 1 landed before the takeover; batch 2 was fenced out
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(base + "/corpus").collect()
+    ) == [1]
+
+    # while the foreign holder lives, the sink cannot come back
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="held by 'maintenance'"):
+        lease.acquire(f"admission_sink:{tmp_path / 'ckpt'}")
+
+    # maintenance releases; the restarted sink re-acquires and replays
+    # the abandoned micro-batch to convergence
+    foreign.release(foreign_token["t"])
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(base + "/corpus").collect()
+    ) == [1, 2]
+    assert pipe.exact.hashes().count() == 2
