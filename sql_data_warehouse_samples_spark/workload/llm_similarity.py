@@ -738,6 +738,128 @@ def s16_ivfpq_index_serving(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# s17 — RESIDUAL IVF-PQ refined serving (r12): the FAISS IVF-PQ default
+# (Jégou 2011 §V.A — encode x − centroid(x); residuals have lower variance
+# than raw vectors, so the same m×k codebook budget quantizes them more
+# finely).  Everything stays closed-form because the coarse quantizer and
+# codebooks are the deterministic seeds: assignment = d12's argmin CTE,
+# residual = one list_zip subtract, codebooks = the residual subvectors of
+# the 16 lowest ids, and the per-(query,centroid) lookup tables are the
+# residual twist the oracle must reproduce — a candidate's ADC uses the
+# table of ITS OWN centroid (q − that centroid), not one global table.
+# nprobe=nlist keeps the candidate set exhaustive (the exactness the
+# oracle needs); the recall-trading pruned path is the same machinery.
+# ---------------------------------------------------------------------------
+
+_S17_SUBD2 = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+)
+
+
+def _ivfpq_res_serving_index(spark, sf_dir):
+    import os as _os
+
+    from ..operators.similarity import IvfPqIndex
+    from ._util import serving_cache_dir
+
+    path = serving_cache_dir(sf_dir, "ivfpq_res_serving", "embeddings")
+    if _os.path.isdir(_os.path.join(path, "lists")):
+        return IvfPqIndex.load(spark, path)
+    e = tbl(spark, sf_dir, "embeddings")
+    return IvfPqIndex.build(
+        e, path, nlist=16, m=8, k_pq=16, residual=True
+    )
+
+
+@query(
+    "s17_residual_pq_serving",
+    oracle=f"""
+WITH js AS (SELECT unnest(range(8)) AS j),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+          FROM embeddings WHERE vec_id < 16),
+ca AS (
+  SELECT e.vec_id, e.embedding, cents.centroid_id,
+         ROUND(list_sum(list_transform(list_zip(e.embedding, cents.cent),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2
+  FROM embeddings e, cents),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, centroid_id) AS r FROM ca)
+  WHERE r = 1),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(list_zip(a.embedding, c.cent),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+  FROM assign a JOIN cents c USING (centroid_id)),
+sub AS (SELECT r.vec_id, js.j, list_slice(r.rv, js.j*8+1, js.j*8+8) AS v
+        FROM resid r, js),
+cb AS (SELECT r.vec_id AS code, js.j,
+              list_slice(r.rv, js.j*8+1, js.j*8+8) AS c
+       FROM resid r, js WHERE r.vec_id < 16),
+d AS (
+  SELECT sub.vec_id, sub.j, cb.code,
+         {_S17_SUBD2.format(a="sub.v", b="cb.c")} AS d2
+  FROM sub JOIN cb ON sub.j = cb.j),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d2, code) AS r FROM d)
+  WHERE r = 1),
+qres AS (
+  SELECT e.vec_id AS query_id, cents.centroid_id,
+         list_transform(list_zip(e.embedding, cents.cent),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS qv
+  FROM embeddings e, cents WHERE e.vec_id < 5),
+qtab AS (
+  SELECT q.query_id, q.centroid_id, cb.j, cb.code,
+         {_S17_SUBD2.format(
+             a="list_slice(q.qv, cb.j*8+1, cb.j*8+8)", b="cb.c")} AS qd2
+  FROM qres q CROSS JOIN cb),
+adc AS (
+  SELECT qt.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(CAST(qt.qd2 AS DECIMAL(28,10))) AS DOUBLE) AS adc_d2
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN qtab qt ON qt.centroid_id = a.centroid_id
+              AND qt.j = cd.j AND qt.code = cd.code
+  WHERE cd.vec_id <> qt.query_id
+  GROUP BY qt.query_id, a.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id, adc_d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, neighbor_id) AS cr
+    FROM adc) WHERE cr <= 20),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.adc_d2,
+         ROUND({_DOT} / NULLIF({_NORM_Q} * {_NORM_C}, 0), 6) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, adc_d2, cos, nbr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS nbr_rank
+  FROM rer)
+WHERE nbr_rank <= 5
+""",
+)
+def s17_residual_pq_serving(spark, sf_dir):
+    idx = _ivfpq_res_serving_index(spark, sf_dir)
+    e = tbl(spark, sf_dir, "embeddings")
+    return idx.search_refined(
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        nprobe=16,
+        candidates=20,
+        exact_decimal=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # s11 — hybrid lexical+vector retrieval via reciprocal-rank fusion
 # (Cormack 2009): the BM25 top-10 for a term query and the cosine top-10
 # for an embedding query fuse as score = Σ 1/(60 + rank).  Both input
