@@ -170,7 +170,12 @@ DRIVER_PRIORITY: list[str] = [
     # t19 (C4 line-rule cleaning — plan-locked map-only).  Window oracle
     # density stays 47 of 50 (d03/d04/p01 remain rows-only by design).
     "d23_bloom_decontamination",
-    "s10_pq_refine_topk",
+    # round-12 rotation: s16 takes its scan-twin s10's seat (the
+    # s14/s15 pattern — shared exact oracle verbatim, strict machinery
+    # superset: the same encode/ADC/refine pipeline answered from the
+    # PERSISTED IVF-PQ code lists); s10 stays registered + locally
+    # oracle-checked post-window.
+    "s16_ivfpq_index_serving",
     "t19_c4_line_clean",
     # round-8 rotation: q37+q39 fold into one events battery and s01+s03
     # into one embeddings battery (each family keeps its in-window exemplar

@@ -62,7 +62,8 @@ def test_driver_priority_window_pinned():
         "d22_admission_pipeline", "q04_q17_semi_battery",
         "q07_q15_pairs_battery", "q11_q54_outer_battery",
         "q18_q21_q22_agg_battery", "d23_bloom_decontamination",
-        "s10_pq_refine_topk", "t19_c4_line_clean",
+        "s16_ivfpq_index_serving",  # r12: s10's seat (shared exact oracle)
+        "t19_c4_line_clean",
         "t20_filter_auc",
         "d25_corpus_drift", "s13_hard_negatives_batch",
         "t22_langid_backoff", "t24_decode_roundtrip",
@@ -97,6 +98,7 @@ def test_driver_priority_window_pinned():
         # registered + locally oracle-checked post-window
         "t21_langid_trained",
         "s12_hard_negatives",
+        "s10_pq_refine_topk",
     ):
         assert post_window in workload.QUERIES, post_window
 
