@@ -169,6 +169,26 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _section_hygiene(spark) -> None:
+    """Drop the session state a finished section leaves behind (r12
+    protocol change, first effective in the round-12 sf1/sf10 sections):
+    57 headline queries × reps accumulate broadcast blocks and cached
+    literals whose ContextCleaner reclamation is GC-driven, and the
+    pandas-cogrouped paths (s09's gemm grid) are heap-sensitive enough
+    that the accumulated state inflated s09-at-sf1 ~2× vs an isolated
+    fresh session (adjudicated in PERFORMANCE.md round 12).  Clearing
+    the cache and nudging both collectors between sections makes each
+    section measure steady state, not the previous section's residue."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()  # free PySpark-side broadcast/plan wrappers
+    try:
+        spark.sparkContext._jvm.System.gc()  # let ContextCleaner reclaim
+    except Exception:  # noqa: BLE001 - hygiene must never break the bench
+        pass
+
+
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -460,6 +480,7 @@ def main() -> None:
     # secondary sf1 point (never allowed to break the primary line)
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
+            _section_hygiene(spark)
             sf1_dir = ensure_sf1(spark, SF_DIR)
             sf1_timings: dict[str, float] = {}
             sf1_spread: dict[str, float] = {}
@@ -518,6 +539,7 @@ def main() -> None:
     # Never in the compact stdout line (it stays sf0.1-only).
     if os.environ.get("SPARK_GRAFT_SF10", "0") == "1":
         try:
+            _section_hygiene(spark)
             from scripts.scale_probe import ensure_sf10
 
             sf10_dir = ensure_sf10(spark, SF_DIR)
