@@ -119,11 +119,7 @@ HEADLINE = [
     # window).  p03 is an oracle-gate row (the d22/m03 precedent): it
     # re-runs p01's packing loop on a synthesized restricted instance
     # purely for the exact value check, so its cost story is p01's.
-    # r12: s12 retired from HEADLINE to keep the compact line inside the
-    # driver tail capture as s16 joins (the t02 precedent) — its cost
-    # story rides s13 (s12 is a thin wrapper over s13's batch path;
-    # measured near-identical every round) and the batch-vs-single
-    # comparison stays a standing sf10 measurement below.
+    "s12_hard_negatives",
     "t20_filter_auc",
     # round-8: batched hard-negative mining — one corpus pass for a query
     # TABLE (tracked alongside s12 so the batch-vs-single cost ratio is a
