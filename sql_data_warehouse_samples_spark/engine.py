@@ -613,7 +613,9 @@ class Engine:
         if identity_col:
             layout.identity_column = identity_col
 
-        empty = self.spark.createDataFrame([], T.StructType(fields))
+        from .operators._frames import empty_df
+
+        empty = empty_df(self.spark, T.StructType(fields))
         self.create_table_as(table, empty, layout)
         return True
 

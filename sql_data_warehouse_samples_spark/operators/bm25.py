@@ -339,8 +339,32 @@ def bm25_topk_batch(
     query-independent, compute once per corpus snapshot and reuse across
     batches (required to keep one-scan behavior past
     ``max_literal_terms``)."""
-    qterms = _terms_frame(queries, query_id_col, query_col)
-    vocab = sorted({r[0] for r in qterms.select("term").distinct().collect()})
+    if queries.isLocal():
+        # literal/local query table (the common mining entry: a driver-held
+        # batch of training queries): derive the (query_id, term) pairs
+        # driver-side — ``collect()`` on a LocalRelation runs no Spark job,
+        # where the general path below pays a distinct+collect round trip
+        # just to learn the vocabulary.  ``query_terms`` mirrors
+        # ``_terms_frame`` exactly (split on \s+, drop empties, per-query
+        # first-occurrence dedup), so the pairs are identical.
+        _require_integral_id(queries, query_id_col, "queries query_id")
+        spark = queries.sparkSession
+        pairs = [
+            (int(r[0]), t)
+            for r in queries.select(
+                F.col(query_id_col).cast("long"), F.col(query_col)
+            ).collect()
+            for t in query_terms(r[1] or "")
+        ]
+        qterms = small_df(
+            spark, pairs, "query_id: long, term: string", ["query_id", "term"]
+        )
+        vocab = sorted({t for _, t in pairs})
+    else:
+        qterms = _terms_frame(queries, query_id_col, query_col)
+        vocab = sorted(
+            {r[0] for r in qterms.select("term").distinct().collect()}
+        )
     if not vocab:
         raise ValueError("no query has any terms")
     scored = _bm25_scores(

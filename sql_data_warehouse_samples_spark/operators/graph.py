@@ -96,6 +96,51 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_edge_threshold() -> int:
+    """Edge count at or below which the closure finishes DRIVER-SIDE.
+
+    Iterative CC pays ~5-8 Spark jobs per alternating-star round (two
+    star transforms' exchanges under AQE + the fingerprint action); once
+    the contracted edge set is control-plane-sized, those rounds are pure
+    scheduling overhead.  64k edges collect to a few MB — the same driver
+    budget as the engine's other bounded collects (centroids, query
+    vocabularies) — and a union-find over them is microseconds.  Every
+    round CONTRACTS the edge set toward one edge per non-root node, so at
+    any corpus scale the tail rounds fall under this threshold and finish
+    in one job instead of O(log n) more; a dup-cluster graph whose
+    contracted form still exceeds the threshold keeps the distributed
+    rounds.  Env-tunable for clusters with bigger driver budgets
+    (``SPARK_GRAFT_CC_LOCAL_EDGES``, 0 disables)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "65536"))
+
+
+def _local_components(rows) -> dict:
+    """Union-find (union by min root) over collected (u, v) edges —
+    component id = minimum reachable id, exactly the alternating-star
+    fixed point."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -131,29 +176,51 @@ def connected_components(
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
 
+    from ._frames import small_df
+
     e = _materialize(
         _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     )
     fp = _fingerprint(e)
-    for _ in range(max_iterations):
-        nxt = _materialize(_canon(_small_star(_large_star(e))))
-        nfp = _fingerprint(nxt)
-        e = nxt
-        if nfp == fp:
-            break
-        fp = nfp
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
+    local_cap = _local_edge_threshold()
+    labeled = None
+    if fp[0] > local_cap:
+        for _ in range(max_iterations):
+            nxt = _materialize(_canon(_small_star(_large_star(e))))
+            nfp = _fingerprint(nxt)
+            e = nxt
+            if nfp[0] <= local_cap or nfp == fp:
+                fp = nfp
+                break
+            fp = nfp
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds"
+            )
+    if 0 < fp[0] <= local_cap:
+        # control-plane-sized remainder: one collect (bounded by the
+        # threshold) + driver union-find replaces the remaining O(log n)
+        # star rounds — identical labels (min reachable id) by
+        # construction, only the job count changes.
+        utype = e.schema["u"].dataType.simpleString()
+        comp = _local_components([(r[0], r[1]) for r in e.collect()])
+        labeled = small_df(
+            e.sparkSession,
+            sorted(comp.items()),
+            f"{id_col}: {utype}, component: {utype}",
+            [id_col, "component"],
         )
-
-    # fixed point: every canonical edge is (root, child) with root = the
-    # component minimum, so child -> root is the star assignment
-    star = e.select(F.col("v").alias(id_col), F.col("u").alias("component"))
-    roots = e.select(F.col("u").alias(id_col)).distinct()
-    labeled = star.union(
-        roots.select(F.col(id_col), F.col(id_col).alias("component"))
-    )
+    if labeled is None:
+        # fixed point: every canonical edge is (root, child) with root =
+        # the component minimum, so child -> root is the star assignment
+        star = e.select(
+            F.col("v").alias(id_col), F.col("u").alias("component")
+        )
+        roots = e.select(F.col("u").alias(id_col)).distinct()
+        labeled = star.union(
+            roots.select(F.col(id_col), F.col(id_col).alias("component"))
+        )
     if nodes is not None:
         all_nodes = nodes.select(F.col(id_col)).distinct()
         labeled = (

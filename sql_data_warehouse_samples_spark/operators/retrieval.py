@@ -178,9 +178,14 @@ def mine_hard_negatives(
     table (``positives``: one column of ``id_col``).  Query sets should
     call the batch form directly: it shares the corpus scan across all
     queries."""
+    from ._frames import small_df
+
     spark = docs.sparkSession
-    queries = spark.createDataFrame(
-        [(int(query_id), query)], "query_id: long, query: string"
+    queries = small_df(
+        spark,
+        [(int(query_id), query)],
+        "query_id: long, query: string",
+        ["query_id", "query"],
     )
     pos_pairs = positives.select(
         F.lit(int(query_id)).cast("long").alias("query_id"),

@@ -63,6 +63,20 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE normally refuses to re-plan the output partitioning of a
+        # plan that is about to be cached (so cached data keeps a stable
+        # layout for reuse); the dedup operators persist banded/window
+        # frames whose pre-AQE layout is the full shuffle-partition count,
+        # so every consumer of the cache then schedules that many tasks
+        # regardless of data size.  Letting AQE size cached plans too
+        # (coalesce small shuffle output before it is cached) makes the
+        # cached layout track the DATA, which is the same scale-adaptive
+        # behavior every uncached exchange already gets (r12 job-trace:
+        # 32-task no-op stages on KB-sized persisted frames).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

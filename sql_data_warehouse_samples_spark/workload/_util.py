@@ -8,7 +8,73 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Hash-spread key per table (the primary id: unique, so hashpartitioning
+#: is uniform by construction; no round-robin local sort needed, and a
+#: downstream groupBy/join on the same key can reuse the exchange).
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+}
+
+def _spread_min_bytes() -> int:
+    """Below this source size, even a serialized scan is cheaper than the
+    exchange — don't spread dimension-sized tables.  Env-tunable so a
+    verification run can force the spread on at oracle scale
+    (``SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES=0``)."""
+    return int(
+        os.environ.get("SPARK_GRAFT_SCAN_SPREAD_MIN_BYTES", str(256 << 10))
+    )
+
+
+def _src_bytes(path: str) -> int:
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def _scan_spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Widen an under-split scan (guide §2.5 input skew): the sf parquet
+    tables are written as a single file with one row group, so every scan
+    is ONE input split and every CPU-heavy map pass downstream (shingling,
+    signatures, gram hashing, per-row codecs) runs single-threaded on a
+    32-core session.  When the source supplies at most half the cluster's
+    parallelism, hash-repartition on the table's primary id immediately
+    after the read — column pruning and predicate pushdown pass through a
+    RepartitionByExpression, so ReadSchema/PushedFilters at the scan are
+    unchanged (plan-locked in tests/test_plans.py with the spread
+    disabled: the at-scale shape, where a 100 TB table arrives in
+    thousands of splits and this is a no-op).  Deterministic: hash of a
+    unique id — no round-robin retry hazard, no sort-before-repartition.
+    ``SPARK_GRAFT_SCAN_SPREAD=0`` disables."""
+    key = _SPREAD_KEYS.get(name)
+    if key is None or os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0":
+        return df
+    if _src_bytes(path) < _spread_min_bytes():
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - spread is never load-bearing
+        return df
+    if n * 2 > par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
+def tbl(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects unless the legacy nanosAsLong conf is on.  It is a
@@ -16,12 +82,17 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # factory — callers (the external driver included) may hand us a
         # vanilla SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts read as long ns (nanosAsLong); truncate to µs exactly the way
         # DuckDB casts TIMESTAMP_NS → TIMESTAMP, so oracles agree.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # ``spread=False``: opt-out for queries that immediately slice the
+    # table to a driver-sized id range (d21/d22/d24-style planted-batch
+    # constructions) — there the spread exchange costs an extra AQE stage
+    # job without buying any parallel compute (r12 job-trace).
+    return _scan_spread(df, spark, path, name) if spread else df
 
 
 def dec(c: str | Column, scale: int = 4) -> Column:

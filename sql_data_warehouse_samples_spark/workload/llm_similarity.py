@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..operators._frames import small_df
 from . import query
 from ._util import tbl
 
@@ -1008,7 +1009,7 @@ def s12_hard_negatives(spark, sf_dir):
 
     d = tbl(spark, sf_dir, "documents")
     e = tbl(spark, sf_dir, "embeddings")
-    positives = spark.createDataFrame([(0,), (1,)], "doc_id: long")
+    positives = small_df(spark, [(0,), (1,)], "doc_id: long", ["doc_id"])
     return mine_hard_negatives(
         d,
         _S11_QUERY,
@@ -1111,9 +1112,11 @@ def s13_hard_negatives_batch(spark, sf_dir):
 
     d = tbl(spark, sf_dir, "documents")
     e = tbl(spark, sf_dir, "embeddings")
-    queries = spark.createDataFrame(_S13, "query_id: long, query: string")
-    positives = spark.createDataFrame(
-        _S13_POS, "query_id: long, doc_id: long"
+    queries = small_df(
+        spark, _S13, "query_id: long, query: string", ["query_id", "query"]
+    )
+    positives = small_df(
+        spark, _S13_POS, "query_id: long, doc_id: long", ["query_id", "doc_id"]
     )
     return mine_hard_negatives_batch(
         d,

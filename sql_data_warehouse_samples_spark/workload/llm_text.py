@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import sampling as S_ops
 from ..operators import text as T
+from ..operators._frames import small_df
 from ..operators.sampling import split_sql as _split_sql
 from . import query
 from ._util import tbl
@@ -308,7 +309,9 @@ WHERE LEN(list_intersect(a.toks, b.toks))
 """,
 )
 def d02_ngram_jaccard_pairs(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    d = tbl(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 40
+    )
     toks = d.select(
         "doc_id", F.array_distinct(T.tokens("text")).alias("toks")
     )
@@ -660,7 +663,7 @@ FROM ids a JOIN ids b
 """,
 )
 def d24_simhash_identical_groups(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents").select("doc_id").filter(
+    d = tbl(spark, sf_dir, "documents", spread=False).select("doc_id").filter(
         F.col("doc_id") < 200
     )
     grp = F.expr("doc_id DIV 4")
@@ -862,7 +865,7 @@ def d21_incremental_neardup_ledger(spark, sf_dir):
 
     from ..operators.ledger import MinHashSignatureLedger
 
-    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tbl(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") < 400)
     did = F.col("doc_id")
     batch = (
@@ -933,12 +936,15 @@ def d22_admission_pipeline(spark, sf_dir):
     from ..operators.ledger import AdmissionPipeline
 
     a, b = _D22_PERIOD_TOKS
-    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tbl(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
     did = F.col("doc_id")
     periodic = lambda k: " ".join(([a, b] * k) + [a])  # noqa: E731
     corpus = d.filter(did < 400).unionByName(
-        d.sparkSession.createDataFrame(
-            [(9000, periodic(3))], "doc_id: long, text: string"
+        small_df(
+            d.sparkSession,
+            [(9000, periodic(3))],
+            "doc_id: long, text: string",
+            ["doc_id", "text"],
         )
     )
     batch = (
@@ -951,8 +957,11 @@ def d22_admission_pipeline(spark, sf_dir):
             )
         )
         .unionByName(
-            d.sparkSession.createDataFrame(
-                [(500000, periodic(2))], "doc_id: long, text: string"
+            small_df(
+                d.sparkSession,
+                [(500000, periodic(2))],
+                "doc_id: long, text: string",
+                ["doc_id", "text"],
             )
         )
         .unionByName(
@@ -2015,7 +2024,9 @@ ORDER BY id_a, id_b
 """,
 )
 def d17_edit_distance_pairs(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    d = tbl(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 40
+    )
     ids = d.select("doc_id")
     a, b = ids.alias("a"), ids.alias("b")
     cand = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
@@ -2436,9 +2447,11 @@ def t17_bpe_merges(spark, sf_dir):
     from ..operators import bpe as B
 
     merges, _ = B.bpe_train(tbl(spark, sf_dir, "documents"), n_merges=10)
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string, pair_count long",
+        ["merge_rank", "left_sym", "right_sym", "pair_count"],
     )
 
 

@@ -805,7 +805,11 @@ GROUP BY l_returnflag
 """,
 )
 def q20_expression_aggregates(spark, sf_dir):
-    li = tbl(spark, sf_dir, "lineitem")
+    # spread=False: ``gross`` sums a DOUBLE product (dec × quantity), so
+    # its low bits depend on the aggregation fold order — the scan spread
+    # would change the partitioning and drift the last decimal digit off
+    # the oracle (caught by the forced-spread driver_sim run, r12).
+    li = tbl(spark, sf_dir, "lineitem", spread=False)
     return li.groupBy("l_returnflag").agg(
         F.coalesce(F.sum((F.col("l_quantity") * 8).cast("bigint")), F.lit(0)).alias("pages8"),
         F.sum(dec("l_extendedprice") * F.col("l_quantity")).cast("double").alias("gross"),
