@@ -249,26 +249,36 @@ def _score_hits(
     )
 
 
-def _rank_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+def _rank_per_query(
+    scored: DataFrame, k: int, id_col: str, ordered: bool = True
+) -> DataFrame:
     """Two-phase per-query top-k (see ``bm25_topk_batch``): a window
     salted by the physical partition id takes a local top-k first, so the
-    per-query rank window never sees a query's full hit set."""
+    per-query rank window never sees a query's full hit set.
+
+    ``ordered=False`` skips the presentation sort — for internal callers
+    (the mining pipeline) that immediately join/filter the ranked frame
+    and re-order at their own tail, the global sort here is pure waste:
+    an extra range-partitioning exchange plus its sampling job per
+    action (r12 job-trace), discarded by the very next operator."""
     from pyspark.sql import Window
 
     order = [F.desc("bm25"), F.asc(id_col)]
     local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
     per_query = Window.partitionBy("query_id").orderBy(*order)
-    return (
+    ranked = (
         scored.withColumn("__lr", F.row_number().over(local))
         .filter(F.col("__lr") <= k)
         .drop("__lr")
         .withColumn("lex_rank", F.row_number().over(per_query))
         .filter(F.col("lex_rank") <= k)
-        # deterministic presentation order (k·|Q| rows — a cheap sort):
-        # callers iterating the result see ranked negatives per query,
-        # the documented contract of the single-query forms
-        .orderBy("query_id", "lex_rank")
     )
+    if not ordered:
+        return ranked
+    # deterministic presentation order (k·|Q| rows — a cheap sort):
+    # callers iterating the result see ranked negatives per query,
+    # the documented contract of the single-query forms
+    return ranked.orderBy("query_id", "lex_rank")
 
 
 def bm25_topk(
@@ -318,6 +328,7 @@ def bm25_topk_batch(
     b: float = 0.75,
     consts: tuple[int, float] | None = None,
     max_literal_terms: int = DEFAULT_MAX_LITERAL_TERMS,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query for a query TABLE — ONE corpus pass
     for ALL queries (the DPR-scale mining shape: a million-query training
@@ -338,7 +349,9 @@ def bm25_topk_batch(
     ``consts=(n_docs, avgdl)``: optional precomputed corpus constants —
     query-independent, compute once per corpus snapshot and reuse across
     batches (required to keep one-scan behavior past
-    ``max_literal_terms``)."""
+    ``max_literal_terms``).  ``ordered=False`` skips the presentation
+    sort (see ``_rank_per_query``) for pipeline consumers that re-order
+    downstream; rows and ranks are identical either way."""
     if queries.isLocal():
         # literal/local query table (the common mining entry: a driver-held
         # batch of training queries): derive the (query_id, term) pairs
@@ -371,7 +384,7 @@ def bm25_topk_batch(
         docs, qterms, vocab, id_col, text_col, k1, b, consts,
         max_literal_terms,
     )
-    return _rank_per_query(scored, k, id_col)
+    return _rank_per_query(scored, k, id_col, ordered=ordered)
 
 
 def refresh_bm25_consts(
@@ -866,14 +879,16 @@ class Bm25Index:
 
     def _buckets_for(self, vocab: list[str]) -> list[int]:
         """Bucket ids for the query vocabulary — computed with the SAME
-        engine hash that bucketed the index (one vocab-sized local job)."""
+        engine hash that bucketed the index (one vocab-sized local job;
+        ``vocab`` is already deduplicated, so no distinct exchange — the
+        driver-side set() below folds hash collisions instead)."""
         vdf = small_df(
             self.spark, [(t,) for t in vocab], "term: string", ["term"]
         )
         rows = vdf.select(
             F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).alias("b")
-        ).distinct().collect()
-        return sorted(int(r.b) for r in rows)
+        ).collect()
+        return sorted({int(r.b) for r in rows})
 
     def topk_batch(
         self,
@@ -897,10 +912,30 @@ class Bm25Index:
         literal (bounded by n_buckets)."""
         import os
 
-        qterms = _terms_frame(queries, query_id_col, query_col)
-        vocab = sorted(
-            {r[0] for r in qterms.select("term").distinct().collect()}
-        )
+        if queries.isLocal():
+            # literal/local query table (every serving call site): derive
+            # the (query_id, term) pairs and vocabulary driver-side — the
+            # same no-job fast path as ``bm25_topk_batch`` (query_terms
+            # mirrors _terms_frame token-for-token), skipping a
+            # distinct+collect round trip per search
+            _require_integral_id(queries, query_id_col, "queries query_id")
+            pairs = [
+                (int(r[0]), t)
+                for r in queries.select(
+                    F.col(query_id_col).cast("long"), F.col(query_col)
+                ).collect()
+                for t in query_terms(r[1] or "")
+            ]
+            qterms = small_df(
+                self.spark, pairs, "query_id: long, term: string",
+                ["query_id", "term"],
+            )
+            vocab = sorted({t for _, t in pairs})
+        else:
+            qterms = _terms_frame(queries, query_id_col, query_col)
+            vocab = sorted(
+                {r[0] for r in qterms.select("term").distinct().collect()}
+            )
         if not vocab:
             raise ValueError("no query has any terms")
         from .dirswap import read_path

@@ -145,12 +145,26 @@ def select_within_budget(
     being a "tiny aggregate", so the call fails loudly with guidance
     (lower ``bucket_dp``) instead of quietly materializing it.
     """
+    from pyspark import StorageLevel
+
+    from .dedup import _HOT_CACHES, release_hot_caches
+
+    release_hot_caches()  # top-level entry: drop the previous op's caches
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
     s = (
         df.filter(F.col(score_col).isNotNull() & F.col(weight_col).isNotNull())
         .withColumn("__b", F.round(F.col(score_col), bucket_dp))
         .withColumn("__h", h)
+        # THREE consumers scan this frame (the histogram aggregate, the
+        # above-cutoff filter, the boundary-bucket window); without the
+        # cache each one recomputes the caller's score/weight projection
+        # — for t15 that is the regex-heavy quality score, paid 3x over
+        # the corpus (r12 job-trace).  Skinny rows (key, score, weight,
+        # bucket, hash), MEMORY_AND_DISK like the dedup hot caches,
+        # released by the next top-level operator.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _HOT_CACHES.append(s)
     # single pass: collect at most max_buckets+1 rows — the sentinel row
     # proves the ceiling was crossed without materializing the overage
     hist = (

@@ -1248,6 +1248,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     round_to: int = 6,
     max_cluster: int | None = None,
+    impl: str = "gemm",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
     semantic deduplication over an embedding column.
@@ -1268,15 +1269,47 @@ def semantic_dedup(
     it to linear star pairing against the min-id representative — the same
     guardrail as the LSH bucket cap (``_candidate_pairs``).
 
-    Prune math is float64 with a sequential fold and ``round_to`` rounding,
-    so an ANSI-SQL oracle reproduces it bit-for-bit (workload d12).
+    Prune math is float64 with ``round_to`` rounding, engine-portable
+    (workload d12).  ``impl="gemm"`` (default) runs the within-cluster
+    pair stage as ONE float64 gemm per cluster via a grouped-map kernel —
+    the ``all_pairs_similarity`` pattern; the per-pair interpreted
+    ``aggregate``/``zip_with`` fold it replaces (kept selectable and
+    parity-locked as ``impl="fold"``, and still used by the
+    ``max_cluster`` star-cap path) paid interpreter CPU per
+    pair×dimension (r12: most of d12's runtime).
     """
     release_hot_caches()  # top-level entry: drop the previous op's caches
     from pyspark import StorageLevel
 
-    from .similarity import assign_centroids, dot, norm
+    from .similarity import (
+        _HAS_ARROW,
+        _semantic_prune_kernel,
+        assign_centroids,
+        dot,
+        norm,
+    )
 
+    if impl not in ("gemm", "fold"):
+        raise ValueError(f"unknown semantic_dedup impl {impl!r}")
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if impl == "gemm" and max_cluster is None and _HAS_ARROW:
+        # TWO plan branches consume base (the per-cluster kernel input and
+        # the survivor anti-join) — cache so the argmin assignment runs
+        # once.  Norms live inside the kernel; no per-row norm fold.
+        base = (
+            assign_centroids(df, vec_col, centroids, round_to, out_col="__cid")
+            .select(
+                F.col(id_col).alias("__id"), "__cid", as_double.alias("__v")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _HOT_CACHES.append(base)
+        pruned = base.groupBy("__cid").applyInPandas(
+            _semantic_prune_kernel(threshold, round_to), "__id long"
+        )
+        return base.join(pruned, "__id", "left_anti").select(
+            F.col("__id").alias(id_col), F.col("__cid").alias("centroid_id")
+        )
     # assign_centroids picks the plan-literal fold for small quantizers and
     # a broadcast-joined fold above CENT_LITERAL_MAX_ELEMS — production
     # nlist ≈ √n would otherwise blow up the plan tree

@@ -94,6 +94,10 @@ def mine_hard_negatives_batch(
             query_id_col=query_id_col,
             query_col=query_col,
             consts=consts,
+            # the ranked frame is joined/filtered below and re-ordered at
+            # this function's tail — the scorer's presentation sort would
+            # be a discarded range-exchange (plus its sampling job)
+            ordered=False,
         )
         .join(pos, ["query_id", id_col], "left_anti")
         # materialize the |Q|·k_raw candidate list: BOTH the cosine-guard
@@ -105,26 +109,31 @@ def mine_hard_negatives_batch(
         emb = embeddings.select(
             F.col(vec_id_col).alias("__eid"), F.col(vec_col).alias("__evec")
         )
+        # ONE embeddings probe serves BOTH sides of the guard: semi-join
+        # the corpus-sized table against the union of candidate ids and
+        # positive ids (both bounded — |Q|·k_raw and the label count), and
+        # materialize the surviving rows.  The positive fetch and the
+        # candidate fetch below are then local joins of this bounded
+        # frame — the previous form scanned the full embeddings table
+        # TWICE (once per broadcast).  A LEFT join can only broadcast its
+        # RIGHT side, and the raw embeddings table is corpus-sized, so
+        # the semi prefilter is what keeps the candidate fetch broadcast
+        # at any corpus size (plan-locked: tests/test_plans.py).
+        need_ids = cands.select(F.col(id_col).alias("__eid")).unionByName(
+            pos.select(F.col(id_col).alias("__eid"))
+        )
+        emb_need = emb.join(
+            F.broadcast(need_ids), "__eid", "semi"
+        ).localCheckpoint(eager=True)
         pos_vecs = F.broadcast(
-            pos.join(emb, pos[id_col] == emb["__eid"]).select(
+            pos.join(emb_need, pos[id_col] == emb_need["__eid"]).select(
                 "query_id", F.col("__evec").alias("__pvec")
             )
         )
-        # prefilter the embeddings by broadcast candidate-id SEMI-join
-        # before the left join: a LEFT join can only broadcast its RIGHT
-        # side, and the raw embeddings table is corpus-sized — without
-        # the prefilter the fetch degrades to a sort-merge join that
-        # shuffles the FULL embeddings table at scale.  After the
-        # map-side semi, |candidates| rows survive, so the left join's
-        # right side is broadcastable at any corpus size (plan-locked:
-        # tests/test_plans.py)
-        cand_emb = F.broadcast(
-            emb.join(
-                F.broadcast(cands.select(F.col(id_col).alias("__eid"))),
-                "__eid",
-                "semi",
-            )
-        )
+        # superset of the candidate ids (it also carries positive-only
+        # rows); the left join below keys off the candidate frame, so
+        # the extra rows simply never match
+        cand_emb = F.broadcast(emb_need)
         # per query: |cands| x |its positives| grid — both sides bounded
         # (k_raw and the label count), embeddings fetched by key, the
         # corpus never scanned pairwise

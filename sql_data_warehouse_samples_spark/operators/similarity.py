@@ -618,6 +618,52 @@ def _pair_block_kernel(threshold: float, round_to: int):
     return _fn
 
 
+def _semantic_prune_kernel(threshold: float, round_to: int):
+    """groupBy(cluster) kernel for ``dedup.semantic_dedup``: one cluster
+    → the member ids pruned because some LOWER-id member sits at rounded
+    cosine ≥ threshold, via a single float64 gemm over the cluster tile
+    (the ``_pair_block_kernel`` precedent applied to SemDeDup's
+    within-cluster stage — the interpreted per-pair fold it replaces is
+    parity-locked as ``impl="fold"``).  Unusable rows (null vector,
+    ragged length, non-finite element) are dropped by ``_clean_matrix``
+    exactly as in the other gemm kernels: they neither prune nor get
+    pruned, matching the fold path's NULL-sim → filter-false behavior.
+    Cluster tiles are (size × size) — bounded because SemDeDup scales
+    CLUSTER COUNT with the corpus, keeping size ~constant; degenerate
+    clusterings use ``max_cluster`` which routes to the capped fold
+    path."""
+    import numpy as np
+    import pandas as pd
+
+    def _fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"__id": pd.Series([], dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        vals = pdf["__v"].tolist()
+        dim = _infer_dim(vals)
+        if not dim:
+            return empty
+        X, ok = _clean_matrix(vals, dim)
+        if len(X) < 2:
+            return empty
+        ids = pdf["__id"].to_numpy()[ok]
+        n = np.sqrt((X * X).sum(axis=1))
+        denom = np.outer(n, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((X @ X.T) / denom, round_to)
+        mask = (
+            np.isfinite(sims)
+            & (sims >= threshold)
+            & (ids[:, None] < ids[None, :])
+        )
+        pruned = ids[mask.any(axis=0)]
+        if len(pruned) == 0:
+            return empty
+        return pd.DataFrame({"__id": np.unique(pruned).astype("int64")})
+
+    return _fn
+
+
 def all_pairs_similarity(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1594,6 +1640,10 @@ class IvfIndex:
             .withColumn("__r", F.row_number().over(w_q))
             .filter(F.col("__r") <= nprobe)
             .select("query_id", "__qvec", "centroid_id")
+            # |Q|·nprobe rows consumed TWICE (the probed-list union below
+            # and the broadcast join) — materialize once instead of
+            # re-running the query scan + probe window per consumer
+            .localCheckpoint(eager=True)
         )
         # the probed-list union is driver-sized (≤ nlist ints) and becomes
         # a partition filter — the scan never opens unprobed lists
@@ -2237,7 +2287,11 @@ class IvfPqIndex:
             "query_id",
             F.array(*[_table(j, tab_base) for j in range(m)]).alias("__tabs"),
             "centroid_id",
-        )
+            # |Q|·nprobe rows with m×k lookup tables, consumed TWICE (the
+            # probed-list union and the broadcast join) — materialize once
+            # instead of re-running the query scan + probe window + table
+            # math per consumer
+        ).localCheckpoint(eager=True)
         probed = sorted(
             r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
         )

@@ -43,20 +43,45 @@ def _src_bytes(path: str) -> int:
         return 0
 
 
+def _src_row_groups(path: str) -> int:
+    """Parquet row-group count across the source's files — driver-side
+    footer metadata (no Spark job, no plan materialization).  Row groups,
+    not byte-range splits, are what bounds scan parallelism for parquet:
+    a 20 MB single-row-group file yields several byte-range splits but
+    only the one containing the row-group start reads any data."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_row_groups
+        return total
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
 def _scan_spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFrame:
     """Widen an under-split scan (guide §2.5 input skew): the sf parquet
     tables are written as a single file with one row group, so every scan
-    is ONE input split and every CPU-heavy map pass downstream (shingling,
-    signatures, gram hashing, per-row codecs) runs single-threaded on a
-    32-core session.  When the source supplies at most half the cluster's
-    parallelism, hash-repartition on the table's primary id immediately
-    after the read — column pruning and predicate pushdown pass through a
-    RepartitionByExpression, so ReadSchema/PushedFilters at the scan are
-    unchanged (plan-locked in tests/test_plans.py with the spread
-    disabled: the at-scale shape, where a 100 TB table arrives in
-    thousands of splits and this is a no-op).  Deterministic: hash of a
-    unique id — no round-robin retry hazard, no sort-before-repartition.
-    ``SPARK_GRAFT_SCAN_SPREAD=0`` disables."""
+    is effectively ONE input split and every CPU-heavy map pass
+    downstream (shingling, signatures, gram hashing, per-row codecs) runs
+    single-threaded on a 32-core session.  When the source supplies at
+    most half the cluster's parallelism in row groups, hash-repartition
+    on the table's primary id immediately after the read — column pruning
+    and predicate pushdown pass through a RepartitionByExpression, so
+    ReadSchema/PushedFilters at the scan are unchanged (plan-locked in
+    tests/test_plans.py with the spread disabled: the at-scale shape,
+    where a 100 TB table arrives in thousands of row groups and this is a
+    no-op).  Deterministic: hash of a unique id — no round-robin retry
+    hazard, no sort-before-repartition.  The split estimate reads parquet
+    FOOTERS driver-side: the first form of this gate asked the live plan
+    via ``df.rdd.getNumPartitions()``, whose plan→RDD materialization
+    cost ~0.3 s of driver time PER CALL and inflated every short query by
+    a near-constant additive (r12 bench A/B — spreads ≤1.3, so additive
+    cost, not steal).  ``SPARK_GRAFT_SCAN_SPREAD=0`` disables."""
     key = _SPREAD_KEYS.get(name)
     if key is None or os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0":
         return df
@@ -64,7 +89,7 @@ def _scan_spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> Da
         return df
     par = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        n = _src_row_groups(path)
     except Exception:  # noqa: BLE001 - spread is never load-bearing
         return df
     if n * 2 > par:
@@ -93,6 +118,29 @@ def tbl(
     # constructions) — there the spread exchange costs an extra AQE stage
     # job without buying any parallel compute (r12 job-trace).
     return _scan_spread(df, spark, path, name) if spread else df
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a source table from the parquet FOOTERS —
+    driver-side metadata, no Spark job.  The count a ``df.count()`` would
+    return (parquet footers carry exact row counts), at file-open cost:
+    what sizing decisions (e.g. d12's corpus-scaled nlist) should read
+    instead of paying a full scan + exchange per call.  At 100 TB this is
+    the table-stats lookup every engine does; on a missing/corrupt footer
+    the caller's ``df.count()`` fallback still stands."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def dec(c: str | Column, scale: int = 4) -> Column:

@@ -446,9 +446,16 @@ def d12_semantic_dedup(spark, sf_dir):
     10x bench corpus measured 11.4x scaling with nlist pinned vs ~linear
     with this rule (PERFORMANCE.md)."""
     from ..operators.dedup import semantic_dedup
+    from ._util import table_rows
 
     e = tbl(spark, sf_dir, "embeddings")
-    nlist = max(16, e.count() // 500)
+    # corpus size from the parquet footers (exact — what count() returns)
+    # instead of a full scan+exchange job per call; see _util.table_rows
+    try:
+        n = table_rows(sf_dir, "embeddings")
+    except Exception:  # noqa: BLE001 - stats miss → honest count job
+        n = e.count()
+    nlist = max(16, n // 500)
     cents = S.seed_centroids(e, nlist=nlist)
     return semantic_dedup(e, cents, threshold=0.35)
 

@@ -2498,12 +2498,17 @@ def test_select_within_budget_windows_only_boundary_bucket(spark):
     out = select_within_budget(df, "q", "w", 500, "doc_id", seed="b")
     plan = out._jdf.queryExecution().executedPlan().toString()
     if "Window" in plan:
-        # the windowed branch filters to ONE bucket value before the sort
-        # (the __b alias constant-folds into `round(q, 3) = <boundary>`;
-        # the r5 null-guard adds isnotnull conjuncts around it)
+        # the windowed branch filters to ONE bucket value before the sort.
+        # Pre-r12 the __b alias constant-folded into the scan as
+        # `round(q, 3) = <boundary>`; since the r12 scored-frame cache the
+        # filter hits the cached frame as `__b = <boundary>` (same
+        # one-bucket semantics, now without recomputing the caller's
+        # score column — the r5 null-guard adds isnotnull conjuncts)
         import re
 
-        assert re.search(r"Filter .*round\(q#\d+, 3\) = ", plan), plan
+        assert re.search(
+            r"Filter .*(round\(q#\d+, 3\) = |\(__b#\d+ = )", plan
+        ), plan
     assert sum(r.w for r in out.collect()) <= 500
 
 
