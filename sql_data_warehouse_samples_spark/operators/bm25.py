@@ -185,11 +185,30 @@ def _bm25_scores(
                 F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
             )
         )
+        # per-(doc, term) tf MAP-SIDE (guide §2.4): every occurrence of a
+        # term in __hits lives in the doc's own row, so the tf count
+        # needs no exchange — the explode+groupBy form shuffled the
+        # exploded hits stream just to merge rows that were already
+        # colocated.  |__hits| is vocabulary-occurrences only, so the
+        # per-doc distinct×filter scan is O(|hits|²) on a few elements.
         hits = (
             base.filter(F.size("__hits") > 0)
-            .select(id_col, "dl", F.explode("__hits").alias("term"))
-            .groupBy(id_col, "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .select(
+                id_col,
+                "dl",
+                F.explode(
+                    F.transform(
+                        F.array_distinct("__hits"),
+                        lambda t: F.struct(
+                            t.alias("term"),
+                            F.size(
+                                F.filter("__hits", lambda x: x == t)
+                            ).cast("long").alias("tf"),
+                        ),
+                    )
+                ).alias("__h"),
+            )
+            .select(id_col, "dl", "__h.term", "__h.tf")
         )
     else:
         toks = tokens(text_col)

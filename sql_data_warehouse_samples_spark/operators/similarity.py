@@ -89,8 +89,23 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition ONLY if the scan is under-partitioned (e.g. a single local
     parquet file → 1 partition would serialize all the vector math).  At scale
     the corpus arrives in thousands of splits and this is a no-op — an
-    unconditional repartition would be a full shuffle of the big side."""
+    unconditional repartition would be a full shuffle of the big side.
+
+    Cost note (r12): the partition-count fallback materializes the plan's
+    RDD (``df.rdd``), ~0.1-0.3 s of driver time per call.  Two cheap
+    driver-side short-circuits avoid it on the common paths: a local
+    relation (literal query tables) never needs spreading, and a frame the
+    table layer already hash-spread (``workload._util.tbl``) carries a
+    Repartition node in its logical plan — re-checking it would be the
+    exact double cost the tbl() footer gate was built to avoid."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.isLocal():
+            return df
+        if "Repartition" in df._jdf.queryExecution().logical().toString():
+            return df
+    except Exception:  # noqa: BLE001 - fall back to the honest RDD probe
+        pass
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

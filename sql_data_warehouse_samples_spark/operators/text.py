@@ -380,13 +380,25 @@ def bigram_lm_scores(df, text_col: str, id_col: str, alpha: float = 0.5,
         ),
         round_to,
     )
-    scored = (
-        doc_grams.join(bc, "g")
-        .withColumn("w1", F.substring_index("g", " ", 1))
+    # per-gram nll depends only on (cb, cu, V) — compute it ONCE PER
+    # DISTINCT GRAM on the vocabulary-sized side and broadcast (g, nll):
+    # the corpus-sized gram stream then pays one hash probe per
+    # occurrence instead of two broadcast joins plus the substring/ln
+    # math per occurrence (r12, guide §2.3 "shuffle keys and metadata
+    # instead of payloads" applied to the broadcast side).  Identical
+    # values: the same rounded expression over the same counts, evaluated
+    # per gram instead of per (doc, gram) occurrence.
+    gram_nll = (
+        bc.withColumn("w1", F.substring_index("g", " ", 1))
         .join(uc, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", nll.alias("nll"))
+        .select("g", nll.alias("nll"))
     )
+    # join strategy stays PLANNER-DECIDED (no broadcast hint): at bench
+    # scale the gram table broadcasts as before; past a broadcastable
+    # vocabulary the planner falls back to the equi-join the docstring's
+    # top-K/OOV note assumes
+    scored = doc_grams.join(gram_nll, "g").select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(

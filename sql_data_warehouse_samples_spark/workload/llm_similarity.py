@@ -54,7 +54,14 @@ WHERE nbr_rank <= 5
 )
 def s01_cosine_topk(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
-    return S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    # query side: a ≤10-row id slice — the spread exchange would widen it
+    # to 32 near-empty partitions and the broadcast build would schedule a
+    # 33-task job for 10 rows (r12 job-trace); the corpus side keeps the
+    # spread (per-row cosine folds are the CPU term)
+    q = tbl(spark, sf_dir, "embeddings", spread=False).filter(
+        F.col("vec_id") < 10
+    )
+    return S.cosine_topk(e, q, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +116,11 @@ GROUP BY label
 )
 def s01_s03_embed_battery(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
-    topk = S.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5).select(
+    # id-slice query side: unspread (the s01 rationale)
+    q = tbl(spark, sf_dir, "embeddings", spread=False).filter(
+        F.col("vec_id") < 10
+    )
+    topk = S.cosine_topk(e, q, k=5).select(
         F.lit("s01_cosine_topk").alias("family"),
         F.col("query_id").cast("string").alias("k"),
         F.col("neighbor_id").alias("id2"),
@@ -216,7 +227,11 @@ WHERE nbr_rank <= 5
 @query("s02_ann_lsh_topk", oracle=_s02_oracle())
 def s02_ann_lsh_topk(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    # id-slice query side: unspread (the s01 rationale)
+    q = tbl(spark, sf_dir, "embeddings", spread=False).filter(
+        F.col("vec_id") < 10
+    )
+    return S.ann_lsh_topk(e, q, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +326,11 @@ WHERE nbr_rank <= 5
 )
 def s04_ivf_topk(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4)
+    # id-slice query side: unspread (the s01 rationale)
+    q = tbl(spark, sf_dir, "embeddings", spread=False).filter(
+        F.col("vec_id") < 10
+    )
+    return S.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +371,8 @@ def _s15_oracle() -> str:
 @query("s15_ivf_index_serving", oracle=_s15_oracle())
 def s15_ivf_index_serving(spark, sf_dir):
     idx = _ivf_serving_index(spark, sf_dir)
-    e = tbl(spark, sf_dir, "embeddings")
+    # id-slice query side: unspread (the s01 rationale)
+    e = tbl(spark, sf_dir, "embeddings", spread=False)
     return idx.search(e.filter(F.col("vec_id") < 10), k=5, nprobe=4)
 
 
@@ -686,11 +706,16 @@ WHERE nbr_rank <= 5
 )
 def s10_pq_refine_topk(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
-    books = S.pq_codebooks(e, m=8, k=16)
+    # probe/slice sides: unspread (the s01 rationale) — the codebook seed
+    # is a 16-row slice, the queries a 5-row slice, and the refine stage
+    # fetches only the |Q|·candidates shortlist from the raw table; only
+    # the pq_encode corpus pass is per-row CPU that wants the spread
+    ep = tbl(spark, sf_dir, "embeddings", spread=False)
+    books = S.pq_codebooks(ep, m=8, k=16)
     codes = S.pq_encode(e, books).select("vec_id", "pq")
-    queries = e.filter(F.col("vec_id") < 5)
+    queries = ep.filter(F.col("vec_id") < 5)
     return S.pq_refine_topk(
-        codes, e, queries, books, k=5, candidates=20, exact_decimal=True
+        codes, ep, queries, books, k=5, candidates=20, exact_decimal=True
     )
 
 
@@ -734,7 +759,9 @@ def _s16_oracle() -> str:
 @query("s16_ivfpq_index_serving", oracle=_s16_oracle())
 def s16_ivfpq_index_serving(spark, sf_dir):
     idx = _ivfpq_serving_index(spark, sf_dir)
-    e = tbl(spark, sf_dir, "embeddings")
+    # query slice + shortlist-fetch raw side: unspread (the s01/s10
+    # rationale) — the index path never runs per-row CPU over the corpus
+    e = tbl(spark, sf_dir, "embeddings", spread=False)
     return idx.search_refined(
         e.filter(F.col("vec_id") < 5),
         e,
@@ -856,7 +883,8 @@ WHERE nbr_rank <= 5
 )
 def s17_residual_pq_serving(spark, sf_dir):
     idx = _ivfpq_res_serving_index(spark, sf_dir)
-    e = tbl(spark, sf_dir, "embeddings")
+    # query slice + shortlist-fetch raw side: unspread (the s16 rationale)
+    e = tbl(spark, sf_dir, "embeddings", spread=False)
     return idx.search_refined(
         e.filter(F.col("vec_id") < 5),
         e,
@@ -945,7 +973,11 @@ def s11_hybrid_rrf(spark, sf_dir):
         .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .alias("rank"),
     )
-    vec = S.cosine_topk(e, e.filter(F.col("vec_id") == 0), k=_S11_K).select(
+    # single-row query slice: unspread (the s01 rationale)
+    q1 = tbl(spark, sf_dir, "embeddings", spread=False).filter(
+        F.col("vec_id") == 0
+    )
+    vec = S.cosine_topk(e, q1, k=_S11_K).select(
         F.lit(0).cast("long").alias("query_id"),
         F.col("neighbor_id").alias("doc_id"),
         F.col("nbr_rank").alias("rank"),
@@ -1015,7 +1047,10 @@ def s12_hard_negatives(spark, sf_dir):
     from ..operators.retrieval import mine_hard_negatives
 
     d = tbl(spark, sf_dir, "documents")
-    e = tbl(spark, sf_dir, "embeddings")
+    # the guard only PROBES embeddings (bounded semi-join fetch) — the
+    # spread exchange would shuffle the whole vector payload to filter a
+    # few dozen rows (r12 job-trace: a 0.6 s 32-task stage for 22 rows)
+    e = tbl(spark, sf_dir, "embeddings", spread=False)
     positives = small_df(spark, [(0,), (1,)], "doc_id: long", ["doc_id"])
     return mine_hard_negatives(
         d,
@@ -1118,7 +1153,8 @@ def s13_hard_negatives_batch(spark, sf_dir):
     from ..operators.retrieval import mine_hard_negatives_batch
 
     d = tbl(spark, sf_dir, "documents")
-    e = tbl(spark, sf_dir, "embeddings")
+    # probe-only embeddings side: unspread (the s12 rationale)
+    e = tbl(spark, sf_dir, "embeddings", spread=False)
     queries = small_df(
         spark, _S13, "query_id: long, query: string", ["query_id", "query"]
     )

@@ -1535,28 +1535,89 @@ ORDER BY numwait DESC, s_name
 """,
 )
 def q61_waiting_suppliers(spark, sf_dir):
-    li = tbl(spark, sf_dir, "lineitem")
+    # r12 rewrite (guide §2.4/§3): the semi + anti self-joins carried the
+    # lineitem fact THREE times — at bench scale the planner broadcast two
+    # full lineitem projections; at 100 TB those become two extra
+    # sort-merge self-shuffles.  Both subqueries only compare values
+    # WITHIN an order, so they are window aggregates over ONE
+    # l_orderkey exchange of a 3-column projection:
+    #   EXISTS(l2: same order, other supp)      ⟺ n_supps(order) ≥ 2
+    #   NOT EXISTS(l3: other supp, later ship)  ⟺ l_shipdate ≥ max
+    #     shipdate of the order's OTHER suppliers, where that max is G1
+    #     (the order's top per-supplier max) unless ONLY this row's
+    #     supplier attains G1, in which case it is G2 (the best other
+    #     supplier's max).
+    # Equivalence is per-row (each l1 row keeps its own verdict), proven
+    # against the unchanged EXISTS/NOT-EXISTS oracle.
+    from pyspark.sql import Window
+
+    # the explicit l_orderkey repartition pins the ONE exchange both
+    # window keys share — without it the planner gives the w_supp window
+    # its exact (l_orderkey, l_suppkey) key and then RE-exchanges for
+    # w_ord (two shuffles of the fact); when tbl() already spread the
+    # scan on l_orderkey, CollapseRepartition folds this into that
+    # exchange (plan stays one-shuffle either way)
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+    )
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = tbl(spark, sf_dir, "supplier")
-    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
-    # all three lineitem legs share the l_orderkey equi-key: one exchange
-    # feeds the semi, the anti, and the orders join (AQE reuses it)
+    w_ord = Window.partitionBy("l_orderkey")
+    w_supp = Window.partitionBy("l_orderkey", "l_suppkey")
+    # pass 1 (one exchange by l_orderkey; w_supp is a refinement, so the
+    # same exchange feeds both windows): per-supplier max + marker row
+    pass1 = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w_supp).alias("__g"),
+        F.row_number()
+        .over(w_supp.orderBy("l_shipdate"))
+        .alias("__rn"),
+    )
+    # pass 2 (same partition key — no new exchange): order-level stats
+    one_per_supp = F.when(F.col("__rn") == 1, 1).otherwise(0)
+    pass2 = pass1.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "__g",
+        "__rn",
+        F.sum(one_per_supp).over(w_ord).alias("__n_supp"),
+        F.max("__g").over(w_ord).alias("__G1"),
+    )
+    # pass 3 (still the same partition key): suppliers attaining G1
+    # (count marker rows whose group max is the order max) and G2 = best
+    # group-max of the NON-attaining suppliers
+    pass3 = pass2.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "__g",
+        "__n_supp",
+        "__G1",
+        F.sum(
+            F.when(
+                (F.col("__rn") == 1) & (F.col("__g") == F.col("__G1")), 1
+            ).otherwise(0)
+        )
+        .over(w_ord)
+        .alias("__c1"),
+        F.max(F.when(F.col("__g") < F.col("__G1"), F.col("__g")))
+        .over(w_ord)
+        .alias("__G2"),
+    )
+    max_others = F.when(
+        (F.col("__g") < F.col("__G1")) | (F.col("__c1") >= 2), F.col("__G1")
+    ).otherwise(F.col("__G2"))
     waited = (
-        l1.join(
-            l2,
-            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
-            "left_semi",
+        pass3.filter(
+            (F.col("__n_supp") >= 2) & (F.col("l_shipdate") >= max_others)
         )
-        .join(
-            l3,
-            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
-            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
-            "left_anti",
-        )
-        .join(o, F.col("o_orderkey") == F.col("l1.l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
     )
     return (
         waited.groupBy("s_name")

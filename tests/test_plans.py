@@ -367,8 +367,10 @@ def test_s07_bm25_filters_tokens_before_explode(spark):
     df = bm25_topk(d, q, k=10)
     plan = plan_str(df)
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
-    # explode consumes the pre-filtered __hits projection, never raw tokens
-    assert gen and all("explode(__hits" in ln for ln in gen), gen
+    # explode consumes the pre-filtered __hits projection, never raw
+    # tokens (r12: the generator input is the map-side (term, tf) struct
+    # array derived from __hits — tf needs no exchange; still hits-bounded)
+    assert gen and all("__hits" in ln for ln in gen), gen
     # the corpus scan was consumed by the checkpointed projection — the
     # scoring plan reads the checkpoint, so documents appear ZERO times
     # (one scan TOTAL between the two plans)
@@ -461,13 +463,25 @@ def test_t14_pipeline_fused_exchange_budget(spark):
 
 
 def test_q61_exists_not_exists_stay_semi_anti(spark):
-    """TPC-H Q21 shape: EXISTS compiles to LeftSemi, NOT EXISTS to
-    LeftAnti with the residual inequality — never a correlated re-scan or
-    cartesian."""
+    """TPC-H Q21 shape, r12 form: the EXISTS/NOT-EXISTS self-joins are
+    rewritten as window aggregates over ONE l_orderkey exchange of a
+    3-column lineitem projection — the fact is never broadcast or
+    self-joined (the pre-r12 semi/anti form broadcast two full lineitem
+    projections at bench scale and would sort-merge self-shuffle at 100 TB;
+    the semi/anti operator family stays plan-locked via q04_q17/q11_q54/
+    q63).  Never a correlated re-scan or cartesian."""
     df = workload.QUERIES["q61_waiting_suppliers"](spark, SF)
     plan = plan_str(df)
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "Window" in plan
+    # exactly ONE exchange keyed by l_orderkey feeds all three window
+    # passes (w_supp is a refinement of w_ord — no re-exchange)
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
+    # the lineitem fact appears once and is never built into a broadcast
+    lineitem_scans = [
+        ln for ln in plan.splitlines() if "lineitem" in ln and "Scan" in ln
+    ]
+    assert len(lineitem_scans) == 1, lineitem_scans
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
 
 
