@@ -1380,6 +1380,10 @@ def remove_duplicate_spans(
 
     grams = positioned_gram_hashes(df, text_col, id_col, n, gram_strategy)
     w = Window.partitionBy("__gh")
+    # collect_set dedups covered positions INSIDE the per-doc aggregate —
+    # the distinct().groupBy().collect_list() form paid a second exchange
+    # (by (id, pos), then again by id) for the same set (r12, guide §2.4);
+    # downstream only needs set membership (array_except) and set size
     covered = (
         grams.withColumn("__rep", F.min("__id").over(w))
         .filter(F.col("__id") > F.col("__rep"))
@@ -1389,9 +1393,8 @@ def remove_duplicate_spans(
                 F.sequence(F.col("__start"), F.col("__start") + (n - 1))
             ).alias("__pos"),
         )
-        .distinct()
         .groupBy("__id")
-        .agg(F.collect_list("__pos").alias("__cov"))
+        .agg(F.collect_set("__pos").alias("__cov"))
     )
     base = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
     joined = base.join(covered, "__id", "left")

@@ -1485,6 +1485,37 @@ def _write_quantizer(spark, lists_dir, centroids, books=None, params=None):
         ).coalesce(1).write.mode("overwrite").parquet(f"{q}/params")
 
 
+def _read_sidecar_rows(spark, path: str) -> list[dict]:
+    """Rows of a quantizer-sized parquet sidecar (a handful of KB).
+
+    Driver-side pyarrow read when the resolved path is a plain local
+    directory/file — ZERO Spark jobs, where the ``spark.read...collect``
+    fallback pays a schema-inference job plus a collect job PER SIDECAR
+    on every index ``load()`` (r12 job-trace: 6-7 metadata micro-jobs per
+    serving call).  Non-local schemes (the object-store strategy) keep
+    the Spark read."""
+    import glob as _glob
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    if "://" not in local:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(local):
+                parts = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+            else:
+                parts = [local] if os.path.exists(local) else []
+            if parts:
+                rows: list[dict] = []
+                for p in parts:
+                    rows.extend(pq.read_table(p).to_pylist())
+                return rows
+        except Exception:  # noqa: BLE001 - fall back to the Spark read
+            pass
+    return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
 def _quant_path(spark, path: str, name: str) -> str:
     """Physical path of quantizer sidecar ``name``: the in-generation
     ``_quantizer/`` copy of the CURRENT lists directory when present
@@ -1616,9 +1647,9 @@ class IvfIndex:
     def load(cls, spark, path: str) -> "IvfIndex":
         cents = [
             (r["centroid_id"], list(r["__cent"]))
-            for r in spark.read.parquet(
-                _quant_path(spark, path, "centroids")
-            ).collect()
+            for r in _read_sidecar_rows(
+                spark, _quant_path(spark, path, "centroids")
+            )
         ]
         return cls(path, sorted(cents))
 
@@ -2215,22 +2246,20 @@ class IvfPqIndex:
     def load(cls, spark, path: str) -> "IvfPqIndex":
         cents = sorted(
             (r["centroid_id"], list(r["__cent"]))
-            for r in spark.read.parquet(
-                _quant_path(spark, path, "centroids")
-            ).collect()
+            for r in _read_sidecar_rows(
+                spark, _quant_path(spark, path, "centroids")
+            )
         )
-        rows = spark.read.parquet(
-            _quant_path(spark, path, "codebooks")
-        ).collect()
+        rows = _read_sidecar_rows(spark, _quant_path(spark, path, "codebooks"))
         m = max(r["j"] for r in rows) + 1
         books: list[list] = [[] for _ in range(m)]
         for r in rows:
             books[r["j"]].append((int(r["code"]), [float(x) for x in r["vec"]]))
         try:
             residual = bool(
-                spark.read.parquet(
-                    _quant_path(spark, path, "params")
-                ).first()["residual"]
+                _read_sidecar_rows(spark, _quant_path(spark, path, "params"))[
+                    0
+                ]["residual"]
             )
         except Exception:  # pre-residual layout
             residual = False

@@ -888,10 +888,14 @@ def d21_incremental_neardup_ledger(spark, sf_dir):
     try:
         led = MinHashSignatureLedger(spark, f"{work}/sigs")
         led.ingest(corpus)
+        # checkpoint UNSORTED (the checkpoint is what outlives the temp
+        # ledger dir), sort lazily on the ~50-row checkpointed result —
+        # sorting before the eager checkpoint paid a range exchange plus
+        # its sampling job inside the materialization (r12)
         pairs = (
             led.near_dups(batch, threshold=1.0)
-            .orderBy("batch_id", "corpus_id")
             .localCheckpoint(eager=True)
+            .orderBy("batch_id", "corpus_id")
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
