@@ -125,25 +125,37 @@ def classify_language(
     nl = len(langs)
 
     if impl == "arrow":
-        from collections.abc import Iterator
+        # scalar pandas_udf over the TEXT COLUMN ONLY (guide §4.2 "pass
+        # only the columns the function needs"): the former mapInPandas
+        # form Arrow-serialized EVERY column of ``docs`` into Python and
+        # back per batch — here only ``text_col`` crosses into Python and
+        # only the (pred_lang, score) struct crosses back; the other
+        # columns never leave the JVM row.
+        import pandas as pd
 
-        def score(batches: Iterator) -> Iterator:
-            for pdf in batches:
-                preds, scores = [], []
-                for t in pdf[text_col]:
-                    lang, s = _best_lang(t, n, langs, union)
-                    preds.append(lang)
-                    scores.append(s)
-                pdf = pdf.copy()
-                pdf[out_col] = preds
-                pdf[score_col] = scores
-                yield pdf
+        def _score(texts):
+            preds, scores = [], []
+            for t in texts:
+                lang, s = _best_lang(t, n, langs, union)
+                preds.append(lang)
+                scores.append(s)
+            return pd.DataFrame({out_col: preds, score_col: scores})
 
-        out_schema = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in docs.schema.fields
-        ) + f", `{out_col}` string, `{score_col}` long"
-        return docs.mapInPandas(score, out_schema)
+        # real class objects, not strings: the module's postponed
+        # annotations (`from __future__ import annotations`) would
+        # stringify inline hints and pandas_udf's eval-type inference
+        # rejects string hints
+        _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+        score = F.pandas_udf(f"`{out_col}` string, `{score_col}` long")(
+            _score
+        )
+
+        with_s = docs.withColumn("__ls", score(F.col(text_col)))
+        return with_s.select(
+            *docs.columns,
+            F.col("__ls")[out_col].alias(out_col),
+            F.col("__ls")[score_col].alias(score_col),
+        )
 
     # pure-JVM fold path
     with_g = docs.withColumn("__grams", char_ngrams(text_col, n))

@@ -136,21 +136,29 @@ def mine_hard_negatives_batch(
         cand_emb = F.broadcast(emb_need)
         # per query: |cands| x |its positives| grid — both sides bounded
         # (k_raw and the label count), embeddings fetched by key, the
-        # corpus never scanned pairwise
-        max_cos = (
-            cands.join(cand_emb, F.col(id_col) == F.col("__eid"), "left")
-            .join(pos_vecs, "query_id")
-            .groupBy("query_id", id_col)
-            .agg(
-                F.max(
-                    F.round(cosine(F.col("__evec"), F.col("__pvec")), 6)
-                ).alias("max_pos_cosine")
+        # corpus never scanned pairwise.  ONE pass over the candidate
+        # frame: the positives grid joins LEFT (a query with no embedded
+        # positives contributes one NULL-__pvec row, so max() is NULL and
+        # the candidate is kept — identical to the former inner-join +
+        # join-back shape, minus the extra broadcast exchange and the
+        # second consumption of the candidate list), and bm25/lex_rank
+        # ride the group keys (functionally determined by the pair).
+        max_cos = F.max(F.round(cosine(F.col("__evec"), F.col("__pvec")), 6))
+        cands = (
+            # ONE query_id exchange serves the grid aggregate AND the
+            # survivor-rank window below (hashpartitioning(query_id)
+            # satisfies both clusterings; the planner would otherwise
+            # give the aggregate its exact four-key exchange and
+            # re-exchange for the window).  AQE sizes the partition
+            # count — no explicit N.
+            cands.repartition(F.col("query_id"))
+            .join(cand_emb, F.col(id_col) == F.col("__eid"), "left")
+            .join(pos_vecs, "query_id", "left")
+            .groupBy("query_id", id_col, "bm25", "lex_rank")
+            .agg(max_cos.alias("max_pos_cosine"))
+            .filter(
+                F.coalesce(F.col("max_pos_cosine") < sim_ceiling, F.lit(True))
             )
-        )
-        cands = cands.join(
-            F.broadcast(max_cos), ["query_id", id_col], "left"
-        ).filter(
-            F.coalesce(F.col("max_pos_cosine") < sim_ceiling, F.lit(True))
         )
     else:
         cands = cands.withColumn(
