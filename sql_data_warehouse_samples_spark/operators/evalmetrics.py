@@ -60,19 +60,28 @@ def token_distribution_drift(
     """
     from .text import tokens
 
-    sides = [
-        r[0]
-        for r in docs.select(side_col).distinct().orderBy(side_col).collect()
-    ]
-    if len(sides) != 2 or any(s is None for s in sides):
+    # ONE map-side-combined reduce validates the side domain (min/max/
+    # distinct-count/null-count) — the previous distinct().collect() paid
+    # an exchange plus its AQE stage jobs for the same answer (r12,
+    # guide §5: control-plane work in one aggregate)
+    dom = docs.agg(
+        F.min(side_col).alias("lo"),
+        F.max(side_col).alias("hi"),
+        F.countDistinct(side_col).alias("nd"),
+        F.sum(F.col(side_col).isNull().cast("int")).alias("nn"),
+    ).collect()[0]
+    if dom.nd != 2 or (dom.nn or 0) > 0:
         # NULL must be rejected, not treated as a side: the pivot below
         # compares with `==`, which evaluates to NULL for a NULL side, so
         # every NULL-side count would silently land as 0 — garbage drift,
         # not an error
+        sides = ([None] if (dom.nn or 0) else []) + (
+            [dom.lo, dom.hi][: dom.nd]
+        )
         raise ValueError(
             f"side_col must have exactly 2 non-NULL values, got {sides}"
         )
-    a, b = sides
+    a, b = dom.lo, dom.hi
     tok = docs.select(
         F.col(side_col).alias("__side"), F.explode(tokens(text_col)).alias("__t")
     )

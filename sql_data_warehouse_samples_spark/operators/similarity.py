@@ -1694,7 +1694,10 @@ class IvfIndex:
         # the probed-list union is driver-sized (≤ nlist ints) and becomes
         # a partition filter — the scan never opens unprobed lists
         probed = sorted(
-            r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
+            # |Q|·nprobe rows: dedup DRIVER-side — a distinct() here paid
+            # an exchange plus its AQE stage jobs on a control-plane-sized
+            # checkpointed frame (r12, guide §5)
+            {r.centroid_id for r in q_probe.select("centroid_id").collect()}
         )
         lists = self._lists(spark).filter(
             F.col("centroid_id").isin(probed)
@@ -2337,7 +2340,10 @@ class IvfPqIndex:
             # math per consumer
         ).localCheckpoint(eager=True)
         probed = sorted(
-            r.centroid_id for r in q_probe.select("centroid_id").distinct().collect()
+            # |Q|·nprobe rows: dedup DRIVER-side — a distinct() here paid
+            # an exchange plus its AQE stage jobs on a control-plane-sized
+            # checkpointed frame (r12, guide §5)
+            {r.centroid_id for r in q_probe.select("centroid_id").collect()}
         )
         lists = spark.read.parquet(self._lists_dir(spark)).filter(
             F.col("centroid_id").isin(probed)
