@@ -32,6 +32,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _embedding_probe(emb: DataFrame, need_ids: DataFrame) -> DataFrame:
+    """The bounded embeddings fetch: SEMI-join the corpus-sized embeddings
+    table against the broadcast id set (candidates ∪ positives, both
+    bounded).  Factored out so the broadcast-semi shape stays unit-
+    plan-locked (tests/test_round9_hardening.py) — inside the miner the
+    result is materialized via localCheckpoint, which hides this subplan
+    from the final query plan."""
+    return emb.join(F.broadcast(need_ids), "__eid", "semi")
+
+
 def mine_hard_negatives_batch(
     docs: DataFrame,
     queries: DataFrame,
@@ -122,9 +132,7 @@ def mine_hard_negatives_batch(
         need_ids = cands.select(F.col(id_col).alias("__eid")).unionByName(
             pos.select(F.col(id_col).alias("__eid"))
         )
-        emb_need = emb.join(
-            F.broadcast(need_ids), "__eid", "semi"
-        ).localCheckpoint(eager=True)
+        emb_need = _embedding_probe(emb, need_ids).localCheckpoint(eager=True)
         pos_vecs = F.broadcast(
             pos.join(emb_need, pos[id_col] == emb_need["__eid"]).select(
                 "query_id", F.col("__evec").alias("__pvec")

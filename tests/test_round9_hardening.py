@@ -123,17 +123,40 @@ def test_miner_embeddings_fetch_is_broadcast_semi_prefiltered(spark):
     positives = spark.createDataFrame(
         [(0, 0), (0, 1), (1, 2)], "query_id: long, doc_id: long"
     )
+    # the probe building block itself: a broadcast SEMI join of the raw
+    # embeddings against the bounded id set.  (Since r12 the miner
+    # materializes the probe via localCheckpoint — ONE embeddings scan
+    # serving both guard sides — so the semi subplan no longer appears in
+    # the final query plan and is locked here at the unit level instead.)
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_samples_spark.operators.retrieval import (
+        _embedding_probe,
+    )
+
+    probe = _embedding_probe(
+        e.select(
+            F.col("vec_id").alias("__eid"), F.col("embedding").alias("__evec")
+        ),
+        spark.createDataFrame([(0,), (1,), (2,)], "__eid: long"),
+    )
+    pplan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in pplan
+    semi = [
+        ln
+        for ln in pplan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+    ]
+    assert semi, "embeddings fetch lost its broadcast semi prefilter"
+
     df = mine_hard_negatives_batch(
         d, queries, positives, embeddings=e, k=5, k_raw=10, sim_ceiling=0.6
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    semi = [
-        ln
-        for ln in plan.splitlines()
-        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
-    ]
-    assert semi, "embeddings fetch lost its broadcast semi prefilter"
+    # the raw embeddings table is consumed INSIDE the materialized probe:
+    # the final plan must not rescan it (bounded fetch at any scale)
+    assert "embeddings.parquet" not in plan
     # and the fetch itself broadcasts the (now bounded) embeddings side
     outer = [
         ln
