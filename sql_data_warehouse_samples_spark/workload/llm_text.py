@@ -895,7 +895,13 @@ def d21_incremental_neardup_ledger(spark, sf_dir):
         pairs = (
             led.near_dups(batch, threshold=1.0)
             .localCheckpoint(eager=True)
-            .orderBy("batch_id", "corpus_id")
+            # presentation sort of a ~50-row MATERIALIZED frame: a global
+            # orderBy would pay a range exchange plus its sampling job;
+            # coalesce(1) on the checkpointed RDD merges already-computed
+            # blocks (upstream parallelism already spent) and the single-
+            # partition sort is the same total order (unique key pair)
+            .coalesce(1)
+            .sortWithinPartitions("batch_id", "corpus_id")
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -981,9 +987,13 @@ def d22_admission_pipeline(spark, sf_dir):
         pipe.admit(corpus, idempotency_key="day0")
         survivors = pipe.admit(batch, idempotency_key="day1")
         out = (
+            # checkpoint UNSORTED, sort lazily on the materialized ~50-row
+            # frame (the d21 pattern): sorting inside the eager checkpoint
+            # paid a range exchange plus its sampling job
             survivors.select("doc_id")
-            .orderBy("doc_id")
             .localCheckpoint(eager=True)
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
