@@ -1,12 +1,16 @@
-"""Capture .explain("formatted") for headline queries to plans/r12/.
+"""Capture .explain("formatted") for headline queries to plans/r{N}/.
 
 Usage:
     python scripts/capture_plans.py after [query ...]   # suffix, optional subset
 
-The judge reads plans/r12/<query>_{before,after}.txt to check plan-shape
-claims in OPTIMIZATION_r12.md; before-plans were captured at round start
+The judge reads plans/r{N}/<query>_{before,after}.txt to check plan-shape
+claims in OPTIMIZATION_r{N}.md; before-plans are captured at round start
 by the same method (explain of the frame the query function returns, at
-$SPARK_GRAFT_SF_DIR).
+$SPARK_GRAFT_SF_DIR).  r13 hygiene rule (VERDICT r12 item 3): capture
+under the EXACT bench configuration — no env overrides that suppress
+exchanges the bench executes (the r12 after-plans were captured with the
+scan spread silently disabled, hiding the exchange that caused the
+regression).  SPARK_GRAFT_PLANS_ROUND picks the output dir (default r13).
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ from sql_data_warehouse_samples_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r12")
+                   "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 
 
 def main() -> None:

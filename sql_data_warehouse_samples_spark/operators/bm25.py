@@ -185,30 +185,20 @@ def _bm25_scores(
                 F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
             )
         )
-        # per-(doc, term) tf MAP-SIDE (guide §2.4): every occurrence of a
-        # term in __hits lives in the doc's own row, so the tf count
-        # needs no exchange — the explode+groupBy form shuffled the
-        # exploded hits stream just to merge rows that were already
-        # colocated.  |__hits| is vocabulary-occurrences only, so the
-        # per-doc distinct×filter scan is O(|hits|²) on a few elements.
+        # per-(doc, term) tf via explode + groupBy — the r12 map-side
+        # distinct×filter HOF (O(|hits|²) interpreted per-element CPU
+        # per doc) measured SLOWER on every consumer despite removing
+        # this exchange, which carries only map-side-combined partial
+        # counts of the hits stream (vocabulary occurrences, a vanishing
+        # fraction of the corpus).  Reverted per the r12 verdict; r13
+        # interleaved A/B (scripts/bm25_tf_ab.py, /tmp/bm25_tf_ab.json):
+        # s07 0.744/0.821 vs 0.851/0.859, s11 1.195 vs 1.274, s12 1.753
+        # vs 1.833 (min/med), s13 within noise.
         hits = (
             base.filter(F.size("__hits") > 0)
-            .select(
-                id_col,
-                "dl",
-                F.explode(
-                    F.transform(
-                        F.array_distinct("__hits"),
-                        lambda t: F.struct(
-                            t.alias("term"),
-                            F.size(
-                                F.filter("__hits", lambda x: x == t)
-                            ).cast("long").alias("tf"),
-                        ),
-                    )
-                ).alias("__h"),
-            )
-            .select(id_col, "dl", "__h.term", "__h.tf")
+            .select(id_col, "dl", F.explode("__hits").alias("term"))
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
     else:
         toks = tokens(text_col)

@@ -78,8 +78,16 @@ def token_distribution_drift(
         sides = ([None] if (dom.nn or 0) else []) + (
             [dom.lo, dom.hi][: dom.nd]
         )
+        # the one-aggregate domain check only sees min/max, so for
+        # nd > 2 report the count alongside the two endpoints instead
+        # of under-reporting the offending domain (r12 ADVICE)
+        detail = (
+            f"{dom.nd} distinct values including {sides}"
+            if dom.nd > 2
+            else f"{sides}"
+        )
         raise ValueError(
-            f"side_col must have exactly 2 non-NULL values, got {sides}"
+            f"side_col must have exactly 2 non-NULL values, got {detail}"
         )
     a, b = dom.lo, dom.hi
     tok = docs.select(

@@ -108,11 +108,13 @@ def classify_language(
     Two value-identical impls (parity-locked,
     test_langid_impl_parity), BOTH exchange-free on the corpus side:
 
-    * ``arrow`` (default) — one mapInPandas pass: the profile dict rides
-      the task closure (#langs × top_k entries, centroid-broadcast
-      class), gram slicing + dict lookups run as plain Python over Arrow
-      batches.  Spark never codegens HOF lambdas, so the JVM fold is
-      interpreted per gram occurrence — measured ~5x slower at sf0.1.
+    * ``arrow`` (default) — a scalar pandas_udf over the TEXT COLUMN
+      only: just ``text_col`` crosses into Python (Arrow batches) and
+      just the (pred_lang, score) struct crosses back; every other
+      column stays in the JVM row.  The profile dict rides the task
+      closure (#langs × top_k entries, centroid-broadcast class).
+      Spark never codegens HOF lambdas, so the JVM fold is interpreted
+      per gram occurrence — measured ~5x slower at sf0.1.
     * ``fold`` — pure-JVM ``aggregate`` over the gram array with ONE
       combined gram→weight-vector literal map, for pipelines that must
       stay Python-free.
@@ -144,7 +146,10 @@ def classify_language(
         # real class objects, not strings: the module's postponed
         # annotations (`from __future__ import annotations`) would
         # stringify inline hints and pandas_udf's eval-type inference
-        # rejects string hints
+        # rejects string hints.  Pinned assumption (PySpark 4.x,
+        # verified on 4.1): pandas_udf infers SCALAR eval type from
+        # __annotations__ via typing.get_type_hints — if the signature
+        # of _score changes, update this dict in lockstep.
         _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
         score = F.pandas_udf(f"`{out_col}` string, `{score_col}` long")(
             _score

@@ -1665,7 +1665,13 @@ class IvfIndex:
         """Probe-pruned search: identical candidate generation and ranking
         to ``ivf_topk`` with the same quantizer, but the corpus side is the
         persisted lists filtered to the union of probed centroid ids —
-        a static partition filter the parquet reader prunes on."""
+        a static partition filter the parquet reader prunes on.
+
+        Driver bound (r12 ADVICE): the probed-id dedup collects the
+        |Q|·nprobe probe rows (one int column) to the driver — ``queries``
+        must stay broadcast-sized, the same contract the q_probe
+        broadcast join below already imposes; a query set past broadcast
+        scale should be chunked by the caller."""
         from pyspark.sql import Window
 
         spark = queries.sparkSession
@@ -2290,7 +2296,12 @@ class IvfPqIndex:
         ``exact_decimal`` accumulates the ADC fold as DECIMAL (the
         ``pq_topk`` convention) so the served distances are
         bit-identical to the scan scorer's — required when sharing an
-        exact oracle with it."""
+        exact oracle with it.
+
+        Driver bound (r12 ADVICE): the probed-id dedup collects the
+        |Q|·nprobe probe rows (one int column) to the driver — ``queries``
+        must stay broadcast-sized, the same contract the probe-table
+        broadcast already imposes; chunk larger query sets."""
         from pyspark.sql import Window
 
         spark = queries.sparkSession

@@ -170,12 +170,15 @@ DRIVER_PRIORITY: list[str] = [
     # t19 (C4 line-rule cleaning — plan-locked map-only).  Window oracle
     # density stays 47 of 50 (d03/d04/p01 remain rows-only by design).
     "d23_bloom_decontamination",
-    # round-12 rotation: s16 takes its scan-twin s10's seat (the
-    # s14/s15 pattern — shared exact oracle verbatim, strict machinery
-    # superset: the same encode/ADC/refine pipeline answered from the
-    # PERSISTED IVF-PQ code lists); s10 stays registered + locally
-    # oracle-checked post-window.
-    "s16_ivfpq_index_serving",
+    # round-13 re-seat (VERDICT r12 item 1: the r12 rotation DROPPED the
+    # green s10 row when s16 took its seat — per the optimization-round
+    # rules a dropped query regresses the round until re-covered).  The
+    # seat now holds the PQ battery, which RUNS both pipelines (s10's
+    # scan-path encode+ADC+refine AND s16's index-backed serving) and
+    # hash-checks their tagged union against the shared exact oracle; the
+    # standalone s10/s16 stay registered + locally oracle-checked
+    # post-window.
+    "s10_s16_pq_battery",
     "t19_c4_line_clean",
     # round-8 rotation: q37+q39 fold into one events battery and s01+s03
     # into one embeddings battery (each family keeps its in-window exemplar
@@ -204,8 +207,16 @@ DRIVER_PRIORITY: list[str] = [
     # and t22 (language-ID 2+3-gram back-off).  Window oracle density
     # stays 50 of 50.
     "d25_corpus_drift",
-    "s13_hard_negatives_batch",
-    "t22_langid_backoff",
+    # round-13 re-seats (VERDICT r12 item 1): the r12 rotation dropped
+    # the green s12 and t21 rows on "strict-superset sibling" grounds;
+    # the optimization-round rules count that as a regression.  Each
+    # family's seat now holds a battery that RUNS both constituents and
+    # hash-checks their tagged union — s12 (single-query mining) + s13
+    # (batched mining) in one row, t21 (single-order trained langid) +
+    # t22 (2+3-gram back-off) in one row.  All four constituents stay
+    # registered + locally oracle-checked post-window.
+    "s12_s13_mining_battery",
+    "t21_t22_langid_battery",
     # round-10 rotation: the t01_t04 + t02_t03_t05 fold frees one slot —
     # seated by t24 (tokenizer decode∘encode round-trip, exact oracle):
     # the tokenizer family's first driver-window row, closing the

@@ -66,22 +66,34 @@ def _src_row_groups(path: str) -> int:
 def _scan_spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFrame:
     """Widen an under-split scan (guide §2.5 input skew): the sf parquet
     tables are written as a single file with one row group, so every scan
-    is effectively ONE input split and every CPU-heavy map pass
-    downstream (shingling, signatures, gram hashing, per-row codecs) runs
+    is effectively ONE input split and a CPU-heavy map pass downstream
+    (gram hashing, regex batteries, per-row Python scoring) runs
     single-threaded on a 32-core session.  When the source supplies at
     most half the cluster's parallelism in row groups, hash-repartition
     on the table's primary id immediately after the read — column pruning
     and predicate pushdown pass through a RepartitionByExpression, so
-    ReadSchema/PushedFilters at the scan are unchanged (plan-locked in
-    tests/test_plans.py with the spread disabled: the at-scale shape,
-    where a 100 TB table arrives in thousands of row groups and this is a
-    no-op).  Deterministic: hash of a unique id — no round-robin retry
-    hazard, no sort-before-repartition.  The split estimate reads parquet
-    FOOTERS driver-side: the first form of this gate asked the live plan
-    via ``df.rdd.getNumPartitions()``, whose plan→RDD materialization
-    cost ~0.3 s of driver time PER CALL and inflated every short query by
-    a near-constant additive (r12 bench A/B — spreads ≤1.3, so additive
-    cost, not steal).  ``SPARK_GRAFT_SCAN_SPREAD=0`` disables."""
+    ReadSchema/PushedFilters at the scan are unchanged.  Deterministic:
+    hash of a unique id — no round-robin retry hazard, no
+    sort-before-repartition.  The split estimate reads parquet FOOTERS
+    driver-side (no Spark job; the earlier ``df.rdd.getNumPartitions()``
+    form cost ~0.3 s of driver plan→RDD materialization per call).
+
+    OPT-IN per call site since r13 (the r12 regression): r12 applied this
+    to EVERY ``tbl()`` read, and the driver measured 29 queries regressed
+    — the exchange's key is reused by almost nothing downstream, so any
+    query that is not CPU-bound in its map pass pays a full-table shuffle
+    for parallelism it cannot use (the 8-cpu driver run beating the
+    32-cpu run is the signature).  r13's interleaved per-query A/B
+    (scripts/spread_ab.py, /tmp/spread_ab.json, quiet-window box) kept
+    the spread ONLY where the measured min AND median both won with it:
+    d11, d14, d23, t05, t08, t19, t21/t22 — regex/gram/langid corpus
+    passes.  At 100 TB a table arrives in thousands of row groups and
+    the gate is a no-op either way.  Plan-locked for real in
+    tests/test_scan_spread.py (r12's claimed lock did not exist):
+    a spread=True read of a gate-passing source carries the
+    REPARTITION_BY_COL exchange, a default read does not.
+    ``SPARK_GRAFT_SCAN_SPREAD=0`` force-disables opted-in sites (A/B
+    instrument)."""
     key = _SPREAD_KEYS.get(name)
     if key is None or os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0":
         return df
@@ -107,7 +119,10 @@ def _scan_spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> Da
 #: from the parquet data; the mtime+size fingerprint drops the entry if
 #: the file is rewritten.  Single files only (directories would need a
 #: recursive fingerprint walk — see serving_cache_dir for why that is
-#: its own can of worms).
+#: its own can of worms).  Single-conf assumption (r12 ADVICE): the memo
+#: is process-wide, so a schema inferred under one session's SQL conf
+#: (e.g. nanosAsLong) is reused as-is — every session this engine builds
+#: goes through session.build_session with identical reader confs.
 _SCHEMA_CACHE: dict = {}
 
 
@@ -119,13 +134,18 @@ def _cached_schema(spark: SparkSession, path: str):
     key = (path, st.st_mtime_ns, st.st_size)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
+        # evict superseded fingerprints of the same path (r12 ADVICE:
+        # stale keys for rewritten files were never dropped, so the memo
+        # grew one dead entry per rewrite)
+        for k in [k for k in _SCHEMA_CACHE if k[0] == path]:
+            del _SCHEMA_CACHE[k]
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
     return schema
 
 
 def tbl(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
@@ -144,10 +164,12 @@ def tbl(
         # ts read as long ns (nanosAsLong); truncate to µs exactly the way
         # DuckDB casts TIMESTAMP_NS → TIMESTAMP, so oracles agree.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # ``spread=False``: opt-out for queries that immediately slice the
-    # table to a driver-sized id range (d21/d22/d24-style planted-batch
-    # constructions) — there the spread exchange costs an extra AQE stage
-    # job without buying any parallel compute (r12 job-trace).
+    # ``spread=True`` is OPT-IN (r13): only call sites whose downstream
+    # is a measured CPU-heavy map pass over the corpus ask for the
+    # spread exchange (see _scan_spread's docstring for the A/B record);
+    # the default read keeps the scan's own split layout.  Explicit
+    # ``spread=False`` at probe/slice call sites is kept as
+    # documentation of sites that must NEVER be opted in.
     return _scan_spread(df, spark, path, name) if spread else df
 
 

@@ -1170,3 +1170,62 @@ def s13_hard_negatives_batch(spark, sf_dir):
         k_raw=_S13_RAW,
         sim_ceiling=_S13_CEIL,
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 window re-seats (VERDICT r12 item 1): the round-12 rotation dropped
+# three green driver rows (s10, s12, t21).  Per the established fold
+# discipline (q03_q05 et al.) each pair below shares ONE driver seat while
+# BOTH constituents stay registered and locally oracle-checked: the battery
+# literally RUNS both pipelines and unions their tagged outputs, so the
+# driver's 50-row window hash-verifies s10+s16 / s12+s13 in one row each.
+# ---------------------------------------------------------------------------
+
+
+def _s10_s16_oracle() -> str:
+    from . import ORACLES
+
+    base = ORACLES["s10_pq_refine_topk"]
+    return (
+        f"SELECT 'scan' AS mode, * FROM ({base})\n"
+        f"UNION ALL\nSELECT 'served' AS mode, * FROM ({base})"
+    )
+
+
+@query("s10_s16_pq_battery", oracle=_s10_s16_oracle())
+def s10_s16_pq_battery(spark, sf_dir):
+    """PQ retrieval battery: s10's scan-path encode+ADC+refine and s16's
+    IVF-PQ index-backed serving of the SAME queries — value-identical by
+    construction (shared exact oracle), tagged and unioned so one driver
+    seat hash-checks both the scan and the serving pipeline."""
+    a = s10_pq_refine_topk(spark, sf_dir).select(
+        F.lit("scan").alias("mode"), "*"
+    )
+    b = s16_ivfpq_index_serving(spark, sf_dir).select(
+        F.lit("served").alias("mode"), "*"
+    )
+    return a.unionByName(b)
+
+
+def _s12_s13_oracle() -> str:
+    from . import ORACLES
+
+    return (
+        f"SELECT 'single' AS mode, * FROM ({ORACLES['s12_hard_negatives']})\n"
+        f"UNION ALL\nSELECT 'batch' AS mode, * FROM "
+        f"({ORACLES['s13_hard_negatives_batch']})"
+    )
+
+
+@query("s12_s13_mining_battery", oracle=_s12_s13_oracle())
+def s12_s13_mining_battery(spark, sf_dir):
+    """Hard-negative mining battery: s12's single-query miner and s13's
+    batched (query-table) miner, tagged and unioned — one driver seat
+    hash-checks both the single and the batch mining pipeline."""
+    a = s12_hard_negatives(spark, sf_dir).select(
+        F.lit("single").alias("mode"), "*"
+    )
+    b = s13_hard_negatives_batch(spark, sf_dir).select(
+        F.lit("batch").alias("mode"), "*"
+    )
+    return a.unionByName(b)

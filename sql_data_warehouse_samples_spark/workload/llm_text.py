@@ -481,7 +481,9 @@ JOIN gram_stats gs ON d.doc_id = gs.doc_id
 """,
 )
 def t05_repetition_filters(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: regex/gram battery, CPU-bound map pass (r13 A/B:
+    # 0.87/0.96 with vs 0.94/1.10 without, min/med)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     return T.repetition_metrics(d, "text", "doc_id")
 
 
@@ -627,7 +629,9 @@ FROM train t JOIN bench b ON t.g = b.g
 """,
 )
 def d23_bloom_decontamination(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: the zero-shuffle corpus side runs the interpreted
+    # gram fold per row (r13 A/B: 1.65/2.04 with vs 2.10/2.57 without)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return D.bloom_contaminated_ids(train, bench, "text", "doc_id", n=8)
@@ -1408,7 +1412,9 @@ def t08_curation_funnel(spark, sf_dir):
 
     from ..operators import curate as C
 
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: one-scan regex funnel, CPU-bound (r13 A/B: 1.04/1.13
+    # with vs 1.42/1.76 without)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     c = F.col("text")
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9_\s]", ""))
     punct_ratio = F.round(
@@ -1535,7 +1541,9 @@ GROUP BY 1, 2
 """,
 )
 def d11_substring_dup_pairs(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: gram-hash front end is per-row CPU (r13 A/B:
+    # 1.44/1.56 with vs 1.47/1.80 without)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     return D.substring_dup_pairs(d, "text", "doc_id", n=_SUB_N)
 
 
@@ -1753,7 +1761,9 @@ FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
 """,
 )
 def d14_duplicate_span_removal(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread=True: positioned-gram hashing per row (r13 A/B: 1.65/1.74
+    # with vs 1.83/1.95 without)
+    d = tbl(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return D.remove_duplicate_spans(d, "text", "doc_id", n=20)
 
 
@@ -2577,7 +2587,9 @@ FROM cleaned WHERE n_kept >= 1
 """,
 )
 def t19_c4_line_clean(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: line-rule regex battery, CPU-bound (r13 A/B:
+    # 1.22/1.51 with vs 1.48/1.74 without)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     return T.c4_line_clean(_t19_pages(d), "text", "doc_id")
 
 
@@ -2749,7 +2761,9 @@ def t21_langid_trained(spark, sf_dir):
         train_char_ngram_profiles,
     )
 
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: char-gram train aggregate + per-row Python classify
+    # (r13 A/B: 1.76/2.00 with vs 2.68/2.73 without — the biggest keeper)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     profiles = train_char_ngram_profiles(d, top_k=200)
     out = classify_language(d, profiles)
     return out.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
@@ -2848,7 +2862,8 @@ def t22_langid_backoff(spark, sf_dir):
         train_char_ngram_profiles,
     )
 
-    d = tbl(spark, sf_dir, "documents")
+    # spread=True: t21's machinery at two gram orders (same A/B rationale)
+    d = tbl(spark, sf_dir, "documents", spread=True)
     profiles = {
         n: train_char_ngram_profiles(d, n=n, top_k=200) for n in (3, 2)
     }
@@ -2862,6 +2877,48 @@ def t22_langid_backoff(spark, sf_dir):
     return out.groupBy("lang", "pred_lang", "ngram_order").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# t21+t22 — language-ID battery (r13 window re-seat, VERDICT r12 item 1):
+# the r12 rotation dropped t21's green driver row.  Per the established
+# fold discipline, ONE seat runs BOTH the single-order trained classifier
+# (t21) and the 2+3-gram back-off cascade (t22), tagged and unioned; both
+# constituents stay registered and locally oracle-checked post-window.
+# ---------------------------------------------------------------------------
+
+
+def _t21_t22_oracle() -> str:
+    from . import ORACLES
+
+    return (
+        "SELECT 'trained' AS mode, lang, pred_lang, "
+        "CAST(NULL AS INT) AS ngram_order, n FROM ("
+        + ORACLES["t21_langid_trained"]
+        + ")\nUNION ALL\nSELECT 'backoff' AS mode, lang, pred_lang, "
+        "CAST(ngram_order AS INT) AS ngram_order, n FROM ("
+        + ORACLES["t22_langid_backoff"]
+        + ")"
+    )
+
+
+@query("t21_t22_langid_battery", oracle=_t21_t22_oracle())
+def t21_t22_langid_battery(spark, sf_dir):
+    a = t21_langid_trained(spark, sf_dir).select(
+        F.lit("trained").alias("mode"),
+        "lang",
+        "pred_lang",
+        F.lit(None).cast("int").alias("ngram_order"),
+        "n",
+    )
+    b = t22_langid_backoff(spark, sf_dir).select(
+        F.lit("backoff").alias("mode"),
+        "lang",
+        "pred_lang",
+        F.col("ngram_order").cast("int").alias("ngram_order"),
+        "n",
+    )
+    return a.unionByName(b)
 
 
 # ---------------------------------------------------------------------------

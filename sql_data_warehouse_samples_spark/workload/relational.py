@@ -1554,9 +1554,10 @@ def q61_waiting_suppliers(spark, sf_dir):
     # the explicit l_orderkey repartition pins the ONE exchange both
     # window keys share — without it the planner gives the w_supp window
     # its exact (l_orderkey, l_suppkey) key and then RE-exchanges for
-    # w_ord (two shuffles of the fact); when tbl() already spread the
-    # scan on l_orderkey, CollapseRepartition folds this into that
-    # exchange (plan stays one-shuffle either way)
+    # w_ord (two shuffles of the fact).  (If a caller ever opts the scan
+    # into the r13 spread — same key — CollapseRepartition folds the two
+    # into one; the default unspread read keeps this as the plan's only
+    # fact exchange.)
     li = (
         tbl(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")

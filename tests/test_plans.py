@@ -368,8 +368,9 @@ def test_s07_bm25_filters_tokens_before_explode(spark):
     plan = plan_str(df)
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     # explode consumes the pre-filtered __hits projection, never raw
-    # tokens (r12: the generator input is the map-side (term, tf) struct
-    # array derived from __hits — tf needs no exchange; still hits-bounded)
+    # tokens (r13: back to the r11 explode+groupBy tf — the r12 map-side
+    # HOF's interpreted per-element CPU measured slower than this
+    # hits-only exchange on every consumer; scripts/bm25_tf_ab.py)
     assert gen and all("__hits" in ln for ln in gen), gen
     # the corpus scan was consumed by the checkpointed projection — the
     # scoring plan reads the checkpoint, so documents appear ZERO times
