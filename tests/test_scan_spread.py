@@ -106,3 +106,27 @@ def test_headline_opt_in_sites_spread_at_bench_config(spark, monkeypatch):
         plan = _optimized(workload.QUERIES[name](spark, sf_dir))
         has = "RepartitionByExpression [doc_id" in plan
         assert has == spread, f"{name}: spread={has}, expected {spread}"
+
+
+def test_q61_single_fact_exchange_at_bench_config(spark, monkeypatch):
+    """VERDICT r12 item 8: the q61 window-form lock run at the LIVE
+    bench configuration (sf0.1, default env — no spread suppression),
+    not just the sf0.001 fixture regime: the lineitem fact is scanned
+    once, exchanged once on l_orderkey (the query's own repartition,
+    reused by all three window passes), and never self-joined or
+    broadcast."""
+    from sql_data_warehouse_samples_spark import workload
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        pytest.skip("test data not present")
+    monkeypatch.delenv("SPARK_GRAFT_SCAN_SPREAD", raising=False)
+    workload.load_all()
+    df = workload.QUERIES["q61_waiting_suppliers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1, plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    lineitem_scans = [
+        ln for ln in plan.splitlines() if "lineitem" in ln and "Scan" in ln
+    ]
+    assert len(lineitem_scans) == 1, lineitem_scans

@@ -62,11 +62,15 @@ def test_driver_priority_window_pinned():
         "d22_admission_pipeline", "q04_q17_semi_battery",
         "q07_q15_pairs_battery", "q11_q54_outer_battery",
         "q18_q21_q22_agg_battery", "d23_bloom_decontamination",
-        "s16_ivfpq_index_serving",  # r12: s10's seat (shared exact oracle)
+        # round-13 re-seats (VERDICT r12 item 1): each family seat holds
+        # a battery RUNNING both constituents, so the r12-dropped green
+        # rows (s10, s12, t21) are hash-checked in-window again without
+        # losing the s16/s13/t22 coverage
+        "s10_s16_pq_battery",  # s10 scan path + s16 IVF-PQ serving
         "t19_c4_line_clean",
         "t20_filter_auc",
-        "d25_corpus_drift", "s13_hard_negatives_batch",
-        "t22_langid_backoff", "t24_decode_roundtrip",
+        "d25_corpus_drift", "s12_s13_mining_battery",
+        "t21_t22_langid_battery", "t24_decode_roundtrip",
         # round-12 rotation: t21→t22 / s12→s13 superset seats freed two
         # slots for the tokenizer flagships
         "t23_token_ids", "t25_tokenizer_fertility",
@@ -99,6 +103,12 @@ def test_driver_priority_window_pinned():
         "t21_langid_trained",
         "s12_hard_negatives",
         "s10_pq_refine_topk",
+        # round-13 battery re-seats: ALL six constituents stay registered
+        # (the batteries run them in-window; the standalones remain the
+        # bench/oracle-checked entry points)
+        "s16_ivfpq_index_serving",
+        "s13_hard_negatives_batch",
+        "t22_langid_backoff",
     ):
         assert post_window in workload.QUERIES, post_window
 
